@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed to completion (count-collapsed — results are consumed,
+not collected to the driver) and timed wall-clock.  A warmup pass on sf's
+smallest table absorbs JVM/codegen startup so timings reflect the plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from healthcare_data_pipeline_spark.queries import catalog
+from healthcare_data_pipeline_spark.session import get_spark
+
+# Headline set: the flagship star join + one representative per operator family.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q14_star_join",
+    "q19_window_rank",
+    "q26_sessionize",
+    "d01_drug_report_shape",
+    "d02_prescriber_report_shape",
+    "dd01_exact_dedup",
+    "dd04_minhash_lsh",
+    "t02_quality_score",
+    "s01_knn_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="hdp-spark-bench")
+
+    cat = catalog()
+    names = [n for n in HEADLINE if n in cat]
+
+    # Warmup: trigger JVM + codegen + shuffle + noop-writer init so fixed
+    # startup costs don't land on the first timed query.
+    warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    warm.groupBy("n_regionkey").count().write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        df = cat[name].fn(spark, sf_dir)
+        # Force full execution without driver-side materialization cost.
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,726 @@
+"""Core relational operator queries (SURVEY.md §2.1-§2.8) over the driver tables.
+
+Each query exercises one or more inventory rows (S/P/J/A/O/F/W numbers cite
+SURVEY.md §2 and through it the reference's file:line evidence) and carries an
+ANSI-SQL oracle that DuckDB runs over the same parquet files.  Float parity
+follows the decimal-exact convention in
+``healthcare_data_pipeline_spark.functions``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark.catalog import table
+from healthcare_data_pipeline_spark.functions import MONEY, null_count, xavg, xsum
+from healthcare_data_pipeline_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1, A2, A6; reference transform_data.py:89-95 groupBy+sum)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(25,8))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(25,8))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+      CAST(SUM(CAST(l_discount AS DECIMAL(25,8))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "A1", "P2"),
+    doc="TPC-H-Q1-style multi-aggregate grouped scan (A1; transform_data.py:89-95 pattern).",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            xsum("l_quantity", "sum_qty"),
+            xsum("l_extendedprice", "sum_base_price"),
+            xsum(disc_price, "sum_disc_price"),
+            xsum(charge, "sum_charge"),
+            xavg("l_quantity", "avg_qty"),
+            xavg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_project",
+    oracle="""
+    SELECT
+      l_orderkey AS orderkey,
+      l_linenumber AS line_no,
+      l_quantity AS qty,
+      l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_quantity > 45
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_returnflag = 'N'
+    """,
+    tags=("project", "filter", "P1", "P2"),
+    doc="Projection + alias + conjunctive filter (P1/P2; transform_data.py:98-104).",
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") > 45)
+            & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_returnflag") == "N")
+        )
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("line_no"),
+            F.col("l_quantity").alias("qty"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+@query(
+    "q03_cast_literal",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(o_orderkey AS INT) AS orderkey_int,
+      CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+      CAST(CAST(o_orderkey AS INT) AS VARCHAR) AS orderkey_str,
+      2025 AS year, 11 AS month, 7 AS day
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+    tags=("project", "P3", "P4"),
+    doc="Casts + literal ingestion-date stamping (P3/P4; ingest_data.py:91-96, preprocessing_data.py:124-125).",
+)
+def q03_cast_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("int").alias("orderkey_int"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.col("o_orderkey").cast("int").cast("string").alias("orderkey_str"),
+        F.lit(2025).alias("year"),
+        F.lit(11).alias("month"),
+        F.lit(7).alias("day"),
+    )
+
+
+@query(
+    "q04_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+    tags=("sort", "limit", "O1", "O2"),
+    doc="Order-by-desc + limit with unique tie-break (O1/O2; runnerfile.py:383,418).",
+)
+def q04_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .limit(25)
+    )
+
+
+@query(
+    "q05_group_count",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "A4"),
+    doc="Grouped count(*) (A4; runnerfile.py:418).",
+)
+def q05_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "q06_global_agg",
+    oracle="""
+    SELECT
+      MAX(l_orderkey) AS max_orderkey,
+      COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS total_qty,
+      COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    """,
+    tags=("agg", "A5", "A6", "A8"),
+    doc="Global max / count / sum / countDistinct (A5 watermark probe ingest_data.py:66-69; A6; A8).",
+)
+def q06_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.count("*").alias("n_rows"),
+        xsum("l_quantity", "total_qty"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@query(
+    "q07_null_profile",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS event_id_nulls,
+      SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_nulls,
+      SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
+      SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls,
+      SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+      SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls
+    FROM events
+    """,
+    tags=("profiling", "A7"),
+    doc="Single-pass per-column null profile (A7): the reference runs one filter(isNull).count() "
+    "job per column (runnerfile.py:130,160); the engine folds all columns into ONE aggregation "
+    "job — O(1) scans instead of O(columns), which is the difference between minutes and hours at 100 TB.",
+)
+def q07_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_rows")] + [null_count(c) for c in ev.columns]
+    return ev.agg(*aggs)
+
+
+@query(
+    "q08_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("agg", "A8", "A9"),
+    doc="Distinct value enumeration (A9; runnerfile.py:261 bounded distinct collect).",
+)
+def q08_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "q09_dedup_exact",
+    oracle="""
+    SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus FROM lineitem
+    """,
+    tags=("dedup", "A10"),
+    doc="Whole-row dropDuplicates on a projection (A10; preprocessing_data.py:84,97,110,123).",
+)
+def q09_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_returnflag", "l_linestatus").dropDuplicates()
+
+
+@query(
+    "q10_value_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY n DESC, event_type ASC
+    LIMIT 10
+    """,
+    tags=("agg", "A13", "O1"),
+    doc="Categorical top-k value_counts (A13; runnerfile.py:209, eda.py:110).",
+)
+def q10_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(10)
+    )
+
+
+@query(
+    "q11_histogram",
+    oracle="""
+    SELECT
+      CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) AS bin_total
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("profiling", "A16"),
+    doc="Histogram binning as a grouped aggregation (A16; runnerfile.py:190-204, eda.py:46-58) — "
+    "distributed equivalent of the reference's driver-side matplotlib hist.",
+)
+def q11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("bin", F.floor(F.col("l_extendedprice") / 5000.0).cast("long"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), xsum("l_extendedprice", "bin_total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J4; transform_data.py:97,127-128)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_join_left",
+    oracle="""
+    SELECT
+      COALESCE(c.c_mktsegment, 'unknown') AS segment,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS total_price
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    tags=("join", "J2", "F2", "F7"),
+    doc="Left equi-join fact->dim + coalesce null fallback (J2 transform_data.py:127; F2/F7). "
+    "Dim side is broadcast (customer ≪ fact at scale).",
+)
+def q12_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .select(F.coalesce(c.c_mktsegment, F.lit("unknown")).alias("segment"), o.o_totalprice)
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_orders"), xsum("o_totalprice", "total_price"))
+    )
+
+
+@query(
+    "q13_join_expr",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+    FROM nation n
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    tags=("join", "J3"),
+    doc="Left join with explicit cross-name key expression (J3; transform_data.py:128).",
+)
+def q13_join_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left").select(
+        n.n_nationkey, n.n_name, r.r_name.alias("region_name")
+    )
+
+
+@query(
+    "q14_star_join",
+    oracle="""
+    SELECT
+      r.r_name AS region_name,
+      n.n_name AS nation_name,
+      COUNT(*) AS n_lines,
+      CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(25,8))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+    tags=("join", "agg", "flagship"),
+    doc="Flagship star join: fact ⋈ 4 dims → revenue rollup by region/nation. At scale the "
+    "only shuffle is lineitem⋈orders (both huge, co-partitioned on orderkey); customer/nation/"
+    "region are broadcast so the dim joins are shuffle-free.",
+)
+def q14_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(r.r_name.alias("region_name"), n.n_name.alias("nation_name"))
+        .agg(F.count("*").alias("n_lines"), xsum(revenue, "revenue"))
+    )
+
+
+@query(
+    "q15_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+    doc="Left anti join — customers with no orders (NOT EXISTS).",
+)
+def q15_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q16_semi_join",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey
+        AND l.l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    """,
+    tags=("join", "semi"),
+    doc="Left semi join — suppliers with recent shipments (EXISTS).",
+)
+def q16_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.6 — absent in reference, free in Spark)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_setops",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    tags=("setop",),
+    doc="INTERSECT of two filtered projections (§2.6).",
+)
+def q17_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def custkeys(year_lo: str, year_hi: str) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year_lo} 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year_hi} 00:00:00").cast("timestamp"))
+        ).select("o_custkey")
+
+    return custkeys("1995-01-01", "1996-01-01").intersect(custkeys("1996-01-01", "1997-01-01"))
+
+
+@query(
+    "q18_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    tags=("setop",),
+    doc="EXCEPT (distinct) of two filtered projections (§2.6).",
+)
+def q18_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def custkeys(year_lo: str, year_hi: str) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year_lo} 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year_hi} 00:00:00").cast("timestamp"))
+        ).select("o_custkey")
+
+    # subtract() is SQL EXCEPT (distinct) — removes ALL matching rows;
+    # exceptAll() would keep multiplicity and diverge from the oracle.
+    return custkeys("1995-01-01", "1996-01-01").subtract(custkeys("1996-01-01", "1997-01-01"))
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.8 — claimed by reference README.md:270, never implemented)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_window_rank",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rn
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      FROM part
+    ) t
+    WHERE rn <= 3
+    """,
+    tags=("window", "W"),
+    doc="Per-group top-k via ranking window (§2.8 — the README-claimed-but-absent windowing).",
+)
+def q19_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+@query(
+    "q20_window_running",
+    oracle="""
+    SELECT
+      o_custkey, o_orderkey, o_totalprice,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_orderkey
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+    tags=("window", "W"),
+    doc="Running decimal-exact sum + lag over a deterministic frame (§2.8 analytic windows).",
+)
+def q20_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast(MONEY))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / pivot ([EXT] §2.4 note: free via Spark SQL)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+    doc="ROLLUP grouping sets with subtotal rows (§2.4 [EXT]).",
+)
+def q21_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), xsum("l_quantity", "sum_qty")
+    )
+
+
+@query(
+    "q22_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_o,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+    doc="Pivot on linestatus (§2.4 [EXT]; conditional-aggregation oracle).",
+)
+def q22_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(MONEY)).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_o"),
+            F.col("F").alias("qty_f"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (F1-F7) and JSON ([EXT])
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q23_sha2_anonymize",
+    oracle="""
+    SELECT c_custkey, sha256(c_name) AS name_hash
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+    tags=("function", "F1", "anonymize"),
+    doc="PII-style sha2-256 column anonymization (F1; runnerfile.py:271).",
+)
+def q23_sha2_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") <= 500).select(
+        "c_custkey", F.sha2(F.col("c_name").cast("string"), 256).alias("name_hash")
+    )
+
+
+@query(
+    "q24_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("function", "json", "EXT"),
+    doc="JSON field extraction + group ([EXT] §2.7: from_json/get_json_object for events.props).",
+)
+def q24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q25_hourly_agg",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS hour,
+      event_type,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "time", "streaming-batch"),
+    doc="Tumbling-window (hourly) aggregation in batch — the batch shadow of the Structured "
+    "Streaming path (§2.9 [EXT]); same plan shape as groupBy(F.window(ts,'1 hour')).",
+)
+def q25_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            # value is a full-precision double: quantize to an exact integer
+            # grid before summing so the aggregate is order-independent and
+            # engine-reproducible (see functions module docstring).
+            (F.sum(F.floor(F.col("value") * 10000).cast("long")).cast("double") / 10000.0).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+@query(
+    "q26_sessionize",
+    oracle="""
+    WITH ev AS (
+      -- events.ts is parquet TIMESTAMP(NANOS); truncate to micros to match the
+      -- engine's nanos-read shim (catalog._read_nanos_parquet)
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events
+      WHERE user_id <= 50
+    ),
+    seq AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+      FROM ev
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "session", "EXT"),
+    doc="Batch sessionization: lag-gap > 30 min starts a new session; running-sum assigns "
+    "session ids (§2.9 [EXT] session-window analog; guide 'Sessionization' pattern).",
+)
+def q26_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800000000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "q27_incremental_watermark",
+    oracle="""
+    SELECT COUNT(*) AS n_new, MIN(o_orderkey) AS min_new_key, MAX(o_orderkey) AS max_new_key
+    FROM orders
+    WHERE o_orderkey > (
+      SELECT MAX(o_orderkey) FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    """,
+    tags=("ingest", "P7", "A5"),
+    doc="Incremental watermark ingest (P7/A5; ingest_data.py:56-77): probe max(id) over the "
+    "'already ingested' set, then scan only rows above it. At scale the probe reads parquet "
+    "max statistics, and the filter pushes down to the source.",
+)
+def q27_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    watermark = o.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).agg(F.max("o_orderkey").alias("wm"))
+    return (
+        o.join(F.broadcast(watermark))
+        .filter(F.col("o_orderkey") > F.col("wm"))
+        .agg(
+            F.count("*").alias("n_new"),
+            F.min("o_orderkey").alias("min_new_key"),
+            F.max("o_orderkey").alias("max_new_key"),
+        )
+    )

@@ -1,0 +1,250 @@
+"""[EXT] Deduplication operators over ``documents`` / ``embeddings`` (SURVEY.md §7.8).
+
+Four families, as first-class queries:
+- exact (hash-groupBy on a normalized fingerprint)      -> dd01 (oracle-checked)
+- n-gram Jaccard near-dup (shingle explode + self-join) -> dd02 (oracle-checked)
+- embedding-cosine near-dup (quantized exact math)      -> dd03 (oracle-checked)
+- MinHash-LSH and SimHash candidates                    -> dd04/dd05 (engine-hash
+  based — xxhash64 seeds are Spark-specific, so these register no SQL oracle and
+  get the driver's rows-only check; their semantics are pytest-verified against
+  plain Jaccard on the same corpus.)
+
+Scale notes: dd02's shingle self-join caps shingle document-frequency (stop-
+shingle removal) so a hot shingle cannot produce a quadratic pair explosion;
+dd04 is the 100 TB path (candidate generation is linear in corpus size,
+pairs only form inside LSH buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark.catalog import table
+from healthcare_data_pipeline_spark.queries import query
+from healthcare_data_pipeline_spark.queries.similarity import _QUANT_SQL, quantized
+
+# Max document-frequency for a shingle to participate in pair generation.
+MAX_SHINGLE_DF = 50
+
+
+@query(
+    "dd01_exact_dedup",
+    oracle="""
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "EXT", "exact"),
+    doc="Exact dedup: normalized-text fingerprint hash-groupBy; keeps the smallest doc_id as "
+    "canonical. One shuffle on the fingerprint; at 100 TB this is the cheapest dedup pass.",
+)
+def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        d.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+@query(
+    "dd02_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 0)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               )) AS s
+        FROM t
+      )
+    ),
+    keep AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    shk AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.d1, i.d2, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON i.d1 = s1.doc_id
+    JOIN sizes s2 ON i.d2 = s2.doc_id
+    WHERE CAST(i.n_common AS DOUBLE)
+          / CAST(s1.n_sh + s2.n_sh - i.n_common AS DOUBLE) >= 0.05
+    """,
+    tags=("dedup", "EXT", "jaccard"),
+    doc="n-gram Jaccard near-dup: word-3-gram shingles (DF-capped), shingle-equality self-join "
+    "for intersections, exact Jaccard >= 0.05 pairs.",
+)
+def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.selectExpr("doc_id", "split(lower(text), '\\\\s+') AS toks")
+        .selectExpr(
+            "doc_id",
+            """
+            explode(array_distinct(transform(
+              sequence(1, greatest(size(toks) - 2, 0)),
+              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))
+            ))) AS s
+            """,
+        )
+    )
+    keep = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= MAX_SHINGLE_DF)
+    shk = sh.join(keep.select("s"), "s")
+    sizes = shk.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shk.select(F.col("doc_id").alias("d1"), "s")
+    b = shk.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n_sh1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n_sh2"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_sh1") + F.col("n_sh2") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+@query(
+    "dd03_embedding_neardup",
+    oracle=_QUANT_SQL
+    + """
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           list_dot_product(a.iv, b.iv) / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cosine_sim
+    FROM en a JOIN en b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.iv, b.iv) / (sqrt(a.nrm2) * sqrt(b.nrm2)) >= 0.8
+    """,
+    tags=("dedup", "EXT", "embedding"),
+    doc="Embedding-cosine near-duplicate pairs (sim >= 0.8) via quantized exact math. "
+    "Brute-force all-pairs is the correctness baseline; operators.similarity provides the "
+    "LSH-bucketed candidate path for scale.",
+)
+def dd03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = quantized(spark, sf_dir)
+    a = en.select(F.col("vec_id").alias("d1"), F.col("iv").alias("a_iv"), F.col("nrm2").alias("a_n"))
+    b = en.select(F.col("vec_id").alias("d2"), F.col("iv").alias("b_iv"), F.col("nrm2").alias("b_n"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a_iv"), F.col("b_iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n")))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= 0.8)
+    )
+
+
+N_MINHASH = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+@query(
+    "dd04_minhash_lsh",
+    oracle=None,  # xxhash64 seeds are engine-specific — rows-only check; semantics pytest-verified vs dd02.
+    tags=("dedup", "EXT", "minhash", "no-oracle"),
+    doc="MinHash+LSH near-dup candidates: 16 xxhash64 permutations over word-3-gram shingles, "
+    "4 bands x 4 rows, band-bucket join. Candidate generation is linear in corpus size — the "
+    "100 TB near-dup path (brute-force dd02 is its correctness oracle in tests).",
+)
+def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.selectExpr("doc_id", "split(lower(text), '\\\\s+') AS toks")
+        .selectExpr(
+            "doc_id",
+            """
+            explode(array_distinct(transform(
+              sequence(1, greatest(size(toks) - 2, 0)),
+              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))
+            ))) AS s
+            """,
+        )
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}") for i in range(N_MINHASH)]
+    )
+    rows_per_band = N_MINHASH // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bucket"),
+                    )
+                    for bi in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.select(F.col("doc_id").alias("d1"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("d2"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+@query(
+    "dd05_simhash",
+    oracle=None,  # xxhash64-based bit mixing — rows-only check.
+    tags=("dedup", "EXT", "simhash", "no-oracle"),
+    doc="SimHash document signatures: per-token 64-bit hash, signed bit-majority vote over "
+    "bits 0..62, reassembled to a bigint signature. Near-dups then cluster by low Hamming "
+    "distance; signature computation is one explode + one groupBy (two narrow passes).",
+)
+def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    n_bits = 63  # keep the signature non-negative
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sig = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0)
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))

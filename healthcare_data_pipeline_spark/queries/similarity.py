@@ -1,0 +1,161 @@
+"""[EXT] Similarity search over the ``embeddings`` table (array<float> column).
+
+Engine-parity design note: cosine similarity on floats is NOT reproducible
+across engines if computed naively (different summation orders / widths).  The
+engine therefore quantizes each vector to integer-valued doubles
+(``round(x * 1e6)``); dot products and norms of integer-valued doubles are
+EXACT in IEEE double (values ≪ 2^53), so Spark and any SQL oracle produce
+bit-identical similarities — and, with an id tie-break, identical top-k sets.
+The same property makes results independent of partitioning/parallelism, which
+is what reproducible retrieval at 100 TB requires.
+
+Brute-force top-k here is the correctness baseline; the scale path (LSH
+bucketing via random hyperplanes, candidate-only rescoring) is
+``healthcare_data_pipeline_spark.operators.similarity``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark.catalog import table
+from healthcare_data_pipeline_spark.queries import query
+
+# Shared quantized-embedding SQL prelude for the DuckDB oracle.
+_QUANT_SQL = """
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 1000000)) AS iv
+      FROM embeddings
+    ),
+    en AS (
+      SELECT vec_id, label, iv, list_dot_product(iv, iv) AS nrm2
+      FROM e
+    )
+"""
+
+
+def quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + ``iv`` (quantized vector) + ``nrm2`` (exact squared norm)."""
+    e = table(spark, sf_dir, "embeddings")
+    iv = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") * 1000000.0))
+    df = e.select("vec_id", "label", iv.alias("iv"))
+    nrm2 = F.aggregate(
+        F.zip_with(F.col("iv"), F.col("iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn("nrm2", nrm2)
+
+
+@query(
+    "s01_knn_cosine",
+    oracle=_QUANT_SQL
+    + """
+    , pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             list_dot_product(q.iv, c.iv) / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cosine_sim
+      FROM en q JOIN en c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine_sim, rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM pairs
+    ) t
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "EXT", "knn"),
+    doc="Brute-force cosine top-5 neighbors for query vectors (vec_id < 20): quantized exact "
+    "dot products -> bit-identical sims -> deterministic ranking. Spark plan: broadcast the "
+    "query set against the candidate scan (no shuffle until the per-query top-k).",
+)
+def s01_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = quantized(spark, sf_dir)
+    q = en.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("iv").alias("q_iv"),
+        F.col("nrm2").alias("q_nrm2"),
+    )
+    c = en.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("iv").alias("c_iv"),
+        F.col("nrm2").alias("c_nrm2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@query(
+    "s02_embedding_norms",
+    oracle=_QUANT_SQL
+    + """
+    SELECT vec_id, label, sqrt(nrm2) / 1000000.0 AS l2_norm
+    FROM en
+    """,
+    tags=("similarity", "EXT", "vector-math"),
+    doc="Per-vector exact L2 norm (quantized) — the vector-math building block as built-in "
+    "higher-order array functions, no UDF.",
+)
+def s02_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = quantized(spark, sf_dir)
+    return en.select(
+        "vec_id", "label", (F.sqrt(F.col("nrm2")) / 1000000.0).alias("l2_norm")
+    )
+
+
+@query(
+    "s03_label_centroids",
+    oracle=_QUANT_SQL
+    + """
+    , comp AS (
+      SELECT label, i AS pos,
+             SUM(CAST(iv[i] AS BIGINT)) AS s,
+             COUNT(*) AS n_vecs
+      FROM en, generate_series(1, 64) AS t(i)
+      GROUP BY label, i
+    )
+    SELECT label,
+           MAX(n_vecs) AS n_vecs,
+           CAST(SUM(s * s) AS DOUBLE) / CAST(MAX(n_vecs) * MAX(n_vecs) AS DOUBLE)
+             AS centroid_sq_norm
+    FROM comp
+    GROUP BY label
+    """,
+    tags=("similarity", "EXT", "centroid"),
+    doc="Per-label centroid squared-norm via pure integer math (exact and order-free on any "
+    "engine/partitioning): posexplode -> integer component sums S -> sum(S^2)/n^2. The IVF "
+    "coarse-quantizer building block (centroid per cluster).",
+)
+def s03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = quantized(spark, sf_dir)
+    comp = (
+        en.select("label", F.posexplode("iv").alias("pos0", "v"))
+        .groupBy("label", "pos0")
+        .agg(F.sum(F.col("v").cast("long")).alias("s"), F.count("*").alias("n_vecs"))
+    )
+    return comp.groupBy("label").agg(
+        F.max("n_vecs").alias("n_vecs"),
+        (
+            F.sum(F.col("s") * F.col("s")).cast("double")
+            / (F.max("n_vecs") * F.max("n_vecs")).cast("double")
+        ).alias("centroid_sq_norm"),
+    )
