@@ -1,0 +1,125 @@
+"""PII anonymization subsystem (reference ``runnerfile.py:248-313,523-554``).
+
+Reference semantics preserved:
+- PII columns detected per table by substring-config match (:256-258);
+- a bounded distinct-value mapping original -> sha256 hexdigest (:261-268),
+  where the driver-side ``hashlib.sha256`` digest must equal Spark's
+  ``F.sha2(col, 256)`` so readable reports can join back (F1 <-> F4 parity,
+  tested);
+- column overwrite with ``F.sha2(cast(value AS string), 256)`` (:271);
+- the mapping file encrypted with a SHA-256-derived keystream (:286-309) —
+  stdlib XOR-CTR keystream + HMAC-SHA256 integrity tag here (the reference's
+  AES-GCM path needs a crypto package this image doesn't ship; the XOR
+  fallback is the reference's own second mode);
+- de-anonymization of readable reports by hash -> original mapping (:523-554),
+  implemented as a broadcast join instead of a driver-side dict apply.
+
+Scale: hashing is distributed and stateless; only the bounded mapping
+(``distinct().limit(cap)``) ever reaches the driver — at 100 TB the mapping
+becomes a table join, which is exactly what ``deanonymize`` already does.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Person-PII markers; deliberately NOT the bare "name" substring — that would
+# catch non-PII business columns like drug_brand_name/state_name and break the
+# brand-name dim join downstream (the reference's config lists person columns).
+DEFAULT_PII_MARKERS = ("fullname", "first_name", "last_name", "address", "phone", "email", "ssn", "dob")
+DEFAULT_MAPPING_CAP = 100_000  # runnerfile.py:261
+
+
+def detect_pii_columns(df: DataFrame, markers: tuple[str, ...] = DEFAULT_PII_MARKERS) -> list[str]:
+    """Substring-config PII detection (runnerfile.py:256-258)."""
+    return [c for c in df.columns if any(m in c.lower() for m in markers)]
+
+
+def sha256_hex(value: str) -> str:
+    """Driver-side digest — must equal ``F.sha2(value, 256)`` (F4<->F1)."""
+    return hashlib.sha256(value.encode("utf-8")).hexdigest()
+
+
+def build_mapping(
+    df: DataFrame, columns: list[str], cap: int = DEFAULT_MAPPING_CAP
+) -> dict[str, dict[str, str]]:
+    """Bounded distinct-value mapping per column: {column: {hash: original}}."""
+    mapping: dict[str, dict[str, str]] = {}
+    for c in columns:
+        values = (
+            df.select(F.col(c).cast("string").alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+            .limit(cap)
+            .collect()
+        )
+        mapping[c] = {sha256_hex(r.v): r.v for r in values}
+    return mapping
+
+
+def anonymize(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Overwrite PII columns with sha2-256 of their string form (runnerfile.py:271)."""
+    out = df
+    for c in columns:
+        out = out.withColumn(c, F.sha2(F.col(c).cast("string"), 256))
+    return out
+
+
+def deanonymize(
+    spark: SparkSession, df: DataFrame, mapping: dict[str, dict[str, str]]
+) -> DataFrame:
+    """Readable-report restoration via broadcast joins (J6; runnerfile.py:523-554).
+
+    For each mapped column, join hash -> original and fall back to the hash
+    when no mapping entry exists (reference ``m.get(str(x), x)`` semantics).
+    """
+    out = df
+    for c, m in mapping.items():
+        if c not in out.columns or not m:
+            continue
+        mdf = spark.createDataFrame(
+            [(h, o) for h, o in m.items()], schema=f"__hash_{c} string, __orig_{c} string"
+        )
+        out = (
+            out.join(F.broadcast(mdf), out[c] == mdf[f"__hash_{c}"], "left")
+            .withColumn(c, F.coalesce(F.col(f"__orig_{c}"), F.col(c)))
+            .drop(f"__hash_{c}", f"__orig_{c}")
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Mapping-file encryption: SHA-256-derived XOR keystream (CTR-style) + HMAC tag.
+# ---------------------------------------------------------------------------
+
+
+def _keystream(key: bytes, n: int) -> bytes:
+    out = bytearray()
+    counter = 0
+    while len(out) < n:
+        out.extend(hashlib.sha256(key + counter.to_bytes(8, "big")).digest())
+        counter += 1
+    return bytes(out[:n])
+
+
+def encrypt_mapping(mapping: dict[str, dict[str, str]], passphrase: str) -> bytes:
+    """Serialize + XOR-keystream-encrypt + HMAC-tag the mapping."""
+    key = hashlib.sha256(passphrase.encode("utf-8")).digest()
+    plain = json.dumps(mapping, sort_keys=True).encode("utf-8")
+    cipher = bytes(a ^ b for a, b in zip(plain, _keystream(key, len(plain))))
+    tag = hmac.new(key, cipher, hashlib.sha256).digest()
+    return tag + cipher
+
+
+def decrypt_mapping(blob: bytes, passphrase: str) -> dict[str, dict[str, str]]:
+    key = hashlib.sha256(passphrase.encode("utf-8")).digest()
+    tag, cipher = blob[:32], blob[32:]
+    if not hmac.compare_digest(tag, hmac.new(key, cipher, hashlib.sha256).digest()):
+        raise ValueError("mapping integrity check failed (wrong passphrase or corrupt file)")
+    plain = bytes(a ^ b for a, b in zip(cipher, _keystream(key, len(cipher))))
+    return json.loads(plain.decode("utf-8"))

@@ -1,0 +1,160 @@
+"""End-to-end medallion pipeline (reference ``src/runnerfile.py`` main flow +
+the modular ``src/helpers`` sequence, SURVEY.md §3).
+
+raw (CSV/parquet) -> cleansed (dedup + casts + date-partitioned parquet) ->
+curated (drug_report + prescriber_report parquet) -> artifacts (data
+dictionary CSV, validation report JSON, readable CSVs, optional SQLite) —
+with optional PII anonymization between ingest and profiling.
+
+Every stage is a pure DataFrame function from ``operators/``; this module is
+only orchestration + IO, so each stage stays independently hash-checkable.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from healthcare_data_pipeline_spark.operators import anonymize as anon
+from healthcare_data_pipeline_spark.operators import cleanse, profiling, reports, resolve
+from healthcare_data_pipeline_spark.schemas import DOMAIN_SCHEMAS, PARTITION_COLS
+from healthcare_data_pipeline_spark.sources import files, sqlite
+
+
+@dataclass
+class PipelineConfig:
+    base_dir: str
+    raw_dir: str = ""
+    cleansed_dir: str = ""
+    curated_dir: str = ""
+    artifacts_dir: str = ""
+    anonymize_pii: bool = True
+    mapping_passphrase: str = "healthcare-pipeline"
+    ingestion_date: dt.date | None = None
+    use_canonical_schemas: bool = True
+    export_sqlite: bool = False
+    pii_markers: tuple[str, ...] = anon.DEFAULT_PII_MARKERS
+    readable_report_limit: int = 10_000
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.raw_dir = self.raw_dir or os.path.join(self.base_dir, "raw")
+        self.cleansed_dir = self.cleansed_dir or os.path.join(self.base_dir, "cleansed")
+        self.curated_dir = self.curated_dir or os.path.join(self.base_dir, "curated")
+        self.artifacts_dir = self.artifacts_dir or os.path.join(self.base_dir, "artifacts")
+
+
+def ingest(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFrame]:
+    """Discover and read raw tables (CSV with canonical schema when known,
+    else inference; parquet dirs pass through)."""
+    dfs: dict[str, DataFrame] = {}
+    for name, path in files.discover_csv_tables(cfg.raw_dir).items():
+        schema = DOMAIN_SCHEMAS.get(name) if cfg.use_canonical_schemas else None
+        dfs[name] = files.read_csv(spark, path, schema=schema)
+    if os.path.isdir(cfg.raw_dir):
+        for entry in sorted(os.listdir(cfg.raw_dir)):
+            p = os.path.join(cfg.raw_dir, entry)
+            name = entry[: -len(".parquet")] if entry.endswith(".parquet") else entry
+            if name in dfs:
+                continue
+            if entry.endswith(".parquet") or (
+                os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
+            ):
+                dfs[name] = spark.read.parquet(p)
+    return dfs
+
+
+def run(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
+    """Full pipeline; returns a manifest of outputs and timings."""
+    t0 = time.perf_counter()
+    manifest: dict[str, object] = {"stages": {}}
+
+    dfs = ingest(spark, cfg)
+    manifest["tables"] = sorted(dfs)
+
+    # Anonymize (before anything is persisted or profiled, as the runner does).
+    mapping: dict[str, dict[str, str]] = {}
+    if cfg.anonymize_pii:
+        for name in sorted(dfs):
+            pii_cols = anon.detect_pii_columns(dfs[name], cfg.pii_markers)
+            if not pii_cols:
+                continue
+            mapping.update(
+                {f"{name}.{c}": m for c, m in anon.build_mapping(dfs[name], pii_cols).items()}
+            )
+            dfs[name] = anon.anonymize(dfs[name], pii_cols)
+        os.makedirs(cfg.artifacts_dir, exist_ok=True)
+        blob = anon.encrypt_mapping(mapping, cfg.mapping_passphrase)
+        with open(os.path.join(cfg.artifacts_dir, "pii_mapping.enc"), "wb") as fh:
+            fh.write(blob)
+    manifest["stages"]["anonymize"] = {"mapped_columns": sorted(mapping)}
+
+    # Cleanse -> partitioned parquet.
+    cleansed: dict[str, DataFrame] = {}
+    for name in sorted(dfs):
+        cdf = cleanse.cleanse_table(dfs[name], name, cfg.ingestion_date)
+        cleanse.write_zone(cdf, os.path.join(cfg.cleansed_dir, name))
+        cleansed[name] = spark.read.parquet(os.path.join(cfg.cleansed_dir, name))
+    manifest["stages"]["cleanse"] = {"dir": cfg.cleansed_dir}
+
+    # Profile (single-pass per table).
+    profiling.write_artifacts(cleansed, cfg.artifacts_dir)
+    manifest["stages"]["profile"] = {"dir": cfg.artifacts_dir}
+
+    # Transform -> curated reports (canonical path when schemas match, else
+    # the heuristic runner path).
+    curated: dict[str, DataFrame] = {}
+    pd_df = resolve.resolve_table(cleansed, "prescriber_drug")
+    drug_df = resolve.resolve_table({k: v for k, v in cleansed.items() if k != "prescriber_drug"}, "drug")
+    presc_df = resolve.resolve_table(
+        {k: v for k, v in cleansed.items() if k != "prescriber_drug"}, "prescriber"
+    )
+    state_df = resolve.resolve_table(cleansed, "state")
+    if pd_df is not None and drug_df is not None and "drug_brand_name" in pd_df.columns:
+        curated["drug_report"] = reports.drug_report(
+            pd_df.drop(*PARTITION_COLS), drug_df.drop(*PARTITION_COLS)
+        )
+    if pd_df is not None and presc_df is not None and state_df is not None and "presc_id" in pd_df.columns:
+        curated["prescriber_report"] = reports.prescriber_report(
+            pd_df.drop(*PARTITION_COLS),
+            presc_df.drop(*PARTITION_COLS),
+            state_df.drop(*PARTITION_COLS),
+        )
+    if not curated and pd_df is not None:
+        # Heuristic fallback exactly like runnerfile.py:366-442.
+        fact, measure = resolve.with_fallback_measure(pd_df)
+        drug_col = resolve.resolve_drug_column(fact)
+        if drug_col:
+            curated["drug_report"] = reports.runner_drug_report(fact, drug_col, measure)
+    for name, df in curated.items():
+        files.write_parquet(df, os.path.join(cfg.curated_dir, name))
+    manifest["stages"]["transform"] = {"reports": sorted(curated)}
+
+    # Publish readable reports (de-anonymized) + optional SQLite export.
+    readable_dir = os.path.join(cfg.artifacts_dir, "readable_reports")
+    for name, df in curated.items():
+        readable = df
+        if cfg.anonymize_pii and mapping:
+            col_mapping = {
+                col.split(".", 1)[1]: m
+                for col, m in mapping.items()
+                if col.split(".", 1)[1] in df.columns
+            }
+            readable = anon.deanonymize(spark, df, col_mapping)
+        files.write_csv_report(
+            readable, os.path.join(readable_dir, f"{name}.csv"), cfg.readable_report_limit
+        )
+    if cfg.export_sqlite:
+        sqlite.export_to_sqlite(curated, os.path.join(cfg.artifacts_dir, "reports.sqlite"))
+    manifest["stages"]["publish"] = {"readable_dir": readable_dir}
+
+    manifest["runtime_sec"] = round(time.perf_counter() - t0, 3)
+    os.makedirs(cfg.artifacts_dir, exist_ok=True)
+    with open(os.path.join(cfg.artifacts_dir, "pipeline_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True, default=str)
+    return manifest

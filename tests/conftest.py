@@ -39,11 +39,13 @@ def oracle_con():
     con.close()
 
 
-def canon(v):
+def canon(v, float_ndigits=None):
     """Canonicalize a cell value for cross-engine comparison.
 
-    Floats compare bit-exact (the engine's decimal-exact aggregation convention
-    makes that achievable); Decimals normalize; timestamps go to isoformat.
+    By default floats compare bit-exact (the engine's decimal-exact aggregation
+    convention makes that achievable); ``float_ndigits`` enables rounded
+    comparison for queries that deliberately keep reference double-sum
+    semantics. Decimals normalize; timestamps go to isoformat.
     """
     if v is None:
         return None
@@ -53,6 +55,8 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if float_ndigits is not None:
+            v = round(v, float_ndigits)
         return int(v) if v.is_integer() else v
     if isinstance(v, bool):
         return int(v)
@@ -65,14 +69,14 @@ def canon(v):
     return v
 
 
-def rows_canon(columns, rows):
+def rows_canon(columns, rows, float_ndigits=None):
     """Sort columns by name, canonicalize cells, sort rows — order-insensitive."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out = [tuple(canon(r[i], float_ndigits) for i in order) for r in rows]
     return sorted(columns), sorted(out, key=lambda t: tuple(repr(x) for x in t))
 
 
-def compare_with_oracle(spark_df, oracle_con, sql, name=""):
+def compare_with_oracle(spark_df, oracle_con, sql, name="", float_ndigits=None):
     """Mirror the driver's t2 gate: row count + column names + canonical values."""
     sdf = spark_df.toPandas()
     odf = oracle_con.execute(sql).fetchdf()
@@ -82,8 +86,8 @@ def compare_with_oracle(spark_df, oracle_con, sql, name=""):
         f"{name}: column mismatch spark={sorted(s_cols)} oracle={sorted(o_cols)}"
     )
     assert len(sdf) == len(odf), f"{name}: row count spark={len(sdf)} oracle={len(odf)}"
-    s_cols_sorted, s_rows = rows_canon(s_cols, sdf.itertuples(index=False, name=None))
-    o_cols_sorted, o_rows = rows_canon(o_cols, odf.itertuples(index=False, name=None))
+    s_cols_sorted, s_rows = rows_canon(s_cols, sdf.itertuples(index=False, name=None), float_ndigits)
+    o_cols_sorted, o_rows = rows_canon(o_cols, odf.itertuples(index=False, name=None), float_ndigits)
     if s_rows != o_rows:
         diffs = [
             (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b

@@ -1,0 +1,155 @@
+"""Reference-parity tests for the healthcare medallion pipeline (FIXTURES.md
+golden queries 1-6) against a DuckDB oracle over the same fixture data."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import duckdb
+import pytest
+
+from healthcare_data_pipeline_spark.operators import anonymize as anon
+from healthcare_data_pipeline_spark.pipeline import PipelineConfig, run
+from tests.conftest import compare_with_oracle
+from tests.fixtures import make_domain_tables, write_csv_dir
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("medallion"))
+    tables = make_domain_tables()
+    write_csv_dir(tables, os.path.join(base, "raw"))
+    cfg = PipelineConfig(base_dir=base, anonymize_pii=True, export_sqlite=True)
+    manifest = run(spark, cfg)
+    con = duckdb.connect()
+    for name in tables:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_csv_auto('{base}/raw/{name}.csv')"
+        )
+    return base, cfg, manifest, con
+
+
+def test_zones_written(pipeline_out):
+    base, cfg, manifest, _ = pipeline_out
+    # cleansed zone is year=/month=/day= partitioned (S6)
+    parts = glob.glob(os.path.join(cfg.cleansed_dir, "prescriber", "year=*", "month=*", "day=*"))
+    assert parts, "cleansed zone missing ingestion-date partitions"
+    assert sorted(manifest["stages"]["transform"]["reports"]) == [
+        "drug_report",
+        "prescriber_report",
+    ]
+
+
+def test_drug_report_matches_oracle(spark, pipeline_out):
+    base, cfg, _, con = pipeline_out
+    df = spark.read.parquet(os.path.join(cfg.curated_dir, "drug_report"))
+    # Reference pipeline anonymizes nothing in this report (no PII columns);
+    # oracle replicates groupBy sums + left join on the non-key brand name.
+    compare_with_oracle(
+        df,
+        con,
+        """
+        SELECT a.presc_id, a.drug_brand_name, a.total_claims, a.total_drug_cost, d.drug_type
+        FROM (
+          SELECT presc_id, drug_brand_name,
+                 SUM(total_claims) AS total_claims,
+                 CAST(SUM(CAST(total_drug_cost AS DECIMAL(25,8))) AS DOUBLE) AS total_drug_cost
+          FROM (SELECT DISTINCT * FROM prescriber_drug)
+          GROUP BY presc_id, drug_brand_name
+        ) a
+        LEFT JOIN drug d ON a.drug_brand_name = d.drug_brand_name
+        """,
+        name="drug_report",
+        # the domain report keeps reference double-sum semantics (F.sum on
+        # double), which is order-dependent — compare at 4 decimals
+        float_ndigits=4,
+    )
+
+
+def test_prescriber_report_rows_and_state_join(spark, pipeline_out):
+    base, cfg, _, con = pipeline_out
+    df = spark.read.parquet(os.path.join(cfg.curated_dir, "prescriber_report"))
+    got = df.count()
+    want = con.execute(
+        "SELECT COUNT(DISTINCT presc_id) FROM (SELECT DISTINCT * FROM prescriber_drug)"
+    ).fetchone()[0]
+    assert got == want
+    # state join resolved a non-null presc_state for every prescriber
+    assert df.filter(df.presc_state.isNull()).count() == 0
+    # names are anonymized in the curated zone (sha256 hex = 64 chars)
+    sample = df.select("presc_fullname").first().presc_fullname
+    assert len(sample) == 64 and all(ch in "0123456789abcdef" for ch in sample)
+
+
+def test_sum_widens_to_long(spark, pipeline_out):
+    """Reference curated parquet shows total_claims widened int->long (§1.2)."""
+    base, cfg, _, _ = pipeline_out
+    df = spark.read.parquet(os.path.join(cfg.curated_dir, "drug_report"))
+    assert dict(df.dtypes)["total_claims"] == "bigint"
+
+
+def test_readable_report_restores_names(spark, pipeline_out):
+    base, cfg, _, con = pipeline_out
+    path = os.path.join(cfg.artifacts_dir, "readable_reports", "prescriber_report.csv")
+    assert os.path.exists(path)
+    restored = con.execute(
+        f"SELECT COUNT(*) FROM read_csv_auto('{path}') r JOIN prescriber p "
+        "ON r.presc_fullname = p.presc_fullname AND r.presc_id = p.presc_id"
+    ).fetchone()[0]
+    total = con.execute(f"SELECT COUNT(*) FROM read_csv_auto('{path}')").fetchone()[0]
+    assert restored == total, "de-anonymization failed to restore original names"
+
+
+def test_validation_report_artifact(pipeline_out):
+    base, cfg, _, con = pipeline_out
+    with open(os.path.join(cfg.artifacts_dir, "validation_report.json")) as fh:
+        report = json.load(fh)
+    want = con.execute("SELECT COUNT(*) FROM (SELECT DISTINCT * FROM prescriber_drug)").fetchone()[0]
+    assert report["prescriber_drug"]["rows"] == want
+    assert set(report) == {"prescriber", "drug", "prescriber_drug", "state"}
+    assert report["drug"]["null_counts"]["drug_brand_name"] == 0
+
+
+def test_data_dictionary_artifact(pipeline_out):
+    base, cfg, _, con = pipeline_out
+    path = os.path.join(cfg.artifacts_dir, "data_dictionary.csv")
+    n_brands = con.execute(
+        f"SELECT unique_count FROM read_csv_auto('{path}') "
+        "WHERE \"table\"='drug' AND \"column\"='drug_brand_name'"
+    ).fetchone()[0]
+    assert n_brands == 10  # deliberately non-unique brand dim (FIXTURES.md)
+
+
+def test_sqlite_export(pipeline_out):
+    import sqlite3
+
+    base, cfg, _, _ = pipeline_out
+    db = os.path.join(cfg.artifacts_dir, "reports.sqlite")
+    assert os.path.exists(db)
+    con = sqlite3.connect(db)
+    tables = {r[0] for r in con.execute("SELECT name FROM sqlite_master WHERE type='table'")}
+    assert {"drug_report", "prescriber_report"} <= tables
+    idx = {r[0] for r in con.execute("SELECT name FROM sqlite_master WHERE type='index'")}
+    assert any("presc_id" in i for i in idx)
+    con.close()
+
+
+def test_anonymize_digest_parity(spark):
+    """F1 (F.sha2) and F4 (hashlib.sha256) must produce identical digests —
+    the property the readable-report join-back depends on (runnerfile.py:267,271)."""
+    df = spark.createDataFrame([("Dr Meera Rao",), ("Dr Arjun Das",)], "presc_fullname string")
+    hashed = anon.anonymize(df, ["presc_fullname"]).collect()
+    assert hashed[0].presc_fullname == anon.sha256_hex("Dr Meera Rao")
+    assert hashed[1].presc_fullname == anon.sha256_hex("Dr Arjun Das")
+
+
+def test_mapping_encryption_roundtrip():
+    mapping = {"prescriber.presc_fullname": {anon.sha256_hex("x"): "x"}}
+    blob = anon.encrypt_mapping(mapping, "secret")
+    assert anon.decrypt_mapping(blob, "secret") == mapping
+    with pytest.raises(ValueError):
+        anon.decrypt_mapping(blob, "wrong-passphrase")
+    with pytest.raises(ValueError):
+        anon.decrypt_mapping(blob[:-1] + bytes([blob[-1] ^ 1]), "secret")
