@@ -1,0 +1,131 @@
+"""[EXT] Structured Streaming operators over the ``events`` stream (SURVEY.md §2.9).
+
+The reference has no streaming (README.md:507 lists it as future work); this
+module supplies the streaming surface the driver's ``events`` table implies:
+tumbling/sliding windowed aggregation, session windows, watermark-driven late
+data handling, and stateful dedup — all built on Structured Streaming
+primitives (no custom state store).
+
+Batch/stream duality: every aggregation here has the same shape as its batch
+shadow in the query catalog (q25 hourly agg, q26 sessionization), and the
+tests assert stream output == batch output over the same parquet rows — the
+property that makes a lambda-free architecture trustworthy.
+
+Scale notes: watermarks bound state (late events beyond the horizon are
+dropped, so state is O(active windows), not O(history)); parquet is the test
+transport, Kafka would be the production source — the operator code is
+source-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as raw nanos
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos ts -> micros, same
+    conversion as the batch catalog shim)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        .format("parquet")
+        # file stream sources take a directory; select just the events table
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts/sums per event_type with a late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window aggregation (each event lands in window/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows per user: events within ``gap`` of each other merge into
+    one session (built-in ``session_window`` state — the batch shadow is the
+    lag/cumsum sessionization in q26)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on event_id, state bounded by the watermark
+    (Spark >= 3.5 ``dropDuplicatesWithinWatermark``)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming query to completion against the bounded file source
+    (memory sink + processAllAvailable — the local test harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,97 @@
+"""Tests: MLlib baseline parity, multimodal plumbing, physical-plan assertions."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark import plans
+from healthcare_data_pipeline_spark.ml import baseline
+from healthcare_data_pipeline_spark.operators import multimodal as mm
+from healthcare_data_pipeline_spark.queries import catalog
+from tests.conftest import SF_DIR
+from tests.fixtures import make_domain_tables
+
+
+@pytest.fixture(scope="module")
+def domain_dfs(spark):
+    tables = make_domain_tables()
+    return {
+        name: spark.createDataFrame(rows)  # columns inferred from dicts
+        for name, rows in tables.items()
+    }
+
+
+def test_ml_baseline_trains_and_scores(spark, domain_dfs, tmp_path):
+    feats = baseline.prepare_features(
+        domain_dfs["prescriber_drug"], domain_dfs["prescriber"], domain_dfs["drug"]
+    )
+    # engineered features exist and are non-degenerate
+    assert feats.filter(F.col("brand_prescriber_count") <= 0).count() == 0
+    res = baseline.train_and_evaluate(feats, artifacts_dir=str(tmp_path))
+    assert res.n_train + res.n_test == feats.count()
+    assert math.isfinite(res.rmse) and res.rmse > 0
+    assert math.isfinite(res.r2)
+    assert os.path.exists(tmp_path / "model_summary.json")
+    assert os.path.exists(tmp_path / "predictions.csv")
+    # determinism: same seed -> same split sizes + rmse
+    res2 = baseline.train_and_evaluate(feats)
+    assert (res2.n_train, res2.n_test) == (res.n_train, res.n_test)
+    assert res2.rmse == pytest.approx(res.rmse)
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, b"\x89PNGfakebytes"), (2, b"GIF89afakebytes!!")], "doc_id long, content binary"
+    )
+    meta = mm.attach_media_metadata(docs)
+    row = meta.select("media_meta.*").orderBy("n_bytes").first()
+    assert row.n_bytes == len(b"\x89PNGfakebytes")
+    assert len(row.sha256) == 64
+    decoded = mm.decode_images(docs).collect()
+    assert len(decoded) == 2
+    for r in decoded:
+        assert 64 <= r.width < 256 and 64 <= r.height < 256 and r.n_channels == 3
+        assert 0.0 <= r.mean_intensity <= 1.0
+    # deterministic across runs
+    again = mm.decode_images(docs).collect()
+    assert sorted(map(tuple, decoded)) == sorted(map(tuple, again))
+    # the real-codec path is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        mm.decode_images(docs, real=True).collect()
+    frames = mm.frame_sample(docs, every_n=5).collect()
+    assert all(r.frame_idx % 5 == 0 for r in frames)
+
+
+def test_star_join_plan_broadcasts_dims(spark):
+    df = catalog()["q14_star_join"].fn(spark, SF_DIR)
+    assert plans.has_broadcast_join(df), "dims must broadcast in the star join"
+    # lineitem⋈orders may be SMJ/shuffle-hash; dims must not add exchanges:
+    # static bound = fact-side shuffle(s) + final agg only
+    assert plans.count_exchanges(df) <= 3, plans.simple_plan(df)
+
+
+def test_filter_and_pruning_reach_scan(spark):
+    df = catalog()["q02_filter_project"].fn(spark, SF_DIR)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_quantity" in pushed and "l_returnflag" in pushed, pushed
+    schemas = plans.read_schemas(df)
+    # projection pruning: the scan must not read all 11 lineitem columns
+    assert schemas and all("l_tax" not in s and "l_partkey" not in s for s in schemas), schemas
+
+
+def test_agg_is_single_shuffle(spark):
+    df = catalog()["q01_pricing_summary"].fn(spark, SF_DIR)
+    assert plans.count_exchanges(df) == 1, plans.simple_plan(df)
+    assert plans.codegen_stage_count(df) >= 1
+
+
+def test_profiling_is_single_job_plan(spark):
+    """The A7 null profile must be one aggregation over one scan — the
+    reference's per-column jobs are the anti-pattern we refuse to replicate."""
+    df = catalog()["q07_null_profile"].fn(spark, SF_DIR)
+    plan = plans.simple_plan(df)
+    assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1, plan

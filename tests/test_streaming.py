@@ -1,0 +1,85 @@
+"""Streaming correctness: stream output must equal the batch shadow over the
+same rows (bounded file source -> memory sink)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark.catalog import table
+from healthcare_data_pipeline_spark.streaming import events as stv
+from tests.conftest import SF_DIR
+
+
+def test_tumbling_agg_equals_batch(spark):
+    stream = stv.tumbling_agg(stv.read_events_stream(spark, SF_DIR), window="1 hour")
+    stv.run_to_memory(stream, "tumbling_out", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    batch = (
+        table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    want = {(r.h, r.event_type): (r.n, round(r.tv, 6)) for r in batch}
+    assert got == want
+
+
+def test_sliding_agg_covers_each_event_twice(spark):
+    stream = stv.sliding_agg(
+        stv.read_events_stream(spark, SF_DIR), window="1 hour", slide="30 minutes"
+    )
+    stv.run_to_memory(stream, "sliding_out", output_mode="complete")
+    total_events = table(spark, SF_DIR, "events").count()
+    windowed_sum = spark.sql("SELECT SUM(n) AS s FROM sliding_out").collect()[0].s
+    assert windowed_sum == 2 * total_events  # window/slide = 2 windows per event
+
+
+def test_session_agg_equals_batch_sessionization(spark):
+    stream = stv.session_agg(stv.read_events_stream(spark, SF_DIR), gap="30 minutes")
+    stv.run_to_memory(stream, "session_out", output_mode="complete")
+    stream_sessions = spark.sql(
+        "SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events "
+        "FROM session_out GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: (r.n_sessions, r.n_events) for r in stream_sessions}
+
+    # Batch shadow: lag-gap sessionization (same algorithm as q26, all users).
+    # session_window closes a session when the NEXT event is > gap after the
+    # PREVIOUS EVENT (not window start), identical to the lag-gap rule.
+    from pyspark.sql import Window
+
+    ev = table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800 * 1000000), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    batch = (
+        sessions.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n_sessions"), F.count("*").alias("n_events"))
+        .collect()
+    )
+    want = {r.user_id: (r.n_sessions, r.n_events) for r in batch}
+    assert got == want
+
+
+def test_stateful_dedup(spark):
+    # Duplicate the stream by unioning it with itself via two file reads is not
+    # possible with one source dir; instead verify dedup keeps each event_id once.
+    stream = stv.dedup_within_watermark(stv.read_events_stream(spark, SF_DIR))
+    stv.run_to_memory(stream.groupBy().count(), "dedup_out", output_mode="complete")
+    got = spark.sql("SELECT * FROM dedup_out").collect()[0]["count"]
+    want = table(spark, SF_DIR, "events").select("event_id").distinct().count()
+    assert got == want
