@@ -1,0 +1,191 @@
+"""[EXT] Approximate-nearest-neighbor scale path: LSH bucketing + IVF probing.
+
+Brute-force cosine top-k (queries/similarity.py s01) is O(Q x N) dot products
+— correct, but the wrong shape at 100 TB.  The two standard index structures,
+re-expressed as DataFrame plans:
+
+* **Sign-bit LSH (random hyperplanes)**: each vector gets a B-bit signature,
+  bit p = sign(<v, w_p>) for a fixed pseudo-random hyperplane w_p.  Vectors
+  are grouped by signature (bucket) and only intra-bucket pairs are rescored
+  exactly.  Candidate generation is ONE shuffle on the bucket key (linear in
+  corpus size); the quadratic blow-up is confined to each bucket.
+* **IVF (inverted file)**: vectors are assigned to a coarse centroid; a query
+  probes only `nprobe` nearest cells.  The cell assignment is a partitioning
+  key, so at scale the candidate scan is partition-pruned — the cluster reads
+  1/n_cells of the data per probe.
+
+Determinism note (the 100 TB reproducibility requirement): hyperplanes are
+derived from a fixed LCG (`lcg_weight`), vectors are quantized to integers
+(queries/similarity.quantized), and all dot products in the bucketing step are
+exact BIGINT arithmetic — so signatures, buckets, and candidate sets are
+bit-identical on any engine, any partitioning, any parallelism.  Rescoring
+uses IEEE double on integer-valued inputs ≪ 2^53 (also exact).
+
+Reference has no ANN surface (SURVEY.md §2.6 [EXT]); this is charter-mandated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+N_PLANES = 8
+
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483648  # 2^31
+_LCG_SHIFT = 1073741824  # 2^30 — centers the weight on 0
+
+
+def lcg_weight(k: int) -> int:
+    """Deterministic pseudo-random hyperplane weight for flat index k
+    (= plane * EMBED_DIM + dim).  Pure integer arithmetic, reproducible in
+    any SQL engine: ((1103515245*k + 12345) % 2^31) - 2^30."""
+    return (_LCG_A * k + _LCG_C) % _LCG_M - _LCG_SHIFT
+
+
+def hyperplane(plane: int, dim: int = EMBED_DIM) -> list[int]:
+    return [lcg_weight(plane * dim + d) for d in range(dim)]
+
+
+def _bigint_dot(vec: Column, weights: list[int]) -> Column:
+    """Exact BIGINT dot product of an integer-valued array column against a
+    literal weight vector (|terms| <= 1e6 * 2^30 -> fits long; 64-term sum
+    <= ~7e16 -> fits long)."""
+    w = F.array(*[F.lit(x).cast("long") for x in weights])
+    return F.aggregate(
+        F.zip_with(vec.cast("array<long>"), w, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket(df: DataFrame, vec_col: str = "iv", n_planes: int = N_PLANES) -> DataFrame:
+    """Append the sign-bit LSH ``bucket`` (0 .. 2^n_planes - 1).
+
+    One narrow projection — no shuffle, no UDF; the per-plane dot products are
+    codegen'd JVM expressions over literal arrays."""
+    bucket = None
+    for p in range(n_planes):
+        bit = (_bigint_dot(F.col(vec_col), hyperplane(p)) >= 0).cast("long") * F.lit(2**p).cast("long")
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_candidate_pairs(en: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Intra-bucket candidate pairs with exact cosine rescoring.
+
+    ``en`` must carry (vec_id, iv, nrm2) as produced by
+    queries.similarity.quantized.  Shuffles once on ``bucket``; the join is a
+    bucket-local self-join, so cost is sum over buckets of |b|^2 instead of
+    N^2.  Output: (d1, d2, bucket, cosine_sim).
+    """
+    b = lsh_bucket(en, n_planes=n_planes)
+    left = b.select(
+        F.col("vec_id").alias("d1"), F.col("iv").alias("a_iv"), F.col("nrm2").alias("a_n"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("d2"), F.col("iv").alias("b_iv"), F.col("nrm2").alias("b_n"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_iv"), F.col("b_iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n")))
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "bucket", sim.alias("cosine_sim"))
+    )
+
+
+def ivf_topk(
+    en: DataFrame,
+    query_pred: Column,
+    cell_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style top-k: each query searches ONLY its own cell (nprobe=1).
+
+    ``cell_col`` is the precomputed coarse-quantizer assignment (the driver's
+    ``embeddings.label`` plays that role; ``centroid_assign`` below computes
+    one from scratch).  At scale the corpus is partitioned/bucketed by the
+    cell id, so a probe is a partition-pruned scan of 1/n_cells of the data.
+    Output: (query_id, neighbor_id, cosine_sim, rn).
+    """
+    from pyspark.sql import Window
+
+    q = en.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col(cell_col).alias("q_cell"),
+        F.col("iv").alias("q_iv"),
+        F.col("nrm2").alias("q_nrm2"),
+    )
+    c = en.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(cell_col).alias("c_cell"),
+        F.col("iv").alias("c_iv"),
+        F.col("nrm2").alias("c_nrm2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, (F.col("q_cell") == F.col("c_cell")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def centroid_assign(en: DataFrame, n_iter: int = 1) -> DataFrame:
+    """Compute coarse centroids from the existing label partition and
+    re-assign each vector to its nearest centroid (one Lloyd step) — the
+    from-scratch IVF quantizer.  Double math (assignment quality, not
+    hash-parity, is the contract here; parity-checked queries use the
+    precomputed cell).  Output: en columns + ``cell``."""
+    comp = (
+        en.select("label", F.posexplode("iv").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .withColumn("c", F.col("s") / F.col("n"))
+    )
+    cent = comp.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
+    ).select(
+        F.col("label").alias("cent_id"),
+        F.transform("pc", lambda x: x["c"]).alias("cv"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("iv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cnorm = F.sqrt(
+        F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = en.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "iv",
+        "nrm2",
+        "cent_id",
+        (dot / (F.sqrt(F.col("nrm2")) * cnorm)).alias("csim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "iv", "nrm2", F.col("cent_id").alias("cell"))
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from healthcare_data_pipeline_spark.catalog import table
-from healthcare_data_pipeline_spark.functions import MONEY, null_count, xavg, xsum
+from healthcare_data_pipeline_spark.functions import MONEY, null_count, sql_xsum, xavg, xsum
 from healthcare_data_pipeline_spark.queries import query
 
 # ---------------------------------------------------------------------------
@@ -723,4 +723,165 @@ def q27_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderkey").alias("min_new_key"),
             F.max("o_orderkey").alias("max_new_key"),
         )
+    )
+
+
+@query(
+    "q28_asof_join",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1 AS kind,
+             CAST(NULL AS DOUBLE) AS pvalue, CAST(NULL AS TIMESTAMP) AS pts
+      FROM events WHERE event_type = 'click' AND user_id <= 30
+      UNION ALL
+      SELECT user_id, CAST(ts AS TIMESTAMP), event_id, 0, value, CAST(ts AS TIMESTAMP)
+      FROM events WHERE event_type = 'purchase' AND user_id <= 30
+    ),
+    w AS (
+      SELECT *,
+        last_value(pvalue IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts ASC, kind ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value,
+        last_value(pts IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts ASC, kind ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ts
+      FROM u
+    )
+    SELECT user_id, event_id AS click_id, ts AS click_ts,
+           last_purchase_ts, last_purchase_value
+    FROM w WHERE kind = 1
+    """,
+    tags=("join", "asof", "EXT"),
+    doc="As-of join (an operator Spark lacks natively): for each click, the most recent "
+    "purchase by the same user at ts <= click.ts. Implemented with the union-and-window "
+    "pattern — tag both streams, one shuffle on user_id, last(ignorenulls) carries the "
+    "latest purchase forward. Scales linearly (no range-explosion join); ties break "
+    "deterministically (purchase-before-click at equal ts, then max event_id).",
+)
+def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("double").alias("pvalue"),
+        F.lit(None).cast("timestamp").alias("pts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("kind"),
+        F.col("value").alias("pvalue"),
+        F.col("ts").alias("pts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("kind"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = clicks.unionByName(purchases)
+    carried = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last("pvalue", ignorenulls=True).over(w).alias("last_purchase_value"),
+        F.last("pts", ignorenulls=True).over(w).alias("last_purchase_ts"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "last_purchase_ts",
+        "last_purchase_value",
+    )
+
+
+_VALUE_BANDS = [
+    ("p00_tiny", 0.0, 25.0),
+    ("p01_small", 25.0, 75.0),
+    ("p02_mid", 75.0, 150.0),
+    ("p03_large", 150.0, 300.0),
+    ("p04_huge", 300.0, 1e9),
+]
+
+
+@query(
+    "q29_range_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (VALUES
+      ('p00_tiny', 0.0, 25.0),
+      ('p01_small', 25.0, 75.0),
+      ('p02_mid', 75.0, 150.0),
+      ('p03_large', 150.0, 300.0),
+      ('p04_huge', 300.0, 1e9)
+    )
+    SELECT b.band, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(e.value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+    tags=("join", "range", "EXT"),
+    doc="Range (interval) join: events banded by non-uniform value intervals. The band table "
+    "is broadcast, so the inequality join is a broadcast nested-loop over 5 rows per event — "
+    "no shuffle, no cartesian blow-up; at 100 TB this is the only join shape that works for "
+    "interval lookup tables.",
+)
+def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_VALUE_BANDS, "band string, lo double, hi double")
+    joined = ev.join(
+        F.broadcast(bands), (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.floor(F.col("value") * 10000).cast("long")).cast("double") / 10000.0).alias(
+            "total_value"
+        ),
+    )
+
+
+@query(
+    "q30_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {sql_xsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "cube", "grouping-sets"),
+    doc="CUBE grouping sets (SURVEY §2.4 [EXT] — free via Spark SQL): all 4 aggregation "
+    "levels in one pass. Spark expands the cube map-side, so it still costs a single "
+    "shuffle; the NULL-keyed subtotal rows follow SQL semantics on both engines.",
+)
+def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), xsum("l_quantity", "sum_qty")
+    )
+
+
+@query(
+    "q31_median",
+    oracle="""
+    SELECT l_linestatus,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "percentile"),
+    doc="Exact interpolated percentiles per group (F.percentile ~ SQL quantile_cont). "
+    "l_quantity is integer-valued so interpolation midpoints are exact in double on any "
+    "engine. The 100 TB variant swaps in approx_percentile (t-digest) — same plan shape, "
+    "bounded memory.",
+)
+def q31_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
     )

@@ -105,6 +105,74 @@ def s01_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s04_ivf_knn",
+    oracle=_QUANT_SQL
+    + """
+    , pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.iv, c.iv) / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cosine_sim
+      FROM en q JOIN en c ON q.label = c.label AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM pairs
+    ) t
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "EXT", "ann", "ivf"),
+    doc="IVF-style ANN (nprobe=1): each query searches only its own coarse cell "
+    "(precomputed assignment = embeddings.label), exact rescoring within the cell. At scale "
+    "the corpus is bucketed by cell id so a probe is a partition-pruned scan of 1/n_cells "
+    "of the data — the linear-candidate path that replaces s01's full scan.",
+)
+def s04_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import ivf_topk
+
+    en = quantized(spark, sf_dir)
+    return ivf_topk(en, F.col("vec_id") < 20, cell_col="label", k=5)
+
+
+@query(
+    "s05_lsh_ann",
+    oracle=_QUANT_SQL
+    + """
+    , bits AS (
+      SELECT e.vec_id, tp.p,
+             SUM(CAST(e.iv[td.d + 1] AS BIGINT) *
+                 (((CAST(1103515245 AS BIGINT) * (tp.p * 64 + td.d) + 12345) % 2147483648)
+                  - 1073741824)) AS dp
+      FROM en e, generate_series(0, 7) tp(p), generate_series(0, 63) td(d)
+      GROUP BY e.vec_id, tp.p
+    ),
+    buckets AS (
+      SELECT vec_id, SUM(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    enb AS (
+      SELECT en.vec_id, en.iv, en.nrm2, b.bucket
+      FROM en JOIN buckets b ON en.vec_id = b.vec_id
+    )
+    SELECT a.vec_id AS d1, b.vec_id AS d2, a.bucket AS bucket,
+           list_dot_product(a.iv, b.iv) / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cosine_sim
+    FROM enb a JOIN enb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """,
+    tags=("similarity", "EXT", "ann", "lsh"),
+    doc="Sign-bit LSH candidate pairs: 8 LCG-derived hyperplanes -> exact BIGINT sign bits "
+    "-> 8-bit bucket; intra-bucket pairs rescored with exact cosine. ONE shuffle on the "
+    "bucket key (linear candidate generation) vs the N^2 brute-force of dd03 — the 100 TB "
+    "near-dup/ANN path. Signatures are bit-identical across engines by construction.",
+)
+def s05_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import lsh_candidate_pairs
+
+    en = quantized(spark, sf_dir)
+    return lsh_candidate_pairs(en)
+
+
+@query(
     "s02_embedding_norms",
     oracle=_QUANT_SQL
     + """
