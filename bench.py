@@ -45,6 +45,12 @@ def main() -> None:
     warm = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
     warm.groupBy("n_regionkey").count().write.format("noop").mode("overwrite").save()
 
+    # Untimed warm pass: each plan compiles its whole-stage-codegen sources and
+    # caches parquet footers once, so the timed pass below measures steady-state
+    # execution (what a long-lived cluster session sees), not first-run JIT.
+    for name in names:
+        cat[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:

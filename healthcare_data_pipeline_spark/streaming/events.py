@@ -114,6 +114,36 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user running
+    event count and value total, carried across micro-batches in the state
+    store.
+
+    This is the escape hatch for stateful semantics the built-in windows can't
+    express (custom counters, ML feature state, per-key models).  State is
+    keyed by user_id — O(distinct users), shuffled once per micro-batch; Arrow
+    moves the batch to Python, so the per-group function sees pandas frames,
+    never rows.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

@@ -1,0 +1,116 @@
+"""ANN scale-path quality: the approximate operators must be measurably useful
+approximations of the brute-force baseline, not just runnable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark.operators.similarity import (
+    centroid_assign,
+    lsh_bucket,
+    lsh_candidate_pairs,
+)
+from healthcare_data_pipeline_spark.queries.similarity import quantized
+from tests.conftest import SF_DIR
+
+
+def test_lsh_buckets_are_deterministic_and_bounded(spark):
+    en = quantized(spark, SF_DIR)
+    b1 = {r.vec_id: r.bucket for r in lsh_bucket(en).select("vec_id", "bucket").collect()}
+    b2 = {
+        r.vec_id: r.bucket
+        for r in lsh_bucket(en.repartition(7)).select("vec_id", "bucket").collect()
+    }
+    assert b1 == b2  # partitioning-independent signatures
+    assert all(0 <= v < 256 for v in b1.values())
+
+
+def test_lsh_candidates_have_higher_sim_than_population(spark):
+    """LSH bucketing must enrich for similar pairs: mean cosine of intra-bucket
+    pairs exceeds the all-pairs mean (the property that makes candidate
+    pruning sound)."""
+    en = quantized(spark, SF_DIR).cache()
+    cand_mean = (
+        lsh_candidate_pairs(en).agg(F.avg("cosine_sim").alias("m")).collect()[0].m
+    )
+    a = en.select(F.col("vec_id").alias("d1"), F.col("iv").alias("a_iv"), F.col("nrm2").alias("a_n"))
+    b = en.select(F.col("vec_id").alias("d2"), F.col("iv").alias("b_iv"), F.col("nrm2").alias("b_n"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a_iv"), F.col("b_iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n")))
+    pop_mean = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(sim.alias("s"))
+        .agg(F.avg("s").alias("m"))
+        .collect()[0]
+        .m
+    )
+    en.unpersist()
+    assert cand_mean > pop_mean
+
+
+def test_lsh_recall_of_high_sim_pairs(spark):
+    """Candidate set must recover a solid fraction of the truly-similar pairs
+    (sim >= 0.8). With 8 hyperplanes, P(collision) = (1 - theta/pi)^8 >= 0.16
+    at sim 0.8, and the driver's embeddings are label-clustered, so observed
+    recall is far higher; assert a conservative floor."""
+    en = quantized(spark, SF_DIR).cache()
+    cand = lsh_candidate_pairs(en).filter(F.col("cosine_sim") >= 0.8).select("d1", "d2")
+    a = en.select(F.col("vec_id").alias("d1"), F.col("iv").alias("a_iv"), F.col("nrm2").alias("a_n"))
+    b = en.select(F.col("vec_id").alias("d2"), F.col("iv").alias("b_iv"), F.col("nrm2").alias("b_n"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a_iv"), F.col("b_iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n")))
+    truth = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", sim.alias("s"))
+        .filter(F.col("s") >= 0.8)
+        .select("d1", "d2")
+    )
+    n_truth = truth.count()
+    en.unpersist()
+    if n_truth == 0:
+        return  # no high-sim pairs at this SF — nothing to recall
+    n_hit = truth.intersect(cand).count()
+    assert n_hit / n_truth >= 0.3
+
+
+def test_centroid_assign_matches_numpy_oracle(spark):
+    """The distributed assignment must pick the same argmax-cosine centroid as
+    an independent driver-side numpy computation (ties -> smaller cent_id)."""
+    import numpy as np
+
+    en = quantized(spark, SF_DIR)
+    rows = en.select("vec_id", "label", "iv").collect()
+    vecs = {r.vec_id: np.array(r.iv, dtype=np.float64) for r in rows}
+    labels: dict[int, list] = {}
+    for r in rows:
+        labels.setdefault(r.label, []).append(vecs[r.vec_id])
+    cents = {lab: np.mean(np.stack(vs), axis=0) for lab, vs in labels.items()}
+
+    def best_cell(v: np.ndarray) -> int:
+        sims = {
+            lab: float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+            for lab, c in cents.items()
+        }
+        top = max(sims.values())
+        return min(lab for lab, s in sims.items() if s == top)
+
+    want = {vid: best_cell(v) for vid, v in vecs.items()}
+    got = {r.vec_id: r.cell for r in centroid_assign(en).select("vec_id", "cell").collect()}
+    # Float sums can differ in the last bits between numpy and Spark's fold;
+    # allow disagreement only where the top-2 centroids are within 1e-9.
+    mismatches = {vid for vid in want if want[vid] != got[vid]}
+    for vid in mismatches:
+        v = vecs[vid]
+        sims = sorted(
+            (float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c))) for c in cents.values()),
+            reverse=True,
+        )
+        assert sims[0] - sims[1] < 1e-9, f"vec {vid}: want {want[vid]}, got {got[vid]}"

@@ -75,6 +75,26 @@ def test_session_agg_equals_batch_sessionization(spark):
     assert got == want
 
 
+def test_stateful_running_totals_equals_batch(spark):
+    # applyInPandasWithState in update mode emits one row per (user, batch);
+    # the LAST emission per user must equal the batch per-user totals.
+    stream = stv.stateful_running_totals(stv.read_events_stream(spark, SF_DIR))
+    stv.run_to_memory(stream, "running_out", output_mode="update")
+    got_rows = spark.sql(
+        "SELECT user_id, MAX(n_events) AS n, MAX(total_value) AS tv "
+        "FROM running_out GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: (r.n, round(r.tv, 6)) for r in got_rows}
+    batch = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    want = {r.user_id: (r.n, round(r.tv, 6)) for r in batch}
+    assert got == want
+
+
 def test_stateful_dedup(spark):
     # Duplicate the stream by unioning it with itself via two file reads is not
     # possible with one source dir; instead verify dedup keeps each event_id once.
