@@ -1,0 +1,132 @@
+"""EDA report generator (SURVEY §2.11; reference ``eda.py:205-322`` and
+``runnerfile.py:177-245``).
+
+The reference samples 10k rows to pandas and renders matplotlib PNGs into a
+self-contained HTML file.  Here the heavy lifting (histograms, categorical
+top-k, missing-value counts) runs as Spark aggregations over the FULL table —
+no 10k sampling cap on the statistics — and only the tiny aggregate results
+come to the driver, where they render as inline SVG (no plotting libraries
+needed).  A bounded row sample is still included for eyeballing, like the
+reference's 10-row preview.
+
+At 100 TB this is the only shape that works: per-table stats are one
+aggregation job each, the driver handles kilobytes.
+"""
+
+from __future__ import annotations
+
+import html
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from healthcare_data_pipeline_spark.operators.profiling import (
+    categorical_top_k,
+    numeric_histogram,
+    profile_table,
+)
+
+_NUMERIC = {"int", "bigint", "double", "float", "smallint", "tinyint", "decimal"}
+
+
+def _svg_bars(pairs: list[tuple[str, float]], width: int = 460, bar_h: int = 18) -> str:
+    """Horizontal bar chart as inline SVG (no deps)."""
+    if not pairs:
+        return "<em>no data</em>"
+    peak = max(v for _, v in pairs) or 1.0
+    rows = []
+    for i, (label, v) in enumerate(pairs):
+        w = max(1, int((width - 180) * v / peak))
+        y = i * (bar_h + 4)
+        rows.append(
+            f'<text x="0" y="{y + 13}" font-size="11">{html.escape(str(label)[:24])}</text>'
+            f'<rect x="150" y="{y + 2}" width="{w}" height="{bar_h - 4}" fill="#4878a8"/>'
+            f'<text x="{152 + w}" y="{y + 13}" font-size="11">{v:g}</text>'
+        )
+    h = len(pairs) * (bar_h + 4)
+    return f'<svg width="{width}" height="{h}" xmlns="http://www.w3.org/2000/svg">{"".join(rows)}</svg>'
+
+
+def eda_summary(df: DataFrame, name: str, top_k: int = 10, bins: int = 20) -> dict[str, Any]:
+    """All EDA statistics for one table, computed distributedly."""
+    prof = profile_table(df)
+    numeric_cols = [p["column"] for p in prof if p["dtype"].split("(")[0] in _NUMERIC]
+    cat_cols = [p["column"] for p in prof if p["dtype"] == "string"]
+    hists = {}
+    for c in numeric_cols[:6]:
+        rows = numeric_histogram(df, c, bins=bins).orderBy("bin").collect()
+        hists[c] = [
+            (f"{r.lo:.4g}..{r.hi:.4g}" if r.lo is not None else "all", r.n) for r in rows
+        ]
+    tops = {}
+    for c in cat_cols[:6]:
+        rows = categorical_top_k(df, c, k=top_k).collect()
+        tops[c] = [(r[c], r["n"]) for r in rows]
+    sample = [r.asDict() for r in df.limit(10).collect()]
+    return {
+        "table": name,
+        "profile": prof,
+        "histograms": hists,
+        "top_values": tops,
+        "sample": sample,
+    }
+
+
+def render_eda_html(summaries: list[dict[str, Any]]) -> str:
+    """Self-contained HTML (inline SVG charts), one section per table —
+    same artifact contract as the reference's eda_report.html."""
+    parts = [
+        "<!doctype html><html><head><meta charset='utf-8'><title>EDA report</title>",
+        "<style>body{font-family:sans-serif;margin:24px} table{border-collapse:collapse}",
+        "td,th{border:1px solid #ccc;padding:3px 8px;font-size:12px}</style></head><body>",
+        "<h1>EDA report</h1>",
+    ]
+    for s in summaries:
+        parts.append(f"<h2>{html.escape(s['table'])}</h2>")
+        parts.append("<h3>Column profile</h3><table><tr><th>column</th><th>dtype</th>"
+                     "<th>nulls</th><th>distinct</th></tr>")
+        for p in s["profile"]:
+            parts.append(
+                f"<tr><td>{html.escape(p['column'])}</td><td>{html.escape(p['dtype'])}</td>"
+                f"<td>{p['null_count']}</td><td>{p['unique_count']}</td></tr>"
+            )
+        parts.append("</table>")
+        for col, pairs in s["histograms"].items():
+            parts.append(f"<h3>Histogram: {html.escape(col)}</h3>" + _svg_bars(pairs))
+        for col, pairs in s["top_values"].items():
+            parts.append(f"<h3>Top values: {html.escape(col)}</h3>" + _svg_bars(pairs))
+        if s["sample"]:
+            cols = list(s["sample"][0])
+            parts.append("<h3>Sample</h3><table><tr>" +
+                         "".join(f"<th>{html.escape(c)}</th>" for c in cols) + "</tr>")
+            for row in s["sample"]:
+                parts.append(
+                    "<tr>" + "".join(f"<td>{html.escape(str(row[c])[:40])}</td>" for c in cols) + "</tr>"
+                )
+            parts.append("</table>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def generate_eda_report(
+    dfs: dict[str, DataFrame], artifacts_dir: str
+) -> tuple[str, str]:
+    """Compute EDA for every table, write ``eda_report.html`` +
+    ``eda_summary.json`` (reference artifacts eda.py:205-208,296-306).
+    Returns the two paths."""
+    os.makedirs(artifacts_dir, exist_ok=True)
+    summaries = [eda_summary(df, name) for name, df in sorted(dfs.items())]
+    html_path = os.path.join(artifacts_dir, "eda_report.html")
+    json_path = os.path.join(artifacts_dir, "eda_summary.json")
+    with open(html_path, "w") as f:
+        f.write(render_eda_html(summaries))
+    with open(json_path, "w") as f:
+        json.dump(
+            [{k: v for k, v in s.items() if k != "sample"} for s in summaries],
+            f,
+            indent=2,
+            default=str,
+        )
+    return html_path, json_path
