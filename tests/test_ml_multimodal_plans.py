@@ -89,6 +89,46 @@ def test_agg_is_single_shuffle(spark):
     assert plans.codegen_stage_count(df) >= 1
 
 
+def test_range_join_broadcasts_bands(spark):
+    """The interval-band join must be a broadcast nested loop over the 5-row
+    band table, never a shuffle of the event stream against it."""
+    df = catalog()["q29_range_join"].fn(spark, SF_DIR)
+    assert plans.has_broadcast_join(df), plans.simple_plan(df)
+    # one shuffle for the final groupBy(band); the join itself adds none
+    assert plans.count_exchanges(df) <= 1, plans.simple_plan(df)
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """Union-and-window as-of: both sides shuffle ONCE on user_id (the window
+    partition); no join-induced exchange, no range explosion."""
+    df = catalog()["q28_asof_join"].fn(spark, SF_DIR)
+    assert plans.count_exchanges(df) <= 1, plans.simple_plan(df)
+    assert not plans.has_sort_merge_join(df)
+
+
+def test_lsh_bucketing_adds_no_shuffle(spark):
+    """Signature computation is a narrow projection; the only exchanges in the
+    candidate-pair plan are for the bucket self-join."""
+    from healthcare_data_pipeline_spark.operators.similarity import lsh_bucket
+    from healthcare_data_pipeline_spark.queries.similarity import quantized
+
+    en = quantized(spark, SF_DIR)
+    assert plans.count_exchanges(lsh_bucket(en)) == 0
+
+
+def test_ivf_broadcasts_query_set(spark):
+    df = catalog()["s04_ivf_knn"].fn(spark, SF_DIR)
+    assert plans.has_broadcast_join(df), plans.simple_plan(df)
+
+
+def test_media_metadata_prunes_content(spark):
+    """m01 projects metadata only — the parquet scan must not read columns the
+    query never touches (lang/source/n_chars pruned)."""
+    df = catalog()["m01_media_metadata"].fn(spark, SF_DIR)
+    schemas = plans.read_schemas(df)
+    assert schemas and all("lang" not in s and "source" not in s for s in schemas), schemas
+
+
 def test_profiling_is_single_job_plan(spark):
     """The A7 null profile must be one aggregation over one scan — the
     reference's per-column jobs are the anti-pattern we refuse to replicate."""
