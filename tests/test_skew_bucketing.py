@@ -1,0 +1,69 @@
+"""Scale-path operators: salted aggregation/join equivalence, bucketed
+co-located joins (zero-exchange plan)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark import plans
+from healthcare_data_pipeline_spark.catalog import table
+from healthcare_data_pipeline_spark.operators.skew import salted_join, salted_sum
+from healthcare_data_pipeline_spark.sources.bucketed import colocated_join, write_bucketed
+from tests.conftest import SF_DIR
+
+
+def _skewed_df(spark):
+    # 90% of rows under one hot key — the shape that stalls a single reducer.
+    hot = spark.range(9000).select(
+        F.lit("HOT").alias("k"), F.col("id").alias("rid"), F.lit(1.0).alias("v")
+    )
+    cold = spark.range(1000).select(
+        F.concat(F.lit("c"), (F.col("id") % 50).cast("string")).alias("k"),
+        (F.col("id") + 100000).alias("rid"),
+        F.lit(2.0).alias("v"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_sum_equals_plain_sum(spark):
+    df = _skewed_df(spark)
+    got = {
+        r.k: (r.total_v, r.n_rows)
+        for r in salted_sum(df, ["k"], {"v": "total_v"}, salt_from="rid").collect()
+    }
+    want = {
+        r.k: (r.total_v, r.n)
+        for r in df.groupBy("k").agg(F.sum("v").alias("total_v"), F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = _skewed_df(spark)
+    small = spark.createDataFrame(
+        [("HOT", "hot-dim")] + [(f"c{i}", f"dim{i}") for i in range(50)], "k string, attr string"
+    )
+    got = salted_join(big, small, on="k", n_salts=8, salt_from="rid")
+    want = big.join(small, "k")
+    assert got.count() == want.count()
+    # order-insensitive content check; decimal sum so ANSI mode can't overflow
+    digest = F.sum(F.xxhash64("k", "rid", "attr").cast("decimal(38,0)")).alias("h")
+    assert got.select(digest).collect() == want.select(digest).collect()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(o, "b_orders", "o_orderkey", n_buckets=8)
+    write_bucketed(li, "b_lineitem", "o_orderkey", n_buckets=8)
+    joined = colocated_join(spark, "b_orders", "b_lineitem", on="o_orderkey")
+    assert plans.count_exchanges(joined) == 0, plans.simple_plan(joined)
+    # and it is the same result as the shuffled join
+    want = o.join(li, "o_orderkey").count()
+    assert joined.count() == want
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
