@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY input,
+not just the fixtures — reproducibility guarantees the 100 TB design rests on.
+
+Example counts are kept small because each example runs Spark jobs; the
+properties themselves are the point (the reference ships zero tests)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark.functions import xsum
+from healthcare_data_pipeline_spark.operators.anonymize import anonymize, sha256_hex
+from healthcare_data_pipeline_spark.operators.skew import salted_sum
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+)
+
+
+@given(values=st.lists(_text, min_size=1, max_size=8))
+@_SETTINGS
+def test_sha2_matches_hashlib_for_any_string(spark, values):
+    """F1<->F4 parity (runnerfile.py:267,271): the distributed F.sha2 digest and
+    the driver-side hashlib digest must agree for arbitrary unicode, or the
+    anonymization mapping join-back silently breaks."""
+    df = spark.createDataFrame([(v,) for v in values], "pii string")
+    got = {r.pii for r in anonymize(df, ["pii"]).collect()}
+    want = {sha256_hex(v) for v in values}
+    assert got == want
+    assert want == {hashlib.sha256(v.encode("utf-8")).hexdigest() for v in values}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.decimals(allow_nan=False, allow_infinity=False,
+                                                 min_value=-10**6, max_value=10**6, places=2)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_xsum_is_partitioning_independent(spark, rows):
+    """The decimal-exact sum must give identical doubles under any partitioning
+    (the property that makes results hash-comparable across engines/cluster sizes)."""
+    df = spark.createDataFrame([(k, float(v)) for k, v in rows], "k int, v double")
+    a = df.coalesce(1).groupBy("k").agg(xsum("v", "s")).collect()
+    b = df.repartition(13).groupBy("k").agg(xsum("v", "s")).collect()
+    assert {(r.k, r.s) for r in a} == {(r.k, r.s) for r in b}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["hot", "a", "b"]), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=40,
+    ),
+    n_salts=st.integers(2, 8),
+)
+@_SETTINGS
+def test_salted_sum_equals_plain_for_any_data(spark, rows, n_salts):
+    df = spark.createDataFrame(
+        [(k, i, float(i % 97)) for i, (k, _) in enumerate(rows)], "k string, rid long, v double"
+    )
+    got = {
+        r.k: (round(r.s, 9), r.n_rows)
+        for r in salted_sum(df, ["k"], {"v": "s"}, salt_from="rid", n_salts=n_salts).collect()
+    }
+    want = {
+        r.k: (round(r.s, 9), r.n)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    }
+    assert got == want
