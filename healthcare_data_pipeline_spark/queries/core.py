@@ -865,6 +865,53 @@ def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q32_local_supplier_revenue",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(25,8))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("join", "agg", "tpch-q5-shape"),
+    doc="TPC-H Q5 semantics: revenue from lineitems where the supplier and the ordering "
+    "customer share a nation — a correlated two-key dim join (l_suppkey AND nation "
+    "equality), the classic case where join ORDER matters. Supplier/customer/nation "
+    "broadcast; the only shuffle is the lineitem⋈orders fact join.",
+)
+def q32_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(n.n_name.alias("nation_name"))
+        .agg(xsum(revenue, "revenue"))
+    )
+
+
+@query(
     "q31_median",
     oracle="""
     SELECT l_linestatus,
