@@ -8,6 +8,10 @@ Four families, as first-class queries:
   based — xxhash64 seeds are Spark-specific, so these register no SQL oracle and
   get the driver's rows-only check; their semantics are pytest-verified against
   plain Jaccard on the same corpus.)
+- portable MinHash-LSH                                  -> dd06 (oracle-checked:
+  md5-derived shingle hashes + LCG affine permutations make the whole
+  candidate-pair set bit-identical across engines; dd04 stays as the
+  xxhash64 fast path.)
 
 Scale notes: dd02's shingle self-join caps shingle document-frequency (stop-
 shingle removal) so a hot shingle cannot produce a quadratic pair explosion;
@@ -26,6 +30,32 @@ from healthcare_data_pipeline_spark.queries.similarity import _QUANT_SQL, quanti
 
 # Max document-frequency for a shingle to participate in pair generation.
 MAX_SHINGLE_DF = 50
+
+# Portable MinHash (dd06): affine permutations of an md5-derived 32-bit shingle
+# hash — every constant below is embedded identically in the Spark plan and the
+# generated oracle SQL, and all arithmetic stays below 2^63 (1e6 * 2^32 + 2^31
+# < 2^52), so signatures are bit-identical on any engine.
+PMH_N = 16
+PMH_BANDS = 4
+PMH_PRIME = 2147483647  # 2^31 - 1
+
+
+def _pmh_const(k: int, lo: int, hi: int) -> int:
+    # LCG stream (same family as operators.similarity.lcg_weight), clamped to
+    # a positive range; A coefficients are forced odd.
+    v = (1103515245 * k + 12345) % 2147483648
+    return lo + v % (hi - lo)
+
+
+PMH_A = [_pmh_const(1000 + j, 1, 1_000_000) * 2 + 1 for j in range(PMH_N)]
+PMH_B = [_pmh_const(2000 + j, 0, PMH_PRIME) for j in range(PMH_N)]
+
+# SQL fragment: first 8 hex chars of md5(s) as a BIGINT (DuckDB lacks a
+# hex-literal cast, so parse pairwise with strpos over the hex alphabet).
+_SQL_H32 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(s), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
 
 
 @query(
@@ -248,3 +278,120 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0)
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.alias("simhash"))
+
+
+def _pmh_oracle_sql() -> str:
+    """Generate the dd06 oracle from the SAME constants as the Spark plan."""
+    rows_per_band = PMH_N // PMH_BANDS
+    mins = ",\n             ".join(
+        f"MIN(({PMH_A[j]} * h32 + {PMH_B[j]}) % {PMH_PRIME}) AS mh{j}" for j in range(PMH_N)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+            b=bi,
+            concat=" || ',' || ".join(
+                f"CAST(mh{bi * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+            ),
+        )
+        for bi in range(PMH_BANDS)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 0)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               )) AS s
+        FROM t
+      )
+    ),
+    hh AS (
+      SELECT doc_id, ({_SQL_H32}) AS h32 FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM hh GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query(
+    "dd06_minhash_portable",
+    oracle=_pmh_oracle_sql(),
+    tags=("dedup", "EXT", "minhash", "lsh"),
+    doc="MinHash+LSH with fully portable hashing: md5-derived 32-bit shingle hashes, "
+    "16 affine LCG permutations mod 2^31-1, 4x4 banding with md5 band buckets — every "
+    "step bit-identical on any engine, so unlike dd04 (xxhash64 fast path) the whole "
+    "candidate-pair set is value-hash-verified against the SQL oracle. Same linear "
+    "candidate-generation shape as dd04: one shuffle to signatures, one on band buckets.",
+)
+def dd06_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    rows_per_band = PMH_N // PMH_BANDS
+    sh = (
+        d.selectExpr("doc_id", "split(lower(text), '\\\\s+') AS toks")
+        .selectExpr(
+            "doc_id",
+            """
+            explode(array_distinct(transform(
+              sequence(1, greatest(size(toks) - 2, 0)),
+              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))
+            ))) AS s
+            """,
+        )
+    )
+    h32 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    sig = (
+        sh.withColumn("h32", h32)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(PMH_A[j]).cast("long") * F.col("h32") + F.lit(PMH_B[j])) % PMH_PRIME
+                ).alias(f"mh{j}")
+                for j in range(PMH_N)
+            ]
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{bi * rows_per_band + r}").cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(PMH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.select(F.col("doc_id").alias("d1"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("d2"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
