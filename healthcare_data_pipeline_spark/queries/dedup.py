@@ -8,10 +8,10 @@ Four families, as first-class queries:
   based — xxhash64 seeds are Spark-specific, so these register no SQL oracle and
   get the driver's rows-only check; their semantics are pytest-verified against
   plain Jaccard on the same corpus.)
-- portable MinHash-LSH                                  -> dd06 (oracle-checked:
-  md5-derived shingle hashes + LCG affine permutations make the whole
-  candidate-pair set bit-identical across engines; dd04 stays as the
-  xxhash64 fast path.)
+- portable MinHash-LSH / SimHash                        -> dd06/dd07 (oracle-
+  checked: md5-derived hashes + LCG affine permutations / bit-majority votes
+  make candidate pairs and signatures bit-identical across engines; dd04/dd05
+  stay as the xxhash64 fast paths.)
 
 Scale notes: dd02's shingle self-join caps shingle document-frequency (stop-
 shingle removal) so a hot shingle cannot produce a quadratic pair explosion;
@@ -395,3 +395,60 @@ def dd06_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("n_shared_bands"))
     )
+
+
+PSH_BITS = 30  # bits taken from the md5-derived 32-bit token hash
+
+
+def _psh_oracle_sql() -> str:
+    """dd07 oracle: same md5-derived token hash, bit-majority vote, signature
+    reassembly — all integer arithmetic, engine-portable."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS s
+      FROM documents
+    ),
+    hh AS (
+      SELECT doc_id, ({_SQL_H32}) AS h32 FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b.b AS bit,
+             SUM(CASE WHEN (h32 // (1 << b.b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hh, generate_series(0, {PSH_BITS - 1}) b(b)
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+    FROM votes
+    GROUP BY doc_id
+    """
+
+
+@query(
+    "dd07_simhash_portable",
+    oracle=_psh_oracle_sql(),
+    tags=("dedup", "EXT", "simhash"),
+    doc="SimHash with portable hashing (md5-derived 32-bit token hash, 30-bit signature, "
+    "signed bit-majority vote) — unlike dd05 (xxhash64 fast path) the signatures are "
+    "value-hash-verified against the SQL oracle. Plan shape: one narrow hash projection, "
+    "one shuffle on doc_id; near-dup clustering then groups by low Hamming distance.",
+)
+def dd07_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("s")
+    ).withColumn("h32", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftrightunsigned(F.col("h32"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(PSH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(PSH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash"))
