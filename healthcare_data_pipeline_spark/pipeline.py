@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from healthcare_data_pipeline_spark.operators import anonymize as anon
-from healthcare_data_pipeline_spark.operators import cleanse, profiling, reports, resolve
+from healthcare_data_pipeline_spark.operators import cleanse, eda, profiling, reports, resolve
 from healthcare_data_pipeline_spark.schemas import DOMAIN_SCHEMAS, PARTITION_COLS
 from healthcare_data_pipeline_spark.sources import files, sqlite
 
@@ -102,8 +102,10 @@ def run(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
         cleansed[name] = spark.read.parquet(os.path.join(cfg.cleansed_dir, name))
     manifest["stages"]["cleanse"] = {"dir": cfg.cleansed_dir}
 
-    # Profile (single-pass per table).
+    # Profile (single-pass per table) + EDA report (full-table aggregates,
+    # inline-SVG HTML — runnerfile.py:508 / eda.py:205-322 parity).
     profiling.write_artifacts(cleansed, cfg.artifacts_dir)
+    eda.generate_eda_report(cleansed, cfg.artifacts_dir)
     manifest["stages"]["profile"] = {"dir": cfg.artifacts_dir}
 
     # Transform -> curated reports (canonical path when schemas match, else
@@ -158,3 +160,39 @@ def run(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
     with open(os.path.join(cfg.artifacts_dir, "pipeline_manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True, default=str)
     return manifest
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI parity with the reference runner (``python -m src.runnerfile
+    --force-fresh --skip-anonymize``; runnerfile.py:602-608 + dashboard.yml)."""
+    import argparse
+    import shutil
+
+    from healthcare_data_pipeline_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="Run the medallion pipeline end-to-end.")
+    ap.add_argument("--base-dir", default="local_data", help="root of raw/cleansed/curated/artifacts")
+    ap.add_argument("--force-fresh", action="store_true", help="drop cleansed/curated/artifacts first")
+    ap.add_argument("--skip-anonymize", action="store_true", help="disable PII anonymization")
+    ap.add_argument("--export-sqlite", action="store_true", help="also export reports.sqlite")
+    args = ap.parse_args(argv)
+
+    cfg = PipelineConfig(
+        base_dir=args.base_dir,
+        anonymize_pii=not args.skip_anonymize,
+        export_sqlite=args.export_sqlite,
+    )
+    if args.force_fresh:
+        for d in (cfg.cleansed_dir, cfg.curated_dir, cfg.artifacts_dir):
+            shutil.rmtree(d, ignore_errors=True)
+    spark = get_spark(app_name="hdp-spark-pipeline")
+    try:
+        manifest = run(spark, cfg)
+    finally:
+        spark.stop()
+    print(json.dumps({"tables": manifest["tables"], "runtime_sec": manifest["runtime_sec"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

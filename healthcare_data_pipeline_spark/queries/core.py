@@ -932,3 +932,73 @@ def q31_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.5).alias("median_qty"),
         F.percentile("l_quantity", 0.9).alias("p90_qty"),
     )
+
+
+@query(
+    "q33_full_outer",
+    oracle="""
+    SELECT
+      COALESCE(c.c_custkey, o.o_custkey) AS cust_id,
+      c.c_name AS cust_name,
+      o.n_orders
+    FROM customer c
+    FULL OUTER JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join", "outer"),
+    doc="Full-outer join (free with Spark SQL; absent from the reference's left-join-only "
+    "surface): customers with no orders AND order keys with no customer row both survive. "
+    "COALESCE merges the key columns, SQL null semantics on both engines.",
+)
+def q33_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full_outer").select(
+        F.coalesce(c.c_custkey, o.o_custkey).alias("cust_id"),
+        F.col("c_name").alias("cust_name"),
+        "n_orders",
+    )
+
+
+@query(
+    "q34_scalar_suite",
+    oracle="""
+    SELECT
+      o_orderkey,
+      upper(o_orderpriority) AS prio_upper,
+      substr(o_orderpriority, 1, 3) AS prio_prefix,
+      length(o_orderpriority) AS prio_len,
+      regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num,
+      date_trunc('month', o_orderdate) AS order_month,
+      year(o_orderdate) AS order_year,
+      CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+      CASE WHEN o_totalprice >= 100000 THEN 'big' ELSE 'small' END AS size_class,
+      COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_decoded
+    FROM orders
+    WHERE o_orderkey <= 5000
+    """,
+    tags=("scalar", "functions", "F1-F7"),
+    doc="Scalar-function breadth in one projection (§2.7 + [EXT]): string case/substr/length, "
+    "regex extraction, date truncation and part extraction, numeric floor, CASE, "
+    "COALESCE/NULLIF — all JVM-side column expressions inside one codegen stage, "
+    "no UDF anywhere.",
+)
+def q34_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 3).alias("prio_prefix"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.regexp_extract("o_orderpriority", r"([0-9]+)", 1).alias("prio_num"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.when(F.col("o_totalprice") >= 100000, "big").otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_decoded"),
+    )
