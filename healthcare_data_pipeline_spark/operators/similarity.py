@@ -147,7 +147,7 @@ def ivf_topk(
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
-def centroid_assign(en: DataFrame, n_iter: int = 1) -> DataFrame:
+def centroid_assign(en: DataFrame) -> DataFrame:
     """Compute coarse centroids from the existing label partition and
     re-assign each vector to its nearest centroid (one Lloyd step) — the
     from-scratch IVF quantizer.  Double math (assignment quality, not

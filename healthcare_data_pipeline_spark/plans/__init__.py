@@ -3,8 +3,8 @@
 The build charter requires checking, per operator: did the filter push down,
 did the dim join go broadcast, is the hot path inside whole-stage codegen,
 how many shuffles does the plan have.  These helpers turn those checks into
-assertions so the perf-regression suite (tests/test_plans.py) keeps plans
-honest as queries evolve.
+assertions so the perf-regression suite (tests/test_ml_multimodal_plans.py,
+tests/test_skew_bucketing.py) keeps plans honest as queries evolve.
 """
 
 from __future__ import annotations

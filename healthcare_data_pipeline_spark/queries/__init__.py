@@ -48,7 +48,9 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 
 
 def _load_all() -> None:
-    # Import side-effect: module import populates CATALOG.
+    # Import side-effect: module import populates CATALOG.  Idempotent — a
+    # partially-populated CATALOG (someone imported one query module directly)
+    # must not suppress loading the rest, so this always imports every module.
     from healthcare_data_pipeline_spark.queries import core  # noqa: F401
     from healthcare_data_pipeline_spark.queries import domain  # noqa: F401
     from healthcare_data_pipeline_spark.queries import text  # noqa: F401
@@ -58,6 +60,5 @@ def _load_all() -> None:
 
 
 def catalog() -> dict[str, Query]:
-    if not CATALOG:
-        _load_all()
+    _load_all()
     return CATALOG

@@ -1002,3 +1002,37 @@ def q34_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_totalprice") >= 100000, "big").otherwise("small").alias("size_class"),
         F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_decoded"),
     )
+
+
+@query(
+    "q35_approx_stats",
+    oracle=None,  # HLL / t-digest sketches are engine-specific — rows-only check;
+    # exact counterparts q06/q31 are the oracle-checked versions of the same stats.
+    tags=("agg", "approx", "no-oracle", "scale-path"),
+    doc="The 100 TB statistics path: approx_count_distinct (HyperLogLog++, bounded memory "
+    "vs the full shuffle of exact countDistinct) and approx_percentile (t-digest) per "
+    "group. Accuracy is pytest-verified against the exact q06/q31 results; the driver "
+    "records a rows-only check because sketch internals differ across engines.",
+)
+def q35_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_median_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q36_seeded_sample",
+    oracle=None,  # Bernoulli sampling uses Spark's RNG stream — deterministic for a
+    # given seed+partitioning inside Spark, but not reproducible in another engine.
+    tags=("sample", "no-oracle", "scale-path"),
+    doc="Seeded corpus subsampling (training-data pipelines downsample before expensive "
+    "stages): Bernoulli sample at 10% with a fixed seed — one narrow pass, no shuffle, "
+    "deterministic re-runs on the same input layout. Invariants (fraction tolerance, "
+    "determinism, subset property) are pytest-verified.",
+)
+def q36_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.sample(fraction=0.1, seed=42).select("doc_id", "lang", "n_chars")
