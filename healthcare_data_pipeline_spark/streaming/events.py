@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -114,6 +114,46 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream join: each click joins purchases by the same
+    user within ``lookback`` BEFORE the click.
+
+    Both sides buffer state; the watermark + time-bound condition let Spark
+    evict rows once they can no longer match (state stays O(active window),
+    the requirement for an unbounded 100 TB/day stream).  Range condition on
+    event time is mandatory — without it stream-stream state grows forever.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return c.join(p, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def stateful_running_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user running
     event count and value total, carried across micro-batches in the state
@@ -159,3 +199,39 @@ def run_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def split_events_for_microbatches(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> str:
+    """Re-write the events table as ``n_files`` time-ordered parquet files so a
+    file stream with maxFilesPerTrigger=1 replays it as real micro-batches —
+    the harness that proves stateful operators carry state ACROSS batches
+    (one-file sources collapse everything into a single batch)."""
+    from healthcare_data_pipeline_spark.catalog import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    (
+        ev.withColumn("__bucket", F.ntile(n_files).over(Window.orderBy("ts", "event_id")))
+        .repartitionByRange(n_files, "__bucket")
+        .sortWithinPartitions("ts")
+        .drop("__bucket")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def read_events_stream_microbatched(spark: SparkSession, split_dir: str) -> DataFrame:
+    """Stream the split directory one file per trigger (micro-sized batches)."""
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .load(split_dir)
+    )
