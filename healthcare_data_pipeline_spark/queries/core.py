@@ -1036,3 +1036,123 @@ def q35_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q36_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.sample(fraction=0.1, seed=42).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q37_resample_locf",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE user_id <= 10
+    ),
+    bounds AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS t0,
+             date_trunc('hour', MAX(ts)) AS t1
+      FROM ev GROUP BY user_id
+    ),
+    spine AS (
+      SELECT b.user_id, CAST(g.h AS TIMESTAMP) AS hour
+      FROM bounds b, UNNEST(generate_series(b.t0, b.t1, INTERVAL 1 HOUR)) AS g(h)
+    ),
+    hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             COUNT(*) AS n,
+             SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS v_q
+      FROM ev GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT s.user_id, s.hour,
+             COALESCE(h.n, 0) AS n_events,
+             h.v_q
+      FROM spine s LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+    )
+    SELECT user_id, hour, n_events,
+           CAST(last_value(v_q IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0
+             AS locf_hourly_value
+    FROM joined
+    """,
+    tags=("timeseries", "resample", "EXT"),
+    doc="Time-series resampling with gap fill (the hypertable-rollup analog): per-user hourly "
+    "spine via sequence+explode, left join of hourly aggregates, last-observation-carried-"
+    "forward for empty hours. Spine generation is a narrow fan-out; the only shuffle is the "
+    "hourly aggregate + the window on (user, hour) — both on the same key, so AQE reuses "
+    "the partitioning.",
+)
+def q37_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") <= 10)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("v_q"),
+    )
+    joined = spine.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        "v_q",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        "n_events",
+        (F.last("v_q", ignorenulls=True).over(w).cast("double") / 10000.0).alias(
+            "locf_hourly_value"
+        ),
+    )
+
+
+@query(
+    "q38_top1_per_group",
+    oracle="""
+    SELECT nation_key, total_spend, cust_id
+    FROM (
+      SELECT c.c_nationkey AS nation_key,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS total_spend,
+             c.c_custkey AS cust_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.c_nationkey
+               ORDER BY SUM(CAST(o.o_totalprice AS DECIMAL(25,8))) DESC, c.c_custkey DESC
+             ) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, c.c_custkey
+    ) t WHERE rn = 1
+    """,
+    tags=("agg", "topk", "scale-path"),
+    doc="Top-1 per group WITHOUT a window: max(struct(measure, key)) aggregates map-side and "
+    "needs no per-group sort — at 100 TB this replaces the rank-window top-1 (which must "
+    "shuffle and sort every row) with an ordinary two-level hash aggregate. Ties break to "
+    "the larger cust_id in both formulations.",
+)
+def q38_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(xsum("o_totalprice", "total_spend"))
+    )
+    top = spend.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
+        F.max(F.struct("total_spend", "c_custkey")).alias("t")
+    )
+    return top.select(
+        "nation_key",
+        F.col("t.total_spend").alias("total_spend"),
+        F.col("t.c_custkey").alias("cust_id"),
+    )
