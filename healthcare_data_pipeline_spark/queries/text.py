@@ -182,3 +182,38 @@ def t05_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
     )
     return out
+
+
+# GPT-2-style pre-tokenizer alternation, RE2-safe (no lookaheads, so Java regex
+# and DuckDB RE2 agree): optional-space letter runs / digit runs / punct runs.
+_BPE_PAT = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+@query(
+    "t06_bpe_token_estimate",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{_BPE_PAT}')) AS n_pieces,
+           GREATEST(
+             len(regexp_extract_all(lower(text), '{_BPE_PAT}')),
+             CAST(CEIL(length(text) / 4.0) AS BIGINT)
+           ) AS est_tokens
+    FROM documents
+    """,
+    tags=("text", "EXT", "tokens", "bpe"),
+    doc="BPE-ish token counting: a GPT-2-style pre-tokenizer alternation (letter runs / "
+    "digit runs / punctuation runs, optional leading space; RE2-safe so Spark and the "
+    "oracle agree) plus the chars/4 floor used for budget estimation. One narrow "
+    "regexp_count projection — the cheap token-budget pass a training-data pipeline "
+    "runs over every document.",
+)
+def t06_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_pieces = F.regexp_count(F.lower("text"), F.lit(_BPE_PAT))
+    return d.select(
+        "doc_id",
+        n_pieces.cast("long").alias("n_pieces"),
+        F.greatest(
+            n_pieces.cast("long"), F.ceil(F.length("text") / 4.0).cast("long")
+        ).alias("est_tokens"),
+    )
