@@ -129,6 +129,16 @@ def test_media_metadata_prunes_content(spark):
     assert schemas and all("lang" not in s and "source" not in s for s in schemas), schemas
 
 
+def test_top1_per_group_has_no_window(spark):
+    """q38's whole point: top-1 per group as a two-level hash aggregate with
+    map-side partials — no Window (whose sort would shuffle every row)."""
+    df = catalog()["q38_top1_per_group"].fn(spark, SF_DIR)
+    plan = plans.simple_plan(df)
+    assert "Window" not in plan, plan
+    assert plans.has_broadcast_join(df)
+    assert "partial_max" in plan  # map-side combine of the struct max
+
+
 def test_profiling_is_single_job_plan(spark):
     """The A7 null profile must be one aggregation over one scan — the
     reference's per-column jobs are the anti-pattern we refuse to replicate."""
