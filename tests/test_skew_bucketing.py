@@ -67,3 +67,28 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert joined.count() == want
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zone_write_partition_pruning(spark, tmp_path):
+    """Hive-style year=/month=/day= zone layout must partition-prune on read:
+    a day filter shows up as a PartitionFilter and the scan reads only that
+    day's files (SURVEY §4 'partition layout for pruning' row)."""
+    import datetime as dt
+
+    from healthcare_data_pipeline_spark.operators.cleanse import (
+        stamp_ingestion_date,
+        write_zone,
+    )
+
+    o = table(spark, SF_DIR, "orders").limit(200)
+    zone = str(tmp_path / "zone" / "orders")
+    write_zone(stamp_ingestion_date(o, dt.date(2026, 8, 1)), zone, partitioned=True)
+    for day in (2, 3):
+        stamped = stamp_ingestion_date(o, dt.date(2026, 8, day))
+        stamped.write.mode("append").partitionBy("year", "month", "day").parquet(zone)
+
+    df = spark.read.parquet(zone).filter(F.col("day") == 2)
+    plan = plans.formatted_plan(df)
+    m = __import__("re").search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "day" in m.group(1), plan
+    assert df.count() == 200  # only day=2's rows
