@@ -12,6 +12,8 @@ Four families, as first-class queries:
   checked: md5-derived hashes + LCG affine permutations / bit-majority votes
   make candidate pairs and signatures bit-identical across engines; dd04/dd05
   stay as the xxhash64 fast paths.)
+- cluster formation (connected components + canonical)  -> dd08 (iterative —
+  rows-only driver check; pytest-verified against a union-find oracle.)
 
 Scale notes: dd02's shingle self-join caps shingle document-frequency (stop-
 shingle removal) so a hot shingle cannot produce a quadratic pair explosion;
@@ -452,3 +454,24 @@ def dd07_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.alias("simhash"))
+
+
+@query(
+    "dd08_dedup_clusters",
+    oracle=None,  # iterative fixpoint — not single-query SQL; pytest-verified
+    # against a driver-side union-find over the same (portable) dd06 pairs.
+    tags=("dedup", "EXT", "components", "no-oracle"),
+    doc="Near-dup CLUSTER formation: connected components (iterative min-label "
+    "propagation, O(diameter) shuffle rounds) over the dd06 portable-LSH candidate "
+    "pairs, then one canonical doc per cluster — the transitive-closure step that turns "
+    "pair detection into an actual deduplicated corpus.",
+)
+def dd08_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.components import (
+        canonical_per_cluster,
+        connected_components,
+    )
+
+    pairs = dd06_minhash_portable(spark, sf_dir).filter(F.col("n_shared_bands") >= 1)
+    comp = connected_components(pairs, "d1", "d2")
+    return canonical_per_cluster(comp)

@@ -92,3 +92,50 @@ def test_zone_write_partition_pruning(spark, tmp_path):
     m = __import__("re").search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "day" in m.group(1), plan
     assert df.count() == 200  # only day=2's rows
+
+
+def test_connected_components_matches_union_find(spark):
+    """Distributed min-label propagation must equal a driver-side union-find
+    on the same edges (including a chain, a triangle, and singleton-free)."""
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21), (3, 4)]
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    from healthcare_data_pipeline_spark.operators.components import (
+        canonical_per_cluster,
+        connected_components,
+    )
+
+    got = {r.vertex: r.component for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+    assert got == want
+
+    canon = {r.component: (r.canonical_id, r.cluster_size)
+             for r in canonical_per_cluster(connected_components(df)).collect()}
+    assert canon[1] == (1, 4)   # chain 1-2-3-4
+    assert canon[10] == (10, 3)  # triangle
+    assert canon[20] == (20, 2)
+
+
+def test_dedup_clusters_query_runs(spark):
+    from healthcare_data_pipeline_spark.queries import catalog
+
+    out = catalog()["dd08_dedup_clusters"].fn(spark, SF_DIR)
+    rows = out.collect()
+    assert all(r.cluster_size >= 2 for r in rows)  # singletons never form edges
+    assert all(r.canonical_id <= r.component for r in rows)
