@@ -184,6 +184,76 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_sessions_with_timeout(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom sessionization with event-time timeout: a session CLOSES (and is
+    emitted) only when the watermark passes last_event + gap — the
+    applyInPandasWithState equivalent of ``F.session_window``, but with the
+    full power of arbitrary per-session state (counters here; could be any
+    feature accumulator).
+
+    Emits one row per CLOSED session; sessions still open at end-of-stream
+    stay in the state store (standard streaming semantics — a final watermark
+    advance, e.g. a heartbeat event, flushes them in production).
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    )
+    state_schema = "start_ms long, last_ms long, n long"
+
+    def update(key: tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_ms, last_ms, n = state.get
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs))
+        ts_ms = (rows["ts"].astype("int64") // 1_000_000).sort_values()
+        closed: list[tuple[int, int, int]] = []
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        else:
+            start_ms, last_ms, n = int(ts_ms.iloc[0]), int(ts_ms.iloc[0]) - 1, 0
+        for t in ts_ms:
+            t = int(t)
+            if n > 0 and t - last_ms > gap_ms:
+                closed.append((start_ms, last_ms, n))
+                start_ms, n = t, 0
+            last_ms = max(last_ms, t)
+            n += 1
+        state.update((start_ms, last_ms, n))
+        # A timeout may not be set before the current watermark; a session whose
+        # gap already expired closes at the very next watermark advance.
+        state.setTimeoutTimestamp(max(last_ms + gap_ms, state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in closed],
+                    "n_events": [k for _, _, k in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

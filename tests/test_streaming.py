@@ -167,3 +167,49 @@ def test_stateful_totals_across_microbatches(spark, tmp_path):
         "SELECT user_id, COUNT(*) AS k FROM running_mb_out GROUP BY user_id"
     ).collect()
     assert max(r.k for r in emissions) > 1
+
+
+def test_stateful_sessions_with_timeout_subset_of_batch(spark, tmp_path):
+    """Every session the timeout operator emits must exactly match a session
+    from the batch lag-gap sessionization (subset: open sessions at stream end
+    are legitimately unemitted)."""
+    split_dir = stv.split_events_for_microbatches(
+        spark, SF_DIR, str(tmp_path / "ev_split_sess"), n_files=4
+    )
+    stream = stv.stateful_sessions_with_timeout(
+        stv.read_events_stream_microbatched(spark, split_dir), gap_minutes=30
+    )
+    stv.run_to_memory(stream, "sess_timeout_out", output_mode="append")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_timeout_out").collect()
+    }
+    assert got, "no sessions closed — watermark never advanced past any gap"
+
+    from pyspark.sql import Window
+
+    ev = table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800 * 1000000), 1).otherwise(0).alias("ns"),
+    )
+    sessions = flagged.withColumn(
+        "sid", F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    batch = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in sessions.groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count("*").alias("n"))
+        .collect()
+    }
+    # ts in the stream op is millisecond-truncated (state stores epoch ms);
+    # truncate the batch side the same way for comparison.
+    import datetime as dt
+
+    def trunc_ms(t):
+        return t.replace(microsecond=t.microsecond // 1000 * 1000)
+
+    batch_ms = {(u, trunc_ms(s), trunc_ms(e), n) for u, s, e, n in batch}
+    assert got <= batch_ms, f"stream emitted sessions not present in batch: {sorted(got - batch_ms)[:3]}"
