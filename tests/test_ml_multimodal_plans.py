@@ -145,3 +145,33 @@ def test_profiling_is_single_job_plan(spark):
     df = catalog()["q07_null_profile"].fn(spark, SF_DIR)
     plan = plans.simple_plan(df)
     assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1, plan
+
+
+def test_kmeans_quantizer_trains_and_assigns(spark):
+    """The trained quantizer must cover all vectors, be seed-deterministic,
+    and beat the trivial one-cell quantizer on inertia; its cells must work
+    as the IVF cell column."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.ml.cluster import train_quantizer
+    from healthcare_data_pipeline_spark.operators.similarity import ivf_topk
+    from healthcare_data_pipeline_spark.queries.similarity import quantized
+
+    emb = table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    res = train_quantizer(emb, k=8)
+    assert res.assigned.count() == n
+    assert res.assigned.select("cell").distinct().count() <= 8
+    res2 = train_quantizer(emb, k=8)
+    a1 = {r.vec_id: r.cell for r in res.assigned.select("vec_id", "cell").collect()}
+    a2 = {r.vec_id: r.cell for r in res2.assigned.select("vec_id", "cell").collect()}
+    assert a1 == a2  # seed-pinned determinism
+    base = train_quantizer(emb, k=2)
+    assert res.inertia < base.inertia  # more cells must reduce cost
+
+    # cells plug into the IVF operator as the coarse quantizer
+    en = quantized(spark, SF_DIR).join(
+        res.assigned.select("vec_id", "cell"), "vec_id"
+    )
+    out = ivf_topk(en, F.col("vec_id") < 5, cell_col="cell", k=3)
+    assert out.count() > 0
+    assert out.filter(F.col("rn") > 3).count() == 0
