@@ -280,15 +280,22 @@ def split_events_for_microbatches(
     (one-file sources collapse everything into a single batch)."""
     from healthcare_data_pipeline_spark.catalog import table as _table
 
-    ev = _table(spark, sf_dir, "events")
-    (
-        ev.withColumn("__bucket", F.ntile(n_files).over(Window.orderBy("ts", "event_id")))
-        .repartitionByRange(n_files, "__bucket")
-        .sortWithinPartitions("ts")
-        .drop("__bucket")
-        .write.mode("overwrite")
-        .parquet(out_dir)
-    )
+    ev = _table(spark, sf_dir, "events").withColumn(
+        "__bucket", F.ntile(n_files).over(Window.orderBy("ts", "event_id"))
+    ).cache()
+    # One file per bucket, written SEQUENTIALLY in time order: the file stream
+    # source replays by (modTime, path), so batches must ascend in event time
+    # or the watermark drops later files' rows.  (repartitionByRange would
+    # sample nondeterministically and can mix buckets across files.)
+    for b in range(1, n_files + 1):
+        (
+            ev.filter(F.col("__bucket") == b)
+            .drop("__bucket")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"b{b:02d}"))
+        )
+    ev.unpersist()
     return out_dir
 
 
@@ -303,5 +310,6 @@ def read_events_stream_microbatched(spark: SparkSession, split_dir: str) -> Data
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
         .load(split_dir)
     )
