@@ -1156,3 +1156,73 @@ def q38_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.total_spend").alias("total_spend"),
         F.col("t.c_custkey").alias("cust_id"),
     )
+
+
+@query(
+    "q39_exists_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49
+    )
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    tags=("sql-api", "subquery", "semi-join"),
+    doc="Correlated EXISTS through the engine's SQL surface (register_views + spark.sql): "
+    "Catalyst rewrites it to a left-semi join, so the plan is identical to the DataFrame "
+    "q16 path — one API, same physical strategy.",
+)
+def q39_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49
+        )
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        """
+    )
+
+
+@query(
+    "q40_cte_scalar_subquery",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(25,8))) AS DOUBLE) AS seg_bal,
+             COUNT(*) AS n_custs
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, seg_bal, n_custs
+    FROM seg
+    WHERE seg_bal > (SELECT CAST(AVG(seg_bal) AS DOUBLE) FROM seg)
+    """,
+    tags=("sql-api", "cte", "scalar-subquery"),
+    doc="CTE + scalar subquery via spark.sql: segments whose decimal-exact balance total "
+    "beats the cross-segment average. The scalar subquery executes once and broadcasts — "
+    "no per-row re-evaluation.",
+)
+def q40_cte_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT c_mktsegment,
+                 CAST(SUM(CAST(c_acctbal AS DECIMAL(25,8))) AS DOUBLE) AS seg_bal,
+                 COUNT(*) AS n_custs
+          FROM customer GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, seg_bal, n_custs
+        FROM seg
+        WHERE seg_bal > (SELECT CAST(AVG(seg_bal) AS DOUBLE) FROM seg)
+        """
+    )

@@ -213,3 +213,60 @@ def test_stateful_sessions_with_timeout_subset_of_batch(spark, tmp_path):
 
     batch_ms = {(u, trunc_ms(s), trunc_ms(e), n) for u, s, e, n in batch}
     assert got <= batch_ms, f"stream emitted sessions not present in batch: {sorted(got - batch_ms)[:3]}"
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """An event arriving after the watermark passed its window must be DROPPED
+    from the windowed aggregate (the late-data contract); the same rows in
+    batch mode would count it — the difference proves the drop."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def mk(rows, path):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(path)
+
+    import time
+
+    d = str(tmp_path / "late")
+    # batch 0: two events at 10:05/10:10 plus one at 13:00 that pushes the
+    # watermark (10 min delay) to 12:50 — far past the 10:00-11:00 window.
+    mk(
+        [
+            (1, base + dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=10), 1, "click", 1.0, "{}"),
+            (3, base + dt.timedelta(hours=3), 1, "click", 1.0, "{}"),
+        ],
+        d + "/b01",
+    )
+    time.sleep(1.1)  # file-stream replay orders by modification time
+    # batch 1: any event — lets the 10:00 window EMIT AND EVICT (append mode
+    # finalizes a window during the batch after the watermark passes its end;
+    # a late row arriving in that same batch may still be absorbed — the
+    # watermark drop guarantee starts only once the state is evicted).
+    mk([(5, base + dt.timedelta(hours=3, minutes=5), 1, "click", 1.0, "{}")], d + "/b02")
+    time.sleep(1.1)
+    # batch 2: a LATE event inside the closed-and-evicted 10:00 window.
+    mk([(4, base + dt.timedelta(minutes=20), 1, "click", 1.0, "{}")], d + "/b03")
+
+    stream = stv.tumbling_agg(
+        stv.read_events_stream_microbatched(spark, d), window="1 hour", watermark="10 minutes"
+    )
+    # append mode: only finalized (watermark-closed) windows are emitted
+    stv.run_to_memory(stream, "late_out", output_mode="append")
+    out = spark.sql("SELECT * FROM late_out").collect()
+    rows = {r.window_start: r.n for r in out}
+    assert rows[base.replace(minute=0)] == 2, rows  # late event 4 NOT counted
+    # and the closed window was emitted exactly once (no duplicate from the late row)
+    assert sum(1 for r in out if r.window_start == base.replace(minute=0)) == 1
+
+    # batch over the same files counts all 3 events in the 10:00 window
+    batch = (
+        spark.read.option("recursiveFileLookup", "true").parquet(d)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .count()
+        .collect()
+    )
+    batch_h10 = {r.h: r["count"] for r in batch}[base.replace(minute=0)]
+    assert batch_h10 == 3
