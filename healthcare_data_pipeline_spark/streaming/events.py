@@ -271,6 +271,26 @@ def run_to_memory(
         q.stop()
 
 
+def run_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
+    """Durable streaming sink: parquet file sink + checkpoint, Spark's
+    exactly-once output path (file-sink manifest + WAL offsets).
+
+    Restarting the same query against the same checkpoint resumes from the
+    recorded offsets — already-committed batches are never rewritten, which is
+    the recovery contract a production pipeline relies on."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def split_events_for_microbatches(
     spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
 ) -> str:

@@ -270,3 +270,32 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     )
     batch_h10 = {r.h: r["count"] for r in batch}[base.replace(minute=0)]
     assert batch_h10 == 3
+
+
+def test_parquet_sink_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """The durable sink must deliver every source row exactly once, and a
+    restart against the same checkpoint must not duplicate or rewrite
+    anything (file-sink manifest + WAL offsets)."""
+    split_dir = stv.split_events_for_microbatches(
+        spark, SF_DIR, str(tmp_path / "ev_split_sink"), n_files=3
+    )
+    out, ckpt = str(tmp_path / "sink_out"), str(tmp_path / "sink_ckpt")
+
+    def run():
+        stv.run_to_parquet(
+            stv.read_events_stream_microbatched(spark, split_dir).select(
+                "event_id", "ts", "user_id", "value"
+            ),
+            out,
+            ckpt,
+        )
+
+    run()
+    first = spark.read.parquet(out)
+    n_source = table(spark, SF_DIR, "events").count()
+    assert first.count() == n_source
+    assert first.select("event_id").distinct().count() == n_source
+
+    run()  # restart: same checkpoint, no new source files -> no new output
+    again = spark.read.parquet(out)
+    assert again.count() == n_source
