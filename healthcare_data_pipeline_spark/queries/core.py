@@ -1226,3 +1226,47 @@ def q40_cte_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE seg_bal > (SELECT CAST(AVG(seg_bal) AS DOUBLE) FROM seg)
         """
     )
+
+
+@query(
+    "q41_group_linefit",
+    oracle="""
+    WITH s AS (
+      SELECT l_linestatus,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS sxx
+      FROM lineitem
+      GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+    FROM s
+    """,
+    tags=("agg", "statistics", "EXT"),
+    doc="Per-group OLS line fit (price ~ quantity) from exact decimal moment sums — the "
+    "closed-form regression statistic as ONE aggregation pass. Built-in covar_pop/var_pop "
+    "would be the obvious route but their float summation order differs across engines; "
+    "assembling the moments with the engine's decimal-exact convention keeps the slope "
+    "bit-identical anywhere. Pattern generalizes to corr/variance/std at 100 TB (one "
+    "pass, map-side partials).",
+)
+def q41_group_linefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        xsum("l_quantity", "sx"),
+        xsum("l_extendedprice", "sy"),
+        xsum(F.col("l_quantity") * F.col("l_extendedprice"), "sxy"),
+        xsum(F.col("l_quantity") * F.col("l_quantity"), "sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "l_linestatus", "n", slope.alias("slope"), intercept.alias("intercept")
+    )
