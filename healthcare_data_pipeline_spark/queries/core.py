@@ -1233,40 +1233,52 @@ def q40_cte_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT l_linestatus,
-             COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,8))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,8))) AS DOUBLE) AS sxx
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx
       FROM lineitem
       GROUP BY l_linestatus
     )
-    SELECT l_linestatus, n,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+    SELECT l_linestatus, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+             AS slope,
+           (CAST(sy AS DOUBLE) / 100.0
+              - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0)
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) AS intercept
     FROM s
     """,
     tags=("agg", "statistics", "EXT"),
-    doc="Per-group OLS line fit (price ~ quantity) from exact decimal moment sums — the "
-    "closed-form regression statistic as ONE aggregation pass. Built-in covar_pop/var_pop "
-    "would be the obvious route but their float summation order differs across engines; "
-    "assembling the moments with the engine's decimal-exact convention keeps the slope "
-    "bit-identical anywhere. Pattern generalizes to corr/variance/std at 100 TB (one "
-    "pass, map-side partials).",
+    doc="Per-group OLS line fit (price ~ quantity) as ONE aggregation pass. Built-in "
+    "covar_pop/var_pop float summation order differs across engines, and even decimal "
+    "moment sums lose cross-engine bit-parity in the decimal->double cast once the "
+    "cancellation-prone products exceed 2^53 — so the moments are EXACT integers on a "
+    "cents grid, the products run in wide integer types (Spark decimal(38,0), oracle "
+    "HUGEINT), and only the final integer numerator/denominator converts to double. "
+    "Pattern generalizes to corr/variance/std at 100 TB (one pass, map-side partials).",
 )
 def q41_group_linefit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    xi = F.col("l_quantity").cast("long")
+    yi = F.round(F.col("l_extendedprice") * 100).cast("long")  # exact cents
     s = li.groupBy("l_linestatus").agg(
         F.count("*").alias("n"),
-        xsum("l_quantity", "sx"),
-        xsum("l_extendedprice", "sy"),
-        xsum(F.col("l_quantity") * F.col("l_extendedprice"), "sxy"),
-        xsum(F.col("l_quantity") * F.col("l_quantity"), "sxx"),
+        F.sum(xi).alias("sx"),
+        F.sum(yi).alias("sy"),
+        F.sum(xi * yi).alias("sxy"),
+        F.sum(xi * xi).alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
-    return s.select(
-        "l_linestatus", "n", slope.alias("slope"), intercept.alias("intercept")
-    )
+
+    def d(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
+    den = (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
+    slope = num / den / 100.0
+    intercept = (
+        F.col("sy").cast("double") / 100.0 - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select("l_linestatus", "n", slope.alias("slope"), intercept.alias("intercept"))
