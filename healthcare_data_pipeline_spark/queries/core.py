@@ -1282,3 +1282,114 @@ def q41_group_linefit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sy").cast("double") / 100.0 - slope * F.col("sx").cast("double")
     ) / F.col("n").cast("double")
     return s.select("l_linestatus", "n", slope.alias("slope"), intercept.alias("intercept"))
+
+
+@query(
+    "q42_group_corr",
+    oracle="""
+    WITH s AS (
+      SELECT l_linestatus,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx,
+             SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS syy
+      FROM lineitem
+      GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             AS corr_qty_price
+    FROM s
+    """,
+    tags=("agg", "statistics", "EXT"),
+    doc="Exact Pearson correlation per group from integer moments (same wide-int technique "
+    "as q41; y-squared sums exceed BIGINT at scale so they accumulate directly in the wide "
+    "type). sqrt/division run on identical integers -> identical doubles on any engine.",
+)
+def q42_group_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    xi = F.col("l_quantity").cast("long")
+    yi = F.round(F.col("l_extendedprice") * 100).cast("long")
+    s = li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(xi).alias("sx"),
+        F.sum(yi).alias("sy"),
+        F.sum(xi * yi).alias("sxy"),
+        F.sum(xi * xi).alias("sxx"),
+        F.sum((yi * yi).cast("decimal(38,0)")).alias("syy"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("decimal(38,0)")
+
+    num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
+    denx = (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
+    deny = (d("n") * F.col("syy") - d("sy") * d("sy")).cast("double")
+    return s.select(
+        "l_linestatus",
+        "n",
+        (num / (F.sqrt(denx) * F.sqrt(deny))).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "q43_funnel",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    cl AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= su.t_signup
+      GROUP BY e.user_id
+    ),
+    pu AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      FROM events e JOIN cl ON e.user_id = cl.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= cl.t_click
+      GROUP BY e.user_id
+    )
+    SELECT
+      (SELECT COUNT(*) FROM su) AS n_signup,
+      (SELECT COUNT(*) FROM cl) AS n_signup_click,
+      (SELECT COUNT(*) FROM pu) AS n_signup_click_purchase
+    """,
+    tags=("analytics", "funnel", "EXT"),
+    doc="Ordered funnel (signup -> click-after-signup -> purchase-after-click): each stage "
+    "is a min-timestamp aggregate joined to the previous stage's cohort — three hash aggs "
+    "+ two equi-joins on user_id, all co-partitioned on the same key, so AQE reuses one "
+    "shuffle partitioning across the whole funnel.",
+)
+def q43_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    cl = (
+        ev.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        su.agg(F.count("*").alias("n_signup"))
+        .crossJoin(cl.agg(F.count("*").alias("n_signup_click")))
+        .crossJoin(pu.agg(F.count("*").alias("n_signup_click_purchase")))
+    )
