@@ -80,3 +80,59 @@ def test_salted_sum_equals_plain_for_any_data(spark, rows, n_salts):
         for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 3),          # user_id
+            st.integers(0, 50),         # ts offset (seconds) — collisions likely
+            st.sampled_from(["click", "purchase"]),
+            st.integers(0, 100),        # value basis
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_asof_join_matches_python_reference(spark, events):
+    """q28's union-and-window as-of join must match a straightforward Python
+    reference (latest purchase at ts <= click.ts; ties -> purchase first,
+    then max event_id) for ARBITRARY event sets, including ts collisions."""
+    import datetime as dt
+
+    from healthcare_data_pipeline_spark.queries import catalog
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=off), uid, etype, float(v), "{}")
+        for i, (uid, off, etype, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {
+        r.click_id: (r.last_purchase_ts, r.last_purchase_value)
+        for r in catalog()["q28_asof_join"].fn(spark, d).collect()
+    }
+
+    want = {}
+    for eid, ts, uid, etype, v, _ in rows:
+        if etype != "click":
+            continue
+        cands = [
+            (p_ts, p_eid, p_v)
+            for (p_eid, p_ts, p_uid, p_etype, p_v, _) in rows
+            if p_uid == uid and p_etype == "purchase" and p_ts <= ts
+        ]
+        if cands:
+            p_ts, _, p_v = max(cands, key=lambda c: (c[0], c[1]))
+            want[eid] = (p_ts, p_v)
+        else:
+            want[eid] = (None, None)
+    assert got == want
