@@ -1393,3 +1393,72 @@ def q43_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(cl.agg(F.count("*").alias("n_signup_click")))
         .crossJoin(pu.agg(F.count("*").alias("n_signup_click_purchase")))
     )
+
+
+@query(
+    "q44_window_suite",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           NTILE(4) OVER w AS spend_quartile,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+           LEAD(o_orderkey, 1) OVER w AS next_orderkey,
+           LAG(o_orderkey, 1) OVER w AS prev_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey
+    FROM orders
+    WHERE o_custkey <= 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    tags=("window", "W", "EXT"),
+    doc="Window-function breadth in one pass: ntile / percent_rank / lead / lag / "
+    "first_value over a single window spec — Spark evaluates all five in ONE Window "
+    "operator (one shuffle + sort on the partition key), not five.",
+)
+def q44_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+    )
+
+
+@query(
+    "q45_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+           CAST(CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS TIMESTAMP) AS due_date,
+           date_trunc('quarter', o_orderdate) AS order_quarter,
+           dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+    tags=("scalar", "temporal", "EXT"),
+    doc="Temporal-function breadth: day differences, interval arithmetic, quarter "
+    "truncation, day-of-week, end-of-month — all JVM column expressions. Cross-engine "
+    "notes baked into the oracle: DuckDB spells datediff as date_diff('day', ...), its "
+    "dayofweek is 0-based (Spark's is 1-based, Sunday first), and DATE results are "
+    "surfaced as midnight timestamps so both engines hash the same canonical value.",
+)
+def q45_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.cast("timestamp").alias("order_date"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("long").alias("days_to_eoy"),
+        F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .cast("timestamp")
+        .alias("due_date"),
+        F.date_trunc("quarter", "o_orderdate").alias("order_quarter"),
+        F.dayofweek(d).cast("long").alias("dow"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+    )
