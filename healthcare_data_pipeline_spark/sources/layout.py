@@ -25,6 +25,36 @@ def read_merged(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files (~128 MiB default — the partition sizing
+    guidance the reference documents, README.md:392-394).
+
+    Streaming sinks and incremental ingests accumulate thousands of KB-scale
+    files; at 100 TB the resulting driver-side listing and per-file open costs
+    dominate scan time, so periodic compaction is an operational necessity.
+    Returns the output file count.  Writes to a NEW directory — swap
+    atomically (rename) rather than overwriting the live path in place.
+    """
+    import glob
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(f)
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.option("recursiveFileLookup", "true").parquet(path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
 def write_sorted(
     df: DataFrame, path: str, sort_cols: list[str], n_files: int = 8, mode: str = "overwrite"
 ) -> None:

@@ -66,3 +66,24 @@ def test_sorted_layout_tightens_rowgroup_stats(spark, tmp_path):
     assert sum(srt) / len(srt) < (sum(uns) / len(uns)) / 4, (srt, uns)
     # and the rewritten data is intact
     assert spark.read.parquet(sorted_dir).count() == o.count()
+
+
+def test_compaction_merges_small_files(spark, tmp_path):
+    from healthcare_data_pipeline_spark.sources.layout import compact
+
+    frag = str(tmp_path / "fragmented")
+    o = table(spark, SF_DIR, "orders")
+    o.repartition(40).write.parquet(frag)  # 40 tiny files
+    n_in = len(glob.glob(os.path.join(frag, "*.parquet")))
+    assert n_in >= 40
+
+    out = str(tmp_path / "compacted")
+    n_planned = compact(spark, frag, out, target_file_bytes=64 << 20)
+    n_out = len(glob.glob(os.path.join(out, "*.parquet")))
+    assert n_planned == n_out
+    assert n_out < n_in / 4  # tiny total volume -> a handful of files
+    # content preserved exactly
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(out)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
