@@ -1462,3 +1462,62 @@ def q45_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek(d).cast("long").alias("dow"),
         F.last_day(d).cast("timestamp").alias("month_end"),
     )
+
+
+@query(
+    "q46_conditional_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8)))
+                FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00') AS DOUBLE)
+             AS recent_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "conditional"),
+    doc="Conditional aggregation (SQL FILTER clause ~ Spark count_if / sum(when)): several "
+    "differently-filtered measures in ONE pass over the data instead of one scan per "
+    "predicate — the pattern that collapses dashboard metric fans at scale.",
+)
+def q46_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    recent = F.when(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"),
+        F.col("o_totalprice"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.sum(recent.cast(MONEY)).cast("double").alias("recent_revenue"),
+    )
+
+
+@query(
+    "q47_sorted_string_agg",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name ASC) AS nations_csv,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("agg", "string-agg"),
+    doc="Deterministic string aggregation: collect_list order is partition-dependent in "
+    "Spark, so the engine's convention is array_sort before array_join — which is also "
+    "what makes the result hash-comparable to SQL string_agg(... ORDER BY).",
+)
+def q47_sorted_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+            F.count("*").alias("n_nations"),
+        )
+    )
