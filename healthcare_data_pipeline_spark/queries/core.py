@@ -1521,3 +1521,60 @@ def q47_sorted_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_nations"),
         )
     )
+
+
+@query(
+    "q48_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey + CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 10000000 END AS o_orderkey,
+             o_custkey, o_orderstatus,
+             o_totalprice + 10.0 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey <= 1000
+    ),
+    merged AS (
+      SELECT
+        CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderkey ELSE e.o_orderkey END AS o_orderkey,
+        CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE e.o_totalprice END AS o_totalprice,
+        CASE WHEN u.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS from_update
+      FROM orders e FULL OUTER JOIN updates u ON e.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderkey, o_totalprice, from_update
+    FROM merged
+    WHERE o_orderkey <= 1200 OR o_orderkey >= 10000000
+    """,
+    tags=("merge", "upsert", "ingest"),
+    doc="Key-based MERGE (operators/upsert.py): the incremental delta updates same-key rows "
+    "and appends new keys — the corrected semantics for the reference's delta-query-then-"
+    "overwrite contradiction (ingest_data.py:77 vs :115). One full-outer join on the key; "
+    "broadcast when the delta is small (the common incremental case).",
+)
+def q48_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.upsert import merge_upsert
+
+    o = table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") <= 1000).select(
+        (
+            F.col("o_orderkey")
+            + F.when(F.col("o_orderkey") % 2 == 0, 0).otherwise(10_000_000)
+        ).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    update_keys = updates.select(F.col("o_orderkey").alias("k"))
+    merged = merge_upsert(o, updates, "o_orderkey")
+    return (
+        merged.join(
+            F.broadcast(update_keys), merged.o_orderkey == update_keys.k, "left"
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("k").isNotNull(), 1).otherwise(0).alias("from_update"),
+        )
+        .filter((F.col("o_orderkey") <= 1200) | (F.col("o_orderkey") >= 10_000_000))
+    )

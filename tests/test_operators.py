@@ -96,3 +96,26 @@ def test_histogram_and_topk(spark):
     cats = spark.createDataFrame([("a",)] * 3 + [("b",)] * 2 + [("c",)], "k string")
     top = profiling.categorical_top_k(cats, "k", 2).collect()
     assert [(r.k, r.n) for r in top] == [("a", 3), ("b", 2)]
+
+
+def test_merge_upsert_semantics(spark):
+    from healthcare_data_pipeline_spark.operators.upsert import merge_upsert
+
+    existing = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id int, tag string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, None, 99.0), (4, "d", 40.0)], "id int, tag string, v double"
+    )
+    got = {r.id: (r.tag, r.v) for r in merge_upsert(existing, updates, "id").collect()}
+    assert got == {
+        1: ("a", 10.0),
+        2: (None, 99.0),  # update wins WHOLLY — its NULL tag overwrites "b"
+        3: ("c", 30.0),
+        4: ("d", 40.0),
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(existing, updates.drop("v"), "id")
