@@ -1578,3 +1578,129 @@ def q48_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("o_orderkey") <= 1200) | (F.col("o_orderkey") >= 10_000_000))
     )
+
+
+@query(
+    "q49_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping-sets", "sql-api", "EXT"),
+    doc="Explicit GROUPING SETS (the general form of q21 ROLLUP / q30 CUBE; §2.4 [EXT]). "
+    "The grouping indicator is computed as grouping(a)*2+grouping(b) in BOTH engines "
+    "rather than relying on grouping_id()/GROUPING() bit-order conventions, which keeps "
+    "the value portable. Catalyst expands the sets via a single Expand node feeding one "
+    "hash aggregate — one shuffle regardless of how many sets, which is the 100 TB plan.",
+)
+def q49_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q50_map_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS key_list,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+    FROM events
+    WHERE event_id <= 2000
+    """,
+    tags=("function", "map", "json", "EXT"),
+    doc="Map-typed column surface (§2.7 [EXT]): events.props parsed with from_json into "
+    "map<string,int>, then map_keys / size / element_at — the engine's pattern for "
+    "semi-structured props at scale (parse once, operate JVM-side; no per-row Python). "
+    "DuckDB oracle reads the same fields through its JSON functions.",
+)
+def q50_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") <= 2000)
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("key_list"),
+        F.element_at(m, F.lit("k")).alias("k_val"),
+    )
+
+
+@query(
+    "q51_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COUNT(*) OVER w AS n_within_1k,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,8))) OVER w AS DOUBLE) AS sum_within_1k
+    FROM orders
+    WHERE o_custkey <= 300
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range-frame", "EXT"),
+    doc="RANGE window frame with a numeric offset (§2.8 [EXT]): per customer, how many "
+    "orders (and their total) fall within $1000 below the current order's price. "
+    "Complements q20's ROWS frames — RANGE bounds are value-based and include peers. "
+    "Frame boundaries are double arithmetic (current - 1000), identical IEEE results in "
+    "both engines; the frame SUM goes through the DECIMAL(25,8) parity convention.",
+)
+def q51_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_within_1k"),
+        F.sum(F.col("o_totalprice").cast(MONEY)).over(w).cast("double").alias("sum_within_1k"),
+    )
+
+
+@query(
+    "q52_union_by_name",
+    oracle="""
+    SELECT 'customer' AS src, c_custkey AS entity_id, c_acctbal AS balance,
+           c_mktsegment AS segment
+    FROM customer
+    UNION ALL
+    SELECT 'supplier' AS src, s_suppkey AS entity_id, s_acctbal AS balance,
+           CAST(NULL AS VARCHAR) AS segment
+    FROM supplier
+    """,
+    tags=("setops", "union-by-name", "schema-evolution", "EXT"),
+    doc="Schema-evolution union (§2.6 [EXT]): unionByName(allowMissingColumns=True) "
+    "aligns heterogeneous sources by column NAME and null-fills the gaps — the append "
+    "path a medallion raw zone needs when upstream adds columns (complements the "
+    "positional unions in q17). Pure narrow op: no shuffle, scans stay parallel.",
+)
+def q52_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_acctbal").alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"),
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_acctbal").alias("balance"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
