@@ -333,3 +333,84 @@ def read_events_stream_microbatched(spark: SparkSession, split_dir: str) -> Data
         .option("recursiveFileLookup", "true")
         .load(split_dir)
     )
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, stream_key: str, dim_key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (slowly-changing) dimension.
+
+    The static side is re-planned on every micro-batch — a file-backed dim
+    picks up new data without restarting the query — and is explicitly
+    broadcast, so the stream side never shuffles: each micro-batch stays a
+    narrow map over the source partitions, which is the only shape that holds
+    up when the stream is 100 TB/day.  Stateless (no watermark needed): the
+    dim is not buffered as stream state, unlike the stream-stream join above.
+    """
+    return events.join(F.broadcast(dim), events[stream_key] == dim[dim_key], how)
+
+
+def run_foreach_batch_upsert(
+    stream_df: DataFrame, target_dir: str, checkpoint_dir: str, key: str
+) -> None:
+    """``foreachBatch`` sink: MERGE each micro-batch into a parquet target by key.
+
+    foreachBatch is the escape hatch for sinks Spark lacks natively (JDBC
+    upsert, multi-sink fan-out, MERGE INTO).  Exactly-once comes from
+    idempotence: the committed ``batchId`` is recorded atomically WITH the
+    data (a ``_COMMITTED_BATCH`` marker written after the swap), so a replayed
+    batch after crash/restart is detected and skipped rather than re-merged.
+
+    The merge materializes to ``<target>.tmp`` then swaps directories —
+    read-your-own-overwrite is not safe in one pass, and the swap keeps the
+    target readable at all times (same pattern a production job would use on
+    object storage via a manifest).
+    """
+    import shutil
+
+    marker = os.path.join(target_dir, "_COMMITTED_BATCH")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # replayed batch — already merged; skip (idempotence)
+        # Last-writer-wins WITHIN the batch: order by every column descending
+        # so the kept row per key is deterministic regardless of partition order.
+        w_cols = list(batch_df.columns)
+        updates = (
+            batch_df.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(key).orderBy(*[F.desc(c) for c in w_cols])
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+            from healthcare_data_pipeline_spark.operators.upsert import merge_upsert
+
+            existing = spark.read.parquet(target_dir).select(*updates.columns)
+            merged = merge_upsert(existing, updates, key)
+        else:
+            merged = updates
+        tmp = target_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target_dir):
+            shutil.rmtree(target_dir)
+        os.rename(tmp, target_dir)
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -299,3 +299,59 @@ def test_parquet_sink_checkpoint_resume_no_duplicates(spark, tmp_path):
     run()  # restart: same checkpoint, no new source files -> no new output
     again = spark.read.parquet(out)
     assert again.count() == n_source
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    """Stream-static broadcast join: streaming enrichment of events with a
+    static dim must equal the same batch join, and must not shuffle the
+    stream side (the dim is broadcast)."""
+    dim = (
+        table(spark, SF_DIR, "customer")
+        .select(F.col("c_custkey").alias("dim_key"), "c_mktsegment")
+    )
+    enriched = stv.stream_static_enrich(
+        stv.read_events_stream(spark, SF_DIR), dim, "user_id", "dim_key"
+    ).select("event_id", "user_id", "c_mktsegment")
+    stv.run_to_memory(enriched, "enrich_out", output_mode="append")
+    got = {
+        (r.event_id, r.c_mktsegment)
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    batch = (
+        table(spark, SF_DIR, "events")
+        .join(dim, F.col("user_id") == F.col("dim_key"), "left")
+        .select("event_id", "c_mktsegment")
+        .collect()
+    )
+    want = {(r.event_id, r.c_mktsegment) for r in batch}
+    assert got == want and len(got) > 0
+
+
+def test_foreach_batch_upsert_keyed_target(spark, tmp_path):
+    """foreachBatch MERGE sink across real micro-batches: the final parquet
+    target must hold exactly one row per user_id — the latest (max event_id)
+    event for that user across ALL batches — i.e. later batches overwrote
+    earlier ones through the keyed merge."""
+    split_dir = stv.split_events_for_microbatches(
+        spark, SF_DIR, str(tmp_path / "ev_split_fb"), n_files=4
+    )
+    stream = stv.read_events_stream_microbatched(spark, split_dir).select(
+        "user_id", "event_id", "event_type"
+    )
+    target = str(tmp_path / "upsert_target")
+    stv.run_foreach_batch_upsert(
+        stream, target, str(tmp_path / "fb_ckpt"), key="user_id"
+    )
+    got = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in spark.read.parquet(target).collect()
+    }
+    batch = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("event_id", "event_type")).alias("top"))
+        .select("user_id", "top.event_id", "top.event_type")
+        .collect()
+    )
+    want = {r.user_id: (r.event_id, r.event_type) for r in batch}
+    assert got == want
