@@ -184,12 +184,12 @@ def q06_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       COUNT(*) AS n_rows,
-      SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS event_id_nulls,
-      SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS ts_nulls,
-      SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
-      SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS event_type_nulls,
-      SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
-      SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls
+      CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,
+      CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts_nulls,
+      CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+      CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+      CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+      CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls
     FROM events
     """,
     tags=("profiling", "A7"),
@@ -661,8 +661,8 @@ def q25_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, event_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end

@@ -420,7 +420,7 @@ def _psh_oracle_sql() -> str:
       GROUP BY doc_id, b.b
     )
     SELECT doc_id,
-           SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
     FROM votes
     GROUP BY doc_id
     """

@@ -148,7 +148,7 @@ def s04_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY e.vec_id, tp.p
     ),
     buckets AS (
-      SELECT vec_id, SUM(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS bucket
+      SELECT vec_id, CAST(SUM(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
       FROM bits GROUP BY vec_id
     ),
     enb AS (
@@ -223,7 +223,9 @@ def s03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("label").agg(
         F.max("n_vecs").alias("n_vecs"),
         (
-            F.sum(F.col("s") * F.col("s")).cast("double")
+            # decimal(38,0) keeps the sum of s^2 exact (s can reach n_vecs*1e6, so
+            # sum(s^2) can exceed 2^63 at scale — ANSI mode would throw on long overflow)
+            F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).cast("double")
             / (F.max("n_vecs") * F.max("n_vecs")).cast("double")
         ).alias("centroid_sq_norm"),
     )
