@@ -358,20 +358,39 @@ def run_foreach_batch_upsert(
     foreachBatch is the escape hatch for sinks Spark lacks natively (JDBC
     upsert, multi-sink fan-out, MERGE INTO).  Exactly-once comes from
     idempotence: the committed ``batchId`` is recorded atomically WITH the
-    data (a ``_COMMITTED_BATCH`` marker written after the swap), so a replayed
-    batch after crash/restart is detected and skipped rather than re-merged.
+    data (a ``_COMMITTED_BATCH`` marker written into the staging directory
+    *before* the swap, so marker and data become visible in one rename), and a
+    replayed batch after crash/restart is detected and skipped rather than
+    re-merged.
 
-    The merge materializes to ``<target>.tmp`` then swaps directories —
-    read-your-own-overwrite is not safe in one pass, and the swap keeps the
-    target readable at all times (same pattern a production job would use on
-    object storage via a manifest).
+    The merge materializes to ``<target>.tmp`` then swaps via rename-aside
+    (``target -> target.old; tmp -> target; rm target.old``) — read-your-own-
+    overwrite is not safe in one pass, and no crash point loses data: before
+    the first rename the old target is untouched; between the renames the old
+    data survives in ``target.old`` and ``_recover`` restores it on restart;
+    after the second rename the new target (with its marker) is complete and
+    ``target.old`` is disposable.  Same pattern a production job would use on
+    object storage via a manifest.
     """
     import shutil
 
     marker = os.path.join(target_dir, "_COMMITTED_BATCH")
+    aside = target_dir + ".old"
+
+    def _recover() -> None:
+        # Crash between the two renames leaves target missing and the previous
+        # data in target.old: restore it so the replayed batch re-merges on top.
+        # A leftover target.old WITH target present means the swap completed
+        # and only the cleanup was lost: discard it.
+        if os.path.exists(aside):
+            if os.path.exists(target_dir):
+                shutil.rmtree(aside)
+            else:
+                os.rename(aside, target_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover()
         if os.path.exists(marker):
             with open(marker) as fh:
                 if batch_id <= int(fh.read().strip()):
@@ -398,11 +417,14 @@ def run_foreach_batch_upsert(
             merged = updates
         tmp = target_dir + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(target_dir):
-            shutil.rmtree(target_dir)
-        os.rename(tmp, target_dir)
-        with open(marker, "w") as fh:
+        # Marker rides inside tmp: it becomes visible atomically with the data.
+        with open(os.path.join(tmp, "_COMMITTED_BATCH"), "w") as fh:
             fh.write(str(batch_id))
+        if os.path.exists(target_dir):
+            os.rename(target_dir, aside)
+        os.rename(tmp, target_dir)
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
 
     q = (
         stream_df.writeStream.outputMode("append")

@@ -355,3 +355,60 @@ def test_foreach_batch_upsert_keyed_target(spark, tmp_path):
     )
     want = {r.user_id: (r.event_id, r.event_type) for r in batch}
     assert got == want
+
+
+def test_foreach_batch_upsert_survives_crash_between_renames(spark, tmp_path, monkeypatch):
+    """Kill the sink between the two renames of the swap (old target already
+    moved aside, new target not yet in place) and restart from the same
+    checkpoint: every previously merged batch must survive — the rename-aside
+    recovery restores target.old, and the replayed batch re-merges on top."""
+    import os as _os
+
+    split_dir = stv.split_events_for_microbatches(
+        spark, SF_DIR, str(tmp_path / "ev_split_crash"), n_files=4
+    )
+    target = str(tmp_path / "crash_target")
+    ckpt = str(tmp_path / "crash_ckpt")
+
+    real_rename = _os.rename
+    state = {"tmp_to_target": 0}
+
+    def crashing_rename(src, dst, *a, **kw):
+        if str(src) == target + ".tmp" and str(dst) == target:
+            state["tmp_to_target"] += 1
+            if state["tmp_to_target"] == 2:  # second batch: prior data at risk
+                raise RuntimeError("simulated crash between renames")
+        return real_rename(src, dst, *a, **kw)
+
+    def make_stream():
+        return stv.read_events_stream_microbatched(spark, split_dir).select(
+            "user_id", "event_id", "event_type"
+        )
+
+    monkeypatch.setattr(stv.os, "rename", crashing_rename)
+    try:
+        stv.run_foreach_batch_upsert(make_stream(), target, ckpt, key="user_id")
+        raise AssertionError("expected the simulated crash to propagate")
+    except Exception as exc:  # StreamingQueryException wrapping the crash
+        assert "simulated crash" in str(exc)
+    finally:
+        monkeypatch.setattr(stv.os, "rename", real_rename)
+
+    # Crash left the target renamed aside (worst-case window).
+    assert _os.path.exists(target + ".old") and not _os.path.exists(target)
+
+    # Restart from the same checkpoint: replayed + remaining batches merge.
+    stv.run_foreach_batch_upsert(make_stream(), target, ckpt, key="user_id")
+
+    got = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in spark.read.parquet(target).collect()
+    }
+    batch = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("event_id", "event_type")).alias("top"))
+        .collect()
+    )
+    want = {r.user_id: (r.top.event_id, r.top.event_type) for r in batch}
+    assert got == want and not _os.path.exists(target + ".old")
