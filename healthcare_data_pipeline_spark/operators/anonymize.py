@@ -107,19 +107,40 @@ def _keystream(key: bytes, n: int) -> bytes:
     return bytes(out[:n])
 
 
+def _derive_keys(passphrase: str, nonce: bytes) -> tuple[bytes, bytes]:
+    """Per-encryption keystream key (nonce-mixed) + independent MAC key.
+
+    Mixing a fresh random nonce into the keystream derivation means two
+    encryptions under the same passphrase never share a keystream (no
+    two-time pad); deriving the MAC key separately keeps the
+    encrypt-then-MAC composition out of related-key territory.
+    """
+    base = hashlib.sha256(passphrase.encode("utf-8")).digest()
+    enc_key = hashlib.sha256(base + nonce).digest()
+    mac_key = hashlib.sha256(base + b"mac").digest()
+    return enc_key, mac_key
+
+
 def encrypt_mapping(mapping: dict[str, dict[str, str]], passphrase: str) -> bytes:
-    """Serialize + XOR-keystream-encrypt + HMAC-tag the mapping."""
-    key = hashlib.sha256(passphrase.encode("utf-8")).digest()
+    """Serialize + XOR-keystream-encrypt + HMAC-tag the mapping.
+
+    Layout: ``nonce(16) || tag(32) || ciphertext``; the tag authenticates
+    ``nonce || ciphertext`` so neither can be swapped between files.
+    """
+    import os as _os
+
+    nonce = _os.urandom(16)
+    enc_key, mac_key = _derive_keys(passphrase, nonce)
     plain = json.dumps(mapping, sort_keys=True).encode("utf-8")
-    cipher = bytes(a ^ b for a, b in zip(plain, _keystream(key, len(plain))))
-    tag = hmac.new(key, cipher, hashlib.sha256).digest()
-    return tag + cipher
+    cipher = bytes(a ^ b for a, b in zip(plain, _keystream(enc_key, len(plain))))
+    tag = hmac.new(mac_key, nonce + cipher, hashlib.sha256).digest()
+    return nonce + tag + cipher
 
 
 def decrypt_mapping(blob: bytes, passphrase: str) -> dict[str, dict[str, str]]:
-    key = hashlib.sha256(passphrase.encode("utf-8")).digest()
-    tag, cipher = blob[:32], blob[32:]
-    if not hmac.compare_digest(tag, hmac.new(key, cipher, hashlib.sha256).digest()):
+    nonce, tag, cipher = blob[:16], blob[16:48], blob[48:]
+    enc_key, mac_key = _derive_keys(passphrase, nonce)
+    if not hmac.compare_digest(tag, hmac.new(mac_key, nonce + cipher, hashlib.sha256).digest()):
         raise ValueError("mapping integrity check failed (wrong passphrase or corrupt file)")
-    plain = bytes(a ^ b for a, b in zip(cipher, _keystream(key, len(cipher))))
+    plain = bytes(a ^ b for a, b in zip(cipher, _keystream(enc_key, len(cipher))))
     return json.loads(plain.decode("utf-8"))

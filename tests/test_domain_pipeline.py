@@ -153,3 +153,33 @@ def test_mapping_encryption_roundtrip():
         anon.decrypt_mapping(blob, "wrong-passphrase")
     with pytest.raises(ValueError):
         anon.decrypt_mapping(blob[:-1] + bytes([blob[-1] ^ 1]), "secret")
+
+
+def test_mapping_encryption_fresh_keystream_per_call():
+    """Two encryptions of the SAME mapping under the SAME passphrase must share
+    no keystream (distinct nonces -> distinct ciphertexts), otherwise XOR of
+    two ciphertexts would leak plaintext structure (two-time pad)."""
+    mapping = {"prescriber.presc_fullname": {anon.sha256_hex("x"): "x"}}
+    b1 = anon.encrypt_mapping(mapping, "secret")
+    b2 = anon.encrypt_mapping(mapping, "secret")
+    n1, c1 = b1[:16], b1[48:]
+    n2, c2 = b2[:16], b2[48:]
+    assert n1 != n2 and c1 != c2
+    # Keystreams diverge from the first byte: XOR of the two ciphertexts of
+    # identical plaintext equals XOR of the keystreams — must be nonzero
+    # everywhere a shared keystream would make it zero.
+    xored = bytes(a ^ b for a, b in zip(c1, c2))
+    assert any(xored)  # not the identical keystream
+    ks1 = anon._keystream(anon._derive_keys("secret", n1)[0], 64)
+    ks2 = anon._keystream(anon._derive_keys("secret", n2)[0], 64)
+    assert ks1[:16] != ks2[:16]  # no shared keystream prefix
+    # MAC key independent of the encryption key.
+    enc_key, mac_key = anon._derive_keys("secret", n1)
+    assert enc_key != mac_key
+    # Both blobs still decrypt.
+    assert anon.decrypt_mapping(b1, "secret") == mapping
+    assert anon.decrypt_mapping(b2, "secret") == mapping
+    # Nonce swap between files must fail the tag (tag binds the nonce).
+    forged = b2[:16] + b1[16:]
+    with pytest.raises(ValueError):
+        anon.decrypt_mapping(forged, "secret")
