@@ -62,10 +62,23 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
 
 def repartition_for_media(df: DataFrame, avg_blob_bytes: int, target_partition_bytes: int = 128 << 20) -> DataFrame:
     """Size partitions by blob volume, not row count (Arrow batches must fit
-    executor memory when blobs are MB-scale)."""
+    executor memory when blobs are MB-scale).
+
+    Fully lazy — triggers NO driver-side job (a ``count()`` over a media-scale
+    table just to size partitions would be an extra full pass).  Rows are
+    binned into chunks of ``rows_per_partition`` via ``monotonically_increasing_id``
+    (chunks never span input partitions: the id embeds the partition ordinal in
+    its high bits), then hash-repartitioned on the chunk id so each output
+    partition holds whole ~target-byte chunks.  AQE (on by default in
+    session.py) coalesces small outputs and splits oversized ones at runtime.
+    """
     rows_per_partition = max(1, target_partition_bytes // max(1, avg_blob_bytes))
-    n = max(1, df.count() // rows_per_partition)
-    return df.repartition(n)
+    chunk = (F.monotonically_increasing_id() / F.lit(rows_per_partition)).cast("long")
+    return (
+        df.withColumn("__media_chunk", chunk)
+        .repartition(F.col("__media_chunk"))
+        .drop("__media_chunk")
+    )
 
 
 def _fake_decode(content: bytes) -> tuple[int, int, int, float]:

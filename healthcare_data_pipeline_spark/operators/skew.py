@@ -12,7 +12,8 @@ cases AQE can't fix:
 * **Salted join** — a shuffle join where the big side's hot key overwhelms
   one task.  The small side is replicated `n_salts` times (explode), the big
   side gets a random-but-deterministic salt, and the join key becomes
-  (key, salt).  Row-level results are identical to the unsalted join.
+  (key, salt).  Row-level results are identical to the unsalted join for
+  inner/left-side joins; right/full-outer are rejected (see ``salted_join``).
 
 Salts are derived with ``pmod(xxhash64(unique_col), n)`` — deterministic, so
 retries/speculative tasks produce identical results (required for exactly-once
@@ -63,10 +64,23 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi-join: replicate ``small`` n_salts times, salt ``big``
-    deterministically, join on (key, salt).  Result rows == unsalted join.
+    deterministically, join on (key, salt).
+
+    Supports ``how`` in {inner, left/left_outer, left_semi, left_anti} only —
+    for these, result rows == unsalted join because every big-side row carries
+    exactly one salt.  Right/full-outer would emit each unmatched SMALL-side
+    row once per salt (the small side is exploded before the join), so those
+    modes raise instead of silently duplicating.
 
     Use when ``small`` is too big to broadcast but ``big`` has hot keys.
     ``salt_from`` defaults to every big-side column (row-content hash)."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side rows "
+            f"would be duplicated once per salt (small side is exploded). "
+            f"Supported: inner, left, left_semi, left_anti."
+        )
     salt_col = (
         _salt(salt_from, n_salts)
         if salt_from

@@ -175,3 +175,20 @@ def test_kmeans_quantizer_trains_and_assigns(spark):
     out = ivf_topk(en, F.col("vec_id") < 5, cell_col="cell", k=3)
     assert out.count() > 0
     assert out.filter(F.col("rn") > 3).count() == 0
+
+
+def test_repartition_for_media_is_lazy_and_lossless(spark):
+    """Sizing partitions for media must not run a driver-side job (no count()
+    pass over a media-scale table); the chunked repartition is a pure plan
+    transformation and preserves every row."""
+    docs = spark.createDataFrame(
+        [(i, bytes([i % 251]) * 100) for i in range(1000)], "doc_id long, content binary"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    sized = mm.repartition_for_media(docs, avg_blob_bytes=100, target_partition_bytes=100 * 50)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "repartition_for_media triggered a driver-side job"
+    assert "__media_chunk" not in sized.columns
+    got = sorted(r.doc_id for r in sized.collect())
+    assert got == list(range(1000))

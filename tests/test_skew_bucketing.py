@@ -139,3 +139,18 @@ def test_dedup_clusters_query_runs(spark):
     rows = out.collect()
     assert all(r.cluster_size >= 2 for r in rows)  # singletons never form edges
     assert all(r.canonical_id <= r.component for r in rows)
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """Right/full-outer through a salted join would duplicate every unmatched
+    small-side row once per salt (the small side is exploded) — must raise."""
+    big = _skewed_df(spark)
+    small = spark.createDataFrame([("HOT", "hot-dim")], "k string, attr string")
+    import pytest as _pytest
+
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with _pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(big, small, on="k", n_salts=8, salt_from="rid", how=how)
+    # left stays supported and equals the plain left join
+    got = salted_join(big, small, on="k", n_salts=8, salt_from="rid", how="left")
+    assert got.count() == big.join(small, "k", "left").count()
