@@ -1,0 +1,172 @@
+"""[EXT] Corpus deduplication front door — pairs in, deduplicated table out.
+
+The query catalog exposes the *stages* of near-dup detection (dd01 exact,
+dd06 portable MinHash-LSH pairs, dd08 clusters); production callers need the
+composed pipeline: "give me the corpus with duplicates removed".  That is
+``dedup_corpus``:
+
+    1. exact dedup      — normalized-text fingerprint groupBy, keep min id
+                          (one shuffle; removes the bulk of web-scale dups
+                          before any near-dup math runs);
+    2. candidate pairs  — portable MinHash-LSH over the exact survivors
+                          (``portable_minhash_pairs``, shared with dd06):
+                          linear candidate generation, pairs only form inside
+                          LSH band buckets — never an all-pairs join;
+    3. clusters         — connected components over the pairs
+                          (operators.components, O(diameter) shuffle rounds);
+    4. canonical filter — drop every non-canonical cluster member via a
+                          left-anti join on the removed-id set.
+
+Every stage is a shuffle shape Spark already scales: no BroadcastNestedLoop
+join anywhere in the plan (pinned by tests/test_dedup_corpus.py), no driver-
+side collect of corpus-scale data.  The brute-force O(N²) variants (dd02/dd03)
+exist only as correctness oracles — this front door never routes through them.
+
+Hashing is the fully portable md5+LCG family (bit-identical on any engine),
+so the composed pipeline is value-hash-verified end-to-end against a DuckDB
+recursive-CTE oracle (query dd09_dedup_corpus).
+
+Reference has no dedup surface (SURVEY.md §2 [EXT]); charter-mandated for
+training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark.operators.components import connected_components
+
+# Portable MinHash constants: affine permutations of an md5-derived 32-bit
+# shingle hash.  Embedded identically in the Spark plan and the generated
+# oracle SQL; all arithmetic stays below 2^63 (1e6 * 2^32 + 2^31 < 2^52), so
+# signatures are bit-identical on any engine.
+PMH_N = 16
+PMH_BANDS = 4
+PMH_PRIME = 2147483647  # 2^31 - 1
+
+
+def _pmh_const(k: int, lo: int, hi: int) -> int:
+    # LCG stream (same family as operators.similarity.lcg_weight), clamped to
+    # a positive range; A coefficients are forced odd.
+    v = (1103515245 * k + 12345) % 2147483648
+    return lo + v % (hi - lo)
+
+
+PMH_A = [_pmh_const(1000 + j, 1, 1_000_000) * 2 + 1 for j in range(PMH_N)]
+PMH_B = [_pmh_const(2000 + j, 0, PMH_PRIME) for j in range(PMH_N)]
+
+# Word-3-gram shingles from a ``toks`` array column.  The size guard matters:
+# Spark's sequence(1, 0) is DESCENDING [1, 0] (not empty like SQL
+# generate_series), so without it any document under 3 tokens crashes
+# element_at with INVALID_ARRAY_INDEX.  Sub-3-token docs simply produce no
+# shingles (the explode drops them from pair generation; exact dedup still
+# covers them).
+WORD_3GRAMS_SQL = """
+    CASE WHEN size(toks) >= 3 THEN transform(
+      sequence(1, size(toks) - 2),
+      i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))
+    ) ELSE array() END
+"""
+
+
+def normalized_fingerprint(text_col: str = "text") -> F.Column:
+    """md5 of whitespace-normalized (collapsed + trimmed) lowercase text —
+    the exact-dedup key.  The trim matters: without it, leading/trailing
+    whitespace survives the collapse and otherwise-identical documents get
+    distinct fingerprints."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+
+
+def portable_minhash_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """MinHash+LSH candidate pairs (d1, d2, n_shared_bands) with fully
+    portable hashing.
+
+    md5-derived 32-bit shingle hashes, ``PMH_N`` affine LCG permutations mod
+    2^31-1, ``PMH_BANDS`` bands with md5 band buckets — every step
+    bit-identical on any engine.  Plan shape: one shuffle to signatures, one
+    on band buckets; candidate generation is linear in corpus size (pairs
+    only form inside buckets).  This is the candidate stage dd06 exposes as a
+    catalog query and ``dedup_corpus`` composes into full deduplication.
+    """
+    rows_per_band = PMH_N // PMH_BANDS
+    sh = (
+        docs.selectExpr(f"{id_col} AS doc_id", f"split(lower({text_col}), '\\\\s+') AS toks")
+        .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
+    )
+    h32 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    sig = (
+        sh.withColumn("h32", h32)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(PMH_A[j]).cast("long") * F.col("h32") + F.lit(PMH_B[j])) % PMH_PRIME
+                ).alias(f"mh{j}")
+                for j in range(PMH_N)
+            ]
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{bi * rows_per_band + r}").cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(PMH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bands.select(F.col("doc_id").alias("d1"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("d2"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared_bands: int = 1,
+) -> DataFrame:
+    """Deduplicated corpus: ``docs`` minus exact and near duplicates, keeping
+    the minimum-id document of every duplicate group.  All original columns
+    are preserved.
+
+    ``min_shared_bands`` tightens near-dup sensitivity (1 = any shared LSH
+    band forms a candidate edge; raise it to require stronger signature
+    agreement before documents merge into one cluster).
+    """
+    kept_ids = (
+        docs.select(normalized_fingerprint(text_col).alias("__fp"), F.col(id_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    kept = docs.join(kept_ids, id_col, "left_semi")
+    pairs = portable_minhash_pairs(kept, id_col=id_col, text_col=text_col).filter(
+        F.col("n_shared_bands") >= min_shared_bands
+    )
+    comp = connected_components(pairs, "d1", "d2")
+    removed = comp.filter(F.col("component") < F.col("vertex")).select(
+        F.col("vertex").alias(id_col)
+    )
+    return kept.join(removed, id_col, "left_anti")

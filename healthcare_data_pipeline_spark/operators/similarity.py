@@ -147,6 +147,125 @@ def ivf_topk(
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def lsh_topk(
+    en: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """Sign-bit-LSH ANN top-k: each query rescores ONLY its own bucket.
+
+    Same candidate discipline as ``lsh_candidate_pairs`` but query-oriented:
+    bucket the corpus once (narrow projection), broadcast the bucketed query
+    set, hash-join on the bucket key, exact-rescore candidates, window top-k.
+    Cost is |bucket| per query instead of N.  Output matches ``ivf_topk``:
+    (query_id, neighbor_id, cosine_sim, rn).
+    """
+    from pyspark.sql import Window
+
+    b = lsh_bucket(en, n_planes=n_planes)
+    q = b.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("iv").alias("q_iv"),
+        F.col("nrm2").alias("q_nrm2"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("iv").alias("c_iv"),
+        F.col("nrm2").alias("c_nrm2"),
+        "bucket",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def brute_topk(en: DataFrame, query_pred: Column, k: int = 5) -> DataFrame:
+    """Exact top-k by full scan — O(Q x N) dot products.  The correctness
+    baseline the ANN paths are validated against; never the production path
+    (``knn`` only exposes it under ``validate=True``)."""
+    from pyspark.sql import Window
+
+    q = en.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("iv").alias("q_iv"),
+        F.col("nrm2").alias("q_nrm2"),
+    )
+    c = en.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("iv").alias("c_iv"),
+        F.col("nrm2").alias("c_nrm2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def knn(
+    en: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    method: str = "ivf",
+    cell_col: str = "label",
+    validate: bool = False,
+) -> DataFrame:
+    """Production ANN front door: (query_id, neighbor_id, cosine_sim, rn).
+
+    ``method``:
+      * ``"ivf"`` (default) — partition-pruned probe of the query's coarse
+        cell (``ivf_topk``); the 100 TB shape when a cell assignment exists.
+      * ``"lsh"``           — sign-bit-bucket probe (``lsh_topk``); no
+        training/assignment needed, one narrow bucketing projection.
+      * ``"brute"``         — exact full scan; REFUSED unless
+        ``validate=True``, because O(Q x N) is never the production path —
+        it exists to cross-check ANN recall on samples.
+
+    Both production paths are hash-joins on a pruning key — no
+    BroadcastNestedLoopJoin (pinned by tests/test_dedup_corpus.py).
+    """
+    if method == "ivf":
+        return ivf_topk(en, query_pred, cell_col=cell_col, k=k)
+    if method == "lsh":
+        return lsh_topk(en, query_pred, k=k)
+    if method == "brute":
+        if not validate:
+            raise ValueError(
+                "knn(method='brute') is an O(Q x N) full scan — allowed only with "
+                "validate=True as a recall cross-check on samples; use method='ivf' "
+                "or 'lsh' for production retrieval."
+            )
+        return brute_topk(en, query_pred, k=k)
+    raise ValueError(f"unknown knn method {method!r}: expected 'ivf', 'lsh', or 'brute'")
+
+
 def centroid_assign(en: DataFrame) -> DataFrame:
     """Compute coarse centroids from the existing label partition and
     re-assign each vector to its nearest centroid (one Lloyd step) — the

@@ -27,30 +27,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from healthcare_data_pipeline_spark.catalog import table
+from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+    PMH_A,
+    PMH_B,
+    PMH_BANDS,
+    PMH_N,
+    PMH_PRIME,
+    WORD_3GRAMS_SQL,
+    dedup_corpus,
+    portable_minhash_pairs,
+)
 from healthcare_data_pipeline_spark.queries import query
 from healthcare_data_pipeline_spark.queries.similarity import _QUANT_SQL, quantized
 
 # Max document-frequency for a shingle to participate in pair generation.
 MAX_SHINGLE_DF = 50
-
-# Portable MinHash (dd06): affine permutations of an md5-derived 32-bit shingle
-# hash — every constant below is embedded identically in the Spark plan and the
-# generated oracle SQL, and all arithmetic stays below 2^63 (1e6 * 2^32 + 2^31
-# < 2^52), so signatures are bit-identical on any engine.
-PMH_N = 16
-PMH_BANDS = 4
-PMH_PRIME = 2147483647  # 2^31 - 1
-
-
-def _pmh_const(k: int, lo: int, hi: int) -> int:
-    # LCG stream (same family as operators.similarity.lcg_weight), clamped to
-    # a positive range; A coefficients are forced odd.
-    v = (1103515245 * k + 12345) % 2147483648
-    return lo + v % (hi - lo)
-
-
-PMH_A = [_pmh_const(1000 + j, 1, 1_000_000) * 2 + 1 for j in range(PMH_N)]
-PMH_B = [_pmh_const(2000 + j, 0, PMH_PRIME) for j in range(PMH_N)]
 
 # SQL fragment: first 8 hex chars of md5(s) as a BIGINT (DuckDB lacks a
 # hex-literal cast, so parse pairwise with strpos over the hex alphabet).
@@ -132,15 +123,7 @@ def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sh = (
         d.selectExpr("doc_id", "split(lower(text), '\\\\s+') AS toks")
-        .selectExpr(
-            "doc_id",
-            """
-            explode(array_distinct(transform(
-              sequence(1, greatest(size(toks) - 2, 0)),
-              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))
-            ))) AS s
-            """,
-        )
+        .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
     )
     keep = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= MAX_SHINGLE_DF)
     shk = sh.join(keep.select("s"), "s")
@@ -213,15 +196,7 @@ def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sh = (
         d.selectExpr("doc_id", "split(lower(text), '\\\\s+') AS toks")
-        .selectExpr(
-            "doc_id",
-            """
-            explode(array_distinct(transform(
-              sequence(1, greatest(size(toks) - 2, 0)),
-              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))
-            ))) AS s
-            """,
-        )
+        .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
     )
     sig = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}") for i in range(N_MINHASH)]
@@ -282,8 +257,10 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-def _pmh_oracle_sql() -> str:
-    """Generate the dd06 oracle from the SAME constants as the Spark plan."""
+def _pmh_pairs_ctes(src: str) -> str:
+    """CTE chain (t/sh/hh/sig/bands) computing portable-MinHash band buckets
+    over relation ``src`` — generated from the SAME constants as the Spark
+    plan so dd06 and dd09 share one source of truth."""
     rows_per_band = PMH_N // PMH_BANDS
     mins = ",\n             ".join(
         f"MIN(({PMH_A[j]} * h32 + {PMH_B[j]}) % {PMH_PRIME}) AS mh{j}" for j in range(PMH_N)
@@ -297,9 +274,8 @@ def _pmh_oracle_sql() -> str:
         )
         for bi in range(PMH_BANDS)
     )
-    return f"""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+    return f"""t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM {src}
     ),
     sh AS (
       SELECT DISTINCT doc_id, s FROM (
@@ -321,7 +297,13 @@ def _pmh_oracle_sql() -> str:
     ),
     bands AS (
       {band_selects}
-    )
+    )"""
+
+
+def _pmh_oracle_sql() -> str:
+    """Generate the dd06 oracle from the SAME constants as the Spark plan."""
+    return f"""
+    WITH {_pmh_pairs_ctes("documents")}
     SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_bands
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -340,63 +322,7 @@ def _pmh_oracle_sql() -> str:
     "candidate-generation shape as dd04: one shuffle to signatures, one on band buckets.",
 )
 def dd06_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    rows_per_band = PMH_N // PMH_BANDS
-    sh = (
-        d.selectExpr("doc_id", "split(lower(text), '\\\\s+') AS toks")
-        .selectExpr(
-            "doc_id",
-            """
-            explode(array_distinct(transform(
-              sequence(1, greatest(size(toks) - 2, 0)),
-              i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))
-            ))) AS s
-            """,
-        )
-    )
-    h32 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
-    sig = (
-        sh.withColumn("h32", h32)
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    (F.lit(PMH_A[j]).cast("long") * F.col("h32") + F.lit(PMH_B[j])) % PMH_PRIME
-                ).alias(f"mh{j}")
-                for j in range(PMH_N)
-            ]
-        )
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"mh{bi * rows_per_band + r}").cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(PMH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = bands.select(F.col("doc_id").alias("d1"), "band", "bucket")
-    b = bands.select(F.col("doc_id").alias("d2"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("n_shared_bands"))
-    )
+    return portable_minhash_pairs(table(spark, sf_dir, "documents"))
 
 
 PSH_BITS = 30  # bits taken from the md5-derived 32-bit token hash
@@ -454,6 +380,64 @@ def dd07_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.alias("simhash"))
+
+
+def _dedup_corpus_oracle_sql() -> str:
+    """dd09 oracle: exact-dedup survivors -> portable-MinHash pairs -> the
+    transitive closure as a DuckDB recursive CTE -> drop non-minimum cluster
+    members.  The closure materializes all reachable pairs, which is only
+    viable at oracle scale — the Spark side uses O(diameter) label
+    propagation instead — but the SURVIVOR SET is identical, so the composed
+    dedup pipeline (including cluster formation) is value-hash-verified."""
+    return f"""
+    WITH RECURSIVE kept AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ),
+    kdocs AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)
+    ),
+    {_pmh_pairs_ctes("kdocs")},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    removed AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) < a
+    )
+    SELECT k.doc_id
+    FROM kept k LEFT JOIN removed r ON k.doc_id = r.doc_id
+    WHERE r.doc_id IS NULL
+    """
+
+
+@query(
+    "dd09_dedup_corpus",
+    oracle=_dedup_corpus_oracle_sql(),
+    tags=("dedup", "EXT", "front-door"),
+    doc="The PRODUCTION dedup front door (operators.dedup_corpus.dedup_corpus): exact "
+    "fingerprint dedup -> portable MinHash-LSH candidate pairs -> connected components -> "
+    "canonical anti-join, returning the surviving doc_ids. Every stage is linear/bucketed "
+    "(no all-pairs join; plan pinned BNLJ-free by tests); unlike dd08 the full composition "
+    "IS oracle-checked — the DuckDB oracle computes the same clusters via a recursive-CTE "
+    "transitive closure.",
+)
+def dd09_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return dedup_corpus(d).select("doc_id")
 
 
 @query(

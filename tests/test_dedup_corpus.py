@@ -1,0 +1,117 @@
+"""The dedup_corpus / knn production front doors: semantics + plan shape.
+
+The scale contract: production dedup and retrieval NEVER route through an
+all-pairs (BroadcastNestedLoop) join — candidates come from LSH buckets or
+IVF cells, and brute force exists only as a validate-time cross-check.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark.catalog import table
+from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+    dedup_corpus,
+    normalized_fingerprint,
+    portable_minhash_pairs,
+)
+from healthcare_data_pipeline_spark.operators.similarity import brute_topk, knn
+from healthcare_data_pipeline_spark.plans import simple_plan
+from healthcare_data_pipeline_spark.queries.similarity import quantized
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, "  THE  quick brown fox jumps over the lazy dog again and again today "),  # exact dup of 1 (normalization)
+        (3, base),  # exact dup of 1
+        (4, base.replace("today", "tomorrow")),  # near dup of 1 (shares most shingles)
+        (5, "completely different text about databases and distributed query engines"),
+        (6, "short doc"),  # < 3 tokens -> no shingles, must still survive
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _union_find_survivors(ids, pairs):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted(i for i in ids if find(i) == i)
+
+
+def test_dedup_corpus_exact_and_near(spark):
+    out = dedup_corpus(_docs(spark))
+    survivors = sorted(r.doc_id for r in out.collect())
+    # exact dups 2,3 collapse into 1; 5 and the shingle-less 6 survive
+    assert 1 in survivors
+    assert 2 not in survivors and 3 not in survivors
+    assert 5 in survivors and 6 in survivors
+    assert set(out.columns) == {"doc_id", "text"}  # original columns preserved
+
+
+def test_dedup_corpus_matches_union_find_oracle(spark):
+    """Survivor set == exact-dedup + union-find over the SAME candidate pairs
+    (deterministic, no reliance on which near-dups LSH happens to pair)."""
+    docs = table(spark, SF_DIR, "documents")
+    kept = (
+        docs.select(normalized_fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    kept_ids = sorted(r.doc_id for r in kept.collect())
+    kdocs = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    pairs = [(r.d1, r.d2) for r in portable_minhash_pairs(kdocs).collect()]
+    expected = _union_find_survivors(kept_ids, pairs)
+    got = sorted(r.doc_id for r in dedup_corpus(docs).select("doc_id").collect())
+    assert got == expected
+
+
+def test_production_paths_have_no_bnlj(spark):
+    docs = table(spark, SF_DIR, "documents")
+    en = quantized(spark, SF_DIR)
+    for df in (
+        portable_minhash_pairs(docs),
+        knn(en, F.col("vec_id") < 5, method="ivf", cell_col="label"),
+        knn(en, F.col("vec_id") < 5, method="lsh"),
+    ):
+        assert "BroadcastNestedLoopJoin" not in simple_plan(df)
+    # sanity: the detector fires on the brute-force baseline (non-equi join)
+    assert "BroadcastNestedLoopJoin" in simple_plan(brute_topk(en, F.col("vec_id") < 5))
+
+
+def test_knn_brute_is_gated(spark):
+    en = quantized(spark, SF_DIR)
+    with pytest.raises(ValueError, match="validate=True"):
+        knn(en, F.col("vec_id") < 5, method="brute")
+    with pytest.raises(ValueError, match="unknown knn method"):
+        knn(en, F.col("vec_id") < 5, method="faiss")
+    out = knn(en, F.col("vec_id") < 3, k=3, method="brute", validate=True)
+    assert out.filter(F.col("rn") > 3).count() == 0
+
+
+def test_lsh_topk_shape_and_exact_rescoring(spark):
+    en = quantized(spark, SF_DIR)
+    pred = F.col("vec_id") < 10
+    ann = knn(en, pred, k=3, method="lsh")
+    rows = ann.collect()
+    assert all(r.rn <= 3 for r in rows)
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    # candidate RESCORING is exact: every ANN pair's similarity equals the
+    # brute-force cosine for that same pair (quantized math is bit-exact)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in brute_topk(en, pred, k=10**9).collect()
+    }
+    assert all(exact[(r.query_id, r.neighbor_id)] == r.cosine_sim for r in rows)
