@@ -1006,36 +1006,88 @@ def q34_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q35_approx_stats",
-    oracle=None,  # HLL / t-digest sketches are engine-specific — rows-only check;
-    # exact counterparts q06/q31 are the oracle-checked versions of the same stats.
-    tags=("agg", "approx", "no-oracle", "scale-path"),
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           TRUE AS suppliers_within_tol,
+           TRUE AS median_within_tol
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "approx", "scale-path", "tolerance-oracle"),
     doc="The 100 TB statistics path: approx_count_distinct (HyperLogLog++, bounded memory "
     "vs the full shuffle of exact countDistinct) and approx_percentile (t-digest) per "
-    "group. Accuracy is pytest-verified against the exact q06/q31 results; the driver "
-    "records a rows-only check because sketch internals differ across engines.",
+    "group. Sketch internals differ across engines, so the hash-checked contract is the "
+    "TOLERANCE: the query computes approx and exact side by side and emits "
+    "|approx-exact|/exact bounds as booleans; the oracle asserts they all hold (TRUE).",
 )
 def q35_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
-        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx_median_qty"),
+    agg = li.groupBy("l_linestatus").agg(
+        F.approx_count_distinct("l_suppkey").alias("acd"),
+        F.countDistinct("l_suppkey").alias("ecd"),
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("amed"),
+        F.expr("percentile(l_quantity, 0.5)").alias("emed"),
         F.count("*").alias("n"),
+    )
+    return agg.select(
+        "l_linestatus",
+        "n",
+        # HLL++ default rsd is 5%; 2x headroom keeps the gate stable
+        (F.abs(F.col("acd") - F.col("ecd")) / F.col("ecd") <= 0.10).alias(
+            "suppliers_within_tol"
+        ),
+        # approx_percentile returns an actual data value; exact percentile
+        # interpolates — one quantity unit of slack covers the gap
+        (F.abs(F.col("amed") - F.col("emed")) <= 1.0).alias("median_within_tol"),
     )
 
 
 @query(
     "q36_seeded_sample",
-    oracle=None,  # Bernoulli sampling uses Spark's RNG stream — deterministic for a
-    # given seed+partitioning inside Spark, but not reproducible in another engine.
-    tags=("sample", "no-oracle", "scale-path"),
+    oracle="""
+    SELECT COUNT(*) AS n_total,
+           TRUE AS fraction_within_tol,
+           TRUE AS deterministic,
+           TRUE AS sample_is_subset
+    FROM documents
+    """,
+    tags=("sample", "scale-path", "tolerance-oracle"),
     doc="Seeded corpus subsampling (training-data pipelines downsample before expensive "
-    "stages): Bernoulli sample at 10% with a fixed seed — one narrow pass, no shuffle, "
-    "deterministic re-runs on the same input layout. Invariants (fraction tolerance, "
-    "determinism, subset property) are pytest-verified.",
+    "stages): Bernoulli sample at 10% with a fixed seed — one narrow pass, no shuffle. "
+    "Spark's RNG stream is not reproducible in another engine, so the hash-checked "
+    "contract is the INVARIANTS: sampled fraction within statistical bounds, identical "
+    "re-sample under the same seed, and sample ⊆ corpus — emitted as booleans the "
+    "oracle asserts all hold (TRUE).",
 )
 def q36_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return d.sample(fraction=0.1, seed=42).select("doc_id", "lang", "n_chars")
+    s1 = d.sample(fraction=0.1, seed=42).select("doc_id")
+    s2 = d.sample(fraction=0.1, seed=42).select("doc_id")
+    totals = d.agg(F.count("*").alias("n_total"))
+    n_sample = s1.agg(F.count("*").alias("n_sample"))
+    # determinism: same seed + same input layout -> identical sample set
+    n_diff = (
+        s1.subtract(s2).union(s2.subtract(s1)).agg(F.count("*").alias("n_diff"))
+    )
+    # subset: every sampled id exists in the corpus
+    n_orphan = s1.join(d, "doc_id", "left_anti").agg(F.count("*").alias("n_orphan"))
+    return (
+        totals.crossJoin(n_sample)
+        .crossJoin(n_diff)
+        .crossJoin(n_orphan)
+        .select(
+            "n_total",
+            # fixed seed -> deterministic count; bounds are ~±4σ of
+            # Binomial(n, 0.1) at the driver's sf0.01 (n=500)
+            (
+                (F.col("n_sample") >= F.col("n_total") * 0.03)
+                & (F.col("n_sample") <= F.col("n_total") * 0.20)
+            ).alias("fraction_within_tol"),
+            (F.col("n_diff") == 0).alias("deterministic"),
+            (F.col("n_orphan") == 0).alias("sample_is_subset"),
+        )
+    )
 
 
 @query(
