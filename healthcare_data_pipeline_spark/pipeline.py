@@ -70,12 +70,24 @@ def ingest(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFrame]:
 
 
 def run(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
-    """Full pipeline; returns a manifest of outputs and timings."""
+    """Full pipeline; returns a manifest of outputs and timings.
+
+    Stage progress is appended to ``<artifacts>/pipeline.log`` (the reference
+    runner's live log file — run_dashboard.py tails it; dashboard.yml uploads
+    it as the CI artifact)."""
     t0 = time.perf_counter()
     manifest: dict[str, object] = {"stages": {}}
+    os.makedirs(cfg.artifacts_dir, exist_ok=True)
+    log_path = os.path.join(cfg.artifacts_dir, "pipeline.log")
 
+    def log(msg: str) -> None:
+        with open(log_path, "a") as fh:
+            fh.write(f"{dt.datetime.now().isoformat(timespec='seconds')} [{time.perf_counter() - t0:7.2f}s] {msg}\n")
+
+    log(f"pipeline start base_dir={cfg.base_dir} anonymize={cfg.anonymize_pii}")
     dfs = ingest(spark, cfg)
     manifest["tables"] = sorted(dfs)
+    log(f"ingest: {len(dfs)} tables ({', '.join(sorted(dfs))})")
 
     # Anonymize (before anything is persisted or profiled, as the runner does).
     mapping: dict[str, dict[str, str]] = {}
@@ -93,6 +105,7 @@ def run(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
         with open(os.path.join(cfg.artifacts_dir, "pii_mapping.enc"), "wb") as fh:
             fh.write(blob)
     manifest["stages"]["anonymize"] = {"mapped_columns": sorted(mapping)}
+    log(f"anonymize: {len(mapping)} mapped columns")
 
     # Cleanse -> partitioned parquet.
     cleansed: dict[str, DataFrame] = {}
@@ -101,12 +114,14 @@ def run(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
         cleanse.write_zone(cdf, os.path.join(cfg.cleansed_dir, name))
         cleansed[name] = spark.read.parquet(os.path.join(cfg.cleansed_dir, name))
     manifest["stages"]["cleanse"] = {"dir": cfg.cleansed_dir}
+    log(f"cleanse: {len(cleansed)} tables -> {cfg.cleansed_dir}")
 
     # Profile (single-pass per table) + EDA report (full-table aggregates,
     # inline-SVG HTML — runnerfile.py:508 / eda.py:205-322 parity).
     profiling.write_artifacts(cleansed, cfg.artifacts_dir)
     eda.generate_eda_report(cleansed, cfg.artifacts_dir)
     manifest["stages"]["profile"] = {"dir": cfg.artifacts_dir}
+    log("profile + eda: artifacts written")
 
     # Transform -> curated reports (canonical path when schemas match, else
     # the heuristic runner path).
@@ -136,6 +151,7 @@ def run(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
     for name, df in curated.items():
         files.write_parquet(df, os.path.join(cfg.curated_dir, name))
     manifest["stages"]["transform"] = {"reports": sorted(curated)}
+    log(f"transform: reports {', '.join(sorted(curated)) or '(none)'}")
 
     # Publish readable reports (de-anonymized) + optional SQLite export.
     readable_dir = os.path.join(cfg.artifacts_dir, "readable_reports")
@@ -159,6 +175,7 @@ def run(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
     os.makedirs(cfg.artifacts_dir, exist_ok=True)
     with open(os.path.join(cfg.artifacts_dir, "pipeline_manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True, default=str)
+    log(f"pipeline done in {manifest['runtime_sec']}s")
     return manifest
 
 
