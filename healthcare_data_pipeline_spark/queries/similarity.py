@@ -224,7 +224,10 @@ def s03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_vecs").alias("n_vecs"),
         (
             # decimal(38,0) keeps the sum of s^2 exact (s can reach n_vecs*1e6, so
-            # sum(s^2) can exceed 2^63 at scale — ANSI mode would throw on long overflow)
+            # sum(s^2) can exceed 2^63 at scale — ANSI mode would throw on long
+            # overflow).  Casting ONE multiplicand is sufficient AND load-bearing:
+            # Spark promotes the long operand to decimal for the whole product —
+            # keep the cast if this expression is edited.
             F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).cast("double")
             / (F.max("n_vecs") * F.max("n_vecs")).cast("double")
         ).alias("centroid_sq_norm"),
