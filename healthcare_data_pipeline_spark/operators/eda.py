@@ -110,18 +110,66 @@ def render_eda_html(summaries: list[dict[str, Any]]) -> str:
     return "".join(parts)
 
 
+def render_interactive_html(summaries: list[dict[str, Any]]) -> str:
+    """Interactive EDA page: plotly.js from CDN + data inlined as JSON — the
+    reference's plotly variant (eda.py:311-312, ``include_plotlyjs='cdn'``)
+    without needing the plotly PYTHON package (not in this image).  Charts are
+    plain Plotly.newPlot specs built from the same summaries that feed the
+    static SVG report, so both render identical statistics."""
+    specs: list[dict[str, Any]] = []
+    for s in summaries:
+        for col, pairs in s["histograms"].items():
+            specs.append(
+                {
+                    "id": f"{s['table']}-h-{col}",
+                    "title": f"{s['table']}: histogram {col}",
+                    "x": [str(lo) for lo, _ in pairs],
+                    "y": [n for _, n in pairs],
+                }
+            )
+        for col, pairs in s["top_values"].items():
+            specs.append(
+                {
+                    "id": f"{s['table']}-t-{col}",
+                    "title": f"{s['table']}: top values {col}",
+                    "x": [str(v) for v, _ in pairs],
+                    "y": [n for _, n in pairs],
+                }
+            )
+    divs = "".join(
+        f'<div id="{html.escape(sp["id"])}" style="height:280px"></div>' for sp in specs
+    )
+    payload = json.dumps(specs)
+    return f"""<!doctype html><html><head><meta charset="utf-8">
+<title>EDA report (interactive)</title>
+<script src="https://cdn.plot.ly/plotly-2.32.0.min.js"></script>
+<style>body{{background:#0e1117;color:#fafafa;font-family:sans-serif;margin:24px}}</style>
+</head><body><h1>EDA report (interactive)</h1>{divs}
+<script>
+const specs = {payload};
+const layout = {{paper_bgcolor:"#0e1117", plot_bgcolor:"#0e1117", font:{{color:"#fafafa"}}}};
+for (const s of specs) {{
+  Plotly.newPlot(s.id, [{{type:"bar", x:s.x, y:s.y}}],
+                 Object.assign({{title:s.title}}, layout), {{displaylogo:false}});
+}}
+</script></body></html>"""
+
+
 def generate_eda_report(
     dfs: dict[str, DataFrame], artifacts_dir: str
 ) -> tuple[str, str]:
-    """Compute EDA for every table, write ``eda_report.html`` +
-    ``eda_summary.json`` (reference artifacts eda.py:205-208,296-306).
-    Returns the two paths."""
+    """Compute EDA for every table, write ``eda_report.html`` (static inline
+    SVG) + ``eda_interactive.html`` (plotly.js CDN) + ``eda_summary.json``
+    (reference artifacts eda.py:205-208,296-312).  Returns the static html +
+    json paths."""
     os.makedirs(artifacts_dir, exist_ok=True)
     summaries = [eda_summary(df, name) for name, df in sorted(dfs.items())]
     html_path = os.path.join(artifacts_dir, "eda_report.html")
     json_path = os.path.join(artifacts_dir, "eda_summary.json")
     with open(html_path, "w") as f:
         f.write(render_eda_html(summaries))
+    with open(os.path.join(artifacts_dir, "eda_interactive.html"), "w") as f:
+        f.write(render_interactive_html(summaries))
     with open(json_path, "w") as f:
         json.dump(
             [{k: v for k, v in s.items() if k != "sample"} for s in summaries],

@@ -14,6 +14,10 @@ Four families, as first-class queries:
   stay as the xxhash64 fast paths.)
 - cluster formation (connected components + canonical)  -> dd08 (iterative —
   rows-only driver check; pytest-verified against a union-find oracle.)
+- the PRODUCTION front door (exact -> LSH pairs ->
+  components -> canonical filter)                       -> dd09 (oracle-checked
+  end-to-end via a DuckDB recursive-CTE transitive closure; the composed
+  pipeline lives in operators.dedup_corpus.)
 
 Scale notes: dd02's shingle self-join caps shingle document-frequency (stop-
 shingle removal) so a hot shingle cannot produce a quadratic pair explosion;
@@ -160,8 +164,9 @@ def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("dedup", "EXT", "embedding"),
     doc="Embedding-cosine near-duplicate pairs (sim >= 0.8) via quantized exact math. "
-    "Brute-force all-pairs is the correctness baseline; operators.similarity provides the "
-    "LSH-bucketed candidate path for scale.",
+    "CORRECTNESS BASELINE ONLY (O(N^2) theta self-join): production dedup goes through "
+    "operators.dedup_corpus.dedup_corpus (dd09) and the LSH-bucketed candidate paths "
+    "(dd06/s05), which never form an all-pairs join.",
 )
 def dd03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = quantized(spark, sf_dir)

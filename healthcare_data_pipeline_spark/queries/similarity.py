@@ -69,8 +69,9 @@ def quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("similarity", "EXT", "knn"),
     doc="Brute-force cosine top-5 neighbors for query vectors (vec_id < 20): quantized exact "
-    "dot products -> bit-identical sims -> deterministic ranking. Spark plan: broadcast the "
-    "query set against the candidate scan (no shuffle until the per-query top-k).",
+    "dot products -> bit-identical sims -> deterministic ranking. CORRECTNESS BASELINE ONLY: "
+    "production retrieval goes through operators.similarity.knn (IVF/LSH probes, s04/s05), "
+    "which refuses this O(Q*N) scan unless validate=True.",
 )
 def s01_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = quantized(spark, sf_dir)
