@@ -136,3 +136,66 @@ def test_asof_join_matches_python_reference(spark, events):
         else:
             want[eid] = (None, None)
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["copy", "near", "fresh"]),
+            st.integers(0, 4),  # which earlier doc to copy/mutate
+            st.lists(st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+                     min_size=0, max_size=12),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_dedup_corpus_matches_union_find(spark, docs):
+    """The composed dedup front door (exact -> LSH pairs -> components ->
+    canonical filter) must keep exactly the min-id survivor of every duplicate
+    group for ARBITRARY corpora — including sub-3-token docs (no shingles),
+    whitespace-variant exact dups, and chained near-dup clusters.  Oracle: the
+    same candidate pairs fed to a driver-side union-find."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        dedup_corpus,
+        normalized_fingerprint,
+        portable_minhash_pairs,
+    )
+
+    texts: list[str] = []
+    for kind, ref, words in docs:
+        if kind == "copy" and texts:
+            texts.append("  " + texts[ref % len(texts)].upper() + " ")  # normalization-equal
+        elif kind == "near" and texts:
+            texts.append(texts[ref % len(texts)] + " zeta")
+        else:
+            texts.append(" ".join(words))
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    kept_rows = (
+        df.select(normalized_fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    )
+    kept_ids = sorted(r.doc_id for r in kept_rows)
+    kdf = df.join(spark.createDataFrame([(i,) for i in kept_ids], "doc_id long"), "doc_id", "left_semi")
+    pairs = [(r.d1, r.d2) for r in portable_minhash_pairs(kdf).collect()]
+
+    parent = {i: i for i in kept_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted(i for i in kept_ids if find(i) == i)
+
+    got = sorted(r.doc_id for r in dedup_corpus(df).select("doc_id").collect())
+    assert got == want
