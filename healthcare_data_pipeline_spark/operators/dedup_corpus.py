@@ -154,14 +154,22 @@ def dedup_corpus(
     ``min_shared_bands`` tightens near-dup sensitivity (1 = any shared LSH
     band forms a candidate edge; raise it to require stronger signature
     agreement before documents merge into one cluster).
+
+    The exact stage is a window (row_number over the fingerprint, min-id
+    first), NOT a groupBy + join-back: one shuffle of the corpus instead of a
+    light aggregation shuffle plus a full-width sort-merge join-back — at
+    corpus scale the keeper-id set is ~N rows, so the join-back would not
+    broadcast.
     """
-    kept_ids = (
-        docs.select(normalized_fingerprint(text_col).alias("__fp"), F.col(id_col))
-        .groupBy("__fp")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    kept = (
+        docs.withColumn("__fp", normalized_fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
     )
-    kept = docs.join(kept_ids, id_col, "left_semi")
     pairs = portable_minhash_pairs(kept, id_col=id_col, text_col=text_col).filter(
         F.col("n_shared_bands") >= min_shared_bands
     )
