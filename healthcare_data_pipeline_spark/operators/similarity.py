@@ -266,6 +266,27 @@ def knn(
     raise ValueError(f"unknown knn method {method!r}: expected 'ivf', 'lsh', or 'brute'")
 
 
+def dedup_embeddings(en: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Embedding-level corpus dedup — the PRODUCTION replacement for the
+    O(N²) all-pairs scan (queries dd03): sign-bit-LSH candidate pairs, exact
+    cosine rescoring, keep pairs >= ``threshold``, connected components over
+    the resulting near-dup graph, drop every non-minimum cluster member.
+
+    Candidate generation is one shuffle on the bucket key (linear); the
+    all-pairs variant survives only as dd03's correctness oracle.  ``en``
+    carries (vec_id, iv, nrm2) from queries.similarity.quantized; all
+    original columns are preserved for survivors.
+    """
+    from healthcare_data_pipeline_spark.operators.components import connected_components
+
+    pairs = lsh_candidate_pairs(en).filter(F.col("cosine_sim") >= threshold)
+    comp = connected_components(pairs, "d1", "d2")
+    removed = comp.filter(F.col("component") < F.col("vertex")).select(
+        F.col("vertex").alias("vec_id")
+    )
+    return en.join(removed, "vec_id", "left_anti")
+
+
 def centroid_assign(en: DataFrame) -> DataFrame:
     """Compute coarse centroids from the existing label partition and
     re-assign each vector to its nearest centroid (one Lloyd step) — the

@@ -445,6 +445,58 @@ def dd09_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_corpus(d).select("doc_id")
 
 
+def _dedup_embeddings_oracle_sql() -> str:
+    """dd10 oracle: the s05 bucketing CTEs -> thresholded near-dup edges ->
+    recursive-CTE transitive closure -> drop non-minimum cluster members.
+    Survivor set identical to the Spark-side O(diameter) label propagation."""
+    from healthcare_data_pipeline_spark.queries.similarity import _LSH_CTES, _QUANT_SQL
+
+    return (
+        _QUANT_SQL.replace("WITH", "WITH RECURSIVE", 1)
+        + _LSH_CTES
+        + """
+    , pairs AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM enb a JOIN enb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.iv, b.iv) / (sqrt(a.nrm2) * sqrt(b.nrm2)) >= 0.8
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    removed AS (
+      SELECT a AS vec_id FROM reach GROUP BY a HAVING MIN(b) < a
+    )
+    SELECT en.vec_id
+    FROM en LEFT JOIN removed r ON en.vec_id = r.vec_id
+    WHERE r.vec_id IS NULL
+    """
+    )
+
+
+@query(
+    "dd10_embedding_dedup",
+    oracle=_dedup_embeddings_oracle_sql(),
+    tags=("dedup", "EXT", "embedding", "front-door"),
+    doc="Embedding dedup PRODUCTION front door (operators.similarity.dedup_embeddings): "
+    "sign-bit-LSH candidates -> exact rescoring >= 0.8 -> connected components -> canonical "
+    "anti-join, returning surviving vec_ids. The scale-safe replacement for dd03's O(N^2) "
+    "all-pairs baseline: candidate generation is ONE shuffle on the bucket key. Oracle-checked "
+    "end-to-end via a DuckDB recursive-CTE transitive closure over the same portable signatures.",
+)
+def dd10_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import dedup_embeddings
+
+    en = quantized(spark, sf_dir)
+    return dedup_embeddings(en).select("vec_id")
+
+
 @query(
     "dd08_dedup_clusters",
     oracle=None,  # iterative fixpoint — not single-query SQL; pytest-verified

@@ -136,10 +136,10 @@ def s04_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(en, F.col("vec_id") < 20, cell_col="label", k=5)
 
 
-@query(
-    "s05_lsh_ann",
-    oracle=_QUANT_SQL
-    + """
+# Sign-bit-LSH bucketing CTEs (bits/buckets/enb) — shared between the s05
+# oracle and the dd10 embedding-dedup oracle; LCG constants mirror
+# operators.similarity.lcg_weight exactly.
+_LSH_CTES = """
     , bits AS (
       SELECT e.vec_id, tp.p,
              SUM(CAST(e.iv[td.d + 1] AS BIGINT) *
@@ -156,6 +156,14 @@ def s04_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT en.vec_id, en.iv, en.nrm2, b.bucket
       FROM en JOIN buckets b ON en.vec_id = b.vec_id
     )
+"""
+
+
+@query(
+    "s05_lsh_ann",
+    oracle=_QUANT_SQL
+    + _LSH_CTES
+    + """
     SELECT a.vec_id AS d1, b.vec_id AS d2, a.bucket AS bucket,
            list_dot_product(a.iv, b.iv) / (sqrt(a.nrm2) * sqrt(b.nrm2)) AS cosine_sim
     FROM enb a JOIN enb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

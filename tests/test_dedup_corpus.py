@@ -115,3 +115,21 @@ def test_lsh_topk_shape_and_exact_rescoring(spark):
         for r in brute_topk(en, pred, k=10**9).collect()
     }
     assert all(exact[(r.query_id, r.neighbor_id)] == r.cosine_sim for r in rows)
+
+
+def test_dedup_embeddings_matches_union_find(spark):
+    """Embedding front door: survivors == union-find over the SAME thresholded
+    LSH candidate pairs (and the production path stays BNLJ-free)."""
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        dedup_embeddings,
+        lsh_candidate_pairs,
+    )
+
+    en = quantized(spark, SF_DIR)
+    pairs_df = lsh_candidate_pairs(en).filter(F.col("cosine_sim") >= 0.8)
+    assert "BroadcastNestedLoopJoin" not in simple_plan(pairs_df)
+    ids = sorted(r.vec_id for r in en.select("vec_id").collect())
+    pairs = [(r.d1, r.d2) for r in pairs_df.collect()]
+    expected = _union_find_survivors(ids, pairs)
+    got = sorted(r.vec_id for r in dedup_embeddings(en).select("vec_id").collect())
+    assert got == expected
