@@ -974,7 +974,7 @@ def q33_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
       substr(o_orderpriority, 1, 3) AS prio_prefix,
       length(o_orderpriority) AS prio_len,
       regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num,
-      date_trunc('month', o_orderdate) AS order_month,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
       year(o_orderdate) AS order_year,
       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
       CASE WHEN o_totalprice >= 100000 THEN 'big' ELSE 'small' END AS size_class,
@@ -1487,7 +1487,7 @@ def q44_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
            date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
            CAST(CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS TIMESTAMP) AS due_date,
-           date_trunc('quarter', o_orderdate) AS order_quarter,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS order_quarter,
            dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
            CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
     FROM orders
