@@ -78,54 +78,60 @@ def normalized_fingerprint(text_col: str = "text") -> F.Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
 
 
-def portable_minhash_pairs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+def minhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "portable",
 ) -> DataFrame:
-    """MinHash+LSH candidate pairs (d1, d2, n_shared_bands) with fully
-    portable hashing.
+    """MinHash+LSH candidate pairs (d1, d2, n_shared_bands).
 
-    md5-derived 32-bit shingle hashes, ``PMH_N`` affine LCG permutations mod
-    2^31-1, ``PMH_BANDS`` bands with md5 band buckets — every step
-    bit-identical on any engine.  Plan shape: one shuffle to signatures, one
-    on band buckets; candidate generation is linear in corpus size (pairs
-    only form inside buckets).  This is the candidate stage dd06 exposes as a
-    catalog query and ``dedup_corpus`` composes into full deduplication.
+    ``hasher``:
+      * ``"portable"`` — md5-derived 32-bit shingle hashes, ``PMH_N`` affine
+        LCG permutations mod 2^31-1, md5 band buckets: every step
+        bit-identical on any engine, so the pair set is verifiable against a
+        SQL oracle (dd06/dd09).
+      * ``"fast"``     — xxhash64 permutations and band buckets (dd04's
+        scheme): ~4x cheaper signatures (one JVM hash vs md5 + hex parse per
+        shingle), engine-specific — the raw-throughput production choice when
+        cross-engine reproducibility isn't required.
+
+    Same plan shape either way: one shuffle to signatures, one on band
+    buckets; candidate generation is linear in corpus size (pairs only form
+    inside buckets).
     """
+    if hasher not in ("portable", "fast"):
+        raise ValueError(f"unknown hasher {hasher!r}: expected 'portable' or 'fast'")
     rows_per_band = PMH_N // PMH_BANDS
     sh = (
         docs.selectExpr(f"{id_col} AS doc_id", f"split(lower({text_col}), '\\\\s+') AS toks")
         .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
     )
-    h32 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
-    sig = (
-        sh.withColumn("h32", h32)
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    (F.lit(PMH_A[j]).cast("long") * F.col("h32") + F.lit(PMH_B[j])) % PMH_PRIME
-                ).alias(f"mh{j}")
-                for j in range(PMH_N)
-            ]
-        )
-    )
+    if hasher == "portable":
+        h32 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+        mins = [
+            F.min(
+                (F.lit(PMH_A[j]).cast("long") * F.col("h32") + F.lit(PMH_B[j])) % PMH_PRIME
+            ).alias(f"mh{j}")
+            for j in range(PMH_N)
+        ]
+        sh = sh.withColumn("h32", h32)
+    else:
+        mins = [F.min(F.xxhash64(F.lit(j), F.col("s"))).alias(f"mh{j}") for j in range(PMH_N)]
+    sig = sh.groupBy("doc_id").agg(*mins)
+
+    def bucket(bi: int) -> F.Column:
+        cols = [F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        if hasher == "portable":
+            return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        return F.xxhash64(*cols).cast("string")
+
     bands = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"mh{bi * rows_per_band + r}").cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(bi).alias("band"), bucket(bi).alias("bucket"))
                     for bi in range(PMH_BANDS)
                 ]
             )
@@ -141,11 +147,21 @@ def portable_minhash_pairs(
     )
 
 
+def portable_minhash_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The engine-portable (oracle-verifiable) configuration of
+    ``minhash_pairs`` — the candidate stage dd06 exposes as a catalog query
+    and dd09 composes into full deduplication."""
+    return minhash_pairs(docs, id_col=id_col, text_col=text_col, hasher="portable")
+
+
 def dedup_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     min_shared_bands: int = 1,
+    hasher: str = "portable",
 ) -> DataFrame:
     """Deduplicated corpus: ``docs`` minus exact and near duplicates, keeping
     the minimum-id document of every duplicate group.  All original columns
@@ -153,7 +169,10 @@ def dedup_corpus(
 
     ``min_shared_bands`` tightens near-dup sensitivity (1 = any shared LSH
     band forms a candidate edge; raise it to require stronger signature
-    agreement before documents merge into one cluster).
+    agreement before documents merge into one cluster).  ``hasher`` selects
+    the signature family (see ``minhash_pairs``): "portable" is oracle-
+    verifiable, "fast" (xxhash64) is ~4x cheaper for production runs that
+    don't need cross-engine reproducibility.
 
     The exact stage is a window (row_number over the fingerprint, min-id
     first), NOT a groupBy + join-back: one shuffle of the corpus instead of a
@@ -170,7 +189,7 @@ def dedup_corpus(
         .filter(F.col("__rn") == 1)
         .drop("__fp", "__rn")
     )
-    pairs = portable_minhash_pairs(kept, id_col=id_col, text_col=text_col).filter(
+    pairs = minhash_pairs(kept, id_col=id_col, text_col=text_col, hasher=hasher).filter(
         F.col("n_shared_bands") >= min_shared_bands
     )
     comp = connected_components(pairs, "d1", "d2")

@@ -133,3 +133,28 @@ def test_dedup_embeddings_matches_union_find(spark):
     expected = _union_find_survivors(ids, pairs)
     got = sorted(r.vec_id for r in dedup_embeddings(en).select("vec_id").collect())
     assert got == expected
+
+
+def test_dedup_corpus_fast_hasher(spark):
+    """The xxhash64 production hasher must satisfy the same contract as the
+    portable one: survivors == union-find over ITS candidate pairs, exact
+    dups always collapse (identical text -> identical signature -> all bands
+    shared, whatever the hash family)."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import minhash_pairs
+
+    docs = table(spark, SF_DIR, "documents")
+    kept = (
+        docs.select(normalized_fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    kept_ids = sorted(r.doc_id for r in kept.collect())
+    kdocs = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    pairs = [(r.d1, r.d2) for r in minhash_pairs(kdocs, hasher="fast").collect()]
+    expected = _union_find_survivors(kept_ids, pairs)
+    got = sorted(
+        r.doc_id for r in dedup_corpus(docs, hasher="fast").select("doc_id").collect()
+    )
+    assert got == expected
+    with pytest.raises(ValueError, match="unknown hasher"):
+        minhash_pairs(docs, hasher="sha1")
