@@ -100,6 +100,32 @@ def minhash_pairs(
     buckets; candidate generation is linear in corpus size (pairs only form
     inside buckets).
     """
+    bands = band_buckets(docs, id_col=id_col, text_col=text_col, hasher=hasher)
+    a = bands.select(F.col("doc_id").alias("d1"), "band", "bucket")
+    b = bands.select(F.col("doc_id").alias("d2"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def band_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "portable",
+) -> DataFrame:
+    """The persistable LSH band index: (doc_id, band, bucket), one row per
+    band per document.
+
+    This is the state an INCREMENTAL dedup pipeline stores between batches
+    (partition/bucket it by ``bucket`` on disk): new documents are indexed
+    once and probed against it, so per-batch cost is O(batch), never
+    O(corpus).  ``minhash_pairs`` self-joins it; ``dedup_incremental`` joins
+    a new batch's index against a stored corpus index.
+    """
     if hasher not in ("portable", "fast"):
         raise ValueError(f"unknown hasher {hasher!r}: expected 'portable' or 'fast'")
     rows_per_band = PMH_N // PMH_BANDS
@@ -126,7 +152,7 @@ def minhash_pairs(
             return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
         return F.xxhash64(*cols).cast("string")
 
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -137,14 +163,6 @@ def minhash_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = bands.select(F.col("doc_id").alias("d1"), "band", "bucket")
-    b = bands.select(F.col("doc_id").alias("d2"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("n_shared_bands"))
-    )
 
 
 def portable_minhash_pairs(
@@ -197,3 +215,49 @@ def dedup_corpus(
         F.col("vertex").alias(id_col)
     )
     return kept.join(removed, id_col, "left_anti")
+
+
+def corpus_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The persistable exact-dedup index: distinct normalized fingerprints —
+    the second piece of incremental-dedup state alongside ``band_buckets``."""
+    return docs.select(normalized_fingerprint(text_col).alias("fingerprint")).distinct()
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    corpus_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "portable",
+) -> DataFrame:
+    """Dedupe a NEW batch against an already-deduplicated corpus without
+    touching corpus-scale data: per-batch cost is O(batch), never O(corpus).
+
+    The corpus contributes only its stored indexes — ``corpus_bands``
+    (band_buckets output, ideally disk-bucketed by ``bucket``) and
+    ``corpus_fps`` (corpus_fingerprints output).  Three stages:
+
+      1. drop new docs whose fingerprint already exists (exact, semi-join);
+      2. drop new docs sharing ANY LSH band bucket with the corpus (near,
+         semi-join on (band, bucket) — the same candidate rule the batch
+         pipeline uses, minus the rescoring the raw pairs would need);
+      3. ``dedup_corpus`` within the remainder (new-vs-new duplicates).
+
+    Returns the surviving new documents; append them — plus their
+    band_buckets/corpus_fingerprints rows — to the stored indexes for the
+    next batch.  This is the daily-ingest shape at 100 TB: the corpus is
+    only ever READ via its two compact indexes.
+    """
+    stamped = new_docs.withColumn("__fp", normalized_fingerprint(text_col))
+    no_exact = stamped.join(
+        corpus_fps.select(F.col("fingerprint").alias("__fp")), "__fp", "left_anti"
+    )
+    nb = band_buckets(no_exact, id_col=id_col, text_col=text_col, hasher=hasher)
+    near_hits = (
+        nb.join(corpus_bands.select("band", "bucket"), ["band", "bucket"], "left_semi")
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    remainder = no_exact.join(near_hits, id_col, "left_anti").drop("__fp")
+    return dedup_corpus(remainder, id_col=id_col, text_col=text_col, hasher=hasher)

@@ -262,45 +262,48 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-def _pmh_pairs_ctes(src: str) -> str:
-    """CTE chain (t/sh/hh/sig/bands) computing portable-MinHash band buckets
-    over relation ``src`` — generated from the SAME constants as the Spark
-    plan so dd06 and dd09 share one source of truth."""
+def _pmh_pairs_ctes(src: str, p: str = "") -> str:
+    """CTE chain ({p}t/{p}sh/{p}hh/{p}sig/{p}bands) computing portable-MinHash
+    band buckets over relation ``src`` — generated from the SAME constants as
+    the Spark plan so dd06/dd09/dd11 share one source of truth.  ``p``
+    prefixes the CTE names so several instances can coexist in one query
+    (dd11 indexes the corpus, the new batch, and the remainder)."""
     rows_per_band = PMH_N // PMH_BANDS
     mins = ",\n             ".join(
         f"MIN(({PMH_A[j]} * h32 + {PMH_B[j]}) % {PMH_PRIME}) AS mh{j}" for j in range(PMH_N)
     )
     band_selects = "\n      UNION ALL\n      ".join(
-        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig".format(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM {p}sig".format(
             b=bi,
+            p=p,
             concat=" || ',' || ".join(
                 f"CAST(mh{bi * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
             ),
         )
         for bi in range(PMH_BANDS)
     )
-    return f"""t AS (
+    return f"""{p}t AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM {src}
     ),
-    sh AS (
+    {p}sh AS (
       SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id,
                unnest(list_transform(
                  generate_series(1, greatest(len(toks) - 2, 0)),
                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                )) AS s
-        FROM t
+        FROM {p}t
       )
     ),
-    hh AS (
-      SELECT doc_id, ({_SQL_H32}) AS h32 FROM sh
+    {p}hh AS (
+      SELECT doc_id, ({_SQL_H32}) AS h32 FROM {p}sh
     ),
-    sig AS (
+    {p}sig AS (
       SELECT doc_id,
              {mins}
-      FROM hh GROUP BY doc_id
+      FROM {p}hh GROUP BY doc_id
     ),
-    bands AS (
+    {p}bands AS (
       {band_selects}
     )"""
 
@@ -495,6 +498,97 @@ def dd10_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     en = quantized(spark, sf_dir)
     return dedup_embeddings(en).select("vec_id")
+
+
+def _dedup_incremental_oracle_sql() -> str:
+    """dd11 oracle, mirroring operators.dedup_corpus.dedup_incremental stage
+    by stage: the even-id half of documents plays the already-ingested corpus
+    (contributing only its fingerprint + band indexes), the odd-id half is
+    the new batch.  Exact semi-drop -> band-bucket semi-drop -> within-batch
+    dd09 pipeline (fingerprint keeper + pairs + recursive closure)."""
+    fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ),
+    newb AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    ),
+    cfp AS (
+      SELECT DISTINCT {fp} AS fingerprint FROM corpus
+    ),
+    {_pmh_pairs_ctes("corpus", "c")},
+    ne AS (
+      SELECT n.doc_id, n.text FROM newb n
+      LEFT JOIN cfp ON {fp.replace("text", "n.text")} = cfp.fingerprint
+      WHERE cfp.fingerprint IS NULL
+    ),
+    {_pmh_pairs_ctes("ne", "n")},
+    nearhit AS (
+      SELECT DISTINCT n.doc_id
+      FROM nbands n JOIN cbands c ON n.band = c.band AND n.bucket = c.bucket
+    ),
+    rem AS (
+      SELECT ne.doc_id, ne.text FROM ne
+      LEFT JOIN nearhit h ON ne.doc_id = h.doc_id
+      WHERE h.doc_id IS NULL
+    ),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id FROM rem GROUP BY {fp}
+    ),
+    kdocs AS (
+      SELECT r.doc_id, r.text FROM rem r JOIN kept USING (doc_id)
+    ),
+    {_pmh_pairs_ctes("kdocs", "k")},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM kbands a
+      JOIN kbands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    removed AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) < a
+    )
+    SELECT k.doc_id
+    FROM kept k LEFT JOIN removed r ON k.doc_id = r.doc_id
+    WHERE r.doc_id IS NULL
+    """
+
+
+@query(
+    "dd11_dedup_incremental",
+    oracle=_dedup_incremental_oracle_sql(),
+    tags=("dedup", "EXT", "incremental", "front-door"),
+    doc="INCREMENTAL dedup (operators.dedup_corpus.dedup_incremental): dedupe a new batch "
+    "against an existing corpus using only the corpus's stored fingerprint + LSH band "
+    "indexes — per-batch cost O(batch), the corpus is never re-signatured. Demonstrated "
+    "on a deterministic split (even doc_ids = corpus, odd = new batch); returns surviving "
+    "new doc_ids. Oracle mirrors all three stages (exact semi-drop, band-bucket semi-drop, "
+    "within-batch closure) in one recursive-CTE query.",
+)
+def dd11_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        band_buckets,
+        corpus_fingerprints,
+        dedup_incremental,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    new_batch = d.filter(F.col("doc_id") % 2 == 1)
+    return dedup_incremental(
+        new_batch, band_buckets(corpus), corpus_fingerprints(corpus)
+    ).select("doc_id")
 
 
 @query(

@@ -158,3 +158,36 @@ def test_dedup_corpus_fast_hasher(spark):
     assert got == expected
     with pytest.raises(ValueError, match="unknown hasher"):
         minhash_pairs(docs, hasher="sha1")
+
+
+def test_dedup_incremental_drops_corpus_hits_and_batch_dups(spark):
+    """Incremental dedup must drop: exact matches of corpus docs, band-bucket
+    near-matches of corpus docs, and within-batch duplicates — while docs
+    genuinely new to both corpus and batch survive."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        band_buckets,
+        corpus_fingerprints,
+        dedup_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "some corpus only sentence with enough words to shingle nicely")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, base),  # exact dup of corpus doc 0
+            (13, base.replace("today", "tomorrow")),  # near dup of corpus doc 0
+            (15, "a genuinely new document about spark shuffles and partitions"),
+            (17, "a genuinely new document about spark shuffles and partitions"),  # batch dup of 15
+            (19, "tiny doc"),  # <3 tokens: no shingles, survives
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup_incremental(new, band_buckets(corpus), corpus_fingerprints(corpus))
+    survivors = sorted(r.doc_id for r in out.collect())
+    assert 11 not in survivors  # exact corpus hit
+    assert 13 not in survivors  # near corpus hit (shares LSH bands with base)
+    assert 15 in survivors and 17 not in survivors  # batch-internal dedup keeps min id
+    assert 19 in survivors
