@@ -3,6 +3,8 @@ same rows (bounded file source -> memory sink)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from healthcare_data_pipeline_spark.catalog import table
@@ -412,3 +414,104 @@ def test_foreach_batch_upsert_survives_crash_between_renames(spark, tmp_path, mo
     )
     want = {r.user_id: (r.top.event_id, r.top.event_type) for r in batch}
     assert got == want and not _os.path.exists(target + ".old")
+
+
+def test_stream_dedup_ingest_builds_deduplicated_corpus(spark, tmp_path):
+    """Streaming corpus ingestion: micro-batches are deduplicated against the
+    stored fingerprint/band indexes (O(batch) per batch), survivors appended,
+    and a drained-again stream with no new files changes nothing."""
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+
+    src = str(tmp_path / "doc_src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    corpus, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ingest_ckpt")
+
+    spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # intra-batch exact dup of 1
+            (3, "completely different text about catalyst plans and tungsten codegen"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    ing.run_stream_dedup_ingest(stream(), corpus, ckpt)
+    assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == [1, 3]
+
+    spark.createDataFrame(
+        [
+            (11, base),  # exact dup of corpus doc 1 -> dropped via fingerprint index
+            (12, base.replace("today", "tomorrow")),  # near dup of 1 -> dropped via band index
+            (13, "a brand new sentence mentioning shuffles partitions and broadcast joins"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(src, "b2"))
+    ing.run_stream_dedup_ingest(stream(), corpus, ckpt)
+    assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == [1, 3, 13]
+
+    # drain again with nothing new: corpus unchanged (idempotent resume)
+    ing.run_stream_dedup_ingest(stream(), corpus, ckpt)
+    assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == [1, 3, 13]
+
+
+def test_stream_dedup_ingest_survives_crash_between_renames(spark, tmp_path, monkeypatch):
+    """Crash the ingest sink in the worst-case window (current moved aside,
+    new version not yet in place) and re-drain from the same checkpoint: the
+    previous corpus version must be recovered and the replayed batch ingested
+    exactly once."""
+    import os as _os
+
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+
+    src = str(tmp_path / "crash_doc_src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    corpus, ckpt = str(tmp_path / "crash_corpus"), str(tmp_path / "crash_ingest_ckpt")
+    current = os.path.join(corpus, "current")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    spark.createDataFrame(
+        [(1, "first corpus document with plenty of words for shingling today")], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    ing.run_stream_dedup_ingest(stream(), corpus, ckpt)
+
+    spark.createDataFrame(
+        [(2, "second document that is entirely new and should also survive here")], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    real_rename = _os.rename
+
+    def crashing_rename(s, d, *a, **kw):
+        if str(s) == current + ".tmp" and str(d) == current:
+            raise RuntimeError("simulated crash between renames")
+        return real_rename(s, d, *a, **kw)
+
+    monkeypatch.setattr(ing.os, "rename", crashing_rename)
+    try:
+        ing.run_stream_dedup_ingest(stream(), corpus, ckpt)
+        raise AssertionError("expected the simulated crash to propagate")
+    except Exception as exc:
+        assert "simulated crash" in str(exc)
+    finally:
+        monkeypatch.setattr(ing.os, "rename", real_rename)
+
+    assert _os.path.exists(current + ".old") and not _os.path.exists(current)
+    ing.run_stream_dedup_ingest(stream(), corpus, ckpt)
+    assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == [1, 2]
