@@ -165,6 +165,8 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MinHash/Jaccard dedup, as built-in array higher-order functions.",
 )
 def t05_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import WORD_3GRAMS_SQL
+
     d = table(spark, sf_dir, "documents")
     out = d.selectExpr(
         "doc_id",
@@ -172,14 +174,10 @@ def t05_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "doc_id",
         "size(toks) AS n_tokens",
-        """
-        size(array_distinct(
-          transform(
-            sequence(1, greatest(size(toks) - 2, 0)),
-            i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1), ' ', element_at(toks, i + 2))
-          )
-        )) AS n_distinct_shingles
-        """,
+        # WORD_3GRAMS_SQL guards size(toks) < 3 (Spark's sequence(1,0) is
+        # DESCENDING, not empty) -> 0 shingles, matching the oracle's
+        # empty generate_series
+        f"size(array_distinct({WORD_3GRAMS_SQL})) AS n_distinct_shingles",
     )
     return out
 
