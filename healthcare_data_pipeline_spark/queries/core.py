@@ -1688,7 +1688,9 @@ def q50_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.size(m).alias("n_keys"),
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("key_list"),
-        F.element_at(m, F.lit("k")).alias("k_val"),
+        # try_element_at: ANSI element_at THROWS on a missing map key, but the
+        # oracle's json_extract_string yields NULL — match the NULL semantics
+        F.try_element_at(m, F.lit("k")).alias("k_val"),
     )
 
 
