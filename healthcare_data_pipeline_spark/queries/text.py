@@ -215,3 +215,34 @@ def t06_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_pieces.cast("long"), F.ceil(F.length("text") / 4.0).cast("long")
         ).alias("est_tokens"),
     )
+
+
+@query(
+    "t07_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, n_chars,
+             string_split_regex(lower(text), '\\s+') AS toks,
+             length(text) AS nc
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM t
+    WHERE len(toks) BETWEEN 20 AND 1000
+      AND CAST(nc - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) <= 12.0
+      AND CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE) >= 0.01
+    """,
+    tags=("text", "EXT", "quality", "front-door"),
+    doc="Corpus quality FILTER front door (operators.quality.filter_corpus): word-count "
+    "band + average-word-length cap + stopword-ratio floor composed into one narrow "
+    "pushdown-friendly predicate — the C4-style cleaning gate a training pipeline runs "
+    "before any expensive stage. One scan, no shuffle, no UDF.",
+)
+def t07_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.quality import filter_corpus
+
+    d = table(spark, sf_dir, "documents")
+    return filter_corpus(d, min_stopword_ratio=0.01).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
