@@ -59,3 +59,27 @@ def filter_corpus(
             min_stopword_ratio=min_stopword_ratio,
         )
     )
+
+
+def prep_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_stopword_ratio: float | None = 0.01,
+    hasher: str = "portable",
+) -> DataFrame:
+    """The whole pre-training prep path: quality FILTER then full DEDUP
+    (exact fingerprint -> LSH near-dup clusters -> canonical survivors).
+
+    Filter-first is the scale-correct order: the narrow quality predicate is
+    the cheapest, most selective stage, so everything the dedup stages
+    shuffle (shingles, signatures, band buckets) is computed only for
+    documents that can actually ship.  Catalog entry dd12_prep_corpus
+    verifies the composition end-to-end against a recursive-CTE oracle.
+    """
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import dedup_corpus
+
+    filtered = filter_corpus(
+        docs, text_col=text_col, min_stopword_ratio=min_stopword_ratio
+    )
+    return dedup_corpus(filtered, id_col=id_col, text_col=text_col, hasher=hasher)

@@ -591,6 +591,75 @@ def dd11_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def _prep_corpus_oracle_sql() -> str:
+    """dd12 oracle: t07's quality gates -> dd09's dedup chain, one query."""
+    from healthcare_data_pipeline_spark.queries.text import _STOP_SQL
+
+    return f"""
+    WITH RECURSIVE tq AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(text), '\\s+') AS toks,
+             length(text) AS nc
+      FROM documents
+    ),
+    filtered AS (
+      SELECT doc_id, text FROM tq
+      WHERE len(toks) BETWEEN 20 AND 1000
+        AND CAST(nc - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) <= 12.0
+        AND CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) >= 0.01
+    ),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM filtered
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ),
+    kdocs AS (
+      SELECT f.doc_id, f.text FROM filtered f JOIN kept USING (doc_id)
+    ),
+    {_pmh_pairs_ctes("kdocs")},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    removed AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) < a
+    )
+    SELECT k.doc_id
+    FROM kept k LEFT JOIN removed r ON k.doc_id = r.doc_id
+    WHERE r.doc_id IS NULL
+    """
+
+
+@query(
+    "dd12_prep_corpus",
+    oracle=_prep_corpus_oracle_sql(),
+    tags=("dedup", "EXT", "quality", "front-door"),
+    doc="The COMPLETE training-data prep path as one verified composition "
+    "(operators.quality.prep_corpus): C4-style quality gates first (narrow predicate, "
+    "maximally selective, nothing downstream shuffles junk), then full dedup (exact "
+    "fingerprint -> portable LSH near-dup clusters -> canonical survivors). Returns the "
+    "ship-ready doc_ids; recursive-CTE oracle mirrors every stage.",
+)
+def dd12_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.quality import prep_corpus
+
+    d = table(spark, sf_dir, "documents")
+    return prep_corpus(d).select("doc_id")
+
+
 @query(
     "dd08_dedup_clusters",
     oracle=None,  # iterative fixpoint — not single-query SQL; pytest-verified
