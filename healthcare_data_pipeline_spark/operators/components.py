@@ -40,7 +40,13 @@ def connected_components(
     labels = sym.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
     sym = sym.cache()
     labels = labels.cache()
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        if it > 0 and it % 5 == 0:
+            # Truncate lineage: each iteration's plan nests the previous one,
+            # so planning time (and recovery cost after executor loss) grows
+            # without bound on high-diameter graphs. localCheckpoint
+            # materializes the current labels and cuts the chain.
+            labels = labels.localCheckpoint(eager=True)
         neighbor_min = (
             sym.join(labels, sym.b == labels.v)
             .groupBy("a")
