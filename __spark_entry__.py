@@ -24,7 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return catalog()["q14_star_join"].fn(spark, "/root/testdata/sf0.001")
 
 
-def _catalog_order(names: list[str]) -> list[str]:
+def _catalog_order(names: list[str], history_dir: str | None = None) -> list[str]:
     """Priority order for the driver's bounded correctness window.
 
     The driver verifies a bounded prefix of ``queries()`` in iteration order
@@ -43,7 +43,7 @@ def _catalog_order(names: list[str]) -> list[str]:
     from healthcare_data_pipeline_spark.queries import catalog
 
     has_oracle = {n: q.oracle is not None for n, q in catalog().items()}
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = history_dir or os.path.dirname(os.path.abspath(__file__))
     last_verified: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:

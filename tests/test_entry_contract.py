@@ -1,0 +1,72 @@
+"""Driver-contract invariants in __spark_entry__ (no Spark needed)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import __spark_entry__ as entry
+from healthcare_data_pipeline_spark.queries import catalog
+
+DRIVER_WINDOW = 50  # observed driver correctness cap (VERDICT r02)
+
+
+def _write_history(d, rnd, rows):
+    with open(os.path.join(d, f"CORRECTNESS_r{rnd:02d}.json"), "w") as fh:
+        json.dump(rows, fh)
+
+
+def test_order_puts_never_verified_first(tmp_path):
+    names = sorted(catalog())
+    a, b, c = names[0], names[1], names[2]
+    _write_history(
+        str(tmp_path),
+        1,
+        {
+            a: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+            b: {"rows_match": False, "schema_match": False, "hash_match": False, "err": None},
+        },
+    )
+    order = entry._catalog_order(names, history_dir=str(tmp_path))
+    # b FAILED its check and c was never checked -> both rank before a
+    assert order.index(b) < order.index(a)
+    assert order.index(c) < order.index(a)
+
+
+def test_no_oracle_history_counts_only_while_oracle_absent(tmp_path):
+    cat = catalog()
+    names = sorted(cat)
+    oracled = next(n for n in names if cat[n].oracle is not None)
+    unoracled = next(n for n in names if cat[n].oracle is None)
+    rows = {
+        n: {"rows_match": None, "schema_match": None, "hash_match": None, "err": "no_oracle"}
+        for n in (oracled, unoracled)
+    }
+    _write_history(str(tmp_path), 2, rows)
+    order = entry._catalog_order(names, history_dir=str(tmp_path))
+    # the query that HAS an oracle now must rank as never-verified (front);
+    # the genuinely oracle-less one keeps its rows-only credit (back)
+    assert order.index(oracled) < order.index(unoracled)
+
+
+def test_all_unverified_fit_driver_window():
+    """Every entry without r01/r02 driver evidence must sit inside the
+    50-slot window so CORRECTNESS_r03 covers the whole catalog tail."""
+    import glob
+
+    names = list(catalog())
+    order = entry._catalog_order(names)  # real repo history files
+    window = set(order[:DRIVER_WINDOW])
+    verified = set()
+    for p in glob.glob(os.path.join(os.path.dirname(entry.__file__), "CORRECTNESS_r*.json")):
+        with open(p) as fh:
+            verified |= set(json.load(fh))
+    # only entries with prior driver evidence may sit outside the window
+    assert set(names) - window <= verified
+
+
+def test_oracle_sql_is_subset_with_matching_keys():
+    qs = entry.queries()
+    osql = entry.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert all(isinstance(s, str) and s.strip() for s in osql.values())
