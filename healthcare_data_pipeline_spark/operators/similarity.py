@@ -266,6 +266,127 @@ def knn(
     raise ValueError(f"unknown knn method {method!r}: expected 'ivf', 'lsh', or 'brute'")
 
 
+def ivf_topk_multiprobe(
+    en: DataFrame,
+    query_pred: Column,
+    cell_col: str = "label",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k with ``nprobe`` > 1 — the standard recall knob.
+
+    nprobe=1 (``ivf_topk``) misses neighbors that fall just across a cell
+    boundary; probing the query's ``nprobe`` nearest cells (by exact cosine
+    to each cell centroid) recovers them at ``nprobe``/n_cells of the full
+    scan cost.  Centroids come from the existing cell assignment (one
+    aggregation over the corpus — cached/stored in practice); the
+    query-to-centroid ranking is a broadcast of Q x n_cells rows, then
+    candidates are hash-joined on the cell id, so the corpus-side plan is
+    identical to ``ivf_topk``: partition-prunable scan of the probed cells.
+    Output matches ``ivf_topk``: (query_id, neighbor_id, cosine_sim, rn).
+    """
+    from pyspark.sql import Window
+
+    comp = (
+        en.select(cell_col, F.posexplode("iv").alias("pos", "v"))
+        .groupBy(cell_col, "pos")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .withColumn("c", F.col("s") / F.col("n"))
+    )
+    cent = (
+        comp.groupBy(cell_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col(cell_col).alias("cell"),
+            F.transform("pc", lambda x: x["c"]).alias("cv"),
+        )
+    )
+    q = en.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("iv").alias("q_iv"),
+        F.col("nrm2").alias("q_nrm2"),
+    )
+    qc_dot = F.aggregate(
+        F.zip_with(F.col("q_iv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cnorm = F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x))
+    w_cell = Window.partitionBy("query_id").orderBy(
+        F.desc("c_sim"), F.asc("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_iv",
+            "q_nrm2",
+            "cell",
+            (qc_dot / (F.sqrt(F.col("q_nrm2")) * cnorm)).alias("c_sim"),
+        )
+        .withColumn("cell_rn", F.row_number().over(w_cell))
+        .filter(F.col("cell_rn") <= nprobe)
+        .select("query_id", "q_iv", "q_nrm2", "cell")
+    )
+    c = en.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        F.col("iv").alias("c_iv"),
+        F.col("nrm2").alias("c_nrm2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(c, ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def knn_recall(
+    en: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    method: str = "ivf",
+    cell_col: str = "label",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Recall@k of an ANN route against the exact answer — one row:
+    (n_queries, n_exact, n_hit, recall).  The evaluation loop for tuning
+    nprobe / n_planes on a sample before a full-corpus run."""
+    if method == "ivf" and nprobe > 1:
+        ann = ivf_topk_multiprobe(en, query_pred, cell_col=cell_col, k=k, nprobe=nprobe)
+    else:
+        ann = knn(en, query_pred, k=k, method=method, cell_col=cell_col)
+    exact = brute_topk(en, query_pred, k=k)
+    hits = exact.select("query_id", "neighbor_id").intersect(
+        ann.select("query_id", "neighbor_id")
+    )
+    return (
+        exact.agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count("*").alias("n_exact"),
+        )
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_queries",
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
 def dedup_embeddings(en: DataFrame, threshold: float = 0.8) -> DataFrame:
     """Embedding-level corpus dedup — the PRODUCTION replacement for the
     O(N²) all-pairs scan (queries dd03): sign-bit-LSH candidate pairs, exact

@@ -191,3 +191,26 @@ def test_dedup_incremental_drops_corpus_hits_and_batch_dups(spark):
     assert 13 not in survivors  # near corpus hit (shares LSH bands with base)
     assert 15 in survivors and 17 not in survivors  # batch-internal dedup keeps min id
     assert 19 in survivors
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """nprobe=2 must recover at least the recall of nprobe=1 (probing a
+    superset of cells can only add candidates), and every multiprobe result
+    must carry the exact cosine for its pair."""
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ivf_topk_multiprobe,
+        knn_recall,
+    )
+
+    en = quantized(spark, SF_DIR)
+    pred = F.col("vec_id") < 15
+    (r1,) = knn_recall(en, pred, k=5, method="ivf").collect()
+    (r2,) = knn_recall(en, pred, k=5, method="ivf", nprobe=2).collect()
+    assert 0.0 <= r1.recall <= r2.recall <= 1.0
+    assert r2.n_queries == r1.n_queries and r2.n_exact == r1.n_exact
+    # exact rescoring inside the probed cells
+    ann = {(r.query_id, r.neighbor_id): r.cosine_sim
+           for r in ivf_topk_multiprobe(en, pred, k=5, nprobe=2).collect()}
+    exact = {(r.query_id, r.neighbor_id): r.cosine_sim
+             for r in brute_topk(en, pred, k=10**9).collect()}
+    assert all(exact[p] == s for p, s in ann.items())
