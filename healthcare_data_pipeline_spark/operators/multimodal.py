@@ -122,6 +122,45 @@ def decode_images(
     return df.select(id_col, content_col).mapInPandas(batches, DECODED_IMAGE_SCHEMA)
 
 
+def embed_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    dim: int = 16,
+    real: bool = False,
+) -> DataFrame:
+    """Arrow-batched media feature extraction -> (id, emb array<double>).
+
+    The bridge from binary media into the similarity/ANN stack: embeddings
+    come out integer-valued (each component is a content-digest byte, 0-255),
+    so downstream norms, dot products, and LSH sign bits stay EXACT — the
+    same reproducibility contract as queries.similarity.quantized.
+    ``real=True`` is where a vision encoder plugs in (not shipped here); the
+    deterministic digest features keep the whole media->embedding->retrieval
+    path testable and oracle-verifiable end to end (query m04).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if real:
+                raise NotImplementedError(
+                    "real media embedding needs a vision encoder — not shipped in this container"
+                )
+            embs = [
+                [float(b) for b in hashlib.sha256(c).digest()[:dim]]
+                for c in pdf[content_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "emb": embs})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("emb", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return df.select(id_col, content_col).mapInPandas(batches, schema)
+
+
 def frame_sample(
     df: DataFrame,
     every_n: int = 10,

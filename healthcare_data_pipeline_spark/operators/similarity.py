@@ -61,14 +61,17 @@ def _bigint_dot(vec: Column, weights: list[int]) -> Column:
     )
 
 
-def lsh_bucket(df: DataFrame, vec_col: str = "iv", n_planes: int = N_PLANES) -> DataFrame:
+def lsh_bucket(
+    df: DataFrame, vec_col: str = "iv", n_planes: int = N_PLANES, dim: int = EMBED_DIM
+) -> DataFrame:
     """Append the sign-bit LSH ``bucket`` (0 .. 2^n_planes - 1).
 
     One narrow projection — no shuffle, no UDF; the per-plane dot products are
-    codegen'd JVM expressions over literal arrays."""
+    codegen'd JVM expressions over literal arrays.  ``dim`` must match the
+    vector length (hyperplane weights are indexed plane*dim + d)."""
     bucket = None
     for p in range(n_planes):
-        bit = (_bigint_dot(F.col(vec_col), hyperplane(p)) >= 0).cast("long") * F.lit(2**p).cast("long")
+        bit = (_bigint_dot(F.col(vec_col), hyperplane(p, dim)) >= 0).cast("long") * F.lit(2**p).cast("long")
         bucket = bit if bucket is None else bucket + bit
     return df.withColumn("bucket", bucket)
 

@@ -105,3 +105,69 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(d, every_n=10, id_col="doc_id", content_col="content").withColumn(
         "frame_idx", F.col("frame_idx").cast("long")
     )
+
+
+_M04_DIM = 16
+_M04_PLANES = 8
+
+
+def _m04_oracle_sql() -> str:
+    """m04 oracle: digest-byte embedding components, exact integer norm, and
+    the sign-bit LSH bucket with the SAME LCG hyperplane weights as
+    operators.similarity.lcg_weight (plane * dim + d indexing)."""
+    return f"""
+    WITH h AS (
+      SELECT doc_id, sha256(text) AS hx FROM documents
+    ),
+    v AS (
+      SELECT doc_id, td.d AS d,
+             CAST({_HEXB.format(h='hx', i='2 * td.d + 1')} AS BIGINT) AS val
+      FROM h, generate_series(0, {_M04_DIM - 1}) td(d)
+    ),
+    bits AS (
+      SELECT v.doc_id, tp.p,
+             SUM(v.val * (((CAST(1103515245 AS BIGINT) * (tp.p * {_M04_DIM} + v.d) + 12345)
+                           % 2147483648) - 1073741824)) AS dp
+      FROM v, generate_series(0, {_M04_PLANES - 1}) tp(p)
+      GROUP BY v.doc_id, tp.p
+    ),
+    bucket AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << p ELSE CAST(0 AS BIGINT) END)
+                  AS BIGINT) AS bucket
+      FROM bits GROUP BY doc_id
+    ),
+    nrm AS (
+      SELECT doc_id, sqrt(CAST(SUM(val * val) AS DOUBLE)) AS l2_norm
+      FROM v GROUP BY doc_id
+    )
+    SELECT n.doc_id, n.l2_norm, b.bucket
+    FROM nrm n JOIN bucket b ON n.doc_id = b.doc_id
+    """
+
+
+@query(
+    "m04_media_embedding",
+    oracle=_m04_oracle_sql(),
+    tags=("multimodal", "EXT", "embedding", "ann", "mapInPandas"),
+    doc="The media -> embedding -> retrieval bridge: Arrow-batched feature extraction "
+    "(operators.multimodal.embed_media; digest-byte stub standing in for a vision "
+    "encoder) producing integer-valued vectors, then the EXACT similarity machinery — "
+    "L2 norm and sign-bit LSH bucket (operators.similarity.lsh_bucket) — on top. "
+    "Value-hash-verified end to end: even the Python-batch embedding stage reproduces "
+    "bit-identically in SQL, the reproducibility contract production encoders should "
+    "meet (pure function of the bytes, integer-valued outputs).",
+)
+def m04_media_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.multimodal import embed_media
+    from healthcare_data_pipeline_spark.operators.similarity import lsh_bucket
+
+    d = table(spark, sf_dir, "documents").withColumn("content", F.encode("text", "UTF-8"))
+    emb = embed_media(d, id_col="doc_id", content_col="content", dim=_M04_DIM)
+    nrm = F.sqrt(
+        F.aggregate(F.col("emb"), F.lit(0.0), lambda acc, x: acc + x * x)
+    ).alias("l2_norm")
+    return (
+        lsh_bucket(emb, vec_col="emb", n_planes=_M04_PLANES, dim=_M04_DIM)
+        .select("doc_id", nrm, "bucket")
+    )
