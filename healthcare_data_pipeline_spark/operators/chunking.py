@@ -1,0 +1,123 @@
+"""[EXT] Context-window preparation: document chunking and sequence packing.
+
+The two ops that turn a cleaned corpus into model-ready sequences:
+
+* ``chunk_documents`` — split each document into overlapping token windows
+  (chunk_size tokens, stride = chunk_size - overlap).  Pure JVM fan-out:
+  ``explode(sequence(...))`` over per-document start offsets, then
+  ``slice``/``array_join`` — no UDF, no shuffle; output size is linear in
+  total token count regardless of document-length skew.
+
+* ``pack_sequences`` — concat-and-split packing: documents are laid end to
+  end in a deterministic order and the stream is cut every ``budget``
+  tokens; each document reports which bins it lands in and how many tokens
+  it contributes to each.  Packing runs PER GROUP (default: per ``source``)
+  so the cumulative-sum window is ``partitionBy(group)`` — parallel across
+  shards — rather than a single-partition global window, which is the
+  100 TB-scale requirement (training shards are per-source anyway; a
+  global pack order would serialize the whole corpus through one task).
+
+Both are deterministic functions of (doc_id, text) so their outputs are
+value-hash-verifiable cross-engine (catalog entries t08/t09).
+
+Reference has no training-data surface; charter-mandated [EXT]
+(SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_CHUNK_SIZE = 64
+DEFAULT_OVERLAP = 16
+DEFAULT_PACK_BUDGET = 512
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_OVERLAP,
+) -> DataFrame:
+    """One row per (document, chunk): (id, chunk_idx, n_chunk_tokens, chunk_text).
+
+    Chunk i covers tokens [i*stride + 1, i*stride + chunk_size] (1-based,
+    whitespace tokenizer); the final chunk may be short, and every document
+    yields at least one chunk.  ``explode`` fan-out keeps the op narrow —
+    chunks of one document stay in its input partition.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap=} {chunk_size=}")
+    stride = chunk_size - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    # starts: 1, 1+stride, ...; n_starts = 1 if n <= chunk_size else ceil((n-chunk_size)/stride)+1
+    n_starts = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((n - chunk_size) / F.lit(float(stride))).cast("int") + 1
+    )
+    chunk = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_size)
+    return (
+        df.select(id_col, toks.alias("__toks"), n_starts.alias("__ns"))
+        .select(
+            id_col,
+            "__toks",
+            F.explode(F.sequence(F.lit(0), F.col("__ns") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    budget: int = DEFAULT_PACK_BUDGET,
+) -> DataFrame:
+    """Concat-and-split packing: (group, id, n_tokens, bin_id, tok_in_bin).
+
+    Documents are concatenated in ``id_col`` order within each ``group_col``
+    shard and the token stream is cut every ``budget`` tokens.  A document
+    spanning a cut appears once per bin it touches, with the token count it
+    contributes to that bin (sum over rows of tok_in_bin == n_tokens).
+
+    Plan shape: one cumulative-sum window partitioned by the shard key
+    (parallel, no global sort) + an explode over the (first_bin..last_bin)
+    range — at most ceil(n_tokens/budget)+1 rows per document.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks).cast("long")
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    first_bin = F.floor(F.col("start_off") / budget)
+    last_bin = F.floor((F.col("cum") - 1) / budget)
+    tok_in_bin = F.least(F.col("cum"), (F.col("bin_id") + 1) * budget) - F.greatest(
+        F.col("start_off"), F.col("bin_id") * budget
+    )
+    return (
+        df.select(group_col, id_col, n.alias("n_tokens"))
+        .withColumn("cum", cum)
+        .withColumn("start_off", F.col("cum") - F.col("n_tokens"))
+        .select(
+            group_col,
+            id_col,
+            "n_tokens",
+            "cum",
+            "start_off",
+            F.explode(F.sequence(first_bin, last_bin)).alias("bin_id"),
+        )
+        .select(
+            group_col,
+            id_col,
+            "n_tokens",
+            F.col("bin_id").cast("long").alias("bin_id"),
+            tok_in_bin.cast("long").alias("tok_in_bin"),
+        )
+    )

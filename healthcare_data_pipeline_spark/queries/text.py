@@ -217,6 +217,133 @@ def t06_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK, _STRIDE = 64, 48  # chunk_size=64, overlap=16
+
+
+@query(
+    "t08_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= {_CHUNK} THEN 1
+                  ELSE CAST(CEIL((len(toks) - {_CHUNK}) / {_STRIDE}.0) AS BIGINT) + 1
+             END AS n_starts
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(ci.chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(toks[ci.chunk_idx * {_STRIDE} + 1 : ci.chunk_idx * {_STRIDE} + {_CHUNK}])
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[ci.chunk_idx * {_STRIDE} + 1 : ci.chunk_idx * {_STRIDE} + {_CHUNK}],
+                           ' ') AS chunk_text
+    FROM s, UNNEST(generate_series(0, n_starts - 1)) AS ci(chunk_idx)
+    """,
+    tags=("text", "EXT", "chunking", "front-door"),
+    doc="Context-window chunking (operators.chunking.chunk_documents): each document split "
+    "into overlapping 64-token windows (stride 48) via explode(sequence) + slice + "
+    "array_join — pure JVM fan-out, no UDF, no shuffle; chunks stay in their document's "
+    "partition. The op that turns a cleaned corpus into model-ready windows.",
+)
+def t08_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.chunking import chunk_documents
+
+    d = table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=_CHUNK, overlap=_CHUNK - _STRIDE)
+
+
+_PACK_BUDGET = 512
+
+
+@query(
+    "t09_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(b.bin_id AS BIGINT) AS bin_id,
+           CAST(LEAST(cum, (b.bin_id + 1) * {_PACK_BUDGET})
+                - GREATEST(cum - n_tokens, b.bin_id * {_PACK_BUDGET}) AS BIGINT) AS tok_in_bin
+    FROM c, UNNEST(generate_series((cum - n_tokens) // {_PACK_BUDGET},
+                                   (cum - 1) // {_PACK_BUDGET})) AS b(bin_id)
+    """,
+    tags=("text", "EXT", "packing", "front-door"),
+    doc="Concat-and-split sequence packing (operators.chunking.pack_sequences): documents "
+    "laid end to end per source shard, the token stream cut every 512 tokens; one row per "
+    "(document, bin) with the tokens contributed. The cumulative-sum window partitions by "
+    "the shard key — parallel across sources, never a single-partition global sort. "
+    "(split() always yields >= 1 token, so the bin range is never empty — guards Spark's "
+    "descending-sequence gotcha.)",
+)
+def t09_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.chunking import pack_sequences
+
+    d = table(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=_PACK_BUDGET)
+
+
+# Deterministic PII suffix so redaction is observable in the value hash
+# (the synthetic corpus itself contains no contact-shaped spans).
+_PII_SUFFIX = "@example.com or 555-123-4567 ssn 123-45-6789"
+
+
+def _t10_oracle_sql() -> str:
+    from healthcare_data_pipeline_spark.operators.redact import EMAIL_PAT, PHONE_PAT, SSN_PAT
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '{_PII_SUFFIX}' AS txt
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{EMAIL_PAT}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(txt, '{SSN_PAT}')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(txt, '{PHONE_PAT}')) AS BIGINT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(
+             txt, '{EMAIL_PAT}', '[EMAIL]', 'g'),
+                  '{SSN_PAT}', '[ID]', 'g'),
+                  '{PHONE_PAT}', '[PHONE]', 'g') AS text
+    FROM t
+    """
+
+
+@query(
+    "t10_pii_redact",
+    oracle=_t10_oracle_sql(),
+    tags=("text", "EXT", "pii", "front-door"),
+    doc="PII redaction (operators.redact.redact_pii): email / SSN-shaped / phone-shaped "
+    "spans replaced with typed tags, per-pattern match counts as the audit signal. "
+    "Patterns are RE2-safe so Spark's Java regex and the oracle's RE2 match identical "
+    "spans — the reproducibility contract for a scrub pass. A deterministic PII suffix "
+    "is injected first so the redaction is exercised (and hash-checked), not vacuous.",
+)
+def t10_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.redact import redact_pii
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit(_PII_SUFFIX),
+        ).alias("text"),
+    )
+    return redact_pii(d).select("doc_id", "n_email", "n_ssn", "n_phone", "text")
+
+
 @query(
     "t07_quality_filter",
     oracle=f"""

@@ -1,0 +1,96 @@
+"""Contracts for the context-window-prep and PII-scrub operators.
+
+The oracle gate (test_oracle_queries t08/t09/t10) pins cross-engine value
+parity; these tests pin the SEMANTIC invariants a training pipeline relies
+on: full token coverage with the right overlap, token conservation across
+pack bins, bounded bin sizes, and typed redaction tags.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark.operators.chunking import chunk_documents, pack_sequences
+from healthcare_data_pipeline_spark.operators.redact import redact_pii
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_chunk_coverage_and_overlap(spark):
+    # 10 tokens, chunk_size=4, overlap=1 (stride 3): starts 1,4,7 — the last
+    # chunk reaches token 10, so no redundant 4th window is emitted
+    text = " ".join(f"w{i}" for i in range(1, 11))
+    out = chunk_documents(
+        _docs(spark, [(1, "a", text)]), chunk_size=4, overlap=1
+    ).orderBy("chunk_idx")
+    rows = out.collect()
+    assert [r.chunk_idx for r in rows] == [0, 1, 2]
+    assert [r.chunk_text for r in rows] == [
+        "w1 w2 w3 w4",
+        "w4 w5 w6 w7",
+        "w7 w8 w9 w10",
+    ]
+    assert [r.n_chunk_tokens for r in rows] == [4, 4, 4]
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    out = chunk_documents(_docs(spark, [(1, "a", "only two")]), chunk_size=64, overlap=16)
+    (row,) = out.collect()
+    assert (row.chunk_idx, row.n_chunk_tokens, row.chunk_text) == (0, 2, "only two")
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(_docs(spark, [(1, "a", "x")]), chunk_size=8, overlap=8)
+
+
+def test_pack_conserves_tokens_and_respects_budget(spark):
+    rows = [(i, "s%d" % (i % 2), " ".join(["t"] * (30 + 7 * i))) for i in range(1, 9)]
+    d = _docs(spark, rows)
+    out = pack_sequences(d, budget=50)
+    # conservation: per-document tok_in_bin sums back to n_tokens
+    bad = (
+        out.groupBy("doc_id", "n_tokens")
+        .agg(F.sum("tok_in_bin").alias("s"))
+        .filter(F.col("s") != F.col("n_tokens"))
+        .count()
+    )
+    assert bad == 0
+    # bin capacity: every bin holds exactly `budget` tokens except each
+    # shard's last (the stream is cut every `budget` tokens)
+    per_bin = out.groupBy("source", "bin_id").agg(F.sum("tok_in_bin").alias("s")).collect()
+    last_bin = {r.source: r.m for r in out.groupBy("source").agg(F.max("bin_id").alias("m")).collect()}
+    for r in per_bin:
+        assert r.s <= 50
+        if r.bin_id < last_bin[r.source]:
+            assert r.s == 50
+
+
+def test_pack_is_per_shard(spark):
+    # identical docs in two shards pack identically and independently
+    d = _docs(spark, [(1, "a", "x y z"), (1, "b", "x y z")])
+    rows = pack_sequences(d, budget=2).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((r.bin_id, r.tok_in_bin))
+    assert by_src["a"] == by_src["b"] == [(0, 2), (1, 1)]
+
+
+def test_redact_tags_and_counts(spark):
+    d = _docs(
+        spark,
+        [(1, "a", "mail bob.smith@corp.io, call 555-123-4567, ssn 123-45-6789 end")],
+    )
+    (row,) = redact_pii(d).collect()
+    assert (row.n_email, row.n_ssn, row.n_phone) == (1, 1, 1)
+    assert row.text == "mail [EMAIL], call [PHONE], ssn [ID] end"
+
+
+def test_redact_clean_text_unchanged(spark):
+    d = _docs(spark, [(1, "a", "no contact info here at all")])
+    (row,) = redact_pii(d).collect()
+    assert (row.n_email, row.n_ssn, row.n_phone) == (0, 0, 0)
+    assert row.text == "no contact info here at all"
