@@ -344,6 +344,47 @@ def t10_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(d).select("doc_id", "n_email", "n_ssn", "n_phone", "text")
 
 
+# Tiered data-mixing weights over the 20 synthetic sources (src0..src19).
+_MIX_WEIGHTS = {
+    f"src{i}": (1.0 if i < 5 else 0.6 if i < 10 else 0.3 if i < 15 else 0.1)
+    for i in range(20)
+}
+
+
+def _t11_oracle_sql() -> str:
+    from healthcare_data_pipeline_spark.operators.mixture import DENOM, weight_thresholds
+    from healthcare_data_pipeline_spark.queries.dedup import _SQL_H32
+
+    case = " ".join(
+        f"WHEN '{s}' THEN {t}" for s, t in sorted(weight_thresholds(_MIX_WEIGHTS).items())
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, CAST(doc_id AS VARCHAR) AS s FROM documents
+    )
+    SELECT doc_id, lang, source
+    FROM t
+    WHERE ({_SQL_H32}) % {DENOM} < CAST(CASE source {case} ELSE 0 END AS BIGINT)
+    """
+
+
+@query(
+    "t11_mixture_sample",
+    oracle=_t11_oracle_sql(),
+    tags=("text", "EXT", "sampling", "front-door"),
+    doc="Deterministic mixture sampling (operators.mixture.mixture_sample): per-source "
+    "data-mixing weights applied as a portable-hash gate (same md5 convention as "
+    "dd06/dd07) — no RNG, bit-identical selection on any engine, kept-set monotone in "
+    "the weight. One narrow filter, shuffle-free, composes with partition pruning on "
+    "source.",
+)
+def t11_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.mixture import mixture_sample
+
+    d = table(spark, sf_dir, "documents")
+    return mixture_sample(d, _MIX_WEIGHTS).select("doc_id", "lang", "source")
+
+
 @query(
     "t07_quality_filter",
     oracle=f"""

@@ -94,3 +94,44 @@ def test_redact_clean_text_unchanged(spark):
     (row,) = redact_pii(d).collect()
     assert (row.n_email, row.n_ssn, row.n_phone) == (0, 0, 0)
     assert row.text == "no contact info here at all"
+
+
+def test_plan_shapes(spark):
+    """chunk = pure fan-out (no shuffle); pack = exactly one shuffle, on the
+    shard key — never a global sort."""
+    from healthcare_data_pipeline_spark.plans import count_exchanges, simple_plan
+    from tests.conftest import SF_DIR
+    from healthcare_data_pipeline_spark.catalog import table
+
+    d = table(spark, SF_DIR, "documents")
+    assert count_exchanges(chunk_documents(d)) == 0
+    packed = pack_sequences(d)
+    assert count_exchanges(packed) == 1
+    assert "hashpartitioning(source" in simple_plan(packed)
+
+
+def test_mixture_sample_rates_and_monotonicity(spark):
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.mixture import mixture_sample
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    lo = {f"src{i}": 0.3 for i in range(20)}
+    hi = {f"src{i}": 0.7 for i in range(20)}
+    n = d.count()
+    kept_lo = mixture_sample(d, lo).select("doc_id")
+    kept_hi = mixture_sample(d, hi).select("doc_id")
+    n_lo, n_hi = kept_lo.count(), kept_hi.count()
+    # rates land near the target (hash-uniformity; generous band at 500 rows)
+    assert abs(n_lo / n - 0.3) < 0.1 and abs(n_hi / n - 0.7) < 0.1
+    # monotone: raising every weight only ADDS documents
+    assert kept_lo.subtract(kept_hi).count() == 0
+    # unknown sources drop under the default weight
+    assert mixture_sample(d, {"src0": 1.0}).filter(F.col("source") != "src0").count() == 0
+
+
+def test_mixture_rejects_upsampling_weight(spark):
+    from healthcare_data_pipeline_spark.operators.mixture import mixture_sample
+
+    with pytest.raises(ValueError, match="weight"):
+        mixture_sample(_docs(spark, [(1, "a", "x")]), {"a": 1.5})
