@@ -15,9 +15,12 @@ mod ``DENOM``, falls under the source's integer threshold — so the sample is:
   the shard column, so it pushes to the scan boundary and composes with
   partition pruning on ``source``.
 
-Weights > 1 (upsampling) are out of scope here: repetition is an explode
-over ceil(w) with the fractional tail hash-gated — same machinery; the
-catalog entry pins the downsampling path.
+``mixture_sample`` handles weights in [0, 1] (downsampling; catalog t11);
+``mixture_resample`` extends to weights > 1 (upsampling) — each row emits
+floor(w) full copies plus one hash-gated fractional copy, so E[copies] = w
+exactly and the output carries an ``epoch`` index (0-based copy number)
+that downstream shuffling/packing can mix on.  Same determinism contract:
+no RNG, reproducible anywhere (catalog t12).
 """
 
 from __future__ import annotations
@@ -62,3 +65,45 @@ def mixture_sample(
     for s, t in sorted(th.items()):
         thresh = F.when(F.col(group_col) == s, F.lit(t).cast("long")).otherwise(thresh)
     return df.filter(portable_selector(id_col) < thresh)
+
+
+def fractional_thresholds(weights: dict[str, float]) -> dict[str, tuple[int, int]]:
+    """Per source: (floor(w) full copies, round(frac(w) * DENOM) gate) —
+    integer literals shared between the Spark plan and any SQL oracle."""
+    out: dict[str, tuple[int, int]] = {}
+    for s, w in weights.items():
+        if w < 0.0:
+            raise ValueError(f"mixture weight must be >= 0, got {s}={w}")
+        full = int(w)
+        out[s] = (full, int(round((w - full) * DENOM)))
+    return out
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Weighted resampling with upsampling: E[copies per row] = weight.
+
+    Output = input columns + ``epoch`` (long, 0-based copy index).  A row of
+    a weight-2.3 source appears with epoch 0 and 1 always, and epoch 2 iff
+    its hash gate falls under 0.3 — so exactly-reproducible, monotone in the
+    weight, and still a narrow per-row fan-out (explode over a sequence
+    literal; no shuffle, no RNG).  Sources absent from ``weights`` drop.
+    """
+    fr = fractional_thresholds(weights)
+    full = F.lit(0)
+    gate = F.lit(0).cast("long")
+    for s, (nf, g) in sorted(fr.items()):
+        full = F.when(F.col(group_col) == s, F.lit(nf)).otherwise(full)
+        gate = F.when(F.col(group_col) == s, F.lit(g).cast("long")).otherwise(gate)
+    n_copies = full + (portable_selector(id_col) < gate).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .withColumn("epoch", F.col("epoch").cast("long"))
+        .drop("__n")
+    )

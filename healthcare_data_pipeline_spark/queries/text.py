@@ -385,6 +385,54 @@ def t11_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(d, _MIX_WEIGHTS).select("doc_id", "lang", "source")
 
 
+# Resampling mix: upsample the first tier, keep the second, halve the third,
+# drop the rest.
+_RESAMPLE_WEIGHTS = {
+    f"src{i}": (2.5 if i < 5 else 1.0 if i < 10 else 0.5 if i < 15 else 0.0)
+    for i in range(20)
+}
+
+
+def _t12_oracle_sql() -> str:
+    from healthcare_data_pipeline_spark.operators.mixture import DENOM, fractional_thresholds
+    from healthcare_data_pipeline_spark.queries.dedup import _SQL_H32
+
+    fr = fractional_thresholds(_RESAMPLE_WEIGHTS)
+    full_case = " ".join(f"WHEN '{s}' THEN {nf}" for s, (nf, _) in sorted(fr.items()))
+    gate_case = " ".join(f"WHEN '{s}' THEN {g}" for s, (_, g) in sorted(fr.items()))
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS s FROM documents
+    ),
+    n AS (
+      SELECT doc_id, source,
+             (CASE source {full_case} ELSE 0 END)
+             + (CASE WHEN ({_SQL_H32}) % {DENOM}
+                          < CAST(CASE source {gate_case} ELSE 0 END AS BIGINT)
+                     THEN 1 ELSE 0 END) AS nc
+      FROM t
+    )
+    SELECT doc_id, source, CAST(e.epoch AS BIGINT) AS epoch
+    FROM n, UNNEST(generate_series(0, nc - 1)) AS e(epoch)
+    """
+
+
+@query(
+    "t12_mixture_resample",
+    oracle=_t12_oracle_sql(),
+    tags=("text", "EXT", "sampling", "front-door"),
+    doc="Weighted resampling with upsampling (operators.mixture.mixture_resample): "
+    "floor(w) full copies per row plus one hash-gated fractional copy, E[copies] = w "
+    "exactly; output carries a 0-based epoch index for downstream mixing. Deterministic "
+    "(same portable-hash gate as t11), narrow explode fan-out, no shuffle, no RNG.",
+)
+def t12_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.mixture import mixture_resample
+
+    d = table(spark, sf_dir, "documents")
+    return mixture_resample(d, _RESAMPLE_WEIGHTS).select("doc_id", "source", "epoch")
+
+
 @query(
     "t07_quality_filter",
     oracle=f"""

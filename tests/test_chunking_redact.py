@@ -135,3 +135,31 @@ def test_mixture_rejects_upsampling_weight(spark):
 
     with pytest.raises(ValueError, match="weight"):
         mixture_sample(_docs(spark, [(1, "a", "x")]), {"a": 1.5})
+
+
+def test_resample_copy_counts(spark):
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.mixture import mixture_resample
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    w = {f"src{i}": 2.25 for i in range(20)}
+    out = mixture_resample(d, w)
+    n = d.count()
+    counts = out.groupBy("doc_id").agg(F.count("*").alias("c"))
+    # every row appears 2 or 3 times; mean near 2.25; epochs are 0..c-1
+    assert counts.filter(~F.col("c").isin(2, 3)).count() == 0
+    assert abs(out.count() / n - 2.25) < 0.1
+    bad_epochs = (
+        out.groupBy("doc_id")
+        .agg(F.count("*").alias("c"), F.max("epoch").alias("m"), F.min("epoch").alias("lo"))
+        .filter((F.col("m") != F.col("c") - 1) | (F.col("lo") != 0))
+        .count()
+    )
+    assert bad_epochs == 0
+    # zero-weight sources vanish entirely
+    assert mixture_resample(d, {"src0": 0.0}).count() == 0
+    # no shuffle in the plan
+    from healthcare_data_pipeline_spark.plans import count_exchanges
+
+    assert count_exchanges(mixture_resample(d, w)) == 0
