@@ -643,6 +643,57 @@ def _prep_corpus_oracle_sql() -> str:
     """
 
 
+def _decontaminate_oracle_sql() -> str:
+    """dd13 oracle: eval-side distinct 3-grams -> train ids sharing any ->
+    anti-join, mirroring operators.decontaminate.decontaminate(n=3)."""
+    g3 = (
+        "unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    )
+    return f"""
+    WITH tr AS (
+      SELECT doc_id, lang, source, n_chars,
+             string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents WHERE source <> 'src0'
+    ),
+    ev AS (
+      SELECT DISTINCT {g3} AS g
+      FROM (SELECT string_split_regex(lower(text), '\\s+') AS toks
+            FROM documents WHERE source = 'src0')
+    ),
+    bad AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, {g3} AS g FROM tr) t
+      JOIN ev USING (g)
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM tr
+    WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = tr.doc_id)
+    """
+
+
+@query(
+    "dd13_decontaminate",
+    oracle=_decontaminate_oracle_sql(),
+    tags=("dedup", "EXT", "decontamination", "front-door"),
+    doc="Benchmark decontamination (operators.decontaminate.decontaminate): drop training "
+    "documents sharing any word n-gram with a held-out eval set (the GPT-3-style overlap "
+    "rule; n=3 here so the synthetic corpus exhibits observable contamination, n=13 the "
+    "production default). Eval n-grams broadcast (benchmarks are tiny vs a TB-scale "
+    "train side); the train corpus is never shuffled — explode + broadcast semi-join + "
+    "broadcast anti-join, all map-side.",
+)
+def dd13_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.decontaminate import decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("source") != "src0")
+    ev = d.filter(F.col("source") == "src0")
+    return decontaminate(train, ev, mode="ngram", n=3).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 @query(
     "dd12_prep_corpus",
     oracle=_prep_corpus_oracle_sql(),

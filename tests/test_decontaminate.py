@@ -1,0 +1,63 @@
+"""Decontamination contracts: collision definitions, preservation, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark.operators.decontaminate import decontaminate
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_mode_drops_normalized_duplicates(spark):
+    train = _df(spark, [(1, "The  Cat sat"), (2, "something else entirely")])
+    ev = _df(spark, [(100, "the cat   SAT")])  # same after normalize
+    out = decontaminate(train, ev, mode="exact").collect()
+    assert [r.doc_id for r in out] == [2]
+
+
+def test_ngram_mode_drops_overlapping_docs(spark):
+    train = _df(
+        spark,
+        [
+            (1, "alpha beta gamma delta unrelated tail"),  # shares 'alpha beta gamma'
+            (2, "zero overlap with anything here"),
+            (3, "too short"),  # below n tokens -> no ngrams -> never contaminated
+        ],
+    )
+    ev = _df(spark, [(100, "prefix alpha beta gamma suffix")])
+    out = decontaminate(train, ev, mode="ngram", n=3)
+    assert sorted(r.doc_id for r in out.collect()) == [2, 3]
+    # all original columns preserved
+    assert out.columns == ["doc_id", "text"]
+
+
+def test_unknown_mode_raises(spark):
+    d = _df(spark, [(1, "x")])
+    with pytest.raises(ValueError, match="mode"):
+        decontaminate(d, d, mode="fuzzy")
+
+
+def test_train_side_never_shuffles(spark):
+    """The contaminated-id discovery and both joins are broadcast-side; the
+    only exchange in the plan is the distinct over the (small) contaminated
+    candidate set — the train corpus itself is map-side throughout."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.plans import simple_plan
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    out = decontaminate(
+        d.filter(F.col("source") != "src0"), d.filter(F.col("source") == "src0"), n=3
+    )
+    plan = simple_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # semi + anti
+    # dd13 exhibits observable contamination on the synthetic corpus (shared
+    # near-dups across sources) without being vacuous
+    n_train = d.filter(F.col("source") != "src0").count()
+    n_out = out.count()
+    assert 0 < n_out < n_train
