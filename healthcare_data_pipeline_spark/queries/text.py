@@ -433,6 +433,33 @@ def t12_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_resample(d, _RESAMPLE_WEIGHTS).select("doc_id", "source", "epoch")
 
 
+_SHUFKEY_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+    f" * CAST({16 ** (11 - i)} AS BIGINT)"
+    for i in range(12)
+)
+
+
+@query(
+    "t13_corpus_shuffle",
+    oracle=f"""
+    SELECT doc_id, CAST({_SHUFKEY_SQL} AS BIGINT) AS shuffle_key
+    FROM documents
+    """,
+    tags=("text", "EXT", "shuffle", "front-door"),
+    doc="Deterministic corpus shuffle (operators.shuffle.shuffle_corpus): pseudo-random "
+    "global order via a portable md5-derived sort key + repartitionByRange + "
+    "sortWithinPartitions — N globally-ordered splits in parallel, never a "
+    "single-partition sort. The key is value-hash-verified here; the range-exchange "
+    "plan shape is pinned by tests/test_chunking_redact.py.",
+)
+def t13_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.shuffle import shuffle_corpus
+
+    d = table(spark, sf_dir, "documents")
+    return shuffle_corpus(d).select("doc_id", "shuffle_key")
+
+
 @query(
     "t07_quality_filter",
     oracle=f"""

@@ -137,6 +137,32 @@ def test_mixture_rejects_upsampling_weight(spark):
         mixture_sample(_docs(spark, [(1, "a", "x")]), {"a": 1.5})
 
 
+def test_shuffle_corpus_shape_and_determinism(spark):
+    """Range exchange (parallel globally-ordered splits), in-partition sort,
+    and a key that reproduces run-to-run."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.shuffle import shuffle_corpus
+    from healthcare_data_pipeline_spark.plans import simple_plan
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    out = shuffle_corpus(d, num_splits=4)
+    plan = simple_plan(out)
+    assert "rangepartitioning" in plan and "Sort" in plan
+    assert "SinglePartition" not in plan
+    a = [r.doc_id for r in out.select("doc_id").collect()]
+    b = [r.doc_id for r in shuffle_corpus(d, num_splits=4).select("doc_id").collect()]
+    assert a == b  # deterministic replay
+    assert a != sorted(a)  # actually shuffled, not id order
+    # epochs interleave: same doc's copies get different keys
+    from healthcare_data_pipeline_spark.operators.shuffle import shuffle_key
+    from pyspark.sql import functions as FF
+
+    two = d.limit(1).withColumn("epoch", FF.explode(FF.array(FF.lit(0), FF.lit(1))))
+    keys = [r.k for r in two.select(shuffle_key("doc_id", "epoch").alias("k")).collect()]
+    assert keys[0] != keys[1]
+
+
 def test_resample_copy_counts(spark):
     from healthcare_data_pipeline_spark.catalog import table
     from healthcare_data_pipeline_spark.operators.mixture import mixture_resample
