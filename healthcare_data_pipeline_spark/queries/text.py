@@ -460,6 +460,91 @@ def t13_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_corpus(d).select("doc_id", "shuffle_key")
 
 
+def _t14_oracle_sql() -> str:
+    """t14 oracle: the full prep chain as one WHERE conjunction + chunk
+    fan-out.  Quality gate, decontamination, and mixture gate are all
+    row-level filters, so they compose as AND regardless of stage order."""
+    from healthcare_data_pipeline_spark.operators.mixture import DENOM, weight_thresholds
+    from healthcare_data_pipeline_spark.queries.dedup import _SQL_H32
+
+    case = " ".join(
+        f"WHEN '{s}' THEN {t}" for s, t in sorted(weight_thresholds(_MIX_WEIGHTS).items())
+    )
+    g3 = (
+        "unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    )
+    return f"""
+    WITH tr AS (
+      SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS s,
+             string_split_regex(lower(text), '\\s+') AS ltoks,
+             string_split_regex(text, '\\s+') AS toks_raw,
+             length(text) AS nc
+      FROM documents WHERE source <> 'src0'
+    ),
+    ev AS (
+      SELECT DISTINCT {g3} AS g
+      FROM (SELECT string_split_regex(lower(text), '\\s+') AS toks
+            FROM documents WHERE source = 'src0')
+    ),
+    bad AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, {g3} AS g
+            FROM (SELECT doc_id, ltoks AS toks FROM tr)) t
+      JOIN ev USING (g)
+    ),
+    kept AS (
+      SELECT doc_id, toks_raw AS toks FROM tr
+      WHERE len(ltoks) BETWEEN 20 AND 1000
+        AND CAST(nc - len(ltoks) + 1 AS DOUBLE) / CAST(len(ltoks) AS DOUBLE) <= 12.0
+        AND CAST(len(list_filter(ltoks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+            / CAST(len(ltoks) AS DOUBLE) >= 0.01
+        AND NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = tr.doc_id)
+        AND ({_SQL_H32}) % {DENOM} < CAST(CASE source {case} ELSE 0 END AS BIGINT)
+    ),
+    st AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= {_CHUNK} THEN 1
+                  ELSE CAST(CEIL((len(toks) - {_CHUNK}) / {_STRIDE}.0) AS BIGINT) + 1
+             END AS n_starts
+      FROM kept
+    )
+    SELECT doc_id,
+           CAST(ci.chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(toks[ci.chunk_idx * {_STRIDE} + 1 : ci.chunk_idx * {_STRIDE} + {_CHUNK}])
+                AS BIGINT) AS n_chunk_tokens
+    FROM st, UNNEST(generate_series(0, n_starts - 1)) AS ci(chunk_idx)
+    """
+
+
+@query(
+    "t14_training_windows",
+    oracle=_t14_oracle_sql(),
+    tags=("text", "EXT", "front-door", "composition"),
+    doc="The COMPLETE documents -> model-ready-windows path as one verified composition: "
+    "C4-style quality gates (filter_corpus) -> benchmark decontamination vs the held-out "
+    "source (decontaminate, n=3) -> per-source mixture sampling (mixture_sample) -> "
+    "overlapping context windows (chunk_documents). All three gates are narrow row-level "
+    "filters stacked on one scan (no shuffle until the optional pack/shuffle stages); "
+    "the oracle mirrors every stage in one WHERE conjunction + fan-out.",
+)
+def t14_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.chunking import chunk_documents
+    from healthcare_data_pipeline_spark.operators.decontaminate import decontaminate
+    from healthcare_data_pipeline_spark.operators.mixture import mixture_sample
+    from healthcare_data_pipeline_spark.operators.quality import filter_corpus
+
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("source") != "src0")
+    ev = d.filter(F.col("source") == "src0")
+    x = filter_corpus(train, min_stopword_ratio=0.01)
+    x = decontaminate(x, ev, mode="ngram", n=3)
+    x = mixture_sample(x, _MIX_WEIGHTS)
+    return chunk_documents(x, chunk_size=_CHUNK, overlap=_CHUNK - _STRIDE).select(
+        "doc_id", "chunk_idx", "n_chunk_tokens"
+    )
+
+
 @query(
     "t07_quality_filter",
     oracle=f"""
