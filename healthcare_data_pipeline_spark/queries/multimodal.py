@@ -107,6 +107,35 @@ def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "m05_media_dedup",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, sha256(text) AS d FROM documents
+    )
+    SELECT doc_id, d AS content_sha256
+    FROM h
+    WHERE doc_id = (SELECT MIN(doc_id) FROM h h2 WHERE h2.d = h.d)
+    """,
+    tags=("multimodal", "EXT", "dedup"),
+    doc="Exact media dedup: group by the content digest (m01's metadata column), keep the "
+    "minimum id per digest — the binary-column twin of dd01. One shuffle on the digest "
+    "key; at scale the digest is also the natural bucketing/partition key for media "
+    "tables, making re-dedup of appended batches a bucket-local operation.",
+)
+def m05_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").withColumn("content", F.encode("text", "UTF-8"))
+    w = Window.partitionBy("content_sha256").orderBy("doc_id")
+    return (
+        d.select("doc_id", F.sha2("content", 256).alias("content_sha256"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "content_sha256")
+    )
+
+
 _M04_DIM = 16
 _M04_PLANES = 8
 

@@ -45,6 +45,47 @@ _BANDS_SCHEMA = T.StructType(
 )
 _FPS_SCHEMA = T.StructType([T.StructField("fingerprint", T.StringType())])
 
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def prep_stream(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    min_stopword_ratio: float | None = 0.01,
+) -> DataFrame:
+    """The streaming corpus-prep gate: quality filter -> PII redaction ->
+    optional mixture gate.  Every stage is a STATELESS row-level expression,
+    so the exact batch operators run unchanged on an unbounded stream — no
+    watermark, no state store, append-mode safe.  (Dedup, the stateful
+    stage, is `run_stream_dedup_ingest`'s job downstream.)"""
+    from healthcare_data_pipeline_spark.operators.mixture import mixture_sample
+    from healthcare_data_pipeline_spark.operators.quality import quality_predicate
+    from healthcare_data_pipeline_spark.operators.redact import redact_pii
+
+    out = docs.filter(quality_predicate(min_stopword_ratio=min_stopword_ratio))
+    out = redact_pii(out)
+    if weights is not None:
+        out = mixture_sample(out, weights)
+    return out
+
 
 def _load_state(
     spark: SparkSession, current: str

@@ -515,3 +515,28 @@ def test_stream_dedup_ingest_survives_crash_between_renames(spark, tmp_path, mon
     assert _os.path.exists(current + ".old") and not _os.path.exists(current)
     ing.run_stream_dedup_ingest(stream(), corpus, ckpt)
     assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == [1, 2]
+
+
+def test_stream_prep_gate_equals_batch(spark):
+    """The stateless prep gates (quality filter -> redaction -> mixture gate)
+    run UNCHANGED on an unbounded stream and emit exactly the batch rows —
+    the contract that lets one operator library serve both ingest modes."""
+    from healthcare_data_pipeline_spark.operators.mixture import mixture_sample
+    from healthcare_data_pipeline_spark.operators.quality import quality_predicate
+    from healthcare_data_pipeline_spark.operators.redact import redact_pii
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+
+    w = {f"src{i}": 0.5 for i in range(20)}
+    stream = ing.prep_stream(ing.read_documents_stream(spark, SF_DIR), weights=w)
+    stv.run_to_memory(
+        stream.select("doc_id", "text", "n_email"), "prep_out", output_mode="append"
+    )
+    got = {(r.doc_id, r.text, r.n_email) for r in spark.sql("SELECT * FROM prep_out").collect()}
+    batch = mixture_sample(
+        redact_pii(
+            table(spark, SF_DIR, "documents").filter(quality_predicate(min_stopword_ratio=0.01))
+        ),
+        w,
+    )
+    want = {(r.doc_id, r.text, r.n_email) for r in batch.select("doc_id", "text", "n_email").collect()}
+    assert got == want and len(got) > 0
