@@ -546,6 +546,82 @@ def t14_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t15_vocab_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token,
+           COUNT(DISTINCT doc_id) AS doc_freq,
+           COUNT(*) AS term_freq
+    FROM tok GROUP BY token
+    """,
+    tags=("text", "EXT", "vocab"),
+    doc="Corpus vocabulary statistics: per-token document frequency and total term "
+    "frequency — the head/tail distribution diagnostic (and the df table an idf "
+    "weighting or stop-list induction reads). One explode + one shuffle on the token "
+    "key; partial aggregation makes the map side absorb each partition's token "
+    "repetitions before the exchange.",
+)
+def t15_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens(F.col("text"))).alias("token"), "doc_id")
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count("*").alias("term_freq"),
+        )
+    )
+
+
+@query(
+    "t16_doc_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token NOT IN ('the', 'a', 'of', 'and', 'in', 'to')
+      GROUP BY doc_id, token
+    ),
+    rk AS (
+      SELECT doc_id, token, tf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS rn
+      FROM tf
+    )
+    SELECT doc_id, token, tf, CAST(rn AS BIGINT) AS rn
+    FROM rk WHERE rn <= 3
+    """,
+    tags=("text", "EXT", "keywords"),
+    doc="Per-document keyword extraction: top-3 non-stopword tokens by in-document term "
+    "frequency (deterministic ties by token). Integer ranking only — no float idf in the "
+    "verified path, so the result is exactly reproducible cross-engine; an idf weighting "
+    "composes on top via t15's doc_freq table. Shuffles once on (doc_id, token), then a "
+    "doc-partitioned window.",
+)
+def t16_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+        .filter(~F.col("token").isin(*STOPWORDS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "rn")
+    )
+
+
+@query(
     "t07_quality_filter",
     oracle=f"""
     WITH t AS (
