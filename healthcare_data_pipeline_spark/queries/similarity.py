@@ -182,6 +182,50 @@ def s05_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s06_ann_recall",
+    oracle=_QUANT_SQL
+    + _LSH_CTES
+    + """
+    , exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY list_dot_product(q.iv, c.iv) / (sqrt(q.nrm2) * sqrt(c.nrm2)) DESC,
+                         c.vec_id ASC) AS rn
+      FROM en q JOIN en c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    ),
+    ex5 AS (SELECT query_id, neighbor_id FROM exact WHERE rn <= 5),
+    ann AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY list_dot_product(q.iv, c.iv) / (sqrt(q.nrm2) * sqrt(c.nrm2)) DESC,
+                         c.vec_id ASC) AS rn
+      FROM enb q JOIN enb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 20
+    ),
+    an5 AS (SELECT query_id, neighbor_id FROM ann WHERE rn <= 5),
+    hits AS (SELECT query_id, neighbor_id FROM ex5 INTERSECT SELECT query_id, neighbor_id FROM an5)
+    SELECT (SELECT COUNT(DISTINCT query_id) FROM ex5) AS n_queries,
+           (SELECT COUNT(*) FROM ex5) AS n_exact,
+           (SELECT COUNT(*) FROM hits) AS n_hit,
+           CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+             / (SELECT COUNT(*) FROM ex5) AS recall
+    """,
+    tags=("similarity", "EXT", "ann", "evaluation"),
+    doc="Recall@5 of the sign-bit-LSH ANN route against the exact answer "
+    "(operators.similarity.knn_recall, method='lsh') — the evaluation loop for tuning "
+    "n_planes/nprobe on a sample before a full-corpus run. FULLY hash-checked, not just "
+    "bounded: quantized integer dots make both the exact and the LSH rankings (and hence "
+    "n_hit itself) bit-identical in SQL.",
+)
+def s06_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import knn_recall
+
+    en = quantized(spark, sf_dir)
+    return knn_recall(en, F.col("vec_id") < 20, k=5, method="lsh")
+
+
+@query(
     "s02_embedding_norms",
     oracle=_QUANT_SQL
     + """
