@@ -600,8 +600,10 @@ def t15_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Per-document keyword extraction: top-3 non-stopword tokens by in-document term "
     "frequency (deterministic ties by token). Integer ranking only — no float idf in the "
     "verified path, so the result is exactly reproducible cross-engine; an idf weighting "
-    "composes on top via t15's doc_freq table. Shuffles once on (doc_id, token), then a "
-    "doc-partitioned window.",
+    "composes on top via t15's doc_freq table. Two exchanges (agg on (doc_id, token), "
+    "window on doc_id) — deliberately NOT collapsed to one via repartition(doc_id): that "
+    "would shuffle raw token occurrences with no map-side combine and concentrate hot "
+    "documents; partial aggregation before the first exchange is the robust shape.",
 )
 def t16_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
