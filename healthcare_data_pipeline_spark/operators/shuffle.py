@@ -40,7 +40,13 @@ def shuffle_corpus(
     num_splits: int | None = None,
 ) -> DataFrame:
     """Append ``shuffle_key`` and return the corpus range-partitioned and
-    sorted by it — N globally-ordered splits, parallel end to end."""
+    sorted by it — N globally-ordered splits, parallel end to end.
+
+    Determinism scope: the concatenated GLOBAL order (split 0..N-1) is a pure
+    function of the keys and always replays identically.  Split BOUNDARIES
+    come from range sampling, so which split a row lands in can shift if the
+    input layout changes — pin boundaries explicitly (e.g. bucket the key
+    range) if per-file determinism matters, not just sequence determinism."""
     out = df.withColumn("shuffle_key", shuffle_key(id_col, epoch_col))
     parts = [F.col("shuffle_key"), F.col(id_col)]
     if num_splits is not None:
