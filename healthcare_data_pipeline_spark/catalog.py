@@ -34,24 +34,32 @@ TESTDATA_TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one parquet table from ``sf_dir`` (lazy; schema-only until acted on).
 
-    Nanosecond-timestamp columns (e.g. ``events.ts``, written as parquet
-    TIMESTAMP(NANOS)) are not natively readable by Spark's vectorized reader;
-    the shim reads them as raw nanos longs
-    (``spark.sql.legacy.parquet.nanosAsLong``) and converts to microsecond
-    timestamps with exact integer division (truncation — matching what an
-    engine that truncates ns->us on cast produces).
+    Timestamp-unit normalization — every table exposes plain ``timestamp``
+    (TIMESTAMP_LTZ) columns regardless of how the parquet writer encoded them:
+
+    * TIMESTAMP(NANOS) is not natively readable by Spark's vectorized reader;
+      the shim reads it as raw nanos longs
+      (``spark.sql.legacy.parquet.nanosAsLong``) and converts to microsecond
+      timestamps with exact integer division (truncation — matching what an
+      engine that truncates ns->us on cast produces).
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as TIMESTAMP_NTZ, which
+      many chrono expressions (``unix_micros``, windowing) reject; cast to
+      ``timestamp`` — an identity conversion under the engine's fixed UTC
+      session timezone (session.py).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _nanos_columns(path)
-    if not nanos_cols:
-        return spark.read.parquet(path)
-    # Left set for the session: the conf must still be active when the lazy
-    # plan actually executes, and it only affects TIMESTAMP(NANOS) columns.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if nanos_cols:
+        # Left set for the session: the conf must still be active when the
+        # lazy plan actually executes, and it only affects TIMESTAMP(NANOS).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
         if isinstance(df.schema[c].dataType, T.LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
@@ -72,7 +80,7 @@ def load_tables(
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+            out[name] = table(spark, sf_dir, name)
     return out
 
 

@@ -642,8 +642,8 @@ def q25_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q26_sessionize",
     oracle="""
     WITH ev AS (
-      -- events.ts is parquet TIMESTAMP(NANOS); truncate to micros to match the
-      -- engine's nanos-read shim (catalog._read_nanos_parquet)
+      -- normalize events.ts to plain micros TIMESTAMP whatever unit the
+      -- parquet writer used (matches catalog.table()'s normalization)
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
       FROM events
       WHERE user_id <= 50

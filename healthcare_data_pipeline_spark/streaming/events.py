@@ -25,30 +25,60 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_NANOS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as raw nanos
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _events_ts_layout(sf_dir: str) -> tuple[str, bool]:
+    """(time unit, has-timezone) of ``events.ts``, read from the parquet
+    footer — streams require a user-supplied schema, so the reader must know
+    the writer's layout up front (the batch catalog shim does the same probe;
+    hardcoding one unit breaks the moment the producer changes it)."""
+    try:
+        import pyarrow.parquet as pq
+
+        arrow_type = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+        return getattr(arrow_type, "unit", "us"), getattr(arrow_type, "tz", None) is not None
+    except Exception:
+        return "us", True
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts -> micros, same
-    conversion as the batch catalog shim)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the events parquet, normalized to a plain
+    ``timestamp`` column whatever unit the writer used:
+
+    * ns: not natively readable — read as raw nanos longs
+      (``nanosAsLong``) and truncate to micros, matching the batch shim.
+    * us without UTC flag (TIMESTAMP_NTZ): read NTZ, cast to ``timestamp``
+      (identity under the engine's fixed UTC session timezone).
+    """
+    unit, has_tz = _events_ts_layout(sf_dir)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = _events_schema(T.LongType())
+    elif has_tz:
+        schema = _events_schema(T.TimestampType())
+    else:
+        schema = _events_schema(T.TimestampNTZType())
     raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         # file stream sources take a directory; select just the events table
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if unit == "ns":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_agg(

@@ -3,8 +3,9 @@
 The grading driver supplies the canonical tables under /root/testdata (see
 TESTDATA.md — read-only, never regenerated here).  CI machines don't have
 them, so this script synthesizes SCHEMA-COMPATIBLE stand-ins at tiny scale:
-same ten tables, same column names/types (including the events table's
-TIMESTAMP(NANOS), which exercises the catalog's nanos shim), similar value
+same ten tables, same column names/types (events.ts defaults to the driver's
+current TIMESTAMP(MICROS) layout; ``--ts-unit ns`` emits TIMESTAMP(NANOS) to
+exercise the catalog's nanos shim), similar value
 domains, plus injected exact/near-duplicate documents so the dedup queries
 have non-degenerate work.  The oracle test gate (tests/test_oracle_queries.py)
 compares Spark vs DuckDB on whatever data SPARK_GRAFT_TEST_SF_DIR points at,
@@ -43,7 +44,7 @@ def _day_ms(rng: random.Random, y0=1995, y1=2001) -> int:
     return ((y0 - 1970) * 365 + 9 + day) * 86_400_000
 
 
-def generate(out: str, sf: float, seed: int = 42) -> None:
+def generate(out: str, sf: float, seed: int = 42, ts_unit: str = "us") -> None:
     rng = random.Random(seed)
     np_rng = np.random.default_rng(seed)
     m = sf / 0.001  # row counts below are the sf0.001 shape
@@ -136,7 +137,7 @@ def generate(out: str, sf: float, seed: int = 42) -> None:
             "o_custkey": [rng.randrange(1, n_cust + 1) for _ in range(n_orders)],
             "o_orderstatus": [rng.choice(["O", "F", "F", "P"]) for _ in range(n_orders)],
             "o_totalprice": [round(rng.uniform(1000, 400000), 2) for _ in range(n_orders)],
-            "o_orderdate": [_day_ms(rng) for _ in range(n_orders)],
+            "o_orderdate": [_day_ms(rng) * 1000 for _ in range(n_orders)],
             "o_orderpriority": [rng.choice(PRIORITIES) for _ in range(n_orders)],
         },
         pa.schema(
@@ -145,7 +146,7 @@ def generate(out: str, sf: float, seed: int = 42) -> None:
                 ("o_custkey", pa.int64()),
                 ("o_orderstatus", pa.string()),
                 ("o_totalprice", pa.float64()),
-                ("o_orderdate", pa.timestamp("ms")),
+                ("o_orderdate", pa.timestamp("us")),
                 ("o_orderpriority", pa.string()),
             ]
         ),
@@ -163,7 +164,7 @@ def generate(out: str, sf: float, seed: int = 42) -> None:
             "l_tax": [round(rng.randrange(0, 9) / 100, 2) for _ in range(n_li)],
             "l_returnflag": [rng.choice(["R", "A", "N", "N"]) for _ in range(n_li)],
             "l_linestatus": [rng.choice(["O", "F"]) for _ in range(n_li)],
-            "l_shipdate": [_day_ms(rng) for _ in range(n_li)],
+            "l_shipdate": [_day_ms(rng) * 1000 for _ in range(n_li)],
         },
         pa.schema(
             [
@@ -177,7 +178,7 @@ def generate(out: str, sf: float, seed: int = 42) -> None:
                 ("l_tax", pa.float64()),
                 ("l_returnflag", pa.string()),
                 ("l_linestatus", pa.string()),
-                ("l_shipdate", pa.timestamp("ms")),
+                ("l_shipdate", pa.timestamp("us")),
             ]
         ),
     )
@@ -187,6 +188,11 @@ def generate(out: str, sf: float, seed: int = 42) -> None:
     for _ in range(n_events):
         ts += rng.randrange(1, 1_000_000_000_000)  # up to ~17 min, ns precision
         ev_ts.append(ts)
+    if ts_unit == "us":
+        # the driver's current testdata layout: TIMESTAMP(MICROS) without a
+        # timezone flag (reads as TIMESTAMP_NTZ); truncation matches the
+        # engine's ns->us conversion so oracles agree across units
+        ev_ts = [t // 1000 for t in ev_ts]
     w(
         "events",
         {
@@ -200,7 +206,7 @@ def generate(out: str, sf: float, seed: int = 42) -> None:
         pa.schema(
             [
                 ("event_id", pa.int64()),
-                ("ts", pa.timestamp("ns")),
+                ("ts", pa.timestamp(ts_unit)),
                 ("user_id", pa.int64()),
                 ("event_type", pa.string()),
                 ("value", pa.float64()),
@@ -262,5 +268,12 @@ if __name__ == "__main__":
     ap.add_argument("--out", required=True)
     ap.add_argument("--sf", type=float, default=0.001)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--ts-unit",
+        choices=("us", "ns"),
+        default="us",
+        help="events.ts parquet time unit (us = driver's current layout; "
+        "ns exercises the catalog's nanos shim)",
+    )
     a = ap.parse_args()
-    generate(a.out, a.sf, a.seed)
+    generate(a.out, a.sf, a.seed, a.ts_unit)
