@@ -55,10 +55,21 @@ def _catalog_order(names: list[str], history_dir: str | None = None) -> list[str
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("err") == "no_oracle" and has_oracle.get(name):
-                continue  # had no oracle then, has one now -> needs a hash check
-            if row.get("err") is None and not row.get("rows_match", True):
-                continue  # a failed check doesn't count as covered
+            if row.get("err") == "no_oracle":
+                if has_oracle.get(name):
+                    continue  # had no oracle then, has one now -> needs a hash check
+                if row.get("spark_rows") is None:
+                    continue  # rows-only check and the query didn't even run
+            elif not (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                # Crashed, hash-failed, or schema-failed rows are NOT coverage:
+                # they must sort to the FRONT of the driver's window (the r3
+                # q26 lesson — a crash row silently rotated the query out).
+                continue
             last_verified[name] = max(last_verified.get(name, 0), rnd)
     return sorted(names, key=lambda n: (last_verified.get(n, 0), n))
 

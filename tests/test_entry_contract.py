@@ -39,7 +39,13 @@ def test_no_oracle_history_counts_only_while_oracle_absent(tmp_path):
     oracled = next(n for n in names if cat[n].oracle is not None)
     unoracled = next(n for n in names if cat[n].oracle is None)
     rows = {
-        n: {"rows_match": None, "schema_match": None, "hash_match": None, "err": "no_oracle"}
+        n: {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": 5,
+            "err": "no_oracle",
+        }
         for n in (oracled, unoracled)
     }
     _write_history(str(tmp_path), 2, rows)
@@ -47,6 +53,52 @@ def test_no_oracle_history_counts_only_while_oracle_absent(tmp_path):
     # the query that HAS an oracle now must rank as never-verified (front);
     # the genuinely oracle-less one keeps its rows-only credit (back)
     assert order.index(oracled) < order.index(unoracled)
+
+
+def test_crashed_and_hash_failed_rows_sort_first(tmp_path):
+    """The r3 q26 lesson: a row with a real err (crash) or hash_match=False is
+    NOT coverage — it must rank ahead of green rows, not rotate out."""
+    names = sorted(catalog())
+    green, crashed, hash_failed, schema_failed = names[0], names[1], names[2], names[3]
+    _write_history(
+        str(tmp_path),
+        1,
+        {
+            green: {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+            crashed: {
+                "rows_match": None,
+                "schema_match": None,
+                "hash_match": None,
+                "err": "AnalysisException: ...",
+            },
+            hash_failed: {
+                "rows_match": True,
+                "schema_match": True,
+                "hash_match": False,
+                "err": None,
+            },
+            schema_failed: {
+                "rows_match": True,
+                "schema_match": False,
+                "hash_match": None,
+                "err": None,
+            },
+        },
+    )
+    order = entry._catalog_order(names, history_dir=str(tmp_path))
+    for broken in (crashed, hash_failed, schema_failed):
+        assert order.index(broken) < order.index(green), broken
+
+
+def test_stale_green_ranks_before_fresh_green(tmp_path):
+    """Recency rotation: an entry last verified in r1 outranks an r2 one."""
+    names = sorted(catalog())
+    stale, fresh = names[0], names[1]
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    _write_history(str(tmp_path), 1, {stale: green, fresh: green})
+    _write_history(str(tmp_path), 2, {fresh: green})
+    order = entry._catalog_order(names, history_dir=str(tmp_path))
+    assert order.index(stale) < order.index(fresh)
 
 
 def test_all_unverified_fit_driver_window():
