@@ -290,13 +290,14 @@ def q11_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("join", "J2", "F2", "F7"),
     doc="Left equi-join fact->dim + coalesce null fallback (J2 transform_data.py:127; F2/F7). "
-    "Dim side is broadcast (customer ≪ fact at scale).",
+    "No forced broadcast: customer grows with scale factor, so the strategy is left to "
+    "Catalyst/AQE (broadcast under the threshold, shuffle join beyond it).",
 )
 def q12_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        o.join(c, o.o_custkey == c.c_custkey, "left")
         .select(F.coalesce(c.c_mktsegment, F.lit("unknown")).alias("segment"), o.o_totalprice)
         .groupBy("segment")
         .agg(F.count("*").alias("n_orders"), xsum("o_totalprice", "total_price"))
@@ -358,7 +359,8 @@ def q14_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == o.o_orderkey,
         )
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with sf -> AQE decides; nation/region are fixed-size
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(r.r_name.alias("region_name"), n.n_name.alias("nation_name"))
@@ -900,9 +902,10 @@ def q32_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li.l_orderkey == o.o_orderkey,
         )
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer/supplier scale with sf -> AQE decides; nation is fixed-size
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1196,7 +1199,8 @@ def q38_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     spend = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales with sf -> no forced broadcast (AQE decides)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "c_custkey")
         .agg(xsum("o_totalprice", "total_spend"))
     )

@@ -54,7 +54,12 @@ def d01_drug_report_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = li.groupBy("l_suppkey", "l_partkey").agg(
         xsum("l_quantity", "total_qty"), xsum("l_extendedprice", "total_cost")
     )
-    return agg.join(F.broadcast(p), agg.l_partkey == p.p_partkey, "left").select(
+    # No broadcast hint: part grows with scale factor (sf x 200k rows), so a
+    # forced broadcast OOMs at 100x. Catalyst/AQE pick BroadcastHashJoin while
+    # the dim is under autoBroadcastJoinThreshold and fall back to a shuffle
+    # join beyond it. (The healthcare analogue in operators/reports.py keeps
+    # its hint — drug/state dims are bounded-small by nature.)
+    return agg.join(p, agg.l_partkey == p.p_partkey, "left").select(
         F.col("l_suppkey").alias("supp_id"),
         F.col("l_partkey").alias("part_id"),
         "total_qty",
@@ -95,7 +100,9 @@ def d02_prescriber_report_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = o.groupBy("o_custkey").agg(
         F.count("*").alias("total_orders"), xsum("o_totalprice", "total_spend")
     )
-    joined = agg.join(F.broadcast(c), agg.o_custkey == c.c_custkey, "left").join(
+    # customer scales with sf (sf x 150k rows) -> no forced broadcast (AQE
+    # decides); nation is fixed at 25 rows -> the hint is always right.
+    joined = agg.join(c, agg.o_custkey == c.c_custkey, "left").join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey, "left"
     )
     return joined.select(
@@ -160,7 +167,9 @@ def d04_runner_prescriber_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("num_orders"), F.asc("o_custkey"))
         .limit(100)
     )
-    return top.join(F.broadcast(c), top.o_custkey == c.c_custkey, "left").select(
+    # top is LIMIT 100 but customer is the build side of this left join and
+    # scales with sf: leave the strategy to AQE rather than force it inflight.
+    return top.join(c, top.o_custkey == c.c_custkey, "left").select(
         F.col("o_custkey").alias("cust_id"),
         "num_orders",
         F.col("c_name").alias("cust_name"),

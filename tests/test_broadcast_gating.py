@@ -1,0 +1,56 @@
+"""Broadcast-hint gating (VERDICT r3 item 7).
+
+Forced ``F.broadcast`` on a dim that GROWS with scale factor (part, customer,
+supplier) is a 100x scale-killer: the hint overrides AQE and OOMs the driver
+once the dim outgrows memory.  These tests pin the contract both ways:
+
+* no broadcast *hint* reaches the optimizer for scaling dims (only fixed-size
+  nation/region may carry one);
+* Catalyst/AQE still CHOOSES BroadcastHashJoin at test scale on its own —
+  dropping the hint costs nothing while the dim is genuinely small.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from healthcare_data_pipeline_spark.plans import has_broadcast_join
+from healthcare_data_pipeline_spark.queries import catalog
+
+from .conftest import SF_DIR
+
+
+def _hint_count(df) -> int:
+    plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    return plan.count("strategy=broadcast")
+
+
+# query -> max allowed broadcast hints (the fixed-size nation/region ones)
+HINT_BUDGET = {
+    "d01_drug_report_shape": 0,  # part scales -> no hint at all
+    "d02_prescriber_report_shape": 1,  # nation only (customer scales)
+    "d04_runner_prescriber_report": 0,  # customer scales
+    "q12_join_left": 0,  # customer scales
+    "q14_star_join": 2,  # nation + region only (customer scales)
+    "q32_local_supplier_revenue": 1,  # nation only (customer/supplier scale)
+    "q38_top1_per_group": 0,  # customer scales
+}
+
+
+@pytest.mark.parametrize("name", sorted(HINT_BUDGET))
+def test_no_forced_broadcast_of_scaling_dims(spark, name):
+    df = catalog()[name].fn(spark, SF_DIR)
+    assert _hint_count(df) <= HINT_BUDGET[name], (
+        f"{name}: unconditional broadcast hint on a scaling dim\n"
+        + df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["d01_drug_report_shape", "d02_prescriber_report_shape", "q14_star_join"]
+)
+def test_catalyst_still_broadcasts_small_dims(spark, name):
+    """At test scale the dims are far under autoBroadcastJoinThreshold, so the
+    planner must still pick a broadcast join without any hint."""
+    df = catalog()[name].fn(spark, SF_DIR)
+    assert has_broadcast_join(df), name
