@@ -4,22 +4,35 @@ A training-data corpus grows by continuous document arrival; re-running batch
 dedup over the whole corpus per drop is O(corpus) every time.  This module
 wires ``operators.dedup_corpus.dedup_incremental`` into a ``foreachBatch``
 sink: each micro-batch is deduplicated against the corpus's two compact
-stored indexes (fingerprints + LSH band buckets), survivors are appended, and
-the indexes are extended — per-batch cost stays O(batch).
+stored indexes (fingerprints + LSH band buckets), and the survivors — docs
+plus their index rows — are APPENDED as a new immutable segment.  Per-batch
+cost is O(batch) on both the probe side and the write side; nothing
+corpus-sized is ever rewritten on the hot path.
 
-Corpus state is one versioned directory swapped atomically as a unit::
+Corpus state is a log of immutable segments::
 
-    <corpus_dir>/current/
-        docs/    deduplicated corpus parquet
-        bands/   band_buckets index      (probe target for near-dups)
-        fps/     corpus_fingerprints     (probe target for exact dups)
-        _COMMITTED_BATCH
+    <corpus_dir>/segments/
+        seg-000000000000/      # one per committed micro-batch
+            docs/    surviving documents (parquet)
+            bands/   their band_buckets index rows
+            fps/     their corpus_fingerprints rows
+            _COMMITTED_BATCH   # the batchId, written BEFORE the publish rename
 
-Exactly-once uses the same idempotent rename-aside discipline as
-``streaming.events.run_foreach_batch_upsert``: the committed batchId rides
-inside the staged version so marker and data become visible in one rename,
-replayed batches are detected and skipped, and no crash point can lose the
-previous version (it survives in ``current.old`` until the swap completes).
+Exactly-once per batch needs only ONE atomic rename: the segment is staged
+fully (marker included) under ``seg-<id>.tmp`` and published by renaming it
+to its final name — a crash before the rename leaves an ignorable ``.tmp``
+orphan, a crash after it leaves a committed segment whose embedded batchId
+makes the replayed batch a no-op.  No crash point can lose a previous batch,
+because previous batches are never touched.
+
+Segment count grows with batch count, so ``compact()`` periodically folds all
+committed segments into one (``run_stream_dedup_ingest(compact_every=N)``
+does it automatically every N segments).  Compaction rewrites O(corpus) but
+amortizes to O(1/N) per batch, and uses the rename-aside discipline of
+``streaming.events.run_foreach_batch_upsert`` so no crash point loses the
+corpus: stage ``segments.tmp`` -> ``segments -> segments.old`` ->
+``segments.tmp -> segments`` -> drop aside; ``_recover`` finishes either
+direction on restart.
 """
 
 from __future__ import annotations
@@ -55,6 +68,8 @@ DOCUMENTS_SCHEMA = T.StructType(
     ]
 )
 
+_MARKER = "_COMMITTED_BATCH"
+
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet."""
@@ -87,21 +102,70 @@ def prep_stream(
     return out
 
 
+def _segments_root(corpus_dir: str) -> str:
+    return os.path.join(corpus_dir, "segments")
+
+
+def _committed_segments(corpus_dir: str) -> list[str]:
+    """Committed segment directories, oldest first.  A directory without the
+    marker is an uncommitted orphan (crash before publish) and is ignored."""
+    root = _segments_root(corpus_dir)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        seg = os.path.join(root, name)
+        if name.startswith("seg-") and not name.endswith(".tmp") and os.path.exists(
+            os.path.join(seg, _MARKER)
+        ):
+            out.append(seg)
+    return out
+
+
+def _max_committed_batch(corpus_dir: str) -> int | None:
+    ids = []
+    for seg in _committed_segments(corpus_dir):
+        try:
+            with open(os.path.join(seg, _MARKER)) as fh:
+                ids.append(int(fh.read().strip()))
+        except (OSError, ValueError):
+            continue
+    return max(ids) if ids else None
+
+
+def _recover(corpus_dir: str) -> None:
+    """Finish any interrupted transition.
+
+    * per-batch publish: drop ``seg-*.tmp`` staging orphans (their batch will
+      be replayed from the checkpoint);
+    * compaction: restore ``segments`` from ``segments.old`` if the swap
+      crashed mid-way, else drop the stale aside.
+    """
+    root = _segments_root(corpus_dir)
+    aside = root + ".old"
+    if os.path.exists(aside):
+        if os.path.exists(root):
+            shutil.rmtree(aside)
+        else:
+            os.rename(aside, root)
+    shutil.rmtree(root + ".tmp", ignore_errors=True)
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.endswith(".tmp"):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
 def _load_state(
-    spark: SparkSession, current: str
-) -> tuple[DataFrame | None, DataFrame, DataFrame]:
-    """(docs | None, bands, fps) from the current version; empty-schema
-    frames when no version exists yet (first batch bootstraps the corpus)."""
-    if os.path.exists(os.path.join(current, "_COMMITTED_BATCH")):
-        return (
-            spark.read.parquet(os.path.join(current, "docs")),
-            spark.read.parquet(os.path.join(current, "bands")),
-            spark.read.parquet(os.path.join(current, "fps")),
-        )
+    spark: SparkSession, corpus_dir: str
+) -> tuple[DataFrame, DataFrame] | tuple[None, None]:
+    """(bands, fps) unioned across committed segments; (None, None) when the
+    corpus is empty (first batch bootstraps it)."""
+    segs = _committed_segments(corpus_dir)
+    if not segs:
+        return None, None
     return (
-        None,
-        spark.createDataFrame([], _BANDS_SCHEMA),
-        spark.createDataFrame([], _FPS_SCHEMA),
+        spark.read.parquet(*[os.path.join(s, "bands") for s in segs]),
+        spark.read.parquet(*[os.path.join(s, "fps") for s in segs]),
     )
 
 
@@ -112,54 +176,53 @@ def run_stream_dedup_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     hasher: str = "portable",
+    compact_every: int = 32,
 ) -> None:
     """Drain ``stream_df`` (a documents stream) into a deduplicated corpus.
 
     Blocking convenience wrapper: starts the query, processes everything
     available, stops — call repeatedly with the same ``checkpoint_dir`` to
-    resume (replayed batches are skipped idempotently)."""
-    current = os.path.join(corpus_dir, "current")
-    aside = current + ".old"
-    marker_name = "_COMMITTED_BATCH"
-
-    def _recover() -> None:
-        if os.path.exists(aside):
-            if os.path.exists(current):
-                shutil.rmtree(aside)
-            else:
-                os.rename(aside, current)
+    resume (replayed batches are skipped idempotently).  Every
+    ``compact_every`` committed segments, the segment log is folded into one
+    (amortized O(corpus / compact_every) per batch).
+    """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover()
-        marker = os.path.join(current, marker_name)
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return  # replayed batch — already ingested
-        docs, bands, fps = _load_state(spark, current)
+        _recover(corpus_dir)
+        done = _max_committed_batch(corpus_dir)
+        if done is not None and batch_id <= done:
+            return  # replayed batch — already ingested
+        bands, fps = _load_state(spark, corpus_dir)
+        if bands is None:
+            bands = spark.createDataFrame([], _BANDS_SCHEMA)
+            fps = spark.createDataFrame([], _FPS_SCHEMA)
         survivors = dedup_incremental(
             batch_df, bands, fps, id_col=id_col, text_col=text_col, hasher=hasher
         )
-        new_docs = docs.unionByName(survivors) if docs is not None else survivors
-        new_bands = bands.unionByName(
-            band_buckets(survivors, id_col=id_col, text_col=text_col, hasher=hasher)
+        seg = os.path.join(_segments_root(corpus_dir), f"seg-{batch_id:012d}")
+        tmp = seg + ".tmp"
+        os.makedirs(_segments_root(corpus_dir), exist_ok=True)
+        # Stage the WHOLE segment (marker included), then publish with one
+        # atomic rename: no crash point leaves a half-visible segment, and
+        # previous segments are never touched — the write side is O(batch).
+        # The dedup plan runs ONCE (the docs write); bands/fps derive from the
+        # just-written parquet, so they re-scan O(batch) bytes instead of
+        # re-running the probe joins (and stay correct on executor loss,
+        # unlike a cache/localCheckpoint of the un-materialized plan).
+        survivors.write.parquet(os.path.join(tmp, "docs"))
+        written = spark.read.parquet(os.path.join(tmp, "docs"))
+        band_buckets(written, id_col=id_col, text_col=text_col, hasher=hasher).write.parquet(
+            os.path.join(tmp, "bands")
         )
-        new_fps = fps.unionByName(corpus_fingerprints(survivors, text_col=text_col))
-        tmp = current + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        # Materialize the new version FULLY before any rename; reads above
-        # came from `current`, so writing to tmp never reads-its-own-overwrite.
-        new_docs.write.parquet(os.path.join(tmp, "docs"))
-        new_bands.write.parquet(os.path.join(tmp, "bands"))
-        new_fps.write.parquet(os.path.join(tmp, "fps"))
-        with open(os.path.join(tmp, marker_name), "w") as fh:
+        corpus_fingerprints(written, text_col=text_col).write.parquet(
+            os.path.join(tmp, "fps")
+        )
+        with open(os.path.join(tmp, _MARKER), "w") as fh:
             fh.write(str(batch_id))
-        if os.path.exists(current):
-            os.rename(current, aside)
-        os.rename(tmp, current)
-        if os.path.exists(aside):
-            shutil.rmtree(aside)
+        os.rename(tmp, seg)
+        if compact_every and len(_committed_segments(corpus_dir)) >= compact_every:
+            compact(spark, corpus_dir)
 
     os.makedirs(corpus_dir, exist_ok=True)
     q = (
@@ -174,6 +237,39 @@ def run_stream_dedup_ingest(
         q.stop()
 
 
+def compact(spark: SparkSession, corpus_dir: str) -> None:
+    """Fold all committed segments into one (small-file hygiene: the probe
+    reads N segment directories until compaction folds them).
+
+    Rename-aside swap of the whole ``segments`` log: stage the merged segment
+    under ``segments.tmp``, move the live log aside, publish, drop the aside.
+    ``_recover`` completes the swap from either crash window, so the corpus
+    is never lost and replay detection (max committed batchId, preserved in
+    the merged marker) keeps working.
+    """
+    segs = _committed_segments(corpus_dir)
+    if len(segs) <= 1:
+        return
+    max_id = _max_committed_batch(corpus_dir)
+    root = _segments_root(corpus_dir)
+    staged_root = root + ".tmp"
+    shutil.rmtree(staged_root, ignore_errors=True)
+    merged = os.path.join(staged_root, f"seg-{max_id:012d}")
+    for piece in ("docs", "bands", "fps"):
+        spark.read.parquet(*[os.path.join(s, piece) for s in segs]).write.parquet(
+            os.path.join(merged, piece)
+        )
+    with open(os.path.join(merged, _MARKER), "w") as fh:
+        fh.write(str(max_id))
+    aside = root + ".old"
+    os.rename(root, aside)
+    os.rename(staged_root, root)
+    shutil.rmtree(aside)
+
+
 def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
-    """The current deduplicated corpus."""
-    return spark.read.parquet(os.path.join(corpus_dir, "current", "docs"))
+    """The current deduplicated corpus (union of all committed segments)."""
+    segs = _committed_segments(corpus_dir)
+    if not segs:
+        raise FileNotFoundError(f"no committed corpus segments under {corpus_dir}")
+    return spark.read.parquet(*[os.path.join(s, "docs") for s in segs])

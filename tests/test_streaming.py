@@ -464,11 +464,11 @@ def test_stream_dedup_ingest_builds_deduplicated_corpus(spark, tmp_path):
     assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == [1, 3, 13]
 
 
-def test_stream_dedup_ingest_survives_crash_between_renames(spark, tmp_path, monkeypatch):
-    """Crash the ingest sink in the worst-case window (current moved aside,
-    new version not yet in place) and re-drain from the same checkpoint: the
-    previous corpus version must be recovered and the replayed batch ingested
-    exactly once."""
+def test_stream_dedup_ingest_survives_crash_before_publish(spark, tmp_path, monkeypatch):
+    """Crash the ingest sink before the segment's publish rename and re-drain
+    from the same checkpoint: the staged ``.tmp`` orphan must be discarded,
+    the previous segments untouched, and the replayed batch ingested exactly
+    once."""
     import os as _os
 
     from healthcare_data_pipeline_spark.streaming import ingest as ing
@@ -477,7 +477,6 @@ def test_stream_dedup_ingest_survives_crash_between_renames(spark, tmp_path, mon
     os.makedirs(src)
     schema = "doc_id long, text string"
     corpus, ckpt = str(tmp_path / "crash_corpus"), str(tmp_path / "crash_ingest_ckpt")
-    current = os.path.join(corpus, "current")
 
     def stream():
         return (
@@ -499,8 +498,8 @@ def test_stream_dedup_ingest_survives_crash_between_renames(spark, tmp_path, mon
     real_rename = _os.rename
 
     def crashing_rename(s, d, *a, **kw):
-        if str(s) == current + ".tmp" and str(d) == current:
-            raise RuntimeError("simulated crash between renames")
+        if str(s).endswith(".tmp") and "seg-" in str(d):
+            raise RuntimeError("simulated crash before segment publish")
         return real_rename(s, d, *a, **kw)
 
     monkeypatch.setattr(ing.os, "rename", crashing_rename)
@@ -512,9 +511,128 @@ def test_stream_dedup_ingest_survives_crash_between_renames(spark, tmp_path, mon
     finally:
         monkeypatch.setattr(ing.os, "rename", real_rename)
 
-    assert _os.path.exists(current + ".old") and not _os.path.exists(current)
+    # batch 1's segment survived; batch 2 left only an uncommitted .tmp orphan
+    assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == [1]
     ing.run_stream_dedup_ingest(stream(), corpus, ckpt)
     assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == [1, 2]
+    # recovery cleaned the orphan
+    segroot = os.path.join(corpus, "segments")
+    assert not [n for n in os.listdir(segroot) if n.endswith(".tmp")]
+
+
+def test_compact_survives_crash_between_renames(spark, tmp_path, monkeypatch):
+    """Crash compaction in the worst-case window (live segment log moved
+    aside, merged log not yet in place): _recover must restore the corpus and
+    a later compact() must fold it with nothing lost."""
+    import os as _os
+
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+
+    src = str(tmp_path / "cc_doc_src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    corpus, ckpt = str(tmp_path / "cc_corpus"), str(tmp_path / "cc_ckpt")
+    segroot = os.path.join(corpus, "segments")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    texts = [
+        (1, "alpha document full of words that describe shuffle free aggregation"),
+        (2, "beta document about broadcast joins and adaptive query execution"),
+        (3, "gamma document on bucketing salting and skew mitigation at scale"),
+    ]
+    for i, row in enumerate(texts, 1):
+        spark.createDataFrame([row], schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+        ing.run_stream_dedup_ingest(stream(), corpus, ckpt, compact_every=0)
+    assert len([n for n in os.listdir(segroot) if n.startswith("seg-")]) == 3
+
+    real_rename = _os.rename
+
+    def crashing_rename(s, d, *a, **kw):
+        if str(s).endswith("segments.tmp") and str(d).endswith("segments"):
+            raise RuntimeError("simulated crash mid-compaction")
+        return real_rename(s, d, *a, **kw)
+
+    monkeypatch.setattr(ing.os, "rename", crashing_rename)
+    try:
+        ing.compact(spark, corpus)
+        raise AssertionError("expected the simulated crash to propagate")
+    except Exception as exc:
+        assert "simulated crash" in str(exc)
+    finally:
+        monkeypatch.setattr(ing.os, "rename", real_rename)
+
+    # worst case on disk: segments gone, segments.old holds the corpus
+    assert _os.path.exists(segroot + ".old") and not _os.path.exists(segroot)
+    ing._recover(corpus)
+    assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == [1, 2, 3]
+    ing.compact(spark, corpus)
+    assert len([n for n in os.listdir(segroot) if n.startswith("seg-")]) == 1
+    assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == [1, 2, 3]
+    # replay detection survives compaction: re-drain changes nothing
+    ing.run_stream_dedup_ingest(stream(), corpus, ckpt, compact_every=0)
+    assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == [1, 2, 3]
+
+
+def test_ingest_write_cost_is_o_batch_not_o_corpus(spark, tmp_path):
+    """The r3 scale bug: every micro-batch rewrote the whole corpus + indexes
+    (O(corpus) I/O per batch).  Now a batch writes only its own segment, so
+    bytes-written-per-batch stays ~flat while the corpus grows."""
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+
+    src = str(tmp_path / "flat_doc_src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    corpus, ckpt = str(tmp_path / "flat_corpus"), str(tmp_path / "flat_ckpt")
+    segroot = os.path.join(corpus, "segments")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    def tree_bytes() -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(segroot):
+            total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return total
+
+    rng_words = (
+        "spark shuffle partition broadcast catalyst tungsten codegen adaptive "
+        "skew salt bucket window watermark state checkpoint parquet arrow"
+    ).split()
+    written_per_batch = []
+    n_batches, docs_per_batch = 5, 8
+    for b in range(n_batches):
+        rows = [
+            (
+                b * 100 + i,
+                " ".join(rng_words[(b * 31 + i * 7 + k) % len(rng_words)] for k in range(12))
+                + f" unique marker {b} {i}",
+            )
+            for i in range(docs_per_batch)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{b}")
+        )
+        before = tree_bytes()
+        ing.run_stream_dedup_ingest(stream(), corpus, ckpt, compact_every=0)
+        written_per_batch.append(tree_bytes() - before)
+
+    # corpus grew ~n_batches x, but the last batch's write stayed within noise
+    # of the first (parquet footer overhead dominates at this tiny size)
+    assert written_per_batch[-1] <= 2 * written_per_batch[0], written_per_batch
 
 
 def test_stream_prep_gate_equals_batch(spark):
