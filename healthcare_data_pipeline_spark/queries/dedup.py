@@ -4,16 +4,20 @@ Four families, as first-class queries:
 - exact (hash-groupBy on a normalized fingerprint)      -> dd01 (oracle-checked)
 - n-gram Jaccard near-dup (shingle explode + self-join) -> dd02 (oracle-checked)
 - embedding-cosine near-dup (quantized exact math)      -> dd03 (oracle-checked)
-- MinHash-LSH and SimHash candidates                    -> dd04/dd05 (engine-hash
-  based — xxhash64 seeds are Spark-specific, so these register no SQL oracle and
-  get the driver's rows-only check; their semantics are pytest-verified against
-  plain Jaccard on the same corpus.)
+- MinHash-LSH and SimHash fast paths (xxhash64)         -> dd04/dd05 (hash values
+  are Spark-specific, so the hash-checked contract is INVARIANT SUMMARIES in the
+  q35/q36 style: engine-independent counts plus booleans the oracle asserts —
+  exact-dup pairs collide in all LSH bands / get identical SimHash signatures,
+  bounds hold, signatures are bag-of-tokens functions. Raw pair/signature
+  surfaces remain available via operators.dedup_corpus.minhash_pairs("fast").)
 - portable MinHash-LSH / SimHash                        -> dd06/dd07 (oracle-
   checked: md5-derived hashes + LCG affine permutations / bit-majority votes
   make candidate pairs and signatures bit-identical across engines; dd04/dd05
   stay as the xxhash64 fast paths.)
-- cluster formation (connected components + canonical)  -> dd08 (iterative —
-  rows-only driver check; pytest-verified against a union-find oracle.)
+- cluster formation (connected components + canonical)  -> dd08 (over the
+  PORTABLE dd06 pairs, so the full cluster table is value-hash-verified
+  against a DuckDB recursive-CTE transitive closure; the iterative fixpoint
+  is additionally pytest-verified against a union-find oracle.)
 - the PRODUCTION front door (exact -> LSH pairs ->
   components -> canonical filter)                       -> dd09 (oracle-checked
   end-to-end via a DuckDB recursive-CTE transitive closure; the composed
@@ -189,18 +193,15 @@ N_MINHASH = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 
 
-@query(
-    "dd04_minhash_lsh",
-    oracle=None,  # xxhash64 seeds are engine-specific — rows-only check; semantics pytest-verified vs dd02.
-    tags=("dedup", "EXT", "minhash", "no-oracle"),
-    doc="MinHash+LSH near-dup candidates: 16 xxhash64 permutations over word-3-gram shingles, "
-    "4 bands x 4 rows, band-bucket join. Candidate generation is linear in corpus size — the "
-    "100 TB near-dup path (brute-force dd02 is its correctness oracle in tests).",
-)
-def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fast_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 MinHash+LSH candidate pairs — the raw fast-path stage dd04
+    verifies (identical to ``operators.dedup_corpus.minhash_pairs`` with
+    ``hasher='fast'`` but kept inline so dd04 documents the full plan)."""
     d = table(spark, sf_dir, "documents")
+    # trim before split: leading/trailing whitespace would otherwise inject
+    # empty tokens and break "same normalized text -> same shingles"
     sh = (
-        d.selectExpr("doc_id", "split(lower(text), '\\\\s+') AS toks")
+        d.selectExpr("doc_id", "split(lower(trim(text)), '\\\\s+') AS toks")
         .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
     )
     sig = sh.groupBy("doc_id").agg(
@@ -234,17 +235,88 @@ def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dd05_simhash",
-    oracle=None,  # xxhash64-based bit mixing — rows-only check.
-    tags=("dedup", "EXT", "simhash", "no-oracle"),
-    doc="SimHash document signatures: per-token 64-bit hash, signed bit-majority vote over "
-    "bits 0..62, reassembled to a bigint signature. Near-dups then cluster by low Hamming "
-    "distance; signature computation is one explode + one groupBy (two narrow passes).",
+    "dd04_minhash_lsh",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents
+      WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            - length(replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ', '')) >= 2
+    ),
+    dups AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    )
+    SELECT (SELECT COUNT(*) FROM dups) AS n_exact_dup_pairs,
+           TRUE AS bands_bounded,
+           TRUE AS pairs_ordered,
+           TRUE AS ids_valid,
+           TRUE AS exact_dups_all_bands
+    """,
+    tags=("dedup", "EXT", "minhash", "invariant-oracle"),
+    doc="MinHash+LSH fast path (16 xxhash64 permutations over word-3-gram shingles, 4 bands "
+    "x 4 rows, band-bucket join; candidate generation linear in corpus size — the 100 TB "
+    "near-dup path). xxhash64 is engine-specific, so the hash-checked contract is the "
+    "INVARIANTS of the pair set, q35/q36-style: shared-band counts within [1,4], pairs "
+    "ordered d1<d2 over valid doc ids, and — the deterministic LSH guarantee — every "
+    "exact-duplicate pair (identical normalized text, >= 3 tokens so shingles exist; "
+    "computable in ANY engine) collides in ALL 4 bands. The oracle recomputes the exact-dup "
+    "pair count independently and asserts every boolean holds.",
 )
-def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import normalized_fingerprint
+
+    pairs = _fast_minhash_pairs(spark, sf_dir)
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    # Exact-dup pairs over docs with >= 3 tokens (shingleable), engine-independent.
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = d.select(
+        "doc_id", normalized_fingerprint("text").alias("f")
+    ).filter(F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) >= 2)
+    dups = (
+        fp.alias("a")
+        .join(fp.alias("b"), (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    )
+    doc_ids = d.select(F.col("doc_id").alias("id"))
+    bad_ids = (
+        pairs.select(F.col("d1").alias("id"))
+        .union(pairs.select(F.col("d2").alias("id")))
+        .join(doc_ids, "id", "left_anti")
+    )
+    dup_hits = dups.join(pairs, ["d1", "d2"], "left").select(
+        # per-row coalesce: a dup pair ABSENT from the candidate set must read
+        # as False here (min() would silently skip a null)
+        F.coalesce(F.col("n_shared_bands") == LSH_BANDS, F.lit(False)).alias("all_bands")
+    )
+    checks = pairs.agg(
+        F.min(F.col("n_shared_bands") >= 1).alias("lo"),
+        F.min(F.col("n_shared_bands") <= LSH_BANDS).alias("hi"),
+        F.min(F.col("d1") < F.col("d2")).alias("ordered"),
+    )
+    return (
+        dups.agg(F.count("*").alias("n_exact_dup_pairs"))
+        .crossJoin(checks)  # 1x1 rows
+        .crossJoin(bad_ids.agg(F.count("*").alias("n_bad")))
+        .crossJoin(dup_hits.agg(F.min("all_bands").alias("dup_ok")))
+        .select(
+            "n_exact_dup_pairs",
+            (F.coalesce("lo", F.lit(True)) & F.coalesce("hi", F.lit(True))).alias(
+                "bands_bounded"
+            ),
+            F.coalesce("ordered", F.lit(True)).alias("pairs_ordered"),
+            (F.col("n_bad") == 0).alias("ids_valid"),
+            F.coalesce("dup_ok", F.lit(True)).alias("exact_dups_all_bands"),
+        )
+    )
+
+
+def _fast_simhash(docs: DataFrame, text_expr: F.Column) -> DataFrame:
+    """(doc_id, simhash) — per-token xxhash64, signed bit-majority vote over
+    bits 0..62, reassembled to a non-negative bigint signature.  One explode +
+    one groupBy (two narrow passes)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(text_expr), r"\s+")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     n_bits = 63  # keep the signature non-negative
     votes = toks.groupBy("doc_id").agg(
@@ -260,6 +332,77 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0)
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.alias("simhash"))
+
+
+@query(
+    "dd05_simhash",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents
+    )
+    SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+           (SELECT COUNT(*) FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id)
+             AS n_exact_dup_pairs,
+           TRUE AS sigs_nonnegative,
+           TRUE AS exact_dups_equal_sig,
+           TRUE AS token_order_invariant
+    """,
+    tags=("dedup", "EXT", "simhash", "invariant-oracle"),
+    doc="SimHash fast path (per-token xxhash64, signed bit-majority vote over bits 0..62). "
+    "xxhash64 is engine-specific, so the hash-checked contract is the INVARIANTS of the "
+    "signature function, q35/q36-style: every doc gets a non-negative signature, "
+    "exact-duplicate documents (identical normalized text — computable in ANY engine) get "
+    "IDENTICAL signatures (Hamming distance 0), and the signature is a bag-of-tokens "
+    "function (recomputing over the reversed token sequence changes nothing). The oracle "
+    "recomputes doc/exact-dup-pair counts independently and asserts every boolean holds.",
+)
+def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import normalized_fingerprint
+
+    d = table(spark, sf_dir, "documents")
+    # trim before split (same rationale as dd04): keeps "same normalized
+    # text -> same token bag" exact
+    sigs = _fast_simhash(d, F.trim(F.col("text")))
+    reversed_text = F.array_join(F.reverse(F.split(F.lower(F.trim(F.col("text"))), r"\s+")), " ")
+    sigs_rev = _fast_simhash(d, reversed_text).withColumnRenamed("simhash", "simhash_rev")
+    fp = d.select("doc_id", normalized_fingerprint("text").alias("f"))
+    dup_pairs = (
+        fp.alias("a")
+        .join(fp.alias("b"), (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    )
+    s1 = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("sig1"))
+    s2 = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("sig2"))
+    dup_sig_eq = (
+        dup_pairs.join(s1, "d1", "left")
+        .join(s2, "d2", "left")
+        .select(
+            F.coalesce(F.col("sig1") == F.col("sig2"), F.lit(False)).alias("eq")
+        )
+    )
+    per_doc = sigs.join(sigs_rev, "doc_id").select(
+        (F.col("simhash") >= 0).alias("nonneg"),
+        (F.col("simhash") == F.col("simhash_rev")).alias("order_inv"),
+    )
+    return (
+        d.agg(F.count("*").alias("n_docs"))
+        .crossJoin(dup_pairs.agg(F.count("*").alias("n_exact_dup_pairs")))  # 1x1
+        .crossJoin(
+            per_doc.agg(
+                F.min("nonneg").alias("sigs_nonnegative"),
+                F.min("order_inv").alias("token_order_invariant"),
+            )
+        )
+        .crossJoin(dup_sig_eq.agg(F.min("eq").alias("dup_eq")))
+        .select(
+            "n_docs",
+            "n_exact_dup_pairs",
+            F.coalesce("sigs_nonnegative", F.lit(True)).alias("sigs_nonnegative"),
+            F.coalesce("dup_eq", F.lit(True)).alias("exact_dups_equal_sig"),
+            F.coalesce("token_order_invariant", F.lit(True)).alias("token_order_invariant"),
+        )
+    )
 
 
 def _pmh_pairs_ctes(src: str, p: str = "") -> str:
@@ -713,13 +856,39 @@ def dd12_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dd08_dedup_clusters",
-    oracle=None,  # iterative fixpoint — not single-query SQL; pytest-verified
-    # against a driver-side union-find over the same (portable) dd06 pairs.
-    tags=("dedup", "EXT", "components", "no-oracle"),
+    oracle=f"""
+    WITH RECURSIVE {_pmh_pairs_ctes("documents")},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS vertex, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+    )
+    SELECT component, MIN(vertex) AS canonical_id, COUNT(*) AS cluster_size
+    FROM comp
+    GROUP BY component
+    """,
+    tags=("dedup", "EXT", "components"),
     doc="Near-dup CLUSTER formation: connected components (iterative min-label "
     "propagation, O(diameter) shuffle rounds) over the dd06 portable-LSH candidate "
     "pairs, then one canonical doc per cluster — the transitive-closure step that turns "
-    "pair detection into an actual deduplicated corpus.",
+    "pair detection into an actual deduplicated corpus. The pairs are the PORTABLE "
+    "family, so the full cluster table (component, canonical, size) is value-hash-"
+    "verified against a DuckDB recursive-CTE transitive closure over the same edges — "
+    "the iterative fixpoint and the recursive closure must land on identical clusters.",
 )
 def dd08_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.components import (
