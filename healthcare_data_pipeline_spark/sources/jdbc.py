@@ -7,9 +7,11 @@ partition (no partitionColumn, database.py:91-100) — here parallel reads via
 ``partition_column/num_partitions`` are first-class, and the incremental
 watermark probe (ingest_data.py:56-77) is an engine feature.
 
-No JDBC driver jars ship in this image, so everything here is exercised by
-unit tests up to the options dict; the actual ``.load()``/``.save()`` is a
-thin, untested-by-necessity passthrough.
+No JDBC driver jars ship in this image, so by default everything here is
+exercised by unit tests up to the options dict.  When the environment
+provides a jar + database (``SPARK_GRAFT_JDBC_JAR``/``SPARK_GRAFT_JDBC_URL``),
+``tests/test_jdbc_e2e.py`` runs the real write -> partitioned-read ->
+watermark round-trip through these functions end-to-end.
 """
 
 from __future__ import annotations
