@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT64 micros, not the legacy INT96 default: INT96 timestamp columns
+        # carry NO parquet min/max statistics, so every sorted/partitioned
+        # layout loses row-group skipping on time predicates — the main reason
+        # to sort by time at 100 TB. (TIMESTAMP_NTZ always wrote INT64; this
+        # makes LTZ columns match.)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         # 128 MiB split target: survey §4 notes the reference's own partition
         # sizing guidance (README.md:392-394) — also the right default at scale.

@@ -33,11 +33,20 @@ def test_order_puts_never_verified_first(tmp_path):
     assert order.index(c) < order.index(a)
 
 
-def test_no_oracle_history_counts_only_while_oracle_absent(tmp_path):
-    cat = catalog()
-    names = sorted(cat)
-    oracled = next(n for n in names if cat[n].oracle is not None)
-    unoracled = next(n for n in names if cat[n].oracle is None)
+def test_no_oracle_history_counts_only_while_oracle_absent(tmp_path, monkeypatch):
+    """Every real catalog entry now has an oracle (r4), so the rows-only
+    branch is pinned against a synthetic two-entry catalog: a query that
+    GAINED an oracle since its no_oracle row must rank as never-verified;
+    a genuinely oracle-less one keeps its rows-only credit."""
+    from types import SimpleNamespace
+
+    import healthcare_data_pipeline_spark.queries as queries_mod
+
+    fake = {
+        "a_gained_oracle": SimpleNamespace(oracle="SELECT 1"),
+        "b_still_unoracled": SimpleNamespace(oracle=None),
+    }
+    monkeypatch.setattr(queries_mod, "catalog", lambda: fake)
     rows = {
         n: {
             "rows_match": None,
@@ -46,13 +55,16 @@ def test_no_oracle_history_counts_only_while_oracle_absent(tmp_path):
             "spark_rows": 5,
             "err": "no_oracle",
         }
-        for n in (oracled, unoracled)
+        for n in fake
     }
     _write_history(str(tmp_path), 2, rows)
-    order = entry._catalog_order(names, history_dir=str(tmp_path))
-    # the query that HAS an oracle now must rank as never-verified (front);
-    # the genuinely oracle-less one keeps its rows-only credit (back)
-    assert order.index(oracled) < order.index(unoracled)
+    order = entry._catalog_order(sorted(fake), history_dir=str(tmp_path))
+    assert order.index("a_gained_oracle") < order.index("b_still_unoracled")
+
+
+def test_whole_catalog_is_oracled():
+    """r4 contract: the rows-only set is empty — every entry registers SQL."""
+    assert all(q.oracle is not None for q in catalog().values())
 
 
 def test_crashed_and_hash_failed_rows_sort_first(tmp_path):
