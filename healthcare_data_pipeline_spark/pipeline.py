@@ -51,21 +51,42 @@ class PipelineConfig:
 
 def ingest(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFrame]:
     """Discover and read raw tables (CSV with canonical schema when known,
-    else inference; parquet dirs pass through)."""
+    else inference; parquet dirs pass through).
+
+    Discovery goes through the S7 object-store layer (Hadoop FileSystem), so
+    ``raw_dir`` may be a bare local path OR any URI Spark's connectors
+    resolve (``file://``, ``s3a://``, ...) — the reference's S3-bucket raw
+    zone maps 1:1 (src/common/s3.py:100-192)."""
+    from healthcare_data_pipeline_spark.sources import objectstore
+
     dfs: dict[str, DataFrame] = {}
-    for name, path in files.discover_csv_tables(cfg.raw_dir).items():
-        schema = DOMAIN_SCHEMAS.get(name) if cfg.use_canonical_schemas else None
-        dfs[name] = files.read_csv(spark, path, schema=schema)
-    if os.path.isdir(cfg.raw_dir):
-        for entry in sorted(os.listdir(cfg.raw_dir)):
-            p = os.path.join(cfg.raw_dir, entry)
-            name = entry[: -len(".parquet")] if entry.endswith(".parquet") else entry
-            if name in dfs:
-                continue
-            if entry.endswith(".parquet") or (
-                os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
-            ):
-                dfs[name] = spark.read.parquet(p)
+    if "://" not in cfg.raw_dir:
+        # local path: CSV discovery walks the filesystem directly
+        for name, path in files.discover_csv_tables(cfg.raw_dir).items():
+            schema = DOMAIN_SCHEMAS.get(name) if cfg.use_canonical_schemas else None
+            dfs[name] = files.read_csv(spark, path, schema=schema)
+    else:
+        for path in objectstore.list_objects(spark, cfg.raw_dir, suffix=".csv"):
+            parent, fname = path.rsplit("/", 2)[-2:]
+            name = parent if parent != cfg.raw_dir.rstrip("/").rsplit("/", 1)[-1] else fname[:-4]
+            if name not in dfs:
+                schema = DOMAIN_SCHEMAS.get(name) if cfg.use_canonical_schemas else None
+                dfs[name] = files.read_csv(spark, path, schema=schema)
+    # parquet tables: an entry is either a single `<name>.parquet` file or a
+    # directory of part-files
+    seen_dirs = objectstore.list_subdirs(spark, cfg.raw_dir)
+    seen_files = objectstore.list_objects(
+        spark, cfg.raw_dir, suffix=".parquet", recursive=False
+    )
+    for p in sorted(seen_dirs + seen_files):
+        entry = p.rstrip("/").rsplit("/", 1)[-1]
+        name = entry[: -len(".parquet")] if entry.endswith(".parquet") else entry
+        if name in dfs:
+            continue
+        if entry.endswith(".parquet") or objectstore.list_objects(
+            spark, p, suffix=".parquet", recursive=False
+        ):
+            dfs[name] = spark.read.parquet(p)
     return dfs
 
 
