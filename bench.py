@@ -39,6 +39,14 @@ def main() -> None:
 
     cat = catalog()
     names = [n for n in HEADLINE if n in cat]
+    # Test hook: fault-isolation coverage needs a deterministically broken
+    # query (tests/test_bench_harness.py) without corrupting real data.
+    sabotage = os.environ.get("SPARK_GRAFT_BENCH_SABOTAGE")
+
+    def build(name):
+        if name == sabotage:
+            raise RuntimeError(f"sabotaged for fault-isolation test: {name}")
+        return cat[name].fn(spark, sf_dir)
 
     # Warmup: trigger JVM + codegen + shuffle + noop-writer init so fixed
     # startup costs don't land on the first timed query.
@@ -48,33 +56,50 @@ def main() -> None:
     # Untimed warm pass: each plan compiles its whole-stage-codegen sources and
     # caches parquet footers once, so the timed pass below measures steady-state
     # execution (what a long-lived cluster session sees), not first-run JIT.
+    # Fault-isolated per query: one broken query must cost ITS number, never
+    # the whole bench (the round-3 lesson — a single AnalysisException in this
+    # loop published no numbers at all).
+    errors: dict[str, str] = {}
     for name in names:
-        cat[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            build(name).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: WARMUP FAILED — {errors[name]}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0
     for name in names:
+        if name in errors:
+            continue
         t0 = time.perf_counter()
-        df = cat[name].fn(spark, sf_dir)
-        # Force full execution without driver-side materialization cost.
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            # Force full execution without driver-side materialization cost.
+            build(name).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED — {errors[name]}", file=sys.stderr)
+            continue
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    # Partial results still print above; the exit code says whether the set
+    # was complete.
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,48 @@
+"""bench.py contract: one JSON line, and fault isolation per query (a single
+broken query may not take the whole bench down — the round-3 failure mode)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from .conftest import SF_DIR
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_bench(extra_env: dict[str, str]) -> tuple[subprocess.CompletedProcess, dict]:
+    env = {**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR, **extra_env}
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert len(json_lines) == 1, proc.stdout + proc.stderr[-2000:]
+    return proc, json.loads(json_lines[0])
+
+
+def test_bench_emits_complete_json():
+    proc, out = _run_bench({})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out["metric"] == "headline_queries_wall_clock"
+    assert out["unit"] == "sec" and out["value"] > 0
+    assert len(out["queries"]) == 10 and "errors" not in out
+    assert abs(sum(out["queries"].values()) - out["value"]) < 0.01
+
+
+def test_bench_survives_one_broken_query():
+    """Sabotage one headline query via a bad SF dir override hook — the bench
+    must still publish numbers for the other nine, list the error, and exit
+    nonzero."""
+    proc, out = _run_bench({"SPARK_GRAFT_BENCH_SABOTAGE": "q26_sessionize"})
+    assert proc.returncode == 1
+    assert "q26_sessionize" in out.get("errors", {}), out
+    assert len(out["queries"]) == 9 and "q26_sessionize" not in out["queries"]
+    assert out["value"] > 0
