@@ -247,17 +247,55 @@ def dedup_incremental(
     Returns the surviving new documents; append them — plus their
     band_buckets/corpus_fingerprints rows — to the stored indexes for the
     next batch.  This is the daily-ingest shape at 100 TB: the corpus is
-    only ever READ via its two compact indexes.
+    only ever READ via its two compact indexes, and — join-direction matters —
+    never SHUFFLED: a semi/anti join with the batch on the left would force
+    the corpus-sized right side through an exchange (semi joins broadcast
+    only their right side).  Instead each probe streams the corpus index
+    through a broadcast-hash join against the batch's (tiny) key set, then
+    anti-joins the small hit set back into the batch; every exchange in the
+    plan is batch-sized.
     """
     stamped = new_docs.withColumn("__fp", normalized_fingerprint(text_col))
     no_exact = stamped.join(
-        corpus_fps.select(F.col("fingerprint").alias("__fp")), "__fp", "left_anti"
+        F.broadcast(probe_fingerprint_index(stamped, corpus_fps)), "__fp", "left_anti"
     )
     nb = band_buckets(no_exact, id_col=id_col, text_col=text_col, hasher=hasher)
     near_hits = (
-        nb.join(corpus_bands.select("band", "bucket"), ["band", "bucket"], "left_semi")
+        nb.join(
+            F.broadcast(probe_band_index(nb, corpus_bands)), ["band", "bucket"], "left_semi"
+        )
         .select(F.col("doc_id").alias(id_col))
         .distinct()
     )
     remainder = no_exact.join(near_hits, id_col, "left_anti").drop("__fp")
     return dedup_corpus(remainder, id_col=id_col, text_col=text_col, hasher=hasher)
+
+
+def probe_fingerprint_index(stamped: DataFrame, corpus_fps: DataFrame) -> DataFrame:
+    """Corpus fingerprints that collide with the batch (``__fp`` rows).
+
+    Join direction is the scale contract: the corpus index is the STREAMED
+    side of a broadcast-hash semi-join against the batch's distinct key set —
+    the corpus is scanned but never shuffled.  The result is at most
+    batch-sized, so the caller can broadcast it straight into an anti-join.
+    """
+    return corpus_fps.join(
+        F.broadcast(stamped.select(F.col("__fp").alias("fingerprint")).distinct()),
+        "fingerprint",
+        "left_semi",
+    ).select(F.col("fingerprint").alias("__fp"))
+
+
+def probe_band_index(batch_bands: DataFrame, corpus_bands: DataFrame) -> DataFrame:
+    """Corpus (band, bucket) keys that collide with the batch's LSH bands —
+    same streamed-corpus broadcast-probe shape as the fingerprint probe; the
+    result is bounded by the batch's band count."""
+    return (
+        corpus_bands.join(
+            F.broadcast(batch_bands.select("band", "bucket").distinct()),
+            ["band", "bucket"],
+            "left_semi",
+        )
+        .select("band", "bucket")
+        .distinct()
+    )

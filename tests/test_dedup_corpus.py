@@ -193,6 +193,40 @@ def test_dedup_incremental_drops_corpus_hits_and_batch_dups(spark):
     assert 19 in survivors
 
 
+def test_incremental_probes_never_shuffle_the_corpus_index(spark, tmp_path):
+    """The 100 TB contract of dedup_incremental: both index probes stream the
+    corpus side of a broadcast-hash join against the batch's key set — a
+    semi/anti join written batch-on-the-left would instead shuffle the
+    corpus-sized index every micro-batch."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        band_buckets,
+        corpus_fingerprints,
+        normalized_fingerprint,
+        probe_band_index,
+        probe_fingerprint_index,
+    )
+
+    d = table(spark, SF_DIR, "documents")
+    corpus, batch = d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1")
+    band_buckets(corpus).write.parquet(str(tmp_path / "bands"))
+    corpus_fingerprints(corpus).write.parquet(str(tmp_path / "fps"))
+    bands = spark.read.parquet(str(tmp_path / "bands"))
+    fps = spark.read.parquet(str(tmp_path / "fps"))
+
+    stamped = batch.withColumn("__fp", normalized_fingerprint("text"))
+    for probe in (
+        probe_fingerprint_index(stamped, fps),
+        probe_band_index(band_buckets(batch), bands),
+    ):
+        plan = simple_plan(probe)
+        assert plan.count("BroadcastHashJoin") == 1, plan
+        assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+        # the corpus scan feeds the join directly: the only Exchange in the
+        # probe is the broadcast of the batch key set
+        semi_to_bcast = plan.split("LeftSemi")[1].split("BroadcastExchange")[0]
+        assert "Exchange" not in semi_to_bcast, plan
+
+
 def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     """nprobe=2 must recover at least the recall of nprobe=1 (probing a
     superset of cells can only add candidates), and every multiprobe result
