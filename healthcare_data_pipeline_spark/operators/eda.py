@@ -5,9 +5,10 @@ The reference samples 10k rows to pandas and renders matplotlib PNGs into a
 self-contained HTML file.  Here the heavy lifting (histograms, categorical
 top-k, missing-value counts) runs as Spark aggregations over the FULL table —
 no 10k sampling cap on the statistics — and only the tiny aggregate results
-come to the driver, where they render as inline SVG (no plotting libraries
-needed).  A bounded row sample is still included for eyeballing, like the
-reference's 10-row preview.
+come to the driver, where they render as embedded base64 PNG (the
+reference's artifact format, via the stdlib-only encoder in operators.png)
+or inline SVG — no plotting libraries needed.  A bounded row sample is
+still included for eyeballing, like the reference's 10-row preview.
 
 At 100 TB this is the only shape that works: per-table stats are one
 aggregation job each, the driver handles kilobytes.
@@ -74,9 +75,34 @@ def eda_summary(df: DataFrame, name: str, top_k: int = 10, bins: int = 20) -> di
     }
 
 
-def render_eda_html(summaries: list[dict[str, Any]]) -> str:
-    """Self-contained HTML (inline SVG charts), one section per table —
-    same artifact contract as the reference's eda_report.html."""
+def _png_bars(pairs: list[tuple[str, float]], width: int = 300, bar_h: int = 18) -> str:
+    """Bar chart as an embedded base64-PNG ``<img>`` (the reference's chart
+    artifact format, eda.py:46-117) with labels/values as adjacent HTML text
+    — the raster stays font-free, the text stays selectable."""
+    from healthcare_data_pipeline_spark.operators.png import bar_chart_data_uri
+
+    if not pairs:
+        return "<em>no data</em>"
+    gap = 4
+    uri = bar_chart_data_uri([v for _, v in pairs], width=width, bar_h=bar_h - gap, gap=gap)
+    row_style = f"height:{bar_h}px;font-size:11px;line-height:{bar_h}px"
+    labels = "".join(
+        f'<div style="{row_style}">{html.escape(str(label)[:24])}</div>' for label, _ in pairs
+    )
+    values = "".join(f'<div style="{row_style}">{v:g}</div>' for _, v in pairs)
+    return (
+        '<div style="display:flex;gap:8px;align-items:flex-start">'
+        f'<div style="width:150px;text-align:right">{labels}</div>'
+        f'<img src="{uri}" width="{width}" height="{len(pairs) * bar_h}" alt="bar chart"/>'
+        f"<div>{values}</div></div>"
+    )
+
+
+def render_eda_html(summaries: list[dict[str, Any]], chart: str = "png") -> str:
+    """Self-contained HTML, one section per table — same artifact contract as
+    the reference's eda_report.html.  ``chart``: "png" embeds base64-PNG
+    rasters (reference parity, matplotlib-free); "svg" uses inline SVG."""
+    bars = _png_bars if chart == "png" else _svg_bars
     parts = [
         "<!doctype html><html><head><meta charset='utf-8'><title>EDA report</title>",
         "<style>body{font-family:sans-serif;margin:24px} table{border-collapse:collapse}",
@@ -94,9 +120,9 @@ def render_eda_html(summaries: list[dict[str, Any]]) -> str:
             )
         parts.append("</table>")
         for col, pairs in s["histograms"].items():
-            parts.append(f"<h3>Histogram: {html.escape(col)}</h3>" + _svg_bars(pairs))
+            parts.append(f"<h3>Histogram: {html.escape(col)}</h3>" + bars(pairs))
         for col, pairs in s["top_values"].items():
-            parts.append(f"<h3>Top values: {html.escape(col)}</h3>" + _svg_bars(pairs))
+            parts.append(f"<h3>Top values: {html.escape(col)}</h3>" + bars(pairs))
         if s["sample"]:
             cols = list(s["sample"][0])
             parts.append("<h3>Sample</h3><table><tr>" +

@@ -23,7 +23,8 @@ def test_eda_report_artifacts(spark, tmp_path):
     }
     html_path, json_path = generate_eda_report(dfs, str(tmp_path))
     html = open(html_path).read()
-    assert "<svg" in html and "nation" in html and "orders" in html
+    # charts embed as base64 PNG (reference parity — eda.py:46-117)
+    assert "data:image/png;base64," in html and "nation" in html and "orders" in html
     # interactive variant (plotly.js CDN, data inlined — reference eda.py:311-312)
     interactive = open(os.path.join(str(tmp_path), "eda_interactive.html")).read()
     assert "cdn.plot.ly" in interactive and "Plotly.newPlot" in interactive
