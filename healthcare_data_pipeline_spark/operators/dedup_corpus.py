@@ -56,6 +56,13 @@ def _pmh_const(k: int, lo: int, hi: int) -> int:
 PMH_A = [_pmh_const(1000 + j, 1, 1_000_000) * 2 + 1 for j in range(PMH_N)]
 PMH_B = [_pmh_const(2000 + j, 0, PMH_PRIME) for j in range(PMH_N)]
 
+# The "fast" hasher's permutation family: affine transforms of ONE xxhash64
+# per shingle (distinct seed range so fast and portable schemes never share
+# buckets).  One string hash + N multiply-add-mods per shingle beats N string
+# hashes — the standard MinHash construction.
+FAST_A = [_pmh_const(3000 + j, 1, 1_000_000) * 2 + 1 for j in range(PMH_N)]
+FAST_B = [_pmh_const(4000 + j, 0, PMH_PRIME) for j in range(PMH_N)]
+
 # Word-3-gram shingles from a ``toks`` array column.  The size guard matters:
 # Spark's sequence(1, 0) is DESCENDING [1, 0] (not empty like SQL
 # generate_series), so without it any document under 3 tokens crashes
@@ -135,15 +142,18 @@ def band_buckets(
     )
     if hasher == "portable":
         h32 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
-        mins = [
-            F.min(
-                (F.lit(PMH_A[j]).cast("long") * F.col("h32") + F.lit(PMH_B[j])) % PMH_PRIME
-            ).alias(f"mh{j}")
-            for j in range(PMH_N)
-        ]
-        sh = sh.withColumn("h32", h32)
+        a_consts, b_consts = PMH_A, PMH_B
     else:
-        mins = [F.min(F.xxhash64(F.lit(j), F.col("s"))).alias(f"mh{j}") for j in range(PMH_N)]
+        # pmod clamps the engine hash to 31 bits so a*h+b stays < 2^52
+        h32 = F.pmod(F.xxhash64(F.col("s")), F.lit(2147483648))
+        a_consts, b_consts = FAST_A, FAST_B
+    mins = [
+        F.min(
+            (F.lit(a_consts[j]).cast("long") * F.col("h32") + F.lit(b_consts[j])) % PMH_PRIME
+        ).alias(f"mh{j}")
+        for j in range(PMH_N)
+    ]
+    sh = sh.withColumn("h32", h32)
     sig = sh.groupBy("doc_id").agg(*mins)
 
     def bucket(bi: int) -> F.Column:

@@ -192,6 +192,15 @@ def dd03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_MINHASH = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 
+# Fast-path MinHash permutation family: affine transforms of ONE xxhash64 per
+# shingle (engine-specific because xxhash64 is; distinct LCG seed range from
+# the portable PMH_A/PMH_B family so the two schemes never collide).
+from healthcare_data_pipeline_spark.operators.dedup_corpus import _pmh_const
+
+FMH_PRIME = 2147483647
+FMH_A = [_pmh_const(3000 + j, 1, 1_000_000) * 2 + 1 for j in range(N_MINHASH)]
+FMH_B = [_pmh_const(4000 + j, 0, FMH_PRIME) for j in range(N_MINHASH)]
+
 
 def _fast_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xxhash64 MinHash+LSH candidate pairs — the raw fast-path stage dd04
@@ -204,8 +213,18 @@ def _fast_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.selectExpr("doc_id", "split(lower(trim(text)), '\\\\s+') AS toks")
         .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
     )
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}") for i in range(N_MINHASH)]
+    # Standard MinHash construction: hash each shingle ONCE (xxhash64, the
+    # engine-fast path), then drive all N permutations as affine transforms of
+    # that one value — 1 string hash + N multiply-add-mods per shingle instead
+    # of N string hashes.  pmod clamps to 31 bits so a*h+b stays < 2^52.
+    h = F.pmod(F.xxhash64(F.col("s")), F.lit(2147483648)).alias("h")
+    sig = sh.select("doc_id", h).groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(FMH_A[i]).cast("long") * F.col("h") + F.lit(FMH_B[i])) % FMH_PRIME
+            ).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
     )
     rows_per_band = N_MINHASH // LSH_BANDS
     bands = sig.select(
@@ -276,38 +295,50 @@ def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = (
         fp.alias("a")
         .join(fp.alias("b"), (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-    )
-    doc_ids = d.select(F.col("doc_id").alias("id"))
-    bad_ids = (
-        pairs.select(F.col("d1").alias("id"))
-        .union(pairs.select(F.col("d2").alias("id")))
-        .join(doc_ids, "id", "left_anti")
-    )
-    dup_hits = dups.join(pairs, ["d1", "d2"], "left").select(
-        # per-row coalesce: a dup pair ABSENT from the candidate set must read
-        # as False here (min() would silently skip a null)
-        F.coalesce(F.col("n_shared_bands") == LSH_BANDS, F.lit(False)).alias("all_bands")
-    )
-    checks = pairs.agg(
-        F.min(F.col("n_shared_bands") >= 1).alias("lo"),
-        F.min(F.col("n_shared_bands") <= LSH_BANDS).alias("hi"),
-        F.min(F.col("d1") < F.col("d2")).alias("ordered"),
-    )
-    return (
-        dups.agg(F.count("*").alias("n_exact_dup_pairs"))
-        .crossJoin(checks)  # 1x1 rows
-        .crossJoin(bad_ids.agg(F.count("*").alias("n_bad")))
-        .crossJoin(dup_hits.agg(F.min("all_bands").alias("dup_ok")))
         .select(
-            "n_exact_dup_pairs",
-            (F.coalesce("lo", F.lit(True)) & F.coalesce("hi", F.lit(True))).alias(
-                "bands_bounded"
-            ),
-            F.coalesce("ordered", F.lit(True)).alias("pairs_ordered"),
-            (F.col("n_bad") == 0).alias("ids_valid"),
-            F.coalesce("dup_ok", F.lit(True)).alias("exact_dups_all_bands"),
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), F.lit(True).alias("__dup")
         )
+    )
+    # ONE pass over the expensive signature/banding subtree: full-outer-merge
+    # the candidate pairs with the expected exact-dup pairs, flag id validity
+    # with pair-level lookups (AQE broadcasts the id side while small), then
+    # fold every invariant in a single aggregate.
+    doc_ids = d.select(F.col("doc_id").alias("id"), F.lit(True).alias("__known"))
+    annotated = (
+        pairs.join(dups, ["d1", "d2"], "full_outer")
+        .join(doc_ids.select(F.col("id").alias("d1"), F.col("__known").alias("__k1")), "d1", "left")
+        .join(doc_ids.select(F.col("id").alias("d2"), F.col("__known").alias("__k2")), "d2", "left")
+    )
+    agg = annotated.agg(
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0)).alias("n_exact_dup_pairs"),
+        F.min(
+            F.coalesce(F.col("n_shared_bands").between(1, LSH_BANDS), F.lit(True))
+        ).alias("bands_bounded"),
+        F.min(F.coalesce(F.col("d1") < F.col("d2"), F.lit(True))).alias("pairs_ordered"),
+        F.min(
+            # dup-only rows (no candidate) have null __k flags too; a
+            # candidate pair over unknown ids must flag False
+            F.when(
+                F.col("n_shared_bands").isNotNull(),
+                F.coalesce(F.col("__k1") & F.col("__k2"), F.lit(False)),
+            ).otherwise(F.lit(True))
+        ).alias("ids_valid"),
+        F.min(
+            # an expected dup pair ABSENT from the candidates must read False
+            # (min() would silently skip a bare null)
+            F.when(
+                F.col("__dup"),
+                F.coalesce(F.col("n_shared_bands") == LSH_BANDS, F.lit(False)),
+            ).otherwise(F.lit(True))
+        ).alias("exact_dups_all_bands"),
+    )
+    # degenerate empty-corpus guard: aggregates over zero rows yield nulls
+    return agg.select(
+        F.coalesce("n_exact_dup_pairs", F.lit(0).cast("long")).alias("n_exact_dup_pairs"),
+        *[
+            F.coalesce(c, F.lit(True)).alias(c)
+            for c in ("bands_bounded", "pairs_ordered", "ids_valid", "exact_dups_all_bands")
+        ],
     )
 
 
