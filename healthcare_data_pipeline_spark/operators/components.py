@@ -23,6 +23,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Reliable ``checkpoint`` when the SparkContext has a checkpoint dir
+    (cluster mode: survives executor loss), ``localCheckpoint`` otherwise."""
+    try:
+        has_dir = df.sparkSession.sparkContext.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 20
 ) -> DataFrame:
@@ -44,9 +54,11 @@ def connected_components(
         if it > 0 and it % 5 == 0:
             # Truncate lineage: each iteration's plan nests the previous one,
             # so planning time (and recovery cost after executor loss) grows
-            # without bound on high-diameter graphs. localCheckpoint
-            # materializes the current labels and cuts the chain.
-            labels = labels.localCheckpoint(eager=True)
+            # without bound on high-diameter graphs.  A RELIABLE checkpoint
+            # (when the session has a checkpoint dir) survives executor loss —
+            # the right choice on a real cluster; localCheckpoint is the
+            # fallback for sessions that never configured one.
+            labels = _truncate_lineage(labels)
         neighbor_min = (
             sym.join(labels, sym.b == labels.v)
             .groupBy("a")

@@ -132,6 +132,26 @@ def test_connected_components_matches_union_find(spark):
     assert canon[20] == (20, 2)
 
 
+def test_components_use_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """With a checkpoint dir configured (cluster mode), lineage truncation
+    must take the RELIABLE checkpoint branch (survives executor loss) and a
+    high-diameter chain must still converge; without one, localCheckpoint."""
+    from healthcare_data_pipeline_spark.operators.components import connected_components
+
+    sc = spark.sparkContext
+    # a 13-node chain needs >5 iterations -> crosses the truncation point
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], "d1 long, d2 long")
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        comp = connected_components(edges, max_iter=30)
+        assert comp.count() == 13
+        assert {r.component for r in comp.collect()} == {0}
+        # the reliable branch actually wrote checkpoint state
+        assert any((tmp_path / "ckpt").rglob("*")), "no reliable checkpoint written"
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)  # noqa: SLF001 — restore session state
+
+
 def test_dedup_clusters_query_runs(spark):
     from healthcare_data_pipeline_spark.queries import catalog
 
