@@ -63,13 +63,77 @@ def decontaminate(
             .join(F.broadcast(ev), "__fp", "left_anti")
             .drop("__fp")
         )
+    contaminated = contaminated_ids(
+        train, eval_df, mode=mode, n=n, id_col=id_col, text_col=text_col
+    )
+    return train.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    mode: str = "ngram",
+    n: int = DEFAULT_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ids of training docs colliding with the eval set — the small set both
+    ``decontaminate`` (anti-join) and ``contamination_report`` (flag join)
+    broadcast; bounded by the actual overlap, not by corpus size."""
+    if mode == "exact":
+        ev = eval_df.select(normalized_fingerprint(text_col).alias("__fp")).distinct()
+        return (
+            train.withColumn("__fp", normalized_fingerprint(text_col))
+            .join(F.broadcast(ev), "__fp", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
     if mode != "ngram":
         raise ValueError(f"unknown decontaminate mode {mode!r}: expected 'exact' or 'ngram'")
     ev = _exploded_ngrams(eval_df, n, id_col, text_col).select("g").distinct()
-    contaminated = (
+    return (
         _exploded_ngrams(train, n, id_col, text_col)
         .join(F.broadcast(ev), "g", "left_semi")
         .select(id_col)
         .distinct()
     )
-    return train.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    mode: str = "ngram",
+    n: int = DEFAULT_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-``group_col`` contamination statistics — the DIAGNOSTIC twin of
+    ``decontaminate``: instead of dropping overlapping training docs, report
+    how many each slice has (curation decisions need the rate before anyone
+    deletes data).  Columns: group, n_docs, n_contaminated, contamination_rate.
+
+    Same scale shape as decontaminate: the eval side is exploded/broadcast,
+    the train side is never shuffled — the contaminated-id set (bounded by
+    train doc count but in practice benchmark-overlap-sized) broadcasts back
+    for the flag join, and the group aggregation combines map-side.
+    """
+    bad = contaminated_ids(
+        train, eval_df, mode=mode, n=n, id_col=id_col, text_col=text_col
+    ).withColumn("__bad", F.lit(True))
+    return (
+        train.join(F.broadcast(bad), id_col, "left")
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("__bad"), 1).otherwise(0)).alias("n_contaminated"),
+        )
+        .select(
+            "group",
+            "n_docs",
+            "n_contaminated",
+            (F.col("n_contaminated").cast("double") / F.col("n_docs")).alias(
+                "contamination_rate"
+            ),
+        )
+    )

@@ -227,6 +227,34 @@ def dedup_corpus(
     return kept.join(removed, id_col, "left_anti")
 
 
+def dup_rate_report(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-``group_col`` exact-duplicate statistics — the curation diagnostic
+    that runs BEFORE anyone dedups: columns (group, n_docs, n_exact_dups,
+    dup_rate), where n_exact_dups counts the docs a fingerprint dedup would
+    drop (docs minus distinct fingerprints).
+
+    One hash-aggregate pass: count + exact count-distinct per group — a
+    two-level aggregation Spark combines map-side; nothing corpus-sized
+    crosses the shuffle beyond (group, fingerprint) partials.
+    """
+    return (
+        docs.select(F.col(group_col).alias("group"), normalized_fingerprint(text_col).alias("__fp"))
+        .groupBy("group")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.count("*") - F.countDistinct("__fp")).alias("n_exact_dups"),
+        )
+        .select(
+            "group",
+            "n_docs",
+            "n_exact_dups",
+            (F.col("n_exact_dups").cast("double") / F.col("n_docs")).alias("dup_rate"),
+        )
+    )
+
+
 def corpus_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The persistable exact-dedup index: distinct normalized fingerprints —
     the second piece of incremental-dedup state alongside ``band_buckets``."""

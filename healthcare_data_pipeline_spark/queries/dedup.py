@@ -869,6 +869,82 @@ def dd13_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd14_dup_rate_report",
+    oracle="""
+    SELECT source AS "group",
+           COUNT(*) AS n_docs,
+           COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+             AS n_exact_dups,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+                AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("dedup", "EXT", "report"),
+    doc="Per-source exact-duplicate rate (operators.dedup_corpus.dup_rate_report): the "
+    "curation diagnostic run BEFORE dedup — which slices of the corpus are worth "
+    "deduplicating, and how much a fingerprint pass would drop. One two-level hash "
+    "aggregate (count + exact count-distinct per group), map-side combined.",
+)
+def dd14_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import dup_rate_report
+
+    return dup_rate_report(table(spark, sf_dir, "documents"))
+
+
+def _contamination_report_oracle_sql() -> str:
+    """t17 oracle: dd13's 3-gram collision rule re-aggregated as per-source
+    counts/rates instead of the anti-joined survivor rows."""
+    g3 = (
+        "unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    )
+    return f"""
+    WITH tr AS (
+      SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents WHERE source <> 'src0'
+    ),
+    ev AS (
+      SELECT DISTINCT {g3} AS g
+      FROM (SELECT string_split_regex(lower(text), '\\s+') AS toks
+            FROM documents WHERE source = 'src0')
+    ),
+    bad AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, {g3} AS g FROM tr) t
+      JOIN ev USING (g)
+    )
+    SELECT tr.source AS "group",
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS contamination_rate
+    FROM tr LEFT JOIN bad ON tr.doc_id = bad.doc_id
+    GROUP BY tr.source
+    """
+
+
+@query(
+    "t17_contamination_report",
+    oracle=_contamination_report_oracle_sql(),
+    tags=("decontamination", "EXT", "report"),
+    doc="Per-source benchmark-contamination rate (operators.decontaminate."
+    "contamination_report): dd13's overlap rule (shared word 3-grams with the held-out "
+    "src0 eval slice) reported as counts/rates per slice instead of dropped rows — the "
+    "number a curation decision needs before deleting anything. Same scale shape as "
+    "decontamination: eval n-grams broadcast, train never shuffled, contaminated-id set "
+    "(overlap-sized) broadcast for the flag join, group agg map-side.",
+)
+def t17_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.decontaminate import contamination_report
+
+    d = table(spark, sf_dir, "documents")
+    return contamination_report(
+        d.filter(F.col("source") != "src0"), d.filter(F.col("source") == "src0"), n=3
+    )
+
+
+@query(
     "dd12_prep_corpus",
     oracle=_prep_corpus_oracle_sql(),
     tags=("dedup", "EXT", "quality", "front-door"),
