@@ -61,3 +61,25 @@ def test_train_side_never_shuffles(spark):
     n_train = d.filter(F.col("source") != "src0").count()
     n_out = out.count()
     assert 0 < n_out < n_train
+
+
+def test_contamination_report_counts_and_plan(spark):
+    """The report's rates must reconcile with decontaminate's drop counts,
+    and its joins stay broadcast-side like the operator it diagnoses."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.decontaminate import contamination_report
+    from healthcare_data_pipeline_spark.plans import simple_plan
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    train = d.filter(F.col("source") != "src0")
+    ev = d.filter(F.col("source") == "src0")
+    rep = contamination_report(train, ev, n=3)
+    plan = simple_plan(rep)
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    rows = {r.group: r for r in rep.collect()}
+    assert sum(r.n_docs for r in rows.values()) == train.count()
+    n_dropped = train.count() - decontaminate(train, ev, n=3).count()
+    assert sum(r.n_contaminated for r in rows.values()) == n_dropped
+    for r in rows.values():
+        assert abs(r.contamination_rate - r.n_contaminated / r.n_docs) < 1e-12
