@@ -128,14 +128,26 @@ def run(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
     manifest["stages"]["anonymize"] = {"mapped_columns": sorted(mapping)}
     log(f"anonymize: {len(mapping)} mapped columns")
 
-    # Cleanse -> partitioned parquet.
+    # Cleanse -> partitioned parquet.  Row metrics ride the write action via
+    # the Observation API — zero extra scans (a separate count() would re-read
+    # every table; at 100 TB that doubles the stage).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     cleansed: dict[str, DataFrame] = {}
+    cleanse_rows: dict[str, int] = {}
     for name in sorted(dfs):
         cdf = cleanse.cleanse_table(dfs[name], name, cfg.ingestion_date)
+        obs = Observation(f"cleanse_{name}")
+        cdf = cdf.observe(obs, F.count(F.lit(1)).alias("rows"))
         cleanse.write_zone(cdf, os.path.join(cfg.cleansed_dir, name))
+        cleanse_rows[name] = obs.get["rows"]
         cleansed[name] = spark.read.parquet(os.path.join(cfg.cleansed_dir, name))
-    manifest["stages"]["cleanse"] = {"dir": cfg.cleansed_dir}
-    log(f"cleanse: {len(cleansed)} tables -> {cfg.cleansed_dir}")
+    manifest["stages"]["cleanse"] = {"dir": cfg.cleansed_dir, "rows": cleanse_rows}
+    log(
+        f"cleanse: {len(cleansed)} tables -> {cfg.cleansed_dir} "
+        f"({sum(cleanse_rows.values())} rows)"
+    )
 
     # Profile (single-pass per table) + EDA report (full-table aggregates,
     # inline-SVG HTML — runnerfile.py:508 / eda.py:205-322 parity).

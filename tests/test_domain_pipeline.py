@@ -31,7 +31,7 @@ def pipeline_out(spark, tmp_path_factory):
     return base, cfg, manifest, con
 
 
-def test_zones_written(pipeline_out):
+def test_zones_written(spark, pipeline_out):
     base, cfg, manifest, _ = pipeline_out
     # cleansed zone is year=/month=/day= partitioned (S6)
     parts = glob.glob(os.path.join(cfg.cleansed_dir, "prescriber", "year=*", "month=*", "day=*"))
@@ -40,6 +40,13 @@ def test_zones_written(pipeline_out):
         "drug_report",
         "prescriber_report",
     ]
+    # cleanse row metrics ride the write action (Observation API — no second
+    # scan) and must equal what actually landed in the zone
+    rows = manifest["stages"]["cleanse"]["rows"]
+    assert set(rows) == set(manifest["tables"])
+    for name, n in rows.items():
+        landed = spark.read.parquet(os.path.join(cfg.cleansed_dir, name)).count()
+        assert n == landed, (name, n, landed)
 
 
 def test_drug_report_matches_oracle(spark, pipeline_out):
