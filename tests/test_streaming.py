@@ -416,6 +416,42 @@ def test_foreach_batch_upsert_survives_crash_between_renames(spark, tmp_path, mo
     assert got == want and not _os.path.exists(target + ".old")
 
 
+def test_progress_recorder_captures_batches(spark, tmp_path):
+    """The StreamingQueryListener observability surface: per-batch progress
+    (input rows, durations, state rows) captured and persisted as JSONL while
+    a windowed stream drains; detached cleanly afterwards."""
+    import json as _json
+
+    from healthcare_data_pipeline_spark.streaming.metrics import record_progress
+
+    artifact = str(tmp_path / "progress.jsonl")
+    import time as _time
+
+    with record_progress(spark, artifact) as rec:
+        stream = stv.tumbling_agg(stv.read_events_stream(spark, SF_DIR), window="1 hour")
+        (
+            stream.writeStream.format("memory")
+            .queryName("metrics_probe")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        # listener events are delivered asynchronously after awaitTermination
+        for _ in range(100):
+            if rec.terminated:
+                break
+            _time.sleep(0.1)
+    n_events = spark.sql("SELECT SUM(n) AS s FROM metrics_probe").collect()[0]["s"]
+    assert rec.total_input_rows() == n_events
+    assert rec.started and rec.terminated
+    assert all(d >= 0 for d in rec.batch_durations_ms()) and rec.batch_durations_ms()
+    assert rec.max_state_rows() > 0  # windowed agg keeps state
+    lines = [_json.loads(ln) for ln in open(artifact)]
+    assert len(lines) == len(rec.progress)
+    assert sum(p.get("numInputRows", 0) for p in lines) == n_events
+
+
 def test_stream_dedup_ingest_builds_deduplicated_corpus(spark, tmp_path):
     """Streaming corpus ingestion: micro-batches are deduplicated against the
     stored fingerprint/band indexes (O(batch) per batch), survivors appended,
