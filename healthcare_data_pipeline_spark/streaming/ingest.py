@@ -177,6 +177,7 @@ def run_stream_dedup_ingest(
     text_col: str = "text",
     hasher: str = "portable",
     compact_every: int = 32,
+    progress_path: str | None = None,
 ) -> None:
     """Drain ``stream_df`` (a documents stream) into a deduplicated corpus.
 
@@ -184,7 +185,9 @@ def run_stream_dedup_ingest(
     available, stops — call repeatedly with the same ``checkpoint_dir`` to
     resume (replayed batches are skipped idempotently).  Every
     ``compact_every`` committed segments, the segment log is folded into one
-    (amortized O(corpus / compact_every) per batch).
+    (amortized O(corpus / compact_every) per batch).  ``progress_path``
+    appends per-batch StreamingQueryProgress JSONL (streaming.metrics) for
+    dashboards/alerting.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -225,6 +228,12 @@ def run_stream_dedup_ingest(
             compact(spark, corpus_dir)
 
     os.makedirs(corpus_dir, exist_ok=True)
+    recorder_cm = None
+    if progress_path:
+        from healthcare_data_pipeline_spark.streaming.metrics import record_progress
+
+        recorder_cm = record_progress(stream_df.sparkSession, progress_path)
+        recorder_cm.__enter__()
     q = (
         stream_df.writeStream.outputMode("append")
         .foreachBatch(process)
@@ -235,6 +244,16 @@ def run_stream_dedup_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
+        if recorder_cm is not None:
+            # progress events are delivered asynchronously on the listener
+            # bus; give queued events a bounded window to land before
+            # detaching (detach drops undelivered events)
+            import time
+
+            deadline = time.monotonic() + 10
+            while time.monotonic() < deadline and not recorder_cm.recorder.terminated:
+                time.sleep(0.1)
+            recorder_cm.__exit__(None, None, None)
 
 
 def compact(spark: SparkSession, corpus_dir: str) -> None:

@@ -481,8 +481,10 @@ def test_stream_dedup_ingest_builds_deduplicated_corpus(spark, tmp_path):
         ],
         schema,
     ).coalesce(1).write.parquet(os.path.join(src, "b1"))
-    ing.run_stream_dedup_ingest(stream(), corpus, ckpt)
+    progress = str(tmp_path / "ingest_progress.jsonl")
+    ing.run_stream_dedup_ingest(stream(), corpus, ckpt, progress_path=progress)
     assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == [1, 3]
+    assert os.path.exists(progress) and open(progress).read().strip()
 
     spark.createDataFrame(
         [
