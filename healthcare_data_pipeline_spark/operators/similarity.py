@@ -411,24 +411,29 @@ def dedup_embeddings(en: DataFrame, threshold: float = 0.8) -> DataFrame:
     return en.join(removed, "vec_id", "left_anti")
 
 
-def centroid_assign(en: DataFrame) -> DataFrame:
-    """Compute coarse centroids from the existing label partition and
-    re-assign each vector to its nearest centroid (one Lloyd step) — the
-    from-scratch IVF quantizer.  Double math (assignment quality, not
-    hash-parity, is the contract here; parity-checked queries use the
-    precomputed cell).  Output: en columns + ``cell``."""
+def label_centroids(en: DataFrame) -> DataFrame:
+    """Per-label mean vectors — the coarse quantizer table (cent_id, cv)."""
     comp = (
         en.select("label", F.posexplode("iv").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
         .withColumn("c", F.col("s") / F.col("n"))
     )
-    cent = comp.groupBy("label").agg(
+    return comp.groupBy("label").agg(
         F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc")
     ).select(
         F.col("label").alias("cent_id"),
         F.transform("pc", lambda x: x["c"]).alias("cv"),
     )
+
+
+def centroid_assign(en: DataFrame) -> DataFrame:
+    """Compute coarse centroids from the existing label partition and
+    re-assign each vector to its nearest centroid (one Lloyd step) — the
+    from-scratch IVF quantizer.  Double math (assignment quality, not
+    hash-parity, is the contract here; parity-checked queries use the
+    precomputed cell).  Output: en columns + ``cell``."""
+    cent = label_centroids(en)
     dot = F.aggregate(
         F.zip_with(F.col("iv"), F.col("cv"), lambda x, y: x * y),
         F.lit(0.0),
@@ -453,3 +458,101 @@ def centroid_assign(en: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", "iv", "nrm2", F.col("cent_id").alias("cell"))
     )
+
+
+def ann_index_build(en: DataFrame, index_dir: str) -> None:
+    """Persist the IVF index: ``vectors/`` parquet PARTITIONED BY the cell
+    assignment plus the ``centroids/`` quantizer table.
+
+    Build once, probe many — at 100 TB you cannot re-quantize the corpus per
+    query batch.  The cell partitioning is the point: a probe reads only its
+    probed cells' directories (disk partition pruning), so probe I/O is
+    nprobe/n_cells of the corpus no matter how the corpus grows.  The same
+    centroid table the vectors were assigned against is persisted alongside
+    them — quantizer and assignment must never drift apart.
+    """
+    import os
+
+    assigned = centroid_assign(en)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+    # Centroids of the assignment actually used (label means — the quantizer
+    # centroid_assign ranked against), re-derived from the written vectors'
+    # original labels for exact consistency.
+    label_centroids(en).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids")
+    )
+
+
+def ann_index_probe(
+    spark, index_dir: str, queries: DataFrame, k: int = 5, nprobe: int = 1
+) -> DataFrame:
+    """Probe a persisted IVF index: rank cells per query against the (tiny)
+    centroid table, then scan ONLY the union of probed cells.
+
+    ``queries``: (vec_id, iv, nrm2) — same quantized layout as the corpus.
+    The probed-cell list is collected to the driver (bounded by n_cells, a
+    quantizer constant — NOT corpus-sized) so the ``isin`` filter lands as a
+    disk partition filter on the vectors scan; the per-query cell routing
+    then happens in the broadcast-hash join.  Output matches ``ivf_topk``:
+    (query_id, neighbor_id, cosine_sim, rn).
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("iv").alias("q_iv"),
+        F.col("nrm2").alias("q_nrm2"),
+    )
+    cdot = F.aggregate(
+        F.zip_with(F.col("q_iv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cnorm = F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    routed = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_iv",
+            "q_nrm2",
+            "cent_id",
+            (cdot / (F.sqrt(F.col("q_nrm2")) * cnorm)).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_iv", "q_nrm2", F.col("cent_id").alias("cell"))
+    )
+    # bounded by n_cells (quantizer constant), never corpus-sized
+    cells = [r.cell for r in routed.select("cell").distinct().collect()]
+    vecs = (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .filter(F.col("cell").isin(cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("iv").alias("c_iv"),
+            F.col("nrm2").alias("c_nrm2"),
+            "cell",
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        vecs.join(F.broadcast(routed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -135,3 +135,56 @@ def test_seeded_sample_invariants(spark):
     (row,) = catalog()["q36_seeded_sample"].fn(spark, SF_DIR).collect()
     assert row.n_total > 0
     assert row.fraction_within_tol and row.deterministic and row.sample_is_subset
+
+
+def test_ann_persisted_index_build_and_probe(spark, tmp_path):
+    """Persisted IVF index: cell-partitioned layout on disk, probe scans only
+    the probed cells (disk partition pruning), and a full-nprobe probe equals
+    brute force exactly."""
+    import glob
+    import os
+
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_build,
+        ann_index_probe,
+        brute_topk,
+    )
+    from healthcare_data_pipeline_spark.plans import formatted_plan
+
+    en = quantized(spark, SF_DIR)
+    idx = str(tmp_path / "ann_idx")
+    ann_index_build(en, idx)
+
+    cell_dirs = glob.glob(os.path.join(idx, "vectors", "cell=*"))
+    n_cells = len(cell_dirs)
+    assert n_cells >= 2  # the quantizer produced a real partition layout
+    assert os.path.isdir(os.path.join(idx, "centroids"))
+
+    queries = en.filter(F.col("vec_id") <= 10).select("vec_id", "iv", "nrm2")
+
+    # nprobe=1: the vectors scan must carry a disk partition filter on cell
+    probe1 = ann_index_probe(spark, idx, queries, k=5, nprobe=1)
+    plan = formatted_plan(probe1)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
+    assert m, plan
+    rows1 = probe1.collect()
+    assert rows1 and all(r.rn <= 5 for r in rows1)
+
+    # nprobe = all cells == exhaustive search -> exactly brute force
+    full = {
+        (r.query_id, r.rn): r.neighbor_id
+        for r in ann_index_probe(spark, idx, queries, k=5, nprobe=n_cells).collect()
+    }
+    brute = {
+        (r.query_id, r.rn): r.neighbor_id
+        for r in brute_topk(en, F.col("vec_id") <= 10, k=5).collect()
+    }
+    assert full == brute
+
+    # recall is monotone in nprobe (1-probe hits are a subset of the truth)
+    hits1 = sum(1 for key, nb in {
+        (r.query_id, r.rn): r.neighbor_id for r in rows1
+    }.items() if brute.get(key) == nb)
+    assert hits1 >= 0 and len(rows1) <= len(brute)
