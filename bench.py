@@ -27,8 +27,15 @@ HEADLINE = [
     "d02_prescriber_report_shape",
     "dd01_exact_dedup",
     "dd04_minhash_lsh",
+    "dd09_dedup_corpus",
     "t02_quality_score",
+    "t13_corpus_shuffle",
+    "t14_training_windows",
     "s01_knn_cosine",
+    # Persisted-IVF probe: the index is built ONCE during the untimed warmup
+    # pass (ann_index_for caches per testdata mtime), so the timed number is
+    # the production probe path — partition-pruned scan of the probed cells.
+    "s07_ann_index_probe",
 ]
 
 

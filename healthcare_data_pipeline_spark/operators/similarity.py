@@ -427,28 +427,77 @@ def label_centroids(en: DataFrame) -> DataFrame:
     )
 
 
+def int_centroids(en: DataFrame) -> DataFrame:
+    """Per-label INTEGER component-sum vectors — the parity-exact coarse
+    quantizer table ``(cent_id, cs: array<long>, cnorm: double)``.
+
+    Cosine is scale-invariant, so ranking against the component SUM vector
+    ``s`` is mathematically identical to ranking against the mean ``s/n`` —
+    but ``s`` is integer-valued, so the routing dot product is EXACT (decimal
+    accumulation) and ``cnorm = sqrt(Σs²)`` is one correctly-rounded sqrt of
+    an exact integer.  Every engine computes the identical score bit-for-bit,
+    which is what lets the persisted-index probe be hash-verified against a
+    SQL oracle (s07) instead of rows-only checked.
+    """
+    comp = (
+        en.select("label", F.posexplode("iv").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum(F.col("v").cast("long")).alias("s"))
+    )
+    return (
+        comp.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .select(
+            F.col("label").alias("cent_id"),
+            F.transform("ps", lambda x: x["s"]).alias("cs"),
+        )
+        .withColumn(
+            "cnorm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("cs"),
+                    F.lit(0).cast("decimal(38,0)"),
+                    # one decimal multiplicand promotes the whole product
+                    # (s² can exceed 2^63 at scale; see s03's note)
+                    lambda acc, x: acc + x.cast("decimal(38,0)") * x,
+                ).cast("double")
+            ),
+        )
+    )
+
+
+def _route_score(iv_col: Column, cs_col: Column, cnorm_col: Column) -> Column:
+    """Exact quantizer score: decimal dot(iv, cs) cast to double / cnorm.
+
+    Dot product of integer-valued vectors accumulated in decimal(38,0) is
+    exact; the final cast and division are single correctly-rounded IEEE ops,
+    so the score — and therefore the cell ranking — is bit-identical on any
+    engine and any partitioning.  (The query-norm factor is per-query
+    constant and cannot change its own ranking, so it is omitted.)
+    """
+    dot = F.aggregate(
+        F.zip_with(iv_col, cs_col, lambda x, y: x.cast("decimal(38,0)") * y),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: (acc + x).cast("decimal(38,0)"),
+    )
+    return dot.cast("double") / cnorm_col
+
+
 def centroid_assign(en: DataFrame) -> DataFrame:
     """Compute coarse centroids from the existing label partition and
     re-assign each vector to its nearest centroid (one Lloyd step) — the
-    from-scratch IVF quantizer.  Double math (assignment quality, not
-    hash-parity, is the contract here; parity-checked queries use the
-    precomputed cell).  Output: en columns + ``cell``."""
-    cent = label_centroids(en)
-    dot = F.aggregate(
-        F.zip_with(F.col("iv"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cnorm = F.sqrt(
-        F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    from-scratch IVF quantizer.  Integer-exact scoring (``_route_score``):
+    the assignment is reproducible bit-for-bit on any engine, so a SQL
+    oracle can recompute which cell every corpus vector landed in.
+    Output: en columns + ``cell``."""
+    cent = int_centroids(en)
     scored = en.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",
         "iv",
         "nrm2",
         "cent_id",
-        (dot / (F.sqrt(F.col("nrm2")) * cnorm)).alias("csim"),
+        _route_score(F.col("iv"), F.col("cs"), F.col("cnorm")).alias("csim"),
     )
     from pyspark.sql import Window
 
@@ -477,10 +526,10 @@ def ann_index_build(en: DataFrame, index_dir: str) -> None:
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(index_dir, "vectors")
     )
-    # Centroids of the assignment actually used (label means — the quantizer
-    # centroid_assign ranked against), re-derived from the written vectors'
-    # original labels for exact consistency.
-    label_centroids(en).write.mode("overwrite").parquet(
+    # The EXACT quantizer table centroid_assign ranked against (integer
+    # component sums + precomputed norm) — quantizer and assignment must
+    # never drift apart, and persisting cs/cnorm keeps probes parity-exact.
+    int_centroids(en).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids")
     )
 
@@ -508,12 +557,6 @@ def ann_index_probe(
         F.col("iv").alias("q_iv"),
         F.col("nrm2").alias("q_nrm2"),
     )
-    cdot = F.aggregate(
-        F.zip_with(F.col("q_iv"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cnorm = F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x))
     wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
     routed = (
         q.crossJoin(F.broadcast(cent))
@@ -522,7 +565,8 @@ def ann_index_probe(
             "q_iv",
             "q_nrm2",
             "cent_id",
-            (cdot / (F.sqrt(F.col("q_nrm2")) * cnorm)).alias("csim"),
+            # same exact integer scoring the index was ASSIGNED with
+            _route_score(F.col("q_iv"), F.col("cs"), F.col("cnorm")).alias("csim"),
         )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
@@ -556,3 +600,38 @@ def ann_index_probe(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def ann_index_for(spark, sf_dir: str, en: DataFrame) -> str:
+    """Ensure a persisted IVF index exists for ``sf_dir``'s embeddings and
+    return its directory — the build-once front door for catalog/bench paths.
+
+    The cache key includes the embeddings parquet's newest mtime, so a
+    regenerated testdata set transparently rebuilds instead of probing a
+    stale index.  A ``_BUILT`` marker is written only after a complete
+    build; a crash mid-write leaves no marker and the next call rebuilds.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(src):
+        mt = max(
+            (
+                os.stat(os.path.join(r, f)).st_mtime_ns
+                for r, _, fs in os.walk(src)
+                for f in fs
+            ),
+            default=os.stat(src).st_mtime_ns,
+        )
+    else:
+        mt = os.stat(src).st_mtime_ns
+    key = hashlib.sha256(f"{os.path.abspath(src)}:{mt}".encode()).hexdigest()[:16]
+    idx = os.path.join(tempfile.gettempdir(), f"hdp_ann_index_{key}")
+    marker = os.path.join(idx, "_BUILT")
+    if not os.path.exists(marker):
+        ann_index_build(en, idx)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("ok\n")
+    return idx

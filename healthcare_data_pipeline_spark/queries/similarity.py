@@ -136,6 +136,73 @@ def s04_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(en, F.col("vec_id") < 20, cell_col="label", k=5)
 
 
+@query(
+    "s07_ann_index_probe",
+    oracle=_QUANT_SQL
+    + """
+    , comp AS (
+      SELECT label AS cent_id, i AS pos, SUM(CAST(iv[i] AS HUGEINT)) AS s
+      FROM en, generate_series(1, 64) AS t(i)
+      GROUP BY label, i
+    ),
+    cn AS (
+      SELECT cent_id, sqrt(CAST(SUM(s * s) AS DOUBLE)) AS cnorm
+      FROM comp GROUP BY cent_id
+    ),
+    scores AS (
+      SELECT e.vec_id, c.cent_id,
+             CAST(SUM(CAST(e.iv[c.pos] AS HUGEINT) * c.s) AS DOUBLE) AS dot
+      FROM en e CROSS JOIN comp c
+      GROUP BY e.vec_id, c.cent_id
+    ),
+    ranked AS (
+      SELECT s.vec_id, s.cent_id,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                ORDER BY s.dot / cn.cnorm DESC, s.cent_id ASC) AS crn
+      FROM scores s JOIN cn USING (cent_id)
+    ),
+    assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell
+      FROM ranked WHERE crn <= 2 AND vec_id < 20
+    ),
+    pairs AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(q.iv, c.iv) / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cosine_sim
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      JOIN en q ON q.vec_id = p.query_id
+      JOIN en c ON c.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM pairs
+    ) t
+    WHERE rn <= 5
+    """,
+    tags=("similarity", "EXT", "ann", "ivf", "index"),
+    doc="Persisted-IVF-index probe, the PRODUCTION ANN path: build once (vectors parquet "
+    "partitioned by quantizer cell + integer component-sum centroid table), then probe the "
+    "2 nearest cells per query with the probed-cell scan pruned at the DISK partition "
+    "level. The quantizer is integer-exact (decimal dot against component sums; cosine is "
+    "scale-invariant so ranking vs the sum vector == ranking vs the mean), so cell "
+    "assignment, routing, and rescoring are all bit-reproducible and the full probe result "
+    "hash-matches a SQL oracle that recomputes the same index from scratch.",
+)
+def s07_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_for,
+        ann_index_probe,
+    )
+
+    en = quantized(spark, sf_dir)
+    idx = ann_index_for(spark, sf_dir, en)
+    qs = en.filter(F.col("vec_id") < 20).select("vec_id", "iv", "nrm2")
+    return ann_index_probe(spark, idx, qs, k=5, nprobe=2)
+
+
 # Sign-bit-LSH bucketing CTEs (bits/buckets/enb) — shared between the s05
 # oracle and the dd10 embedding-dedup oracle; LCG constants mirror
 # operators.similarity.lcg_weight exactly.
