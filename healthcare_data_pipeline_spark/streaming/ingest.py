@@ -25,14 +25,20 @@ orphan, a crash after it leaves a committed segment whose embedded batchId
 makes the replayed batch a no-op.  No crash point can lose a previous batch,
 because previous batches are never touched.
 
-Segment count grows with batch count, so ``compact()`` periodically folds all
-committed segments into one (``run_stream_dedup_ingest(compact_every=N)``
-does it automatically every N segments).  Compaction rewrites O(corpus) but
-amortizes to O(1/N) per batch, and uses the rename-aside discipline of
-``streaming.events.run_foreach_batch_upsert`` so no crash point loses the
-corpus: stage ``segments.tmp`` -> ``segments -> segments.old`` ->
-``segments.tmp -> segments`` -> drop aside; ``_recover`` finishes either
-direction on restart.
+Segment count grows with batch count, so the log is compacted.  The automatic
+path (``run_stream_dedup_ingest(compact_every=N)``) is SIZE-TIERED
+(``compact_tiered``): segments are bucketed by size and a merge fires only
+when a bucket holds N similar-sized segments, folding that tier and touching
+nothing else — fresh batches fold into mediums, mediums into larges,
+LSM-style, so the worst-case compaction pause is bounded by the tier size no
+matter how big the corpus grows, and each byte is rewritten only O(log)
+times.  ``compact()`` remains the explicit full fold (all segments -> one)
+for cold-corpus small-file hygiene; it rewrites O(corpus) and uses the
+whole-log rename-aside swap (stage ``segments.tmp`` ->
+``segments -> segments.old`` -> ``segments.tmp -> segments`` -> drop aside).
+Tiered compaction instead journals {merged, members} so only the tier's
+members are ever at risk; ``_recover`` finishes either mechanism from any
+crash window on restart.
 """
 
 from __future__ import annotations
@@ -69,6 +75,7 @@ DOCUMENTS_SCHEMA = T.StructType(
 )
 
 _MARKER = "_COMMITTED_BATCH"
+_COMPACTION_JOURNAL = "_COMPACTION"
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,17 +113,47 @@ def _segments_root(corpus_dir: str) -> str:
     return os.path.join(corpus_dir, "segments")
 
 
+def _read_journal(corpus_dir: str) -> dict | None:
+    """The tiered-compaction journal, or None.  The journal is only ever
+    written complete (staged as ``.tmp`` + atomic rename), so a present file
+    is trustworthy; corrupt content is treated as absent."""
+    import json
+
+    path = os.path.join(_segments_root(corpus_dir), _COMPACTION_JOURNAL)
+    try:
+        with open(path, encoding="utf-8") as fh:
+            info = json.load(fh)
+        if isinstance(info, dict) and "merged" in info and "members" in info:
+            return info
+    except (OSError, ValueError):
+        pass
+    return None
+
+
 def _committed_segments(corpus_dir: str) -> list[str]:
     """Committed segment directories, oldest first.  A directory without the
-    marker is an uncommitted orphan (crash before publish) and is ignored."""
+    marker is an uncommitted orphan (crash before publish) and is ignored.
+
+    Journal awareness makes reads correct in the tiered-compaction crash
+    window: once the journal's merged segment is committed, the member
+    segments it replaced are DEAD even if their directories still exist
+    (crash between publish and member deletion) — listing them would
+    double-count every merged document."""
     root = _segments_root(corpus_dir)
     if not os.path.isdir(root):
         return []
+    dead: set[str] = set()
+    j = _read_journal(corpus_dir)
+    if j is not None and os.path.exists(os.path.join(root, j["merged"], _MARKER)):
+        dead = set(j["members"])
     out = []
     for name in sorted(os.listdir(root)):
         seg = os.path.join(root, name)
-        if name.startswith("seg-") and not name.endswith(".tmp") and os.path.exists(
-            os.path.join(seg, _MARKER)
+        if (
+            name.startswith("seg-")
+            and not name.endswith(".tmp")
+            and name not in dead
+            and os.path.exists(os.path.join(seg, _MARKER))
         ):
             out.append(seg)
     return out
@@ -138,8 +175,12 @@ def _recover(corpus_dir: str) -> None:
 
     * per-batch publish: drop ``seg-*.tmp`` staging orphans (their batch will
       be replayed from the checkpoint);
-    * compaction: restore ``segments`` from ``segments.old`` if the swap
-      crashed mid-way, else drop the stale aside.
+    * full compaction: restore ``segments`` from ``segments.old`` if the swap
+      crashed mid-way, else drop the stale aside;
+    * tiered compaction: if the journal's merged segment is committed, finish
+      forward (delete the dead members, drop the journal); if not, roll back
+      (drop the journal — the staged ``.tmp`` merge falls to the generic
+      orphan cleanup and the members remain the live corpus).
     """
     root = _segments_root(corpus_dir)
     aside = root + ".old"
@@ -149,10 +190,20 @@ def _recover(corpus_dir: str) -> None:
         else:
             os.rename(aside, root)
     shutil.rmtree(root + ".tmp", ignore_errors=True)
+    j = _read_journal(corpus_dir)
+    if j is not None:
+        if os.path.exists(os.path.join(root, j["merged"], _MARKER)):
+            for name in j["members"]:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        os.remove(os.path.join(root, _COMPACTION_JOURNAL))
     if os.path.isdir(root):
         for name in os.listdir(root):
             if name.endswith(".tmp"):
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        try:
+            os.remove(os.path.join(root, _COMPACTION_JOURNAL + ".tmp"))
+        except OSError:
+            pass
 
 
 def _load_state(
@@ -183,11 +234,11 @@ def run_stream_dedup_ingest(
 
     Blocking convenience wrapper: starts the query, processes everything
     available, stops — call repeatedly with the same ``checkpoint_dir`` to
-    resume (replayed batches are skipped idempotently).  Every
-    ``compact_every`` committed segments, the segment log is folded into one
-    (amortized O(corpus / compact_every) per batch).  ``progress_path``
-    appends per-batch StreamingQueryProgress JSONL (streaming.metrics) for
-    dashboards/alerting.
+    resume (replayed batches are skipped idempotently).  When any size tier
+    accumulates ``compact_every`` similar-sized segments, that TIER is folded
+    into one (``compact_tiered`` — pause bounded by tier size, never the
+    corpus).  ``progress_path`` appends per-batch StreamingQueryProgress
+    JSONL (streaming.metrics) for dashboards/alerting.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -224,8 +275,12 @@ def run_stream_dedup_ingest(
         with open(os.path.join(tmp, _MARKER), "w") as fh:
             fh.write(str(batch_id))
         os.rename(tmp, seg)
-        if compact_every and len(_committed_segments(corpus_dir)) >= compact_every:
-            compact(spark, corpus_dir)
+        if compact_every:
+            # Size-tiered: no-op unless some tier holds >= compact_every
+            # similar-sized segments, so a compaction pause is bounded by the
+            # tier's member size, never the corpus (compact() remains the
+            # explicit full-fold for small-file hygiene on cold corpora).
+            compact_tiered(spark, corpus_dir, min_merge=compact_every)
 
     os.makedirs(corpus_dir, exist_ok=True)
     recorder_cm = None
@@ -286,8 +341,121 @@ def compact(spark: SparkSession, corpus_dir: str) -> None:
     shutil.rmtree(aside)
 
 
+def _segment_bytes(seg: str) -> int:
+    total = 0
+    for dirpath, _dirs, files in os.walk(seg):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, f))
+            except OSError:
+                pass
+    return total
+
+
+def compact_tiered(
+    spark: SparkSession,
+    corpus_dir: str,
+    min_merge: int = 4,
+    max_merge: int | None = None,
+    tier_factor: int = 4,
+) -> int:
+    """Size-tiered compaction: fold ONE tier of similar-sized segments and
+    leave everything else untouched.  Returns the bytes rewritten (0: no
+    tier was full — the call was a no-op).
+
+    ``compact()`` folds the whole log — an O(corpus) stop-the-world rewrite
+    whose pause grows with the corpus no matter how it's amortized.  Here
+    segments are bucketed by ``floor(log_tier_factor(bytes))`` and a merge
+    happens only when some bucket holds >= ``min_merge`` segments, folding at
+    most ``max_merge`` (default ``2*min_merge``) of that bucket's smallest
+    members.  Fresh micro-batch segments fold into mediums, mediums into
+    larges, LSM-style: bytes rewritten per compaction are bounded by the
+    tier's member size x ``max_merge`` — never the corpus — and each byte is
+    rewritten only O(log) times over its lifetime.  Segment count stays
+    O(min_merge x log(corpus/batch)).
+
+    Crash safety (single writer, same discipline family as the per-batch
+    publish): the merged segment is staged fully under ``<name>.tmp``, a
+    journal ``{merged, members}`` is published by atomic rename, the staged
+    segment is renamed live, the members are deleted, the journal dropped.
+    Before the journal lands a crash leaves only an ignorable ``.tmp``; after
+    it, ``_committed_segments`` treats the members as dead the moment the
+    merged segment is committed (no double-count window) and ``_recover``
+    rolls the journal forward or back.  The merged marker carries the
+    members' max batchId, so replay detection is unchanged.
+    """
+    if max_merge is None:
+        max_merge = 2 * min_merge
+    segs = _committed_segments(corpus_dir)
+    if len(segs) < min_merge:
+        return 0
+    import math
+
+    sized = sorted((_segment_bytes(s), s) for s in segs)
+
+    def bucket(nbytes: int) -> int:
+        return int(math.log(max(nbytes, 1), tier_factor))
+
+    members: list[str] | None = None
+    member_bytes = 0
+    from itertools import groupby
+
+    for _b, grp in groupby(sized, key=lambda t: bucket(t[0])):
+        tier = list(grp)
+        if len(tier) >= min_merge:
+            tier = tier[:max_merge]
+            members = [s for _, s in tier]
+            member_bytes = sum(b for b, _ in tier)
+            break
+    if members is None:
+        return 0
+
+    import json
+
+    root = _segments_root(corpus_dir)
+    member_names = [os.path.basename(m) for m in members]
+    ids = []
+    for m in members:
+        with open(os.path.join(m, _MARKER)) as fh:
+            ids.append(int(fh.read().strip()))
+    max_id = max(ids)
+    merged_name = f"seg-{max_id:012d}"
+    gen = 0
+    while os.path.exists(os.path.join(root, merged_name)) or merged_name in member_names:
+        gen += 1
+        merged_name = f"seg-{max_id:012d}c{gen}"
+    staged = os.path.join(root, merged_name + ".tmp")
+    shutil.rmtree(staged, ignore_errors=True)
+    for piece in ("docs", "bands", "fps"):
+        spark.read.parquet(*[os.path.join(m, piece) for m in members]).write.parquet(
+            os.path.join(staged, piece)
+        )
+    with open(os.path.join(staged, _MARKER), "w") as fh:
+        fh.write(str(max_id))
+    journal = os.path.join(root, _COMPACTION_JOURNAL)
+    with open(journal + ".tmp", "w", encoding="utf-8") as fh:
+        json.dump({"merged": merged_name, "members": member_names}, fh)
+    os.rename(journal + ".tmp", journal)
+    os.rename(staged, os.path.join(root, merged_name))
+    for m in members:
+        shutil.rmtree(m, ignore_errors=True)
+    os.remove(journal)
+    return sum(b for b, _ in sized[: len(members)])
+
+
 def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
-    """The current deduplicated corpus (union of all committed segments)."""
+    """The current deduplicated corpus (union of all committed segments).
+
+    Concurrency contract: the segment log is SINGLE-WRITER, and a returned
+    DataFrame is lazy over the segment paths listed at call time — a
+    compaction that runs while such a DataFrame is still unconsumed deletes
+    files under it (tiered: just the folded tier's members; ``compact()``:
+    the whole previous log) and the read fails with missing-file errors.
+    Consume or re-create readers across compaction points; don't run
+    ``compact*()`` concurrently with a live external reader.  (The ingest
+    loop itself is safe: it compacts only between batches, after the batch's
+    own reads are fully materialized.)
+    """
     segs = _committed_segments(corpus_dir)
     if not segs:
         raise FileNotFoundError(f"no committed corpus segments under {corpus_dir}")

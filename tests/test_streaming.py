@@ -696,3 +696,159 @@ def test_stream_prep_gate_equals_batch(spark):
     )
     want = {(r.doc_id, r.text, r.n_email) for r in batch.select("doc_id", "text", "n_email").collect()}
     assert got == want and len(got) > 0
+
+
+def _mini_ingest_env(spark, tmp_path, tag):
+    """(stream_factory, src, corpus, ckpt) for hand-driven ingest tests."""
+    from healthcare_data_pipeline_spark.streaming import ingest as ing  # noqa: F401
+
+    src = str(tmp_path / f"{tag}_src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    corpus, ckpt = str(tmp_path / f"{tag}_corpus"), str(tmp_path / f"{tag}_ckpt")
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    return stream, src, corpus, ckpt, schema
+
+
+def test_tiered_compaction_never_rewrites_the_big_tier(spark, tmp_path):
+    """compact_tiered folds ONLY a full tier of similar-sized segments: the
+    bytes rewritten are bounded by the tier, and a segment an order of
+    magnitude larger is untouched (same dir, same files, same mtimes) — the
+    bounded-pause guarantee compact() cannot give."""
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+
+    stream, src, corpus, ckpt, schema = _mini_ingest_env(spark, tmp_path, "tier")
+    words = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    ).split()
+
+    # one BIG batch (segment >>4x the small ones — unique digit soup keeps
+    # parquet compression from collapsing it into the smalls' size tier),
+    # then 4 small batches
+    big = [
+        (
+            i,
+            " ".join(
+                f"{words[(i * 3 + k) % len(words)]}{(i * 7919 + k * 104729) % 999983}"
+                for k in range(60)
+            )
+            + f" big {i}",
+        )
+        for i in range(1500)
+    ]
+    spark.createDataFrame(big, schema).coalesce(1).write.parquet(os.path.join(src, "b0"))
+    ing.run_stream_dedup_ingest(stream(), corpus, ckpt, compact_every=0)
+    for b in range(1, 5):
+        rows = [
+            (1000 * b + i, f"small batch doc {b} {i} " + words[(b + i) % len(words)])
+            for i in range(3)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{b}")
+        )
+        ing.run_stream_dedup_ingest(stream(), corpus, ckpt, compact_every=0)
+
+    segroot = os.path.join(corpus, "segments")
+    segs = ing._committed_segments(corpus)
+    assert len(segs) == 5
+    sizes = {s: ing._segment_bytes(s) for s in segs}
+    big_seg = max(sizes, key=sizes.get)
+    big_files = {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(big_seg)
+        for f in fs
+    }
+    small_bytes = sum(b for s, b in sizes.items() if s != big_seg)
+    n_docs_before = ing.read_corpus(spark, corpus).count()
+
+    rewritten = ing.compact_tiered(spark, corpus, min_merge=4)
+    # folded exactly the small tier, never the big segment
+    assert 0 < rewritten <= small_bytes
+    assert rewritten < sizes[big_seg]
+    after = ing._committed_segments(corpus)
+    assert big_seg in after and len(after) == 2
+    assert {
+        os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(big_seg)
+        for f in fs
+    } == big_files
+    assert ing.read_corpus(spark, corpus).count() == n_docs_before
+    # journal is gone and another call is a no-op (no full tier left)
+    assert not os.path.exists(os.path.join(segroot, ing._COMPACTION_JOURNAL))
+    assert ing.compact_tiered(spark, corpus, min_merge=4) == 0
+
+
+def test_tiered_compaction_crash_windows(spark, tmp_path, monkeypatch):
+    """Both tiered-compaction crash windows recover with zero loss and zero
+    double-counting: (a) crash before the journal publishes -> roll back,
+    members stay live; (b) crash after the merged segment publishes but
+    before members are deleted -> members are dead immediately (journal-aware
+    listing) and _recover finishes forward."""
+    import os as _os
+
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+
+    stream, src, corpus, ckpt, schema = _mini_ingest_env(spark, tmp_path, "crash")
+    for b in range(4):
+        rows = [(10 * b + i, f"crash test doc {b} {i} words words") for i in range(3)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{b}")
+        )
+        ing.run_stream_dedup_ingest(stream(), corpus, ckpt, compact_every=0)
+    want_ids = sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect())
+    segroot = os.path.join(corpus, "segments")
+    real_rename = _os.rename
+
+    # (a) crash at journal publish: nothing merged, members stay live
+    def crash_at_journal(s, d, *a, **kw):
+        if str(d).endswith(ing._COMPACTION_JOURNAL):
+            raise RuntimeError("crash before journal")
+        return real_rename(s, d, *a, **kw)
+
+    monkeypatch.setattr(ing.os, "rename", crash_at_journal)
+    try:
+        ing.compact_tiered(spark, corpus, min_merge=4)
+        raise AssertionError("expected simulated crash")
+    except RuntimeError as exc:
+        assert "crash before journal" in str(exc)
+    finally:
+        monkeypatch.setattr(ing.os, "rename", real_rename)
+    ing._recover(corpus)
+    assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == want_ids
+    assert len(ing._committed_segments(corpus)) == 4
+    assert not [n for n in os.listdir(segroot) if n.endswith(".tmp")]
+
+    # (b) crash right after the merged segment publishes (members not yet
+    # deleted): the journal-aware listing must already exclude the members
+    def crash_after_publish(s, d, *a, **kw):
+        out = real_rename(s, d, *a, **kw)
+        if str(s).endswith(".tmp") and "seg-" in _os.path.basename(str(d)):
+            raise RuntimeError("crash after publish")
+        return out
+
+    monkeypatch.setattr(ing.os, "rename", crash_after_publish)
+    try:
+        ing.compact_tiered(spark, corpus, min_merge=4)
+        raise AssertionError("expected simulated crash")
+    except RuntimeError as exc:
+        assert "crash after publish" in str(exc)
+    finally:
+        monkeypatch.setattr(ing.os, "rename", real_rename)
+    # pre-recovery reads are already correct (members dead via journal)
+    assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == want_ids
+    ing._recover(corpus)
+    assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == want_ids
+    segs = ing._committed_segments(corpus)
+    assert len(segs) == 1  # the merged tier (all 4 were similar-sized)
+    assert not os.path.exists(os.path.join(segroot, ing._COMPACTION_JOURNAL))
+    # replay detection survived: re-drain changes nothing
+    ing.run_stream_dedup_ingest(stream(), corpus, ckpt, compact_every=0)
+    assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == want_ids
