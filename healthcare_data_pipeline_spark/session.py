@@ -60,6 +60,13 @@ def get_spark(
         # makes LTZ columns match.)
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # Reliable checkpoints (components.py's lineage truncation) are
+        # write-only by default: a long-lived session running many
+        # connected-components jobs grows the checkpoint dir without bound.
+        # With this on, the ContextCleaner deletes a checkpoint's files once
+        # its RDD is garbage-collected (each iteration drops the previous
+        # labels DataFrame, so intermediates reclaim during the run).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # 128 MiB split target: survey §4 notes the reference's own partition
         # sizing guidance (README.md:392-394) — also the right default at scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

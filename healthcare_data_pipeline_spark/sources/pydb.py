@@ -50,25 +50,88 @@ def _check_ident(name: str) -> str:
     return name
 
 
+def _check_predicate(predicate: str) -> str:
+    """``predicate`` must be TRUSTED SQL (the same contract as the JDBC
+    pushdown options it mirrors — it is interpolated into the query).  This
+    is a tripwire against accidents, not an injection sanitizer: statement
+    separators and comment openers have no place in a WHERE clause."""
+    if ";" in predicate or "--" in predicate or "/*" in predicate:
+        raise ValueError(
+            f"predicate must be a bare WHERE expression (no ';', '--', '/*'): "
+            f"{predicate!r}"
+        )
+    return predicate
+
+
+def _spark_schema_from_pandas(pdf):
+    """Typed Spark schema from pandas dtypes — the empty-result path must
+    return the SAME schema a non-empty read would (an all-string fallback
+    silently drifts downstream schemas whenever a watermark matches 0 rows)."""
+    from pyspark.sql import types as T
+
+    kind_map = {"i": T.LongType(), "u": T.LongType(), "f": T.DoubleType(),
+                "b": T.BooleanType(), "M": T.TimestampType()}
+    return T.StructType(
+        [
+            T.StructField(str(c), kind_map.get(dt.kind, T.StringType()))
+            for c, dt in pdf.dtypes.items()
+        ]
+    )
+
+
+# SQLite column AFFINITY rules (sqlite.org/datatype3.html §3.1) -> Spark DDL
+def _sqlite_decl_to_spark(decl: str) -> str:
+    d = (decl or "").upper()
+    if "INT" in d:
+        return "long"
+    if "CHAR" in d or "CLOB" in d or "TEXT" in d:
+        return "string"
+    if not d or "BLOB" in d:
+        return "binary"
+    if "REAL" in d or "FLOA" in d or "DOUB" in d:
+        return "double"
+    return "double"  # NUMERIC affinity; matches pandas' float inference
+
+
 def read_dbapi_table(
     spark: SparkSession, url: str, table: str, predicate: str | None = None
 ) -> DataFrame:
     """S1 fallback: driver-side fetch of a (dim-sized) table into a Spark
     DataFrame.  ``predicate`` appends a WHERE clause — the same incremental
-    watermark pushdown shape as the JDBC path."""
+    watermark pushdown shape as the JDBC path, and the same trust contract:
+    it is interpolated into the SQL, so it must come from the pipeline
+    author, never from untrusted input (``_check_predicate`` tripwires the
+    obvious accidents).
+
+    Empty results keep their real column types: duckdb reports them via a
+    typed empty frame, sqlite via declared-type affinities — so a watermark
+    read that matches nothing has the same schema as one that matches rows.
+    """
     import pandas as pd
 
     sql = f"SELECT * FROM {_check_ident(table)}"
     if predicate:
-        sql += f" WHERE {predicate}"
+        sql += f" WHERE {_check_predicate(predicate)}"
     con = _connect(url)
     try:
+        if type(con).__module__.startswith("duckdb"):
+            pdf = con.execute(sql).fetch_df()
+            if len(pdf):
+                return spark.createDataFrame(pdf)
+            return spark.createDataFrame([], schema=_spark_schema_from_pandas(pdf))
         cur = con.execute(sql)
         cols = [d[0] for d in cur.description]
-        pdf = pd.DataFrame(cur.fetchall(), columns=cols)
+        rows = cur.fetchall()
+        if rows:
+            return spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+        decls = {
+            r[1]: r[2]
+            for r in con.execute(f"PRAGMA table_info({_check_ident(table)})")
+        }
+        ddl = ", ".join(f"`{c}` {_sqlite_decl_to_spark(decls.get(c))}" for c in cols)
+        return spark.createDataFrame([], schema=ddl)
     finally:
         con.close()
-    return spark.createDataFrame(pdf) if len(pdf) else spark.createDataFrame([], schema=", ".join(f"`{c}` string" for c in cols))
 
 
 def write_dbapi_table(

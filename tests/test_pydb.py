@@ -63,3 +63,27 @@ def test_read_table_auto_falls_back(spark, tmp_path):
     pydb.write_dbapi_table(region, url, "region")
     out = pydb.read_table_auto(spark, url, "region", jdbc_cfg=None)
     assert out.count() == 5
+
+
+@pytest.mark.parametrize("scheme", ["sqlite", "duckdb"])
+def test_empty_read_keeps_real_schema(spark, tmp_path, scheme):
+    """A predicate that matches nothing must return the SAME schema as one
+    that matches rows (all-string empty frames silently drift downstream
+    schemas — e.g. a watermark read with no new rows)."""
+    url = f"{scheme}:///{tmp_path}/empty_{scheme}.db"
+    nation = table(spark, SF_DIR, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    pydb.write_dbapi_table(nation, url, "nation")
+    full = pydb.read_dbapi_table(spark, url, "nation")
+    empty = pydb.read_dbapi_table(spark, url, "nation", predicate="n_nationkey < 0")
+    assert empty.count() == 0
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in full.schema.fields
+    ]
+
+
+def test_predicate_tripwire(spark, tmp_path):
+    url = f"sqlite:///{tmp_path}/trip.db"
+    with pytest.raises(ValueError, match="bare WHERE"):
+        pydb.read_dbapi_table(spark, url, "nation", predicate="1=1; DROP TABLE x")
+    with pytest.raises(ValueError, match="bare WHERE"):
+        pydb.read_dbapi_table(spark, url, "nation", predicate="1=1 -- comment")
