@@ -9,6 +9,7 @@ smallest table absorbs JVM/codegen startup so timings reflect the plans.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -73,6 +74,16 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: WARMUP FAILED — {errors[name]}", file=sys.stderr)
+        # Iterative operators (dd09's connected components) cache/checkpoint
+        # intermediates; left in place they (a) eat executor memory under every
+        # LATER query and (b) let a rebuilt identical plan silently hit the
+        # cache manager, so the timed run would measure cache reads instead of
+        # the operator. Clear between queries: each timed number is the plan
+        # itself, warm JVM, cold data. (gc.collect drops the Python-side
+        # DataFrame refs so the ContextCleaner can reclaim localCheckpoint
+        # RDDs promptly instead of mid-way through a later timed query.)
+        spark.catalog.clearCache()
+        gc.collect()
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -91,6 +102,8 @@ def main() -> None:
         timings[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        spark.catalog.clearCache()
+        gc.collect()
 
     out = {
         "metric": "headline_queries_wall_clock",

@@ -275,59 +275,76 @@ def ivf_topk_multiprobe(
     cell_col: str = "label",
     k: int = 5,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k with ``nprobe`` > 1 — the standard recall knob.
 
     nprobe=1 (``ivf_topk``) misses neighbors that fall just across a cell
     boundary; probing the query's ``nprobe`` nearest cells (by exact cosine
     to each cell centroid) recovers them at ``nprobe``/n_cells of the full
-    scan cost.  Centroids come from the existing cell assignment (one
-    aggregation over the corpus — cached/stored in practice); the
-    query-to-centroid ranking is a broadcast of Q x n_cells rows, then
-    candidates are hash-joined on the cell id, so the corpus-side plan is
-    identical to ``ivf_topk``: partition-prunable scan of the probed cells.
-    Output matches ``ivf_topk``: (query_id, neighbor_id, cosine_sim, rn).
+    scan cost.  The query-to-centroid ranking is a broadcast of Q x n_cells
+    rows, then candidates are hash-joined on the cell id, so the corpus-side
+    plan is identical to ``ivf_topk``: partition-prunable scan of the probed
+    cells.  Output matches ``ivf_topk``: (query_id, neighbor_id, cosine_sim, rn).
+
+    ``centroids``: a precomputed integer-exact quantizer table
+    ``(cent_id, cs, cnorm)`` (``int_centroids`` / the persisted index's
+    ``centroids/`` parquet).  PASS IT IN PRODUCTION: without it the quantizer
+    is recomputed from the full corpus on every call — one O(corpus)
+    aggregation per probe batch, fine for a one-shot correctness query but
+    not for a probe loop at 100 TB.  Cell ranking is identical either way:
+    cosine is scale-invariant, so ranking against the component-sum vector
+    equals ranking against the mean.
     """
     from pyspark.sql import Window
 
-    comp = (
-        en.select(cell_col, F.posexplode("iv").alias("pos", "v"))
-        .groupBy(cell_col, "pos")
-        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-        .withColumn("c", F.col("s") / F.col("n"))
-    )
-    cent = (
-        comp.groupBy(cell_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select(
-            F.col(cell_col).alias("cell"),
-            F.transform("pc", lambda x: x["c"]).alias("cv"),
-        )
-    )
     q = en.filter(query_pred).select(
         F.col("vec_id").alias("query_id"),
         F.col("iv").alias("q_iv"),
         F.col("nrm2").alias("q_nrm2"),
     )
-    qc_dot = F.aggregate(
-        F.zip_with(F.col("q_iv"), F.col("cv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cnorm = F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x))
     w_cell = Window.partitionBy("query_id").orderBy(
         F.desc("c_sim"), F.asc("cell")
     )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
+    if centroids is not None:
+        scored = q.crossJoin(F.broadcast(centroids)).select(
+            "query_id",
+            "q_iv",
+            "q_nrm2",
+            F.col("cent_id").alias("cell"),
+            # same exact integer scoring the persisted index was built with
+            _route_score(F.col("q_iv"), F.col("cs"), F.col("cnorm")).alias("c_sim"),
+        )
+    else:
+        comp = (
+            en.select(cell_col, F.posexplode("iv").alias("pos", "v"))
+            .groupBy(cell_col, "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .withColumn("c", F.col("s") / F.col("n"))
+        )
+        cent = (
+            comp.groupBy(cell_col)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select(
+                F.col(cell_col).alias("cell"),
+                F.transform("pc", lambda x: x["c"]).alias("cv"),
+            )
+        )
+        qc_dot = F.aggregate(
+            F.zip_with(F.col("q_iv"), F.col("cv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cnorm = F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x))
+        scored = q.crossJoin(F.broadcast(cent)).select(
             "query_id",
             "q_iv",
             "q_nrm2",
             "cell",
             (qc_dot / (F.sqrt(F.col("q_nrm2")) * cnorm)).alias("c_sim"),
         )
-        .withColumn("cell_rn", F.row_number().over(w_cell))
+    probes = (
+        scored.withColumn("cell_rn", F.row_number().over(w_cell))
         .filter(F.col("cell_rn") <= nprobe)
         .select("query_id", "q_iv", "q_nrm2", "cell")
     )
@@ -363,12 +380,17 @@ def knn_recall(
     method: str = "ivf",
     cell_col: str = "label",
     nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of an ANN route against the exact answer — one row:
     (n_queries, n_exact, n_hit, recall).  The evaluation loop for tuning
-    nprobe / n_planes on a sample before a full-corpus run."""
+    nprobe / n_planes on a sample before a full-corpus run.  ``centroids``
+    forwards a precomputed quantizer table to the multiprobe route (see
+    ``ivf_topk_multiprobe`` — pass it in production)."""
     if method == "ivf" and nprobe > 1:
-        ann = ivf_topk_multiprobe(en, query_pred, cell_col=cell_col, k=k, nprobe=nprobe)
+        ann = ivf_topk_multiprobe(
+            en, query_pred, cell_col=cell_col, k=k, nprobe=nprobe, centroids=centroids
+        )
     else:
         ann = knn(en, query_pred, k=k, method=method, cell_col=cell_col)
     exact = brute_topk(en, query_pred, k=k)

@@ -457,6 +457,18 @@ def read_corpus(spark: SparkSession, corpus_dir: str) -> DataFrame:
     own reads are fully materialized.)
     """
     segs = _committed_segments(corpus_dir)
+    if not segs and os.path.exists(_segments_root(corpus_dir) + ".old"):
+        # ``compact()``'s swap is two renames (segments -> aside, tmp ->
+        # segments); a listing that lands between them sees no log at all.
+        # The aside marks that window unambiguously — wait it out briefly
+        # instead of erroring on a microseconds-wide race.
+        import time
+
+        for _ in range(250):
+            time.sleep(0.02)
+            segs = _committed_segments(corpus_dir)
+            if segs:
+                break
     if not segs:
         raise FileNotFoundError(f"no committed corpus segments under {corpus_dir}")
     return spark.read.parquet(*[os.path.join(s, "docs") for s in segs])

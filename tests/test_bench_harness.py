@@ -12,6 +12,9 @@ from .conftest import SF_DIR
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+sys.path.insert(0, REPO)
+from bench import HEADLINE  # noqa: E402
+
 
 def _run_bench(extra_env: dict[str, str]) -> tuple[subprocess.CompletedProcess, dict]:
     env = {**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR, **extra_env}
@@ -33,7 +36,7 @@ def test_bench_emits_complete_json():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert out["metric"] == "headline_queries_wall_clock"
     assert out["unit"] == "sec" and out["value"] > 0
-    assert len(out["queries"]) == 10 and "errors" not in out
+    assert len(out["queries"]) == len(HEADLINE) and "errors" not in out
     assert abs(sum(out["queries"].values()) - out["value"]) < 0.01
 
 
@@ -44,5 +47,5 @@ def test_bench_survives_one_broken_query():
     proc, out = _run_bench({"SPARK_GRAFT_BENCH_SABOTAGE": "q26_sessionize"})
     assert proc.returncode == 1
     assert "q26_sessionize" in out.get("errors", {}), out
-    assert len(out["queries"]) == 9 and "q26_sessionize" not in out["queries"]
+    assert len(out["queries"]) == len(HEADLINE) - 1 and "q26_sessionize" not in out["queries"]
     assert out["value"] > 0

@@ -188,3 +188,33 @@ def test_ann_persisted_index_build_and_probe(spark, tmp_path):
         (r.query_id, r.rn): r.neighbor_id for r in rows1
     }.items() if brute.get(key) == nb)
     assert hits1 >= 0 and len(rows1) <= len(brute)
+
+
+def test_multiprobe_precomputed_quantizer_matches_recompute(spark, tmp_path):
+    """ivf_topk_multiprobe(centroids=...) must route identically to the
+    self-computed quantizer (cosine is scale-invariant: sum-vector ranking ==
+    mean-vector ranking) while keeping the O(corpus) centroid aggregation out
+    of the probe plan — the production contract for probe loops at scale."""
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        int_centroids,
+        ivf_topk_multiprobe,
+    )
+    from healthcare_data_pipeline_spark.plans import formatted_plan
+
+    en = quantized(spark, SF_DIR)
+    pred = F.col("vec_id") < 10
+    # production shape: the quantizer is a small persisted table, not a
+    # corpus-derived subtree
+    cent_dir = str(tmp_path / "centroids")
+    int_centroids(en).write.parquet(cent_dir)
+    recompute = ivf_topk_multiprobe(en, pred, k=5, nprobe=2)
+    precomputed = ivf_topk_multiprobe(
+        en, pred, k=5, nprobe=2, centroids=spark.read.parquet(cent_dir)
+    )
+    a = {(r.query_id, r.rn): r.neighbor_id for r in recompute.collect()}
+    b = {(r.query_id, r.rn): r.neighbor_id for r in precomputed.collect()}
+    assert a == b
+    # the recompute path's quantizer subtree (posexplode aggregation) must be
+    # absent when the quantizer is supplied
+    assert "posexplode" in formatted_plan(recompute).lower()
+    assert "posexplode" not in formatted_plan(precomputed).lower()

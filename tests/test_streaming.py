@@ -852,3 +852,37 @@ def test_tiered_compaction_crash_windows(spark, tmp_path, monkeypatch):
     # replay detection survived: re-drain changes nothing
     ing.run_stream_dedup_ingest(stream(), corpus, ckpt, compact_every=0)
     assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == want_ids
+
+
+def test_read_corpus_waits_out_compaction_swap_window(spark, tmp_path):
+    """A reader that lists during compact()'s two-rename swap (segments ->
+    aside, tmp -> segments) must wait the window out via the aside marker
+    instead of raising on an empty log."""
+    import threading
+
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+
+    src = str(tmp_path / "doc_src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "one unique document about adaptive query execution planning")], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    corpus, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    ing.run_stream_dedup_ingest(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        corpus,
+        ckpt,
+    )
+
+    root = os.path.join(corpus, "segments")
+    os.rename(root, root + ".old")  # swap window opens
+    t = threading.Timer(0.3, lambda: os.rename(root + ".old", root))
+    t.start()
+    try:
+        assert [r.doc_id for r in ing.read_corpus(spark, corpus).collect()] == [1]
+    finally:
+        t.join()
