@@ -33,20 +33,59 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=True)
 
 
+def _driver_union_find(edges: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Union-find over a driver-sized edge list — one Arrow transfer, zero
+    iterations.  Union attaches the larger root under the smaller, so every
+    set's root IS its minimum vertex (the distributed path's contract)."""
+    pdf = pairs.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(v, find(v)) for v in parent]
+    return edges.sparkSession.createDataFrame(rows, "vertex long, component long")
+
+
 def connected_components(
-    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iter: int = 20,
+    driver_threshold: int = 250_000,
 ) -> DataFrame:
     """(vertex, component) — component = min vertex id reachable from vertex.
 
     ``edges`` must carry two long columns; direction is ignored.  Converges in
     O(graph diameter) iterations; raises if ``max_iter`` is hit without a
     fixpoint (pathological chain — raise the limit or pre-bucket).
+
+    Size-gated hybrid: the edge count is measured first (one aggregation over
+    the cached distinct pairs), and a graph at or under ``driver_threshold``
+    edges is solved by union-find on the driver — one Arrow collect, zero
+    shuffle iterations.  The gate is the same budget class as a size-gated
+    broadcast: LSH/band candidate graphs are orders of magnitude smaller than
+    the corpus that produced them (the whole point of banding), so even at
+    100 TB most dedup runs clear it; a graph that doesn't takes the
+    O(diameter) distributed label propagation below, unchanged.  Pass
+    ``driver_threshold=0`` to force the distributed path.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-    )
+    pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct().cache()
+    if driver_threshold and pairs.count() <= driver_threshold:
+        try:
+            return _driver_union_find(edges, pairs)
+        finally:
+            pairs.unpersist()
+    sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     labels = sym.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
     sym = sym.cache()
     labels = labels.cache()
@@ -85,6 +124,7 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
     sym.unpersist()
+    pairs.unpersist()
     return labels.select(F.col("v").alias("vertex"), F.col("label").alias("component"))
 
 

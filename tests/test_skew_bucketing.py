@@ -104,7 +104,13 @@ def test_connected_components_matches_union_find(spark):
         connected_components,
     )
 
+    # both sides of the size gate must agree: driver union-find (default for
+    # a 7-edge graph) and the forced distributed label propagation
     got = {r.vertex: r.component for r in connected_components(df).collect()}
+    got_dist = {
+        r.vertex: r.component
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
 
     parent: dict[int, int] = {}
 
@@ -124,6 +130,7 @@ def test_connected_components_matches_union_find(spark):
         union(a, b)
     want = {v: find(v) for v in parent}
     assert got == want
+    assert got_dist == want
 
     canon = {r.component: (r.canonical_id, r.cluster_size)
              for r in canonical_per_cluster(connected_components(df)).collect()}
@@ -143,7 +150,9 @@ def test_components_use_reliable_checkpoint_when_dir_set(spark, tmp_path):
     edges = spark.createDataFrame([(i, i + 1) for i in range(12)], "d1 long, d2 long")
     sc.setCheckpointDir(str(tmp_path / "ckpt"))
     try:
-        comp = connected_components(edges, max_iter=30)
+        # driver_threshold=0 forces the distributed path (a 12-edge chain
+        # would otherwise take the driver union-find and never checkpoint)
+        comp = connected_components(edges, max_iter=30, driver_threshold=0)
         assert comp.count() == 13
         assert {r.component for r in comp.collect()} == {0}
         # the reliable branch actually wrote checkpoint state
