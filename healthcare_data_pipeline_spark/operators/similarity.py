@@ -505,14 +505,12 @@ def _route_score(iv_col: Column, cs_col: Column, cnorm_col: Column) -> Column:
     return dot.cast("double") / cnorm_col
 
 
-def centroid_assign(en: DataFrame) -> DataFrame:
-    """Compute coarse centroids from the existing label partition and
-    re-assign each vector to its nearest centroid (one Lloyd step) — the
-    from-scratch IVF quantizer.  Integer-exact scoring (``_route_score``):
-    the assignment is reproducible bit-for-bit on any engine, so a SQL
-    oracle can recompute which cell every corpus vector landed in.
+def _assign_against(en: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest cell of an EXPLICIT quantizer table
+    ``(cent_id, cs, cnorm)`` via the integer-exact ``_route_score``.
     Output: en columns + ``cell``."""
-    cent = int_centroids(en)
+    from pyspark.sql import Window
+
     scored = en.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",
@@ -521,14 +519,22 @@ def centroid_assign(en: DataFrame) -> DataFrame:
         "cent_id",
         _route_score(F.col("iv"), F.col("cs"), F.col("cnorm")).alias("csim"),
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", "iv", "nrm2", F.col("cent_id").alias("cell"))
     )
+
+
+def centroid_assign(en: DataFrame) -> DataFrame:
+    """Compute coarse centroids from the existing label partition and
+    re-assign each vector to its nearest centroid (one Lloyd step) — the
+    from-scratch IVF quantizer.  Integer-exact scoring (``_route_score``):
+    the assignment is reproducible bit-for-bit on any engine, so a SQL
+    oracle can recompute which cell every corpus vector landed in.
+    Output: en columns + ``cell``."""
+    return _assign_against(en, int_centroids(en))
 
 
 def ann_index_build(en: DataFrame, index_dir: str) -> None:
@@ -553,6 +559,32 @@ def ann_index_build(en: DataFrame, index_dir: str) -> None:
     # never drift apart, and persisting cs/cnorm keeps probes parity-exact.
     int_centroids(en).write.mode("overwrite").parquet(
         os.path.join(index_dir, "centroids")
+    )
+
+
+def ann_index_append(spark, index_dir: str, new_en: DataFrame) -> None:
+    """Append new vectors to a persisted IVF index WITHOUT a rebuild.
+
+    New vectors are assigned against the index's FROZEN quantizer table (the
+    standard IVF maintenance contract: the coarse quantizer is immutable once
+    built — re-clustering is ``ann_index_build``) and appended into the
+    existing ``cell=`` partition directories, so probes keep pruning at the
+    disk partition level and existing data is never rewritten.  At 100 TB
+    this is the only affordable way to keep an index current: per-batch cost
+    is O(batch) x n_cells routing (quantizer broadcast) + an append write,
+    independent of corpus size — the ANN analogue of the incremental dedup
+    probe (dd11).
+
+    Single-writer contract (same as the segment log): one appender at a
+    time, and quantizer drift is the caller's to manage — rebuild when the
+    data distribution has moved enough that cell occupancy skews.
+    ``new_en``: (vec_id, label, iv, nrm2) — same quantized layout as build.
+    """
+    import os
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    _assign_against(new_en, cent).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "vectors")
     )
 
 
@@ -624,7 +656,7 @@ def ann_index_probe(
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
-def ann_index_for(spark, sf_dir: str, en: DataFrame) -> str:
+def ann_index_for(spark, sf_dir: str, en: DataFrame, variant: str = "full", builder=None) -> str:
     """Ensure a persisted IVF index exists for ``sf_dir``'s embeddings and
     return its directory — the build-once front door for catalog/bench paths.
 
@@ -632,6 +664,12 @@ def ann_index_for(spark, sf_dir: str, en: DataFrame) -> str:
     regenerated testdata set transparently rebuilds instead of probing a
     stale index.  A ``_BUILT`` marker is written only after a complete
     build; a crash mid-write leaves no marker and the next call rebuilds.
+
+    ``variant``/``builder`` parameterize non-default layouts (e.g. s08's
+    half-built-half-appended index): the variant namespaces the cache dir and
+    ``builder(idx_dir)`` replaces the default full build.  The marker
+    protocol makes multi-step builders (build + append) atomic-by-retry: a
+    crash mid-way leaves no marker and the next call redoes the whole build.
     """
     import hashlib
     import os
@@ -649,11 +687,14 @@ def ann_index_for(spark, sf_dir: str, en: DataFrame) -> str:
         )
     else:
         mt = os.stat(src).st_mtime_ns
-    key = hashlib.sha256(f"{os.path.abspath(src)}:{mt}".encode()).hexdigest()[:16]
+    key = hashlib.sha256(f"{os.path.abspath(src)}:{mt}:{variant}".encode()).hexdigest()[:16]
     idx = os.path.join(tempfile.gettempdir(), f"hdp_ann_index_{key}")
     marker = os.path.join(idx, "_BUILT")
     if not os.path.exists(marker):
-        ann_index_build(en, idx)
+        if builder is not None:
+            builder(idx)
+        else:
+            ann_index_build(en, idx)
         with open(marker, "w", encoding="utf-8") as fh:
             fh.write("ok\n")
     return idx

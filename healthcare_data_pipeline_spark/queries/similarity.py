@@ -136,13 +136,20 @@ def s04_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(en, F.col("vec_id") < 20, cell_col="label", k=5)
 
 
-@query(
-    "s07_ann_index_probe",
-    oracle=_QUANT_SQL
-    + """
+def _index_probe_oracle(quantizer_pred: str) -> str:
+    """Persisted-IVF probe oracle, recomputing the index from scratch:
+    integer component-sum centroids over the vectors satisfying
+    ``quantizer_pred`` (``TRUE`` = quantize on the full corpus, s07; a
+    subset predicate = the frozen-quantizer append contract, s08), then
+    assignment of ALL vectors against those centroids, query routing to the
+    2 nearest cells, and exact rescoring within the probed cells."""
+    return (
+        _QUANT_SQL
+        + f"""
     , comp AS (
       SELECT label AS cent_id, i AS pos, SUM(CAST(iv[i] AS HUGEINT)) AS s
       FROM en, generate_series(1, 64) AS t(i)
+      WHERE {quantizer_pred}
       GROUP BY label, i
     ),
     cn AS (
@@ -181,7 +188,13 @@ def s04_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs
     ) t
     WHERE rn <= 5
-    """,
+    """
+    )
+
+
+@query(
+    "s07_ann_index_probe",
+    oracle=_index_probe_oracle("TRUE"),
     tags=("similarity", "EXT", "ann", "ivf", "index"),
     doc="Persisted-IVF-index probe, the PRODUCTION ANN path: build once (vectors parquet "
     "partitioned by quantizer cell + integer component-sum centroid table), then probe the "
@@ -199,6 +212,38 @@ def s07_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     en = quantized(spark, sf_dir)
     idx = ann_index_for(spark, sf_dir, en)
+    qs = en.filter(F.col("vec_id") < 20).select("vec_id", "iv", "nrm2")
+    return ann_index_probe(spark, idx, qs, k=5, nprobe=2)
+
+
+@query(
+    "s08_ann_index_append",
+    oracle=_index_probe_oracle("vec_id % 2 = 0"),
+    tags=("similarity", "EXT", "ann", "ivf", "index", "incremental"),
+    doc="Incremental index maintenance (operators.similarity.ann_index_append): the index "
+    "is built from the even vec_ids only, then the odd vec_ids are APPENDED against the "
+    "frozen quantizer — O(batch) routing + an append into the existing cell partitions, no "
+    "rebuild, no rewrite of existing data (the ANN analogue of dd11's incremental dedup "
+    "probe). The probe over the mixed built+appended index is hash-verified against an "
+    "oracle that quantizes on the even half and assigns ALL vectors against those "
+    "centroids — passing proves appended vectors land in exactly the cells the frozen "
+    "quantizer dictates.",
+)
+def s08_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_for,
+        ann_index_probe,
+    )
+
+    en = quantized(spark, sf_dir)
+
+    def build_then_append(idx: str) -> None:
+        ann_index_build(en.filter(F.col("vec_id") % 2 == 0), idx)
+        ann_index_append(spark, idx, en.filter(F.col("vec_id") % 2 == 1))
+
+    idx = ann_index_for(spark, sf_dir, en, variant="append-demo", builder=build_then_append)
     qs = en.filter(F.col("vec_id") < 20).select("vec_id", "iv", "nrm2")
     return ann_index_probe(spark, idx, qs, k=5, nprobe=2)
 

@@ -218,3 +218,54 @@ def test_multiprobe_precomputed_quantizer_matches_recompute(spark, tmp_path):
     # absent when the quantizer is supplied
     assert "posexplode" in formatted_plan(recompute).lower()
     assert "posexplode" not in formatted_plan(precomputed).lower()
+
+
+def test_ann_index_append_extends_without_rebuild(spark, tmp_path):
+    """ann_index_append: existing vector files are never rewritten, appended
+    vectors land only in cells the frozen quantizer knows, and an exhaustive
+    probe over the mixed built+appended index equals brute force on the full
+    set."""
+    import glob
+    import os
+
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_probe,
+        brute_topk,
+    )
+
+    en = quantized(spark, SF_DIR)
+    idx = str(tmp_path / "idx")
+    ann_index_build(en.filter(F.col("vec_id") % 2 == 0), idx)
+
+    def vec_files():
+        return {
+            p: os.stat(p).st_mtime_ns
+            for p in glob.glob(os.path.join(idx, "vectors", "cell=*", "*.parquet"))
+        }
+
+    cells_before = set(glob.glob(os.path.join(idx, "vectors", "cell=*")))
+    files_before = vec_files()
+    ann_index_append(spark, idx, en.filter(F.col("vec_id") % 2 == 1))
+    files_after = vec_files()
+    # append-only: every pre-existing file survives byte-untouched
+    assert set(files_before) <= set(files_after)
+    assert all(files_after[p] == t for p, t in files_before.items())
+    assert len(files_after) > len(files_before)
+    # appended rows only ever land in the frozen quantizer's cells
+    assert set(glob.glob(os.path.join(idx, "vectors", "cell=*"))) == cells_before
+
+    n_cells = len(cells_before)
+    full = {
+        (r.query_id, r.rn): r.neighbor_id
+        for r in ann_index_probe(
+            spark, idx, en.filter(F.col("vec_id") <= 10).select("vec_id", "iv", "nrm2"),
+            k=5, nprobe=n_cells,
+        ).collect()
+    }
+    brute = {
+        (r.query_id, r.rn): r.neighbor_id
+        for r in brute_topk(en, F.col("vec_id") <= 10, k=5).collect()
+    }
+    assert full == brute
