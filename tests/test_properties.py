@@ -199,3 +199,43 @@ def test_dedup_corpus_matches_union_find(spark, docs):
 
     got = sorted(r.doc_id for r in dedup_corpus(df).select("doc_id").collect())
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@_SETTINGS
+def test_connected_components_hybrid_matches_union_find(spark, edges):
+    """For ANY small graph, both sides of the size gate (driver union-find and
+    forced distributed label propagation) must produce the reference
+    union-find's components — dedup survivor sets depend on it."""
+    from healthcare_data_pipeline_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+
+    got_driver = {r.vertex: r.component for r in connected_components(df).collect()}
+    got_dist = {
+        r.vertex: r.component
+        for r in connected_components(df, max_iter=40, driver_threshold=0).collect()
+    }
+    assert got_driver == want
+    assert got_dist == want
