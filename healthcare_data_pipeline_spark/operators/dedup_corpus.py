@@ -255,6 +255,35 @@ def dup_rate_report(
     )
 
 
+def band_skew_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "portable",
+) -> DataFrame:
+    """Per-band LSH bucket-occupancy diagnostic — the pre-flight check an
+    operator runs BEFORE launching a corpus-scale dedup: columns
+    (band, n_docs, n_buckets, max_bucket, multi_buckets, candidate_pairs).
+
+    ``candidate_pairs`` (Σ over buckets of n·(n−1)/2) is the EXACT join
+    fan-out the banding self-join will produce, and ``max_bucket`` is the
+    skew ceiling — one template-spammed bucket with 10^6 members means
+    5·10^11 candidate pairs in a single shuffle partition.  Catching that
+    number here costs two narrow aggregations (per-(band,bucket) partial
+    counts map-side, then a per-band rollup; nothing doc-sized crosses the
+    second shuffle); catching it mid-run costs a dead executor.
+    """
+    bb = band_buckets(docs, id_col=id_col, text_col=text_col, hasher=hasher)
+    per_bucket = bb.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    return per_bucket.groupBy("band").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).cast("long").alias("multi_buckets"),
+        (F.sum(F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("candidate_pairs"),
+    )
+
+
 def corpus_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The persistable exact-dedup index: distinct normalized fingerprints —
     the second piece of incremental-dedup state alongside ``band_buckets``."""

@@ -901,6 +901,36 @@ def dd14_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_rate_report(table(spark, sf_dir, "documents"))
 
 
+@query(
+    "dd15_band_skew_report",
+    oracle=f"""
+    WITH {_pmh_pairs_ctes("documents")},
+    per_bucket AS (
+      SELECT band, bucket, COUNT(*) AS n FROM bands GROUP BY band, bucket
+    )
+    SELECT band,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS multi_buckets,
+           CAST(SUM(n * (n - 1)) // 2 AS BIGINT) AS candidate_pairs
+    FROM per_bucket
+    GROUP BY band
+    """,
+    tags=("dedup", "EXT", "report", "skew"),
+    doc="Per-band LSH bucket-occupancy diagnostic (operators.dedup_corpus.band_skew_report): "
+    "the pre-flight skew check before a corpus-scale dedup. candidate_pairs is the EXACT "
+    "fan-out the banding self-join will produce and max_bucket the per-partition skew "
+    "ceiling — the numbers that decide whether the run needs bucket capping or salting "
+    "BEFORE it launches. Two narrow aggregations (per-(band,bucket) partials map-side, "
+    "per-band rollup); all-integer hash surface.",
+)
+def dd15_band_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import band_skew_report
+
+    return band_skew_report(table(spark, sf_dir, "documents"))
+
+
 def _contamination_report_oracle_sql() -> str:
     """t17 oracle: dd13's 3-gram collision rule re-aggregated as per-source
     counts/rates instead of the anti-joined survivor rows.

@@ -248,3 +248,26 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     exact = {(r.query_id, r.neighbor_id): r.cosine_sim
              for r in brute_topk(en, pred, k=10**9).collect()}
     assert all(exact[p] == s for p, s in ann.items())
+
+
+def test_band_skew_report_counts_exact_join_fanout(spark):
+    """dd15's candidate_pairs must equal the banding self-join's true fan-out:
+    summing n_shared_bands over the generated pairs counts each (pair, band)
+    coincidence once — exactly what Σ-over-buckets n·(n−1)/2 predicts."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        band_skew_report,
+        minhash_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    predicted = (
+        band_skew_report(d).agg(F.sum("candidate_pairs").alias("s")).collect()[0].s
+    )
+    actual = (
+        minhash_pairs(d).agg(F.sum("n_shared_bands").alias("s")).collect()[0].s
+    )
+    assert predicted == actual and predicted > 0
