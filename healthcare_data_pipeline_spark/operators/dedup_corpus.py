@@ -90,6 +90,8 @@ def minhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hasher: str = "portable",
+    max_bucket: int | None = None,
+    dropped_bucket_log: list | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs (d1, d2, n_shared_bands).
 
@@ -106,8 +108,33 @@ def minhash_pairs(
     Same plan shape either way: one shuffle to signatures, one on band
     buckets; candidate generation is linear in corpus size (pairs only form
     inside buckets).
+
+    ``max_bucket`` is the skew remediation ``band_skew_report`` informs: a
+    (band, bucket) with more members than the cap — in practice template
+    spam, whose n² fan-out lands in ONE shuffle partition — is excluded from
+    pair generation entirely.  NEVER silent: the cap is opt-in (default
+    off), and when ``dropped_bucket_log`` (a list) is supplied the dropped
+    buckets are counted into it as ``(n_buckets_dropped, n_docs_affected)``
+    — at a cost of one extra driver action — so the run records what it
+    skipped.  Docs in a dropped bucket still pair through their other
+    ``PMH_BANDS - 1`` bands, and exact dedup covers identical text
+    regardless.
     """
     bands = band_buckets(docs, id_col=id_col, text_col=text_col, hasher=hasher)
+    if max_bucket is not None:
+        counted = bands.groupBy("band", "bucket").agg(F.count("*").alias("__n"))
+        if dropped_bucket_log is not None:
+            over = counted.filter(F.col("__n") > max_bucket).agg(
+                F.count("*").alias("b"), F.coalesce(F.sum("__n"), F.lit(0)).alias("d")
+            ).collect()[0]
+            dropped_bucket_log.append((over.b, int(over.d)))
+        bands = (
+            bands.join(
+                counted.filter(F.col("__n") <= max_bucket).select("band", "bucket"),
+                ["band", "bucket"],
+                "left_semi",
+            )
+        )
     a = bands.select(F.col("doc_id").alias("d1"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("d2"), "band", "bucket")
     return (
@@ -190,6 +217,8 @@ def dedup_corpus(
     text_col: str = "text",
     min_shared_bands: int = 1,
     hasher: str = "portable",
+    max_bucket: int | None = None,
+    dropped_bucket_log: list | None = None,
 ) -> DataFrame:
     """Deduplicated corpus: ``docs`` minus exact and near duplicates, keeping
     the minimum-id document of every duplicate group.  All original columns
@@ -197,7 +226,9 @@ def dedup_corpus(
 
     ``min_shared_bands`` tightens near-dup sensitivity (1 = any shared LSH
     band forms a candidate edge; raise it to require stronger signature
-    agreement before documents merge into one cluster).  ``hasher`` selects
+    agreement before documents merge into one cluster).  ``max_bucket`` /
+    ``dropped_bucket_log`` forward the skew cap to ``minhash_pairs`` (size
+    the cap from ``band_skew_report`` first).  ``hasher`` selects
     the signature family (see ``minhash_pairs``): "portable" is oracle-
     verifiable, "fast" (xxhash64) is ~4x cheaper for production runs that
     don't need cross-engine reproducibility.
@@ -217,7 +248,14 @@ def dedup_corpus(
         .filter(F.col("__rn") == 1)
         .drop("__fp", "__rn")
     )
-    pairs = minhash_pairs(kept, id_col=id_col, text_col=text_col, hasher=hasher).filter(
+    pairs = minhash_pairs(
+        kept,
+        id_col=id_col,
+        text_col=text_col,
+        hasher=hasher,
+        max_bucket=max_bucket,
+        dropped_bucket_log=dropped_bucket_log,
+    ).filter(
         F.col("n_shared_bands") >= min_shared_bands
     )
     comp = connected_components(pairs, "d1", "d2")

@@ -271,3 +271,30 @@ def test_band_skew_report_counts_exact_join_fanout(spark):
         minhash_pairs(d).agg(F.sum("n_shared_bands").alias("s")).collect()[0].s
     )
     assert predicted == actual and predicted > 0
+
+
+def test_minhash_bucket_cap_drops_spam_buckets_with_accounting(spark):
+    """max_bucket excludes oversized (band, bucket) groups from pair
+    generation — template spam's n² fan-out never reaches the join — while
+    normal near-dup pairs survive and the drop is accounted, never silent."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import minhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    spam = [(i, base) for i in range(100, 120)]  # 20 identical docs: every band collides
+    near = [
+        (1, "catalyst optimizes logical plans into efficient physical plans every day"),
+        (2, "catalyst optimizes logical plans into efficient physical plans every night"),
+    ]
+    docs = spark.createDataFrame(spam + near, "doc_id long, text string")
+
+    uncapped = minhash_pairs(docs).collect()
+    assert any(r.d1 >= 100 and r.d2 >= 100 for r in uncapped)  # spam pairs present
+
+    log: list = []
+    capped = minhash_pairs(docs, max_bucket=5, dropped_bucket_log=log).collect()
+    assert not any(r.d1 >= 100 and r.d2 >= 100 for r in capped)  # spam fan-out gone
+    # the near-dup pair still pairs through its small buckets
+    assert any({r.d1, r.d2} == {1, 2} for r in capped)
+    # accounting: some buckets dropped, 20 docs affected per dropped bucket
+    (n_buckets, n_docs) = log[0]
+    assert n_buckets >= 1 and n_docs >= 20
