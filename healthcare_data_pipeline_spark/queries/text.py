@@ -652,3 +652,57 @@ def t07_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_corpus(d, min_stopword_ratio=0.01).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@query(
+    "t18_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok),
+    top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_token_count FROM tc GROUP BY doc_id),
+    g AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_2grams,
+             CAST(len(list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> toks[i] || ' ' || toks[i+1]
+             ))) AS BIGINT) AS n_distinct_2grams
+      FROM t
+    )
+    SELECT g.doc_id, g.n_tokens, top.top_token_count, g.n_2grams, g.n_distinct_2grams
+    FROM g JOIN top USING (doc_id)
+    """,
+    tags=("text", "EXT", "quality", "repetition"),
+    doc="Gopher-style repetition signals per document: top-token frequency and duplicate "
+    "word-2-gram counts — the loops/boilerplate detector that complements t02's "
+    "length/punct/stopword quality score (repetitive docs degrade LMs even when every "
+    "other gate passes). Integer hash surface (counts, not ratios); the 2-gram stats are "
+    "per-row array ops (no shuffle), the top-token count one (doc_id, token)-keyed "
+    "aggregation — linear, skew-safe (keys are doc-scoped), no UDF.",
+)
+def t18_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = d.selectExpr("doc_id", "split(lower(text), '\\\\s+') AS toks")
+    grams = t.selectExpr(
+        "doc_id",
+        "size(toks) AS n_tokens",
+        "cast(greatest(size(toks) - 1, 0) as long) AS n_2grams",
+        # sequence(1, 0) is DESCENDING in Spark (not empty) -> guard < 2 tokens
+        "cast(size(array_distinct(CASE WHEN size(toks) >= 2 THEN transform("
+        "sequence(1, size(toks) - 1), "
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))"
+        ") ELSE array() END)) as long) AS n_distinct_2grams",
+    )
+    tok = t.select("doc_id", F.explode("toks").alias("tok"))
+    top = (
+        tok.groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_token_count"))
+    )
+    return grams.join(top, "doc_id")
