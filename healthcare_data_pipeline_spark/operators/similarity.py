@@ -579,6 +579,12 @@ def ann_index_append(spark, index_dir: str, new_en: DataFrame) -> None:
     time, and quantizer drift is the caller's to manage — rebuild when the
     data distribution has moved enough that cell occupancy skews.
     ``new_en``: (vec_id, label, iv, nrm2) — same quantized layout as build.
+
+    Streaming: composes directly with ``foreachBatch`` (see
+    ``tests/test_streaming.py``).  The append itself is at-least-once under
+    micro-batch replay — a crash mid-batch can duplicate vectors on retry;
+    when exactly-once matters, dedupe by ``vec_id`` at probe time or publish
+    batches through the segment-log marker pattern (``streaming/ingest.py``).
     """
     import os
 

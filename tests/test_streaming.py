@@ -886,3 +886,59 @@ def test_read_corpus_waits_out_compaction_swap_window(spark, tmp_path):
         assert [r.doc_id for r in ing.read_corpus(spark, corpus).collect()] == [1]
     finally:
         t.join()
+
+
+def test_streaming_vector_ingest_maintains_ann_index(spark, tmp_path):
+    """ann_index_append composes with Structured Streaming: a foreachBatch
+    sink appends each micro-batch of vectors against the frozen quantizer,
+    and after the drain an exhaustive probe over the mixed built+streamed
+    index equals brute force on the full vector set."""
+    import glob
+
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_probe,
+        brute_topk,
+    )
+    from healthcare_data_pipeline_spark.queries.similarity import quantized
+    from tests.conftest import SF_DIR
+
+    en = quantized(spark, SF_DIR)
+    idx = str(tmp_path / "idx")
+    ann_index_build(en.filter(F.col("vec_id") % 2 == 0), idx)
+
+    # stream the odd vectors in as parquet micro-batches
+    src = str(tmp_path / "vec_src")
+    os.makedirs(src)
+    odds = en.filter(F.col("vec_id") % 2 == 1).select("vec_id", "label", "iv", "nrm2")
+    odds.filter(F.col("vec_id") % 4 == 1).write.parquet(os.path.join(src, "b1"))
+    odds.filter(F.col("vec_id") % 4 == 3).write.parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(odds.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: ann_index_append(spark, idx, batch_df)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    n_cells = len(glob.glob(os.path.join(idx, "vectors", "cell=*")))
+    queries = en.filter(F.col("vec_id") <= 10).select("vec_id", "iv", "nrm2")
+    full = {
+        (r.query_id, r.rn): r.neighbor_id
+        for r in ann_index_probe(spark, idx, queries, k=5, nprobe=n_cells).collect()
+    }
+    brute = {
+        (r.query_id, r.rn): r.neighbor_id
+        for r in brute_topk(en, F.col("vec_id") <= 10, k=5).collect()
+    }
+    assert full == brute
