@@ -54,3 +54,31 @@ def test_catalyst_still_broadcasts_small_dims(spark, name):
     planner must still pick a broadcast join without any hint."""
     df = catalog()[name].fn(spark, SF_DIR)
     assert has_broadcast_join(df), name
+
+
+def test_d01_plan_shape_pruned_scan_single_exchange(spark):
+    """d01's model plan (the r4 judge audit): the lineitem scan reads ONLY the
+    4 needed columns, the grouped sums partial-aggregate map-side (exactly one
+    exchange on the grouping keys), and the dim scan is pruned to join key +
+    projection column."""
+    from healthcare_data_pipeline_spark import plans
+
+    df = catalog()["d01_drug_report_shape"].fn(spark, SF_DIR)
+    schemas = plans.read_schemas(df)
+    li = next(s for s in schemas if "l_partkey" in s)
+    assert set(_cols(li)) == {"l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"}
+    p = next(s for s in schemas if "p_partkey" in s)
+    assert set(_cols(p)) == {"p_partkey", "p_type"}
+    import re
+
+    plan = plans.formatted_plan(df)
+    # detail headers ("(3) Exchange") count each node exactly once
+    assert len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M)) == 1
+    assert "partial_sum" in plan  # map-side combine before the one shuffle
+
+
+def _cols(read_schema: str) -> list[str]:
+    """Column names from a ReadSchema struct<...> string."""
+    import re
+
+    return re.findall(r"(\w+):", read_schema)
