@@ -82,3 +82,19 @@ def _cols(read_schema: str) -> list[str]:
     import re
 
     return re.findall(r"(\w+):", read_schema)
+
+
+def test_q01_filter_reaches_parquet_scan(spark):
+    """q01's shipdate predicate must land in the scan's PushedFilters (row
+    groups outside the date range are skipped via parquet statistics) and the
+    scan must read only the 7 referenced columns."""
+    from healthcare_data_pipeline_spark import plans
+
+    df = catalog()["q01_pricing_summary"].fn(spark, SF_DIR)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
+    (schema,) = plans.read_schemas(df)
+    assert set(_cols(schema)) == {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }, schema
