@@ -935,12 +935,15 @@ def _contamination_report_oracle_sql() -> str:
     """t17 oracle: dd13's 3-gram collision rule re-aggregated as per-source
     counts/rates instead of the anti-joined survivor rows.
 
-    The hashed projection is all-integer: the human-facing double rate the
+    The hashed projection is all-BIGINT: the human-facing double rate the
     operator returns is re-expressed as parts-per-million via INTEGER
-    division on both sides (DuckDB ``//``, Spark ``div``) so no float ever
-    reaches the driver's value hasher (r4: rows+schema matched but
-    hash_match=false on bit-identical doubles — canonicalization, not
-    values).
+    division on both sides (DuckDB ``//``, Spark ``div``), and EVERY
+    aggregate output is wrapped in ``CAST(... AS BIGINT)`` — DuckDB types a
+    bare ``SUM(int)`` as HUGEINT (int128), which a type-sensitive value
+    hasher (e.g. Arrow's decimal128 mapping) hashes differently from
+    Spark's BIGINT even when the values are identical (the r4/r5
+    hash_match=false root cause).  ``tests/test_oracle_queries.py``'s
+    no-HUGEINT oracle-typing test makes this failure class impossible.
     """
     g3 = (
         "unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), "
@@ -963,7 +966,8 @@ def _contamination_report_oracle_sql() -> str:
     )
     SELECT tr.source AS "group",
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+           CAST(SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
            CAST((1000000 * SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END))
                 // COUNT(*) AS BIGINT) AS contamination_rate_ppm
     FROM tr LEFT JOIN bad ON tr.doc_id = bad.doc_id
