@@ -202,24 +202,41 @@ FMH_A = [_pmh_const(3000 + j, 1, 1_000_000) * 2 + 1 for j in range(N_MINHASH)]
 FMH_B = [_pmh_const(4000 + j, 0, FMH_PRIME) for j in range(N_MINHASH)]
 
 
-def _fast_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, mh0..mh15) xxhash64 MinHash signatures — the shared subtree of
-    dd04's candidate generation AND its invariant checks. Both consumers hang
-    off the same plan so Catalyst's ReusedExchange computes the expensive
-    shingle explode + doc_id shuffle exactly once per query."""
-    d = table(spark, sf_dir, "documents")
+def _fast_minhash_sig(
+    spark: SparkSession, sf_dir: str, with_fingerprint: bool = False
+) -> DataFrame:
+    """(doc_id[, f], mh0..mh15) xxhash64 MinHash signatures — the shared
+    subtree of dd04's candidate generation AND its invariant checks.  With
+    ``with_fingerprint`` the whitespace-normalized md5 fingerprint is computed
+    from the SAME token array in the SAME pass (``array_join(toks, ' ')`` ==
+    the collapsed+trimmed normalized text for any doc that has tokens), so
+    dd04 needs no second documents scan or fingerprint join.  Only docs with
+    >= 3 tokens appear (3-gram shingles exist) — exactly the oracle's
+    fingerprint-population filter."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Small-scan parallelism gate: a sub-core-count input (one parquet row
+    # group locally) would run the CPU-heavy shingle explode + hashing on a
+    # single task.  Repartitioning by doc_id here REPLACES the post-explode
+    # groupBy shuffle (hash(doc_id) satisfies the agg's clustering), moving
+    # raw text once instead; the gate keeps it a no-op at scale, where input
+    # splits already exceed core count and map-side partial mins make the
+    # post-explode shuffle the far cheaper one.
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target, "doc_id")
     # trim before split: leading/trailing whitespace would otherwise inject
     # empty tokens and break "same normalized text -> same shingles"
-    sh = (
-        d.selectExpr("doc_id", "split(lower(trim(text)), '\\\\s+') AS toks")
-        .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
-    )
+    sh = d.selectExpr("doc_id", "split(lower(trim(text)), '\\\\s+') AS toks")
+    if with_fingerprint:
+        sh = sh.selectExpr("doc_id", "md5(array_join(toks, ' ')) AS f", "toks")
+    keys = ["doc_id", "f"] if with_fingerprint else ["doc_id"]
+    sh = sh.selectExpr(*keys, f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
     # Standard MinHash construction: hash each shingle ONCE (xxhash64, the
     # engine-fast path), then drive all N permutations as affine transforms of
     # that one value — 1 string hash + N multiply-add-mods per shingle instead
     # of N string hashes.  pmod clamps to 31 bits so a*h+b stays < 2^52.
     h = F.pmod(F.xxhash64(F.col("s")), F.lit(2147483648)).alias("h")
-    return sh.select("doc_id", h).groupBy("doc_id").agg(
+    return sh.select(*keys, h).groupBy(*keys).agg(
         *[
             F.min(
                 (F.lit(FMH_A[i]).cast("long") * F.col("h") + F.lit(FMH_B[i])) % FMH_PRIME
@@ -291,15 +308,19 @@ def _fast_minhash_pairs(sig: DataFrame) -> DataFrame:
     "pair count independently and asserts every boolean holds.",
 )
 def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_data_pipeline_spark.operators.dedup_corpus import normalized_fingerprint
-
-    sig = _fast_minhash_sig(spark, sf_dir)
-    pairs = _fast_minhash_pairs(sig)
-    d = table(spark, sf_dir, "documents")
+    # ONE pass computes signatures AND the normalized fingerprint (same token
+    # array), cached so the three consumers (band self-join sides, id-validity
+    # lookups, fingerprint groups) read one materialization instead of
+    # re-running the shingle explode per branch — the r5 regression was
+    # exactly that: 6 documents scans, 0 ReusedExchange.  The cache is
+    # n_docs x 17 small columns, bounded and session-scoped.
+    sig = _fast_minhash_sig(spark, sf_dir, with_fingerprint=True).persist()
+    pairs = _fast_minhash_pairs(sig.drop("f"))
     # Pair-level invariants in ONE aggregate over the candidate set; id
-    # validity via two left lookups against the (pruned, AQE-broadcast)
-    # doc_id column.
-    doc_ids = d.select(F.col("doc_id").alias("id"), F.lit(True).alias("__known"))
+    # validity via two left lookups against the cached signature ids (a
+    # subset of documents.doc_id by construction, so membership there implies
+    # membership in the corpus).
+    doc_ids = sig.select(F.col("doc_id").alias("id"), F.lit(True).alias("__known"))
     pair_agg = (
         pairs.join(doc_ids.select(F.col("id").alias("d1"), F.col("__known").alias("__k1")), "d1", "left")
         .join(doc_ids.select(F.col("id").alias("d2"), F.col("__known").alias("__k2")), "d2", "left")
@@ -310,30 +331,18 @@ def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Exact-dup invariants WITHOUT a fingerprint self-join or full-outer pair
-    # merge (the r4 perf regression): group the >=3-token docs by normalized
-    # fingerprint, count pairs combinatorially (n*(n-1)/2 == the oracle's
-    # equal-f a.doc_id<b.doc_id join count), and assert every multi-doc group
-    # carries ONE distinct signature (min==max per permutation). Identical
-    # signature => identical band buckets => the pair is in the candidate set
-    # with all LSH_BANDS bands shared — the deterministic LSH guarantee,
-    # checked per-group instead of per-pair. The sig subtree's shuffle is
-    # shared with the banding branch via ReusedExchange.
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    fp = d.select(
-        "doc_id", normalized_fingerprint("text").alias("f")
-    ).filter(F.length(norm) - F.length(F.regexp_replace(norm, " ", "")) >= 2)
-    fgroups = (
-        fp.join(sig, "doc_id")
-        .groupBy("f")
-        .agg(
-            F.count("*").alias("n"),
-            F.min(
-                F.struct(*[F.col(f"mh{i}") for i in range(N_MINHASH)])
-            ).alias("sig_lo"),
-            F.max(
-                F.struct(*[F.col(f"mh{i}") for i in range(N_MINHASH)])
-            ).alias("sig_hi"),
-        )
+    # merge (the r4 perf regression): group the >=3-token docs (exactly the
+    # docs present in sig — 3-gram shingles exist) by normalized fingerprint,
+    # count pairs combinatorially (n*(n-1)/2 == the oracle's equal-f
+    # a.doc_id<b.doc_id join count), and assert every multi-doc group carries
+    # ONE distinct signature (min==max per permutation). Identical signature
+    # => identical band buckets => the pair is in the candidate set with all
+    # LSH_BANDS bands shared — the deterministic LSH guarantee, checked
+    # per-group instead of per-pair.
+    fgroups = sig.groupBy("f").agg(
+        F.count("*").alias("n"),
+        F.min(F.struct(*[F.col(f"mh{i}") for i in range(N_MINHASH)])).alias("sig_lo"),
+        F.max(F.struct(*[F.col(f"mh{i}") for i in range(N_MINHASH)])).alias("sig_hi"),
     )
     dup_agg = fgroups.agg(
         F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_exact_dup_pairs"),
