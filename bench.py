@@ -43,6 +43,24 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Load hygiene (the r5 lesson: the official 23.0s number was ~28% load
+    # noise from a concurrent test run).  Sample the 1-minute loadavg BEFORE
+    # Spark starts — that is pre-existing load, not ours — record it in the
+    # JSON, and shout when the machine isn't quiet so a polluted number is
+    # never mistaken for a regression.
+    cpus = os.cpu_count() or 1
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        load1 = None
+    quiet = load1 is None or load1 <= max(2.0, 0.2 * cpus)
+    if not quiet:
+        print(
+            f"# WARNING: machine not quiet (1m loadavg {load1} on {cpus} cpus) — "
+            "timings below are load-inflated; rerun on an idle machine before "
+            "comparing across rounds",
+            file=sys.stderr,
+        )
     spark = get_spark(app_name="hdp-spark-bench")
 
     cat = catalog()
@@ -105,13 +123,66 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
 
+    # ANN recall/latency point at the bench SF (untimed in the headline
+    # total): the IVF nprobe default is a recall-vs-cost tradeoff, so publish
+    # the measured point for both nprobe=1 (the persisted-index probe
+    # default) and nprobe=2 (the multiprobe recall knob) rather than assert
+    # it.  Fault-isolated like the queries: a recall failure never costs the
+    # headline numbers.
+    ann_recall: dict[str, dict[str, float]] = {}
+    try:
+        from pyspark.sql import functions as F
+
+        from healthcare_data_pipeline_spark.operators.similarity import (
+            ann_index_for,
+            ann_index_probe,
+            brute_topk,
+        )
+        from healthcare_data_pipeline_spark.queries.similarity import quantized
+
+        en = quantized(spark, sf_dir)
+        index_dir = ann_index_for(spark, sf_dir, en)
+        probe_queries = en.filter(F.col("vec_id") < 20).select("vec_id", "iv", "nrm2")
+        exact = (
+            brute_topk(en, F.col("vec_id") < 20, k=5)
+            .select("query_id", "neighbor_id")
+            .collect()
+        )
+        exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+        # Full curve, not one point: the synthetic embeddings are
+        # structureless, so recall scales ~linearly with the probed fraction
+        # (nprobe/n_cells) — on real clustered embeddings the same machinery
+        # concentrates and the curve saturates early.  Publishing the curve
+        # makes the nprobe default a measured recall/latency tradeoff.
+        for nprobe in (1, 2, 4, 8):
+            t0 = time.perf_counter()
+            got = ann_index_probe(
+                spark, index_dir, probe_queries, k=5, nprobe=nprobe
+            ).collect()
+            dt = time.perf_counter() - t0
+            hits = sum((r.query_id, r.neighbor_id) in exact_set for r in got)
+            ann_recall[f"index_probe_nprobe{nprobe}"] = {
+                "recall_at_5": round(hits / max(len(exact_set), 1), 4),
+                "probe_sec": round(dt, 3),
+            }
+            spark.catalog.clearCache()
+            gc.collect()
+    except Exception as exc:  # noqa: BLE001
+        errors["ann_recall"] = f"{type(exc).__name__}: {exc}"[:300]
+        print(f"# ann_recall: FAILED — {errors['ann_recall']}", file=sys.stderr)
+
     out = {
         "metric": "headline_queries_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "loadavg_1m": load1,
+        "quiet": quiet,
     }
+    if ann_recall:
+        out["ann_recall"] = ann_recall
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
