@@ -7,11 +7,14 @@ partition (no partitionColumn, database.py:91-100) — here parallel reads via
 ``partition_column/num_partitions`` are first-class, and the incremental
 watermark probe (ingest_data.py:56-77) is an engine feature.
 
-No JDBC driver jars ship in this image, so by default everything here is
-exercised by unit tests up to the options dict.  When the environment
-provides a jar + database (``SPARK_GRAFT_JDBC_JAR``/``SPARK_GRAFT_JDBC_URL``),
-``tests/test_jdbc_e2e.py`` runs the real write -> partitioned-read ->
-watermark round-trip through these functions end-to-end.
+End-to-end coverage in ANY image: PySpark bundles the Apache Derby embedded
+database (``pyspark/jars/derby-*.jar``, already on the session classpath), so
+``tests/test_jdbc_e2e.py`` always runs the real write -> partitioned
+PARALLEL read -> watermark round-trip through these functions against an
+embedded Derby database — no external server or extra jar required.  When
+the environment additionally provides a server-grade jar + database
+(``SPARK_GRAFT_JDBC_JAR``/``SPARK_GRAFT_JDBC_URL``), the same contract also
+runs against that engine.
 """
 
 from __future__ import annotations
@@ -88,11 +91,22 @@ def write_table(
 
 
 def incremental_predicate(
-    existing: DataFrame | None, id_column_candidates: tuple[str, ...] = ("id",)
+    existing: DataFrame | None,
+    id_column_candidates: tuple[str, ...] = ("id",),
+    quote: str | None = None,
 ) -> str | None:
     """Watermark probe (P7/A5; ingest_data.py:56-77): find the id column among
     candidates in the already-ingested data, take max, and return the
-    pushdown predicate — or None for a full load."""
+    pushdown predicate — or None for a full load.
+
+    ``quote`` wraps the column identifier for case-folding databases: Spark's
+    JDBC writer creates identifier-quoted (case-exact) columns, so an
+    UNQUOTED column in the pushdown predicate resolves against the engine's
+    folded form instead (uppercase on Derby/Oracle/DB2) and misses.  Pass
+    ``quote='"'`` (ANSI) for those engines; Postgres folds unquoted
+    identifiers to lowercase, which happens to match, so the bare default
+    keeps the reference's exact predicate shape there.
+    """
     if existing is None:
         return None
     id_col = next((c for c in existing.columns if c.lower() in id_column_candidates), None)
@@ -101,4 +115,5 @@ def incremental_predicate(
     max_val = existing.agg(F.max(id_col).alias("m")).collect()[0].m
     if max_val is None:
         return None
-    return f"{id_col} > {max_val}"
+    ident = f"{quote}{id_col}{quote}" if quote else id_col
+    return f"{ident} > {max_val}"

@@ -1,8 +1,13 @@
-"""Jar-optional JDBC end-to-end round-trip (S1/S2; VERDICT r3 item 9).
+"""JDBC end-to-end round-trips (S1/S2; VERDICT r3 item 9, r5 item 5).
 
-The image bundles no JDBC driver jars and no database server, so by default
-this module SKIPS — the options layer stays covered by the unit tests in
-test_operators.py.  When the environment provides a driver jar and a
+In-image e2e needs no external database: PySpark bundles the Apache Derby
+embedded engine (``pyspark/jars/derby-*.jar``), already on every session's
+classpath, so ``test_jdbc_round_trip_embedded_derby`` ALWAYS exercises the
+real JDBC write -> plain read -> partitioned PARALLEL scan -> incremental
+watermark path through ``sources.jdbc`` — the one behavior that previously
+had options-layer coverage only.
+
+Additionally, when the environment provides a server-grade driver jar and a
 reachable database, set:
 
     SPARK_GRAFT_JDBC_JAR       path to the driver jar (e.g. postgresql-*.jar)
@@ -31,6 +36,65 @@ JAR = os.environ.get("SPARK_GRAFT_JDBC_JAR")
 URL = os.environ.get("SPARK_GRAFT_JDBC_URL")
 
 _HAS_JAR_ENV = bool(JAR and os.path.exists(JAR) and URL)
+
+
+def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
+    """The REAL JDBC e2e in-image: Spark's bundled Derby embedded engine.
+
+    Covers the full S1/S2 contract including the partitioned PARALLEL scan
+    (4 input partitions from partitionColumn/lower/upper bounds — each
+    partition issues its own ranged query against the database) and the
+    incremental watermark predicate as a pushdown subquery.  Derby folds
+    unquoted identifiers to uppercase while Spark's writer creates
+    case-exact quoted columns, so the watermark predicate uses ANSI
+    identifier quoting (``quote='"'``).
+    """
+    from healthcare_data_pipeline_spark.sources.jdbc import (
+        JdbcConfig,
+        incremental_predicate,
+        read_table,
+        write_table,
+    )
+
+    # Keep derby.log (and any db artifacts) out of the repo root.  Both
+    # properties are read at engine BOOT (first connection in this JVM), so
+    # set them before any Derby touch.
+    spark._jvm.java.lang.System.setProperty("derby.system.home", str(tmp_path))
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(tmp_path / "derby.log")
+    )
+    cfg = JdbcConfig(
+        url=f"jdbc:derby:{tmp_path}/derbydb;create=true",
+        user="app",
+        password="app",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    src = spark.range(1, 101).selectExpr("id", "id * 2 AS doubled")
+    write_table(src, cfg, "spark_graft_jdbc_e2e", mode="overwrite", repartition=2)
+
+    back = read_table(spark, cfg, "spark_graft_jdbc_e2e")
+    assert back.count() == 100
+
+    part = read_table(
+        spark,
+        cfg,
+        "spark_graft_jdbc_e2e",
+        partition_column="id",
+        num_partitions=4,
+        lower_bound=1,
+        upper_bound=100,
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 100
+    assert sorted(r.id for r in part.collect()) == list(range(1, 101))
+
+    # Deterministic already-ingested subset (limit() order is engine-defined
+    # over JDBC): ids 1..50 -> watermark 50 -> 50 new rows.
+    ingested = back.filter('id <= 50')
+    pred = incremental_predicate(ingested, id_column_candidates=("id",), quote='"')
+    assert pred == '"id" > 50'
+    inc = read_table(spark, cfg, "spark_graft_jdbc_e2e", predicate=pred)
+    assert inc.count() == 50
 
 
 def test_jdbc_round_trip_with_provided_jar(spark, tmp_path):
