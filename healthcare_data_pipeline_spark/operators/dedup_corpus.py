@@ -163,8 +163,20 @@ def band_buckets(
     if hasher not in ("portable", "fast"):
         raise ValueError(f"unknown hasher {hasher!r}: expected 'portable' or 'fast'")
     rows_per_band = PMH_N // PMH_BANDS
+    narrow = docs.selectExpr(f"{id_col} AS doc_id", f"{text_col} AS __text")
+    # Small-scan parallelism gate (same rationale as dd04's signature pass):
+    # a sub-core-count input — locally, one parquet row group — would run
+    # the CPU-heavy shingle explode + per-shingle hashing (md5 on the
+    # portable path) on a single task.  Repartitioning by doc_id REPLACES
+    # the post-explode signature shuffle (hash(doc_id) satisfies the
+    # groupBy's clustering), moving raw text once instead; at scale input
+    # splits exceed core count and this is a no-op, keeping the map-side
+    # partial-min + tiny signature shuffle as the production shape.
+    target = narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target, "doc_id")
     sh = (
-        docs.selectExpr(f"{id_col} AS doc_id", f"split(lower({text_col}), '\\\\s+') AS toks")
+        narrow.selectExpr("doc_id", "split(lower(__text), '\\\\s+') AS toks")
         .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
     )
     if hasher == "portable":
