@@ -298,3 +298,22 @@ def test_minhash_bucket_cap_drops_spam_buckets_with_accounting(spark):
     # accounting: some buckets dropped, 20 docs affected per dropped bucket
     (n_buckets, n_docs) = log[0]
     assert n_buckets >= 1 and n_docs >= 20
+
+
+def test_small_scan_gate_never_adds_a_shuffle(spark):
+    """The band-index small-scan parallelism gate REPLACES the post-explode
+    signature shuffle (hash(doc_id) pre-satisfies the groupBy clustering) —
+    it must never stack a second exchange, and on an input that already has
+    >= core-count partitions it must be a no-op (the at-scale case)."""
+    import re
+
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import band_buckets
+
+    small = table(spark, SF_DIR, "documents")
+    prepartitioned = small.repartition(
+        spark.sparkContext.defaultParallelism * 2, "doc_id"
+    )
+    for df in (small, prepartitioned):
+        plan = band_buckets(df)._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_exchanges == 1, plan
