@@ -67,6 +67,99 @@ def mixture_sample(
     return df.filter(portable_selector(id_col) < thresh)
 
 
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """Ordered cumulative integer thresholds over DENOM for a disjoint,
+    exhaustive split — computed ONCE in Python so the Spark CASE chain and
+    any SQL oracle compare against identical literals.  The last interval is
+    closed at DENOM exactly, so every row gets a split no matter how the
+    fractions round."""
+    if not fractions:
+        raise ValueError("split needs at least one fraction")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError(f"split fractions must be >= 0: {fractions}")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split fractions must sum to 1, got {total}: {fractions}")
+    out: list[tuple[str, int]] = []
+    cum = 0.0
+    for name, f in fractions.items():  # insertion order = interval order
+        cum += f
+        out.append((name, int(round(cum * DENOM))))
+    out[-1] = (out[-1][0], DENOM)
+    return out
+
+
+def _split_hash(id_col: str, salt: str) -> Column:
+    """Portable 32-bit hash of ``id:salt`` mod DENOM.  The salt decorrelates
+    the split from every OTHER hash gate in the pipeline (mixture_sample
+    keeps the low-hash rows of each source; an unsalted split would then
+    assign exactly those rows to the first interval — correlated gates are
+    silent selection bias)."""
+    s = F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % DENOM
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the PRODUCTION split.
+
+    Appends ``split_col`` from a salted portable hash of the id: disjoint,
+    exhaustive, no RNG, bit-identical on any engine (catalog t19), and
+    stable under corpus growth — a document's split NEVER changes when other
+    documents are added or removed, the property that keeps a frozen eval
+    set frozen across corpus versions at 100 TB.  Zero shuffle: one narrow
+    projection, composes with partition pruning.  Proportions are exact in
+    expectation per stratum (any stratum, since the hash is independent of
+    every column but the id); use ``exact_stratified_split`` when a small
+    stratum needs count-exact proportions.
+    """
+    ths = split_thresholds(fractions or {"train": 0.9, "val": 0.05, "test": 0.05})
+    u = _split_hash(id_col, salt)
+    col = F.when(u < ths[0][1], F.lit(ths[0][0]))
+    for name, th in ths[1:-1]:
+        col = col.when(u < th, F.lit(name))
+    col = col.otherwise(F.lit(ths[-1][0]))
+    return df.withColumn(split_col, col)
+
+
+def exact_stratified_split(
+    df: DataFrame,
+    fractions: dict[str, float] | None = None,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Count-exact per-stratum split: within each ``strat_col`` group, rows
+    are ranked by the salted portable hash (id tie-break) and the split
+    boundaries land at round(cum_fraction * n) — every stratum's split sizes
+    are exact to rounding, not just in expectation.
+
+    Cost: one shuffle on ``strat_col`` + a per-stratum sort (window), and a
+    whole stratum's rank lives in one partition — so this is for BOUNDED
+    strata (a label taxonomy, a source list), not for splitting a 100 TB
+    corpus by a heavy-hitter column; ``hash_split`` is the scale path.
+    Unlike ``hash_split``, assignments here can shift when the stratum's
+    membership changes (ranks move) — the price of exactness.
+    """
+    from pyspark.sql import Window
+
+    ths = split_thresholds(fractions or {"train": 0.9, "val": 0.05, "test": 0.05})
+    w = Window.partitionBy(strat_col).orderBy(_split_hash(id_col, salt), F.col(id_col))
+    n = F.count("*").over(Window.partitionBy(strat_col))
+    rn = F.row_number().over(w)
+    col = F.when(rn <= F.round(n * ths[0][1] / DENOM), F.lit(ths[0][0]))
+    for name, th in ths[1:-1]:
+        col = col.when(rn <= F.round(n * th / DENOM), F.lit(name))
+    col = col.otherwise(F.lit(ths[-1][0]))
+    return df.withColumn(split_col, col)
+
+
 def fractional_thresholds(weights: dict[str, float]) -> dict[str, tuple[int, int]]:
     """Per source: (floor(w) full copies, round(frac(w) * DENOM) gate) —
     integer literals shared between the Spark plan and any SQL oracle."""

@@ -433,6 +433,43 @@ def t12_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_resample(d, _RESAMPLE_WEIGHTS).select("doc_id", "source", "epoch")
 
 
+def _t19_oracle_sql() -> str:
+    from healthcare_data_pipeline_spark.operators.mixture import DENOM, split_thresholds
+    from healthcare_data_pipeline_spark.queries.dedup import _SQL_H32
+
+    ths = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    case = " ".join(f"WHEN u < {th} THEN '{name}'" for name, th in ths[:-1])
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(doc_id AS VARCHAR) || ':split' AS s FROM documents
+    ),
+    h AS (SELECT doc_id, source, ({_SQL_H32}) % {DENOM} AS u FROM t)
+    SELECT doc_id, source,
+           CASE {case} ELSE '{ths[-1][0]}' END AS split
+    FROM h
+    """
+
+
+@query(
+    "t19_hash_split",
+    oracle=_t19_oracle_sql(),
+    tags=("text", "EXT", "sampling", "front-door"),
+    doc="Deterministic train/val/test split (operators.mixture.hash_split): salted "
+    "portable-hash assignment — disjoint, exhaustive, no RNG, bit-identical on any "
+    "engine, and a document's split NEVER changes when other documents are added or "
+    "removed (frozen eval sets stay frozen across corpus versions). The salt "
+    "decorrelates the split from t11's mixture gate (correlated hash gates are silent "
+    "selection bias). Zero shuffle: one narrow projection. Count-exact per-stratum "
+    "variant: operators.mixture.exact_stratified_split (window-ranked, for bounded "
+    "strata).",
+)
+def t19_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.mixture import hash_split
+
+    d = table(spark, sf_dir, "documents")
+    return hash_split(d).select("doc_id", "source", "split")
+
+
 _SHUFKEY_SQL = " + ".join(
     f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
     f" * CAST({16 ** (11 - i)} AS BIGINT)"

@@ -189,3 +189,73 @@ def test_resample_copy_counts(spark):
     from healthcare_data_pipeline_spark.plans import count_exchanges
 
     assert count_exchanges(mixture_resample(d, w)) == 0
+
+
+def test_hash_split_contract(spark):
+    """Disjoint + exhaustive + stable-under-growth + decorrelated + no shuffle."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.mixture import hash_split, mixture_sample
+    from healthcare_data_pipeline_spark.plans import count_exchanges
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    out = hash_split(d).select("doc_id", "source", "split")
+    n = d.count()
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    # exhaustive and disjoint: one label per row, all rows labeled
+    assert sum(counts.values()) == n and set(counts) <= {"train", "val", "test"}
+    # proportions near target (hash-uniformity; generous band at 500 rows)
+    assert abs(counts.get("train", 0) / n - 0.9) < 0.08
+    # stable under growth: dropping half the corpus changes NO surviving label
+    half = hash_split(d.filter(F.col("doc_id") % 2 == 0)).select("doc_id", "split")
+    assert half.subtract(out.select("doc_id", "split")).count() == 0
+    # decorrelated from the mixture gate: the sampled subset's split rate
+    # stays near the target (an unsalted split would put ALL low-hash kept
+    # rows in 'train' at rate 1.0)
+    kept = hash_split(mixture_sample(d, {f"src{i}": 0.3 for i in range(20)}))
+    kn = kept.count()
+    ktr = kept.filter(F.col("split") == "train").count()
+    assert abs(ktr / kn - 0.9) < 0.08
+    # zero shuffle
+    assert count_exchanges(out) == 0
+
+
+def test_exact_stratified_split_exactness(spark):
+    """Per-stratum split sizes are count-exact to rounding, labels disjoint
+    and exhaustive, and the operator matches hash_split's interval order."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.mixture import exact_stratified_split
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    out = exact_stratified_split(d, {"train": 0.8, "val": 0.1, "test": 0.1})
+    per = {
+        (r.source, r.split): r["count"]
+        for r in out.groupBy("source", "split").count().collect()
+    }
+    totals = d.groupBy("source").count().collect()
+
+    def half_up(x):  # Spark's F.round is HALF_UP, not Python's banker's rounding
+        import math
+
+        return math.floor(x + 0.5)
+
+    for row in totals:
+        n = row["count"]
+        tr = per.get((row.source, "train"), 0)
+        va = per.get((row.source, "val"), 0)
+        te = per.get((row.source, "test"), 0)
+        assert tr + va + te == n
+        # boundaries at round(cum * n): train == round(0.8n), train+val == round(0.9n)
+        assert tr == half_up(0.8 * n)
+        assert tr + va == half_up(0.9 * n)
+
+
+def test_split_thresholds_validation(spark):
+    from healthcare_data_pipeline_spark.operators.mixture import split_thresholds
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_thresholds({"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match=">= 0"):
+        split_thresholds({"a": 1.5, "b": -0.5})
+    assert split_thresholds({"a": 1.0}) == [("a", 1_000_000)]
