@@ -67,3 +67,80 @@ def write_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) key over numeric columns: each column is linearly
+    quantized to ``bits`` bits against its observed min/max, then the bits
+    are interleaved — points close on the space-filling curve are close in
+    EVERY dimension, which is what makes multi-column min/max skipping work.
+
+    One bounded driver action (a 2x len(cols) scalar agg for the quantizer
+    bounds); the key itself is pure JVM arithmetic inside whole-stage
+    codegen — no UDF, no shuffle.  Returns (key_column, bounds) so callers
+    can persist the bounds alongside the data and build the SAME key for
+    later incremental appends.
+    """
+    from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if len(cols) * bits > 63:
+        raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a signed 64-bit key")
+    row = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
+    top = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        mn, mx = bounds[c]
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit(top).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                ((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * top).cast("long"),
+            ),
+        )
+        for b in range(bits):
+            key = key + F.shiftleft(
+                F.shiftrightunsigned(q, b).bitwiseAND(F.lit(1).cast("long")),
+                b * len(cols) + ci,
+            )
+    return key, bounds
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> dict:
+    """Multi-column clustering for data skipping: range-partition + sort by
+    the Z-order key so every file (and row group) covers a narrow band in
+    ALL of ``cols`` simultaneously.
+
+    ``write_sorted`` is strictly better for ONE dominant filter column (its
+    per-file range for that column is ~1/n_files of the domain but the other
+    columns stay unclustered); Z-order trades a sqrt-ish widening per
+    dimension for skipping on EVERY dimension — at 100 TB this is the
+    difference between pruning on (ship_date) only and pruning on
+    (ship_date, customer_region, price_band) with one layout.  The key is
+    computed once at write; readers need nothing special — parquet min/max
+    statistics do the pruning.  Returns the quantizer bounds (persist them
+    to key later appends identically).
+    """
+    key, bounds = zorder_key(df, cols, bits=bits)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+    return bounds

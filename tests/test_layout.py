@@ -87,3 +87,69 @@ def test_compaction_merges_small_files(spark, tmp_path):
     b = spark.read.parquet(out)
     assert a.count() == b.count()
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_zorder_layout_skips_on_every_dimension(spark, tmp_path):
+    """Z-order vs single-column sort on 2 independent uniform dims:
+
+    * x-sorted files: tight x bands, but each file's y span covers ~the whole
+      domain — y predicates skip NOTHING.
+    * Z-ordered files: BOTH dims' per-file spans shrink (sqrt-ish tradeoff),
+      so min/max pruning works for predicates on either column.
+    """
+    import pyarrow.parquet as pq
+
+    from healthcare_data_pipeline_spark.sources.layout import write_zordered
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id"),
+        # independent pseudo-uniform dims from different hash streams
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(100_000))).alias("x"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(100_000))).alias("y"),
+    )
+
+    def mean_span(d, col):
+        spans = []
+        for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    sorted_dir, z_dir = str(tmp_path / "xsorted"), str(tmp_path / "zorder")
+    write_sorted(df, sorted_dir, ["x"], n_files=16)
+    bounds = write_zordered(df, z_dir, ["x", "y"], n_files=16)
+    assert set(bounds) == {"x", "y"}
+
+    domain = 100_000
+    # x-sorted: x tight (~domain/16), y useless (~domain)
+    assert mean_span(sorted_dir, "x") < 0.15 * domain
+    assert mean_span(sorted_dir, "y") > 0.8 * domain
+    # z-ordered: BOTH dims clustered — 16 files on a 2-D curve gives ~1/4
+    # linear span per dim (sqrt tradeoff); assert well under half-domain.
+    assert mean_span(z_dir, "x") < 0.45 * domain
+    assert mean_span(z_dir, "y") < 0.45 * domain
+    # nothing lost: same rows, key column not persisted
+    back = spark.read.parquet(z_dir)
+    assert back.columns == ["id", "x", "y"]
+    assert back.count() == n
+
+
+def test_zorder_key_bounds_and_validation(spark):
+    from healthcare_data_pipeline_spark.sources.layout import zorder_key
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    key, bounds = zorder_key(df, ["id", "v"], bits=8)
+    assert bounds == {"id": (0.0, 99.0), "v": (0.0, 198.0)}
+    got = df.select(key.alias("k")).agg(F.min("k"), F.max("k")).collect()[0]
+    assert got[0] >= 0 and got[1] < (1 << 16)  # 2 cols x 8 bits
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="64-bit"):
+        zorder_key(df, ["id", "v"], bits=32)
+    with _pytest.raises(ValueError, match="at least one"):
+        zorder_key(df, [])
