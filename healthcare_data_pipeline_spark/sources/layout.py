@@ -69,17 +69,18 @@ def write_sorted(
     )
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16, bounds: dict | None = None):
     """Z-order (Morton) key over numeric columns: each column is linearly
     quantized to ``bits`` bits against its observed min/max, then the bits
     are interleaved — points close on the space-filling curve are close in
     EVERY dimension, which is what makes multi-column min/max skipping work.
 
     One bounded driver action (a 2x len(cols) scalar agg for the quantizer
-    bounds); the key itself is pure JVM arithmetic inside whole-stage
-    codegen — no UDF, no shuffle.  Returns (key_column, bounds) so callers
-    can persist the bounds alongside the data and build the SAME key for
-    later incremental appends.
+    bounds — skipped when ``bounds`` is supplied); the key itself is pure
+    JVM arithmetic inside whole-stage codegen — no UDF, no shuffle.  Returns
+    (key_column, bounds) so callers can persist the bounds alongside the
+    data and build the SAME key for later incremental appends (out-of-range
+    values clamp to the edge cells).
     """
     from pyspark.sql import functions as F
 
@@ -87,11 +88,12 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
         raise ValueError("zorder_key needs at least one column")
     if len(cols) * bits > 63:
         raise ValueError(f"{len(cols)} cols x {bits} bits exceeds a signed 64-bit key")
-    row = df.agg(
-        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
-    ).collect()[0]
-    bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
+    if bounds is None:
+        row = df.agg(
+            *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        bounds = {c: (row[f"mn_{c}"], row[f"mx_{c}"]) for c in cols}
     top = (1 << bits) - 1
     key = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
@@ -143,4 +145,50 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+    _write_zorder_meta(path, cols, bits, bounds)
     return bounds
+
+
+def _zorder_meta_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_zorder.json")
+
+
+def _write_zorder_meta(path: str, cols: list[str], bits: int, bounds: dict) -> None:
+    """Persist the quantizer next to the data (same contract as the ANN
+    index's frozen centroid table: layout key and data must never drift
+    apart).  Underscore-prefixed, so parquet readers ignore it."""
+    import json
+
+    with open(_zorder_meta_path(path), "w") as fh:
+        json.dump({"cols": cols, "bits": bits, "bounds": bounds}, fh)
+
+
+def append_zordered(df: DataFrame, path: str, n_files: int = 1) -> None:
+    """Append a batch to a Z-ordered dataset WITHOUT rewriting it.
+
+    The batch is keyed against the dataset's FROZEN quantizer bounds
+    (``_zorder.json`` — same immutable-quantizer contract as
+    ``ann_index_append``; out-of-range values clamp to edge cells) and
+    written as new internally-Z-sorted files.  Per-file min/max statistics
+    stay tight, so pruning keeps working as the dataset grows; the
+    cross-file interleave degrades gradually — re-cluster with
+    ``write_zordered`` when the batch volume or a drifted value range
+    warrants it (the ``compact`` tradeoff, not a correctness issue).
+    O(batch) per append, existing files never touched.
+    """
+    import json
+
+    with open(_zorder_meta_path(path)) as fh:
+        meta = json.load(fh)
+    bounds = {c: tuple(v) for c, v in meta["bounds"].items()}
+    key, _ = zorder_key(df, meta["cols"], bits=meta["bits"], bounds=bounds)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("append")
+        .parquet(path)
+    )

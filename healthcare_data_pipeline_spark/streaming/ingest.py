@@ -92,13 +92,18 @@ def prep_stream(
     docs: DataFrame,
     weights: dict[str, float] | None = None,
     min_stopword_ratio: float | None = 0.01,
+    split_fractions: dict[str, float] | None = None,
 ) -> DataFrame:
     """The streaming corpus-prep gate: quality filter -> PII redaction ->
-    optional mixture gate.  Every stage is a STATELESS row-level expression,
-    so the exact batch operators run unchanged on an unbounded stream — no
-    watermark, no state store, append-mode safe.  (Dedup, the stateful
-    stage, is `run_stream_dedup_ingest`'s job downstream.)"""
-    from healthcare_data_pipeline_spark.operators.mixture import mixture_sample
+    optional mixture gate -> optional train/val/test split.  Every stage is
+    a STATELESS row-level expression, so the exact batch operators run
+    unchanged on an unbounded stream — no watermark, no state store,
+    append-mode safe.  The split in particular is safe to assign at ingest
+    time because ``hash_split`` is a pure function of the doc id: a
+    document's split never depends on what else has arrived, so replays and
+    late re-ingests assign identically.  (Dedup, the stateful stage, is
+    `run_stream_dedup_ingest`'s job downstream.)"""
+    from healthcare_data_pipeline_spark.operators.mixture import hash_split, mixture_sample
     from healthcare_data_pipeline_spark.operators.quality import quality_predicate
     from healthcare_data_pipeline_spark.operators.redact import redact_pii
 
@@ -106,6 +111,8 @@ def prep_stream(
     out = redact_pii(out)
     if weights is not None:
         out = mixture_sample(out, weights)
+    if split_fractions is not None:
+        out = hash_split(out, split_fractions)
     return out
 
 

@@ -153,3 +153,45 @@ def test_zorder_key_bounds_and_validation(spark):
         zorder_key(df, ["id", "v"], bits=32)
     with _pytest.raises(ValueError, match="at least one"):
         zorder_key(df, [])
+
+
+def test_zorder_append_uses_frozen_bounds(spark, tmp_path):
+    """Appends key against the persisted quantizer (never re-derive from the
+    batch — that would shift every cell), keep per-file stats tight, and
+    leave existing files untouched."""
+    import pyarrow.parquet as pq
+
+    from healthcare_data_pipeline_spark.sources.layout import (
+        append_zordered,
+        write_zordered,
+    )
+
+    d = str(tmp_path / "z")
+    base = spark.range(10_000).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(1000))).alias("x"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(1000))).alias("y"),
+    )
+    write_zordered(base, d, ["x", "y"], n_files=4)
+    files_before = set(glob.glob(os.path.join(d, "*.parquet")))
+    mtimes_before = {f: os.path.getmtime(f) for f in files_before}
+
+    # batch with values OUTSIDE the frozen bounds (must clamp, not crash)
+    batch = spark.range(10_000, 12_000).select(
+        F.col("id"), (F.col("id") % 3000).alias("x"), (F.col("id") % 2500).alias("y")
+    )
+    append_zordered(batch, d, n_files=2)
+
+    files_after = set(glob.glob(os.path.join(d, "*.parquet")))
+    assert files_before < files_after  # strictly additive
+    assert all(os.path.getmtime(f) == mtimes_before[f] for f in files_before)
+    assert spark.read.parquet(d).count() == 12_000
+
+    # the new files are internally clustered: each new file's x-span is well
+    # under the batch's full x-domain (0..2999)
+    for f in sorted(files_after - files_before):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("x")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        assert hi - lo < 2500

@@ -682,20 +682,37 @@ def test_stream_prep_gate_equals_batch(spark):
     from healthcare_data_pipeline_spark.operators.redact import redact_pii
     from healthcare_data_pipeline_spark.streaming import ingest as ing
 
+    from healthcare_data_pipeline_spark.operators.mixture import hash_split
+
     w = {f"src{i}": 0.5 for i in range(20)}
-    stream = ing.prep_stream(ing.read_documents_stream(spark, SF_DIR), weights=w)
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    stream = ing.prep_stream(
+        ing.read_documents_stream(spark, SF_DIR), weights=w, split_fractions=fr
+    )
     stv.run_to_memory(
-        stream.select("doc_id", "text", "n_email"), "prep_out", output_mode="append"
+        stream.select("doc_id", "text", "n_email", "split"), "prep_out", output_mode="append"
     )
-    got = {(r.doc_id, r.text, r.n_email) for r in spark.sql("SELECT * FROM prep_out").collect()}
-    batch = mixture_sample(
-        redact_pii(
-            table(spark, SF_DIR, "documents").filter(quality_predicate(min_stopword_ratio=0.01))
+    got = {
+        (r.doc_id, r.text, r.n_email, r.split)
+        for r in spark.sql("SELECT * FROM prep_out").collect()
+    }
+    batch = hash_split(
+        mixture_sample(
+            redact_pii(
+                table(spark, SF_DIR, "documents").filter(
+                    quality_predicate(min_stopword_ratio=0.01)
+                )
+            ),
+            w,
         ),
-        w,
+        fr,
     )
-    want = {(r.doc_id, r.text, r.n_email) for r in batch.select("doc_id", "text", "n_email").collect()}
+    want = {
+        (r.doc_id, r.text, r.n_email, r.split)
+        for r in batch.select("doc_id", "text", "n_email", "split").collect()
+    }
     assert got == want and len(got) > 0
+    assert {s for (_, _, _, s) in got} <= {"train", "val", "test"}
 
 
 def _mini_ingest_env(spark, tmp_path, tag):
