@@ -214,6 +214,67 @@ def band_buckets(
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+# Shingle document-frequency cap shared by every exact shingle-join pass
+# (dd02 Jaccard, containment): shingles appearing in more than this many docs
+# are boilerplate, carry no dedup signal, and would blow the join fan-out.
+MAX_SHINGLE_DF = 50
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: |A∩B| / |A| over word-3-gram shingle
+    sets — the "document A is embedded in document B" case (boilerplate
+    wrapping, quote expansion, template + payload) that RESEMBLANCE measures
+    miss by construction: a small doc fully contained in a 10x larger one
+    has Jaccard |A|/|B| ~ 0.1 and MinHash collides with probability ~J, so
+    neither dd02's threshold nor the LSH banding surfaces it.
+
+    Output: (contained, container, n_common, containment) — one row per
+    direction at or above ``threshold``.  Candidate generation is the same
+    DF-capped shingle-equality join as the exact Jaccard pass: per-shingle
+    fan-out is bounded by ``max_shingle_df``² and template shingles (the
+    containment workload's natural skew) are excluded by the cap, so the
+    join stays linear-ish in corpus size; at 100 TB run it per LSH bucket or
+    per dup-cluster (dd09's output) rather than corpus-wide.
+    """
+    sh = (
+        docs.selectExpr(f"{id_col} AS doc_id", f"split(lower({text_col}), '\\\\s+') AS toks")
+        .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
+    )
+    keep = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_shingle_df)
+    shk = sh.join(keep.select("s"), "s")
+    sizes = shk.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = shk.select(F.col("doc_id").alias("d1"), "s")
+    b = shk.select(F.col("doc_id").alias("d2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n_sh1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n_sh2"))
+    both = inter.join(s1, "d1").join(s2, "d2")
+    dir1 = both.select(
+        F.col("d1").alias("contained"),
+        F.col("d2").alias("container"),
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_sh1").cast("double")).alias("containment"),
+    )
+    dir2 = both.select(
+        F.col("d2").alias("contained"),
+        F.col("d1").alias("container"),
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_sh2").cast("double")).alias("containment"),
+    )
+    return dir1.unionByName(dir2).filter(F.col("containment") >= threshold)
+
+
 def portable_minhash_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -48,8 +48,9 @@ from healthcare_data_pipeline_spark.operators.dedup_corpus import (
 from healthcare_data_pipeline_spark.queries import query
 from healthcare_data_pipeline_spark.queries.similarity import _QUANT_SQL, quantized
 
-# Max document-frequency for a shingle to participate in pair generation.
-MAX_SHINGLE_DF = 50
+# Max document-frequency for a shingle to participate in pair generation
+# (single source of truth in the operator module).
+from healthcare_data_pipeline_spark.operators.dedup_corpus import MAX_SHINGLE_DF  # noqa: E402
 
 # SQL fragment: first 8 hex chars of md5(s) as a BIGINT (DuckDB lacks a
 # hex-literal cast, so parse pairwise with strpos over the hex alphabet).
@@ -155,6 +156,68 @@ def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", "n_common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.05)
     )
+
+
+@query(
+    "dd16_containment_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(toks) - 2, 0)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+               )) AS s
+        FROM t
+      )
+    ),
+    keep AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+    ),
+    shk AS (
+      SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM shk GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+      FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs2 AS (
+      SELECT i.d1, i.d2, i.n_common, s1.n_sh AS n_sh1, s2.n_sh AS n_sh2
+      FROM inter i
+      JOIN sizes s1 ON i.d1 = s1.doc_id
+      JOIN sizes s2 ON i.d2 = s2.doc_id
+    )
+    SELECT contained, container, n_common, containment FROM (
+      SELECT d1 AS contained, d2 AS container, n_common,
+             CAST(n_common AS DOUBLE) / CAST(n_sh1 AS DOUBLE) AS containment
+      FROM pairs2
+      UNION ALL
+      SELECT d2, d1, n_common,
+             CAST(n_common AS DOUBLE) / CAST(n_sh2 AS DOUBLE)
+      FROM pairs2
+    ) WHERE containment >= 0.5
+    """,
+    tags=("dedup", "EXT", "containment"),
+    doc="Asymmetric containment near-dup (operators.dedup_corpus.containment_pairs): "
+    "|A∩B|/|A| over DF-capped word-3-gram shingle sets — the doc-embedded-in-doc case "
+    "(boilerplate wrapping, quote expansion) that resemblance measures miss by "
+    "construction (a doc fully contained in a 10x larger one has Jaccard ~0.1, and "
+    "MinHash-LSH collides with probability ~J). Same bounded shingle-equality join as "
+    "dd02; at 100 TB run per LSH bucket or per dd09 cluster, not corpus-wide.",
+)
+def dd16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import containment_pairs
+
+    return containment_pairs(table(spark, sf_dir, "documents"), threshold=0.5)
 
 
 @query(
