@@ -160,6 +160,61 @@ def exact_stratified_split(
     return df.withColumn(split_col, col)
 
 
+def group_sample(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    oversample: int = 2,
+) -> DataFrame:
+    """Deterministic fixed-size sample per group: up to ``k`` rows from each
+    ``group_col`` value, selected by salted portable hash — the "give me 100
+    docs from every source" debugging/eval primitive (t11 samples by RATE;
+    this samples by COUNT).
+
+    Scale shape is two-phase so no group's full membership ever sits in one
+    window partition: (1) per-group counts (map-side combine) broadcast back
+    to gate each row at ~``oversample * k / n`` of its group via the hash —
+    a narrow filter that discards almost everything in a big group; (2) a
+    window rank over the gated survivors (~oversample*k rows per group)
+    picks the ``k`` smallest hashes, id tie-break.  All arithmetic is
+    integer (ceil via ``div`` + 1), so any SQL engine reproduces the sample
+    bit-identically.  Groups smaller than the gate pass through whole, and
+    the output is min(k, survivors) rows — with the default 2x oversample
+    the survivor count falls below ``k`` only with negligible probability;
+    raise ``oversample`` where that tail matters.  Selection is stable per
+    row id under growth ONLY within the gate (the gate threshold tightens as
+    a group grows — by design, unlike ``hash_split``: a fixed-size sample
+    cannot be growth-stable).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"group_sample needs k >= 1, got {k}")
+    if oversample < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
+    u = _split_hash(id_col, salt).alias("__u")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    # integer division on both sides (Spark `div`, SQL `//`): float division
+    # could round the gate differently across engines at exact quotients
+    gate = F.least(
+        F.lit(DENOM).cast("long"),
+        F.expr(f"({oversample * k}L * {DENOM}L) div __n") + F.lit(1).cast("long"),
+    )
+    gated = (
+        df.withColumn("__u", u)
+        .join(F.broadcast(counts), group_col)
+        .filter(F.col("__u") < gate)
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("__u"), F.col(id_col))
+    return (
+        gated.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__u", "__n", "__rn")
+    )
+
+
 def fractional_thresholds(weights: dict[str, float]) -> dict[str, tuple[int, int]]:
     """Per source: (floor(w) full copies, round(frac(w) * DENOM) gate) —
     integer literals shared between the Spark plan and any SQL oracle."""

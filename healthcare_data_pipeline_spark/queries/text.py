@@ -470,6 +470,51 @@ def t19_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(d).select("doc_id", "source", "split")
 
 
+def _t20_oracle_sql() -> str:
+    from healthcare_data_pipeline_spark.operators.mixture import DENOM
+    from healthcare_data_pipeline_spark.queries.dedup import _SQL_H32
+
+    k, oversample = 10, 2
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(doc_id AS VARCHAR) || ':sample' AS s FROM documents
+    ),
+    h AS (SELECT doc_id, source, ({_SQL_H32}) % {DENOM} AS u FROM t),
+    n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    gated AS (
+      SELECT h.doc_id, h.source, h.u
+      FROM h JOIN n USING (source)
+      WHERE h.u < LEAST({DENOM}, ({oversample * k} * {DENOM}) // n.n + 1)
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+      FROM gated
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= {k}
+    """
+
+
+@query(
+    "t20_group_sample",
+    oracle=_t20_oracle_sql(),
+    tags=("text", "EXT", "sampling"),
+    doc="Deterministic fixed-size per-group sample (operators.mixture.group_sample): up to "
+    "k rows per source by salted portable hash — the 'k docs from every source' "
+    "debugging/eval primitive (t11 samples by RATE, this by COUNT). Scale shape is "
+    "two-phase: per-group counts broadcast back as a ~2k/n hash gate (narrow filter, "
+    "discards almost everything in a big group), then a window rank over the "
+    "~2k-per-group survivors — no group's full membership ever sits in one window "
+    "partition. All-integer gate arithmetic (div both sides), bit-identical on any "
+    "engine.",
+)
+def t20_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.mixture import group_sample
+
+    d = table(spark, sf_dir, "documents")
+    return group_sample(d, k=10).select("doc_id", "source")
+
+
 _SHUFKEY_SQL = " + ".join(
     f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
     f" * CAST({16 ** (11 - i)} AS BIGINT)"

@@ -259,3 +259,47 @@ def test_split_thresholds_validation(spark):
     with pytest.raises(ValueError, match=">= 0"):
         split_thresholds({"a": 1.5, "b": -0.5})
     assert split_thresholds({"a": 1.0}) == [("a", 1_000_000)]
+
+
+def test_group_sample_contract(spark):
+    """<= k per group, deterministic, gate+rank agree with the ungated pure
+    window rank (the gate must never change WHICH rows win, only how many
+    candidates the window sees)."""
+    from pyspark.sql import Window
+
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.mixture import _split_hash, group_sample
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    k = 5
+    got = group_sample(d, k=k).select("doc_id", "source")
+    per = {r.source: r["count"] for r in got.groupBy("source").count().collect()}
+    sizes = {r.source: r["count"] for r in d.groupBy("source").count().collect()}
+    for src, n in sizes.items():
+        assert per.get(src, 0) == min(k, n), (src, n, per.get(src))
+    # determinism
+    again = group_sample(d, k=k).select("doc_id", "source")
+    assert got.subtract(again).count() == 0 and again.subtract(got).count() == 0
+    # gate never changes the winners: pure (ungated) rank picks the same rows
+    w = Window.partitionBy("source").orderBy(_split_hash("doc_id", "sample"), F.col("doc_id"))
+    pure = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("doc_id", "source")
+    )
+    assert got.subtract(pure).count() == 0 and pure.subtract(got).count() == 0
+
+
+def test_group_sample_validation(spark):
+    import pytest as _pytest
+
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.mixture import group_sample
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    with _pytest.raises(ValueError, match="k >= 1"):
+        group_sample(d, k=0)
+    with _pytest.raises(ValueError, match="oversample"):
+        group_sample(d, k=5, oversample=0)
