@@ -102,6 +102,7 @@ def ops(spark, sf_dir: str):
     the full plan (noop sink — no driver materialization)."""
     from healthcare_data_pipeline_spark.operators.dedup_corpus import (
         band_skew_report,
+        containment_pairs,
         dedup_corpus,
     )
     from healthcare_data_pipeline_spark.operators.quality import filter_corpus
@@ -129,6 +130,7 @@ def ops(spark, sf_dir: str):
         "dedup_corpus (LSH front door)": lambda: sink(dedup_corpus(docs, hasher="fast")),
         "band_skew_report": lambda: sink(band_skew_report(docs)),
         "quality_filter": lambda: sink(filter_corpus(docs)),
+        "containment_pairs (DF-capped)": lambda: sink(containment_pairs(docs)),
         "corpus_shuffle": lambda: sink(shuffle_corpus(docs, num_splits=32)),
         "ann_index_probe (build once)": probe,
     }
