@@ -61,6 +61,72 @@ def filter_corpus(
     )
 
 
+def stopword_ratio(text_col: str = "text") -> Column:
+    """The default quality score: stopword fraction of the token bag — an
+    IEEE-exact double (small-int division), so rankings on it reproduce
+    bit-identically in any engine."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    return (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / F.size(toks).cast("double")
+    )
+
+
+def adaptive_quality_filter(
+    docs: DataFrame,
+    drop_pct: int = 20,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    score: Column | None = None,
+    method: str = "exact",
+) -> DataFrame:
+    """Distribution-aware quality gate: drop the WORST ``drop_pct`` percent
+    of each group by score, instead of a fixed threshold.
+
+    Fixed gates (``filter_corpus``) treat every slice alike, but corpus
+    slices have different score distributions — a threshold that trims web
+    spam decimates a transcript source.  Percentile gates are how production
+    curation actually specifies quality budgets ("drop the bottom 20% per
+    source").
+
+    ``method='exact'``: per-group rank ascending by (score, id); the bottom
+    ``floor(drop_pct * n / 100)`` rows drop — integer boundary arithmetic,
+    so the kept set reproduces exactly in any engine (catalog t21).  Cost:
+    one shuffle + per-group sort; a group's ranking lives in one partition,
+    so this is for bounded strata or post-sampled slices.
+
+    ``method='approx'``: the 100 TB path — one ``approx_percentile`` pass
+    computes a per-group threshold (map-side sketches, no sort), broadcast
+    back as a narrow filter.  Keeps ~the same rows, not bit-exactly (sketch
+    error), so it is rate-tested, not value-oracled.
+    """
+    if not 0 <= drop_pct < 100:
+        raise ValueError(f"drop_pct must be in [0, 100), got {drop_pct}")
+    if method not in ("exact", "approx"):
+        raise ValueError(f"unknown method {method!r}: expected 'exact' or 'approx'")
+    s = score if score is not None else stopword_ratio()
+    if method == "approx":
+        th = docs.groupBy(group_col).agg(
+            F.percentile_approx(s, drop_pct / 100.0, 10_000).alias("__th")
+        )
+        return (
+            docs.join(F.broadcast(th), group_col)
+            .filter(s > F.col("__th"))
+            .drop("__th")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(s.asc(), F.col(id_col).asc())
+    n = F.count("*").over(Window.partitionBy(group_col))
+    rn = F.row_number().over(w)
+    return (
+        docs.withColumn("__n", n)
+        .withColumn("__rn", rn)
+        .filter(F.expr(f"__rn > (__n * {drop_pct}) div 100"))
+        .drop("__n", "__rn")
+    )
+
+
 def prep_corpus(
     docs: DataFrame,
     text_col: str = "text",

@@ -470,6 +470,44 @@ def t19_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(d).select("doc_id", "source", "split")
 
 
+@query(
+    "t21_adaptive_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    sc AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+               / CAST(len(toks) AS DOUBLE) AS s
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY s ASC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM sc
+    )
+    SELECT doc_id, source FROM r WHERE rn > (n * 20) // 100
+    """,
+    tags=("text", "EXT", "quality"),
+    doc="Distribution-aware quality gate (operators.quality.adaptive_quality_filter, "
+    "method='exact'): drop the worst 20% of each source by stopword-ratio score — "
+    "percentile gates per corpus slice, the way production curation specifies quality "
+    "budgets, vs t07's fixed thresholds (a cut that trims web spam decimates a "
+    "transcript source). Exact mode ranks per group with an integer drop boundary "
+    "(reproduces bit-identically anywhere); method='approx' is the 100 TB path — "
+    "per-group approx_percentile thresholds broadcast as a narrow filter, rate-tested "
+    "in pytest.",
+)
+def t21_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.quality import adaptive_quality_filter
+
+    d = table(spark, sf_dir, "documents")
+    return adaptive_quality_filter(d, drop_pct=20).select("doc_id", "source")
+
+
 def _t20_oracle_sql() -> str:
     from healthcare_data_pipeline_spark.operators.mixture import DENOM
     from healthcare_data_pipeline_spark.queries.dedup import _SQL_H32

@@ -303,3 +303,41 @@ def test_group_sample_validation(spark):
         group_sample(d, k=0)
     with _pytest.raises(ValueError, match="oversample"):
         group_sample(d, k=5, oversample=0)
+
+
+def test_adaptive_quality_filter_modes(spark):
+    """Exact mode: per-source kept count == n - floor(0.2n), survivors are
+    the TOP scorers. Approx mode: keeps ~the same fraction (sketch error
+    band) with the same direction (low scorers dropped)."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.quality import (
+        adaptive_quality_filter,
+        stopword_ratio,
+    )
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    sizes = {r.source: r["count"] for r in d.groupBy("source").count().collect()}
+
+    exact = adaptive_quality_filter(d, drop_pct=20)
+    kept = {r.source: r["count"] for r in exact.groupBy("source").count().collect()}
+    for src, n in sizes.items():
+        assert kept.get(src, 0) == n - (n * 20) // 100, (src, n, kept.get(src))
+    # survivors dominate: the minimum kept score >= the max dropped score is
+    # not guaranteed under ties, but mean(kept) must exceed mean(dropped)
+    scored = d.withColumn("__s", stopword_ratio())
+    kept_ids = exact.select("doc_id")
+    mean_kept = scored.join(kept_ids, "doc_id").agg(F.avg("__s")).collect()[0][0]
+    mean_drop = scored.join(kept_ids, "doc_id", "left_anti").agg(F.avg("__s")).collect()[0][0]
+    assert mean_kept > mean_drop
+
+    approx = adaptive_quality_filter(d, drop_pct=20, method="approx")
+    rate = approx.count() / d.count()
+    assert 0.65 < rate < 0.92  # ~0.8 with sketch/tie slack
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="drop_pct"):
+        adaptive_quality_filter(d, drop_pct=100)
+    with _pytest.raises(ValueError, match="method"):
+        adaptive_quality_filter(d, method="nope")
