@@ -160,6 +160,32 @@ def exact_stratified_split(
     return df.withColumn(split_col, col)
 
 
+def corpus_composition(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "split",
+) -> DataFrame:
+    """The training-run planning table: documents and whitespace tokens per
+    (group, split), with rollup subtotals — "what will this mixture + split
+    actually feed the trainer?", answered BEFORE the run.
+
+    Composes ``hash_split`` (so the numbers are exactly the splits training
+    will see, not an estimate) with a single rollup aggregation: one narrow
+    scan, map-side partial aggregation, one exchange — the same cost as any
+    grouped count at 100 TB.  Subtotal rows carry NULL group/split keys
+    (standard ROLLUP semantics).
+    """
+    with_split = hash_split(docs, fractions, id_col=id_col, salt=salt)
+    ntok = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    return with_split.rollup(group_col, "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("n_tokens"),
+    )
+
+
 def group_sample(
     df: DataFrame,
     k: int,

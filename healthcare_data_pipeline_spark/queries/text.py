@@ -470,6 +470,43 @@ def t19_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(d).select("doc_id", "source", "split")
 
 
+def _t22_oracle_sql() -> str:
+    from healthcare_data_pipeline_spark.operators.mixture import DENOM, split_thresholds
+    from healthcare_data_pipeline_spark.queries.dedup import _SQL_H32
+
+    ths = split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+    case = " ".join(f"WHEN u < {th} THEN '{name}'" for name, th in ths[:-1])
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(doc_id AS VARCHAR) || ':split' AS s,
+             len(string_split_regex(text, '\\s+')) AS ntok
+      FROM documents
+    ),
+    h AS (SELECT source, ntok, ({_SQL_H32}) % {DENOM} AS u FROM t),
+    sp AS (
+      SELECT source, CASE {case} ELSE '{ths[-1][0]}' END AS split, ntok FROM h
+    )
+    SELECT source, split, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+    FROM sp GROUP BY ROLLUP(source, split)
+    """
+
+
+@query(
+    "t22_corpus_composition",
+    oracle=_t22_oracle_sql(),
+    tags=("text", "EXT", "report", "sampling"),
+    doc="Training-run planning table (operators.mixture.corpus_composition): documents and "
+    "whitespace tokens per (source, split) with ROLLUP subtotals — what the mixture + "
+    "split will actually feed the trainer, computed from the SAME hash_split assignment "
+    "training uses (t19), not an estimate. One narrow scan, map-side partials, one "
+    "exchange.",
+)
+def t22_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.mixture import corpus_composition
+
+    return corpus_composition(table(spark, sf_dir, "documents"))
+
+
 @query(
     "t21_adaptive_quality",
     oracle=f"""

@@ -341,3 +341,35 @@ def test_adaptive_quality_filter_modes(spark):
         adaptive_quality_filter(d, drop_pct=100)
     with _pytest.raises(ValueError, match="method"):
         adaptive_quality_filter(d, method="nope")
+
+
+def test_corpus_composition_totals(spark):
+    """Rollup internal consistency + agreement with the actual t19 split."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.mixture import (
+        corpus_composition,
+        hash_split,
+    )
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    rows = corpus_composition(d).collect()
+    grand = [r for r in rows if r.source is None and r.split is None]
+    assert len(grand) == 1 and grand[0].n_docs == d.count()
+    # per-source subtotal == sum of its split rows
+    by_src = {}
+    for r in rows:
+        if r.source is not None and r.split is not None:
+            by_src.setdefault(r.source, [0, 0])
+            by_src[r.source][0] += r.n_docs
+            by_src[r.source][1] += r.n_tokens
+    for r in rows:
+        if r.source is not None and r.split is None:
+            assert [r.n_docs, r.n_tokens] == by_src[r.source]
+    # the numbers are the REAL split's numbers, not an estimate
+    want = {
+        (r.source, r.split): r["count"]
+        for r in hash_split(d).groupBy("source", "split").count().collect()
+    }
+    got = {(r.source, r.split): r.n_docs for r in rows if r.source and r.split}
+    assert got == want
