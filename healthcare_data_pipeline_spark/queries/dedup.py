@@ -423,15 +423,31 @@ def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fast_simhash(docs: DataFrame, text_expr: F.Column) -> DataFrame:
-    """(doc_id, simhash) — per-token xxhash64, signed bit-majority vote over
-    bits 0..62, reassembled to a non-negative bigint signature.  One explode +
-    one groupBy (two narrow passes)."""
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower(text_expr), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+def _fast_simhash(
+    docs: DataFrame, text_expr: F.Column, with_fingerprint: bool = False
+) -> DataFrame:
+    """(doc_id[, f], simhash) — per-token xxhash64, signed bit-majority vote
+    over bits 0..62, reassembled to a non-negative bigint signature.  One
+    explode + one groupBy.  ``with_fingerprint`` carries the whitespace-
+    normalized md5 fingerprint from the SAME token array (dd04's trick), so
+    dd05 needs no second documents scan or fingerprint join.  The same
+    small-scan parallelism gate as dd04: repartition by doc_id replaces the
+    post-explode vote shuffle on sub-core-count inputs, no-op at scale."""
+    narrow = docs.select("doc_id", F.lower(text_expr).alias("__lt"))
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target, "doc_id")
+    narrow = narrow.select("doc_id", F.split(F.col("__lt"), r"\s+").alias("toks"))
+    if with_fingerprint:
+        narrow = narrow.select(
+            "doc_id", F.md5(F.array_join("toks", " ")).alias("f"), "toks"
+        )
+    keys = ["doc_id", "f"] if with_fingerprint else ["doc_id"]
+    toks = narrow.select(*keys, F.explode("toks").alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
     n_bits = 63  # keep the signature non-negative
-    votes = toks.groupBy("doc_id").agg(
+    votes = toks.groupBy(*keys).agg(
         *[
             F.sum(
                 F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -443,7 +459,7 @@ def _fast_simhash(docs: DataFrame, text_expr: F.Column) -> DataFrame:
     for b in range(n_bits):
         term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0)
         sig = term if sig is None else sig + term
-    return votes.select("doc_id", sig.alias("simhash"))
+    return votes.select(*keys, sig.alias("simhash"))
 
 
 @query(
@@ -470,50 +486,50 @@ def _fast_simhash(docs: DataFrame, text_expr: F.Column) -> DataFrame:
     "recomputes doc/exact-dup-pair counts independently and asserts every boolean holds.",
 )
 def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_data_pipeline_spark.operators.dedup_corpus import normalized_fingerprint
-
     d = table(spark, sf_dir, "documents")
-    # trim before split (same rationale as dd04): keeps "same normalized
-    # text -> same token bag" exact
-    sigs = _fast_simhash(d, F.trim(F.col("text")))
+    # ONE forward pass computes signatures AND the normalized fingerprint
+    # from the same token array, cached for its three consumers (the dd04
+    # restructure applied here: the previous shape re-ran the explode per
+    # branch — 9 documents scans, 8 exchanges).  The reversed-text pass is
+    # inherently a second tokenize (it TESTS order-invariance by computing
+    # the signature from a different token sequence).  trim before split:
+    # keeps "same normalized text -> same token bag" exact.
+    sigs = _fast_simhash(d, F.trim(F.col("text")), with_fingerprint=True).persist()
     reversed_text = F.array_join(F.reverse(F.split(F.lower(F.trim(F.col("text"))), r"\s+")), " ")
     sigs_rev = _fast_simhash(d, reversed_text).withColumnRenamed("simhash", "simhash_rev")
-    fp = d.select("doc_id", normalized_fingerprint("text").alias("f"))
-    dup_pairs = (
-        fp.alias("a")
-        .join(fp.alias("b"), (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-    )
-    s1 = sigs.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("sig1"))
-    s2 = sigs.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("sig2"))
-    dup_sig_eq = (
-        dup_pairs.join(s1, "d1", "left")
-        .join(s2, "d2", "left")
-        .select(
-            F.coalesce(F.col("sig1") == F.col("sig2"), F.lit(False)).alias("eq")
-        )
-    )
     per_doc = sigs.join(sigs_rev, "doc_id").select(
         (F.col("simhash") >= 0).alias("nonneg"),
         (F.col("simhash") == F.col("simhash_rev")).alias("order_inv"),
     )
-    return (
-        d.agg(F.count("*").alias("n_docs"))
-        .crossJoin(dup_pairs.agg(F.count("*").alias("n_exact_dup_pairs")))  # 1x1
-        .crossJoin(
-            per_doc.agg(
-                F.min("nonneg").alias("sigs_nonnegative"),
-                F.min("order_inv").alias("token_order_invariant"),
-            )
+    # Exact-dup invariants per fingerprint GROUP instead of per pair (dd04's
+    # combinatorial trick): pair count = sum n*(n-1)/2, and every multi-doc
+    # group carries one distinct signature (min==max) <=> every exact-dup
+    # pair has identical signatures.  n_docs folds out of the same groups.
+    fgroups = sigs.groupBy("f").agg(
+        F.count("*").alias("n"),
+        F.min("simhash").alias("sig_lo"),
+        F.max("simhash").alias("sig_hi"),
+    )
+    dup_agg = fgroups.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0))
+        .cast("long")
+        .alias("n_exact_dup_pairs"),
+        F.min(
+            F.when(F.col("n") >= 2, F.col("sig_lo") == F.col("sig_hi")).otherwise(F.lit(True))
+        ).alias("dup_eq"),
+    )
+    return dup_agg.crossJoin(  # 1x1 scalar combine
+        per_doc.agg(
+            F.min("nonneg").alias("sigs_nonnegative"),
+            F.min("order_inv").alias("token_order_invariant"),
         )
-        .crossJoin(dup_sig_eq.agg(F.min("eq").alias("dup_eq")))
-        .select(
-            "n_docs",
-            "n_exact_dup_pairs",
-            F.coalesce("sigs_nonnegative", F.lit(True)).alias("sigs_nonnegative"),
-            F.coalesce("dup_eq", F.lit(True)).alias("exact_dups_equal_sig"),
-            F.coalesce("token_order_invariant", F.lit(True)).alias("token_order_invariant"),
-        )
+    ).select(
+        "n_docs",
+        "n_exact_dup_pairs",
+        F.coalesce("sigs_nonnegative", F.lit(True)).alias("sigs_nonnegative"),
+        F.coalesce("dup_eq", F.lit(True)).alias("exact_dups_equal_sig"),
+        F.coalesce("token_order_invariant", F.lit(True)).alias("token_order_invariant"),
     )
 
 
