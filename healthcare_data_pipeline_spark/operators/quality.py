@@ -98,7 +98,11 @@ def adaptive_quality_filter(
     ``method='approx'``: the 100 TB path — one ``approx_percentile`` pass
     computes a per-group threshold (map-side sketches, no sort), broadcast
     back as a narrow filter.  Keeps ~the same rows, not bit-exactly (sketch
-    error), so it is rate-tested, not value-oracled.
+    error), so it is rate-tested, not value-oracled.  Tie semantics: rows
+    whose score EQUALS the per-group threshold are KEPT (``>=``, erring
+    toward keeping) — scores like stopword_ratio are tie-heavy on short
+    docs, and a strict ``>`` would drop an entire mass point sitting at the
+    percentile, far exceeding ``drop_pct``.
     """
     if not 0 <= drop_pct < 100:
         raise ValueError(f"drop_pct must be in [0, 100), got {drop_pct}")
@@ -111,7 +115,7 @@ def adaptive_quality_filter(
         )
         return (
             docs.join(F.broadcast(th), group_col)
-            .filter(s > F.col("__th"))
+            .filter(s >= F.col("__th"))  # keep threshold-tied rows (see docstring)
             .drop("__th")
         )
     from pyspark.sql import Window

@@ -272,7 +272,8 @@ def _fast_minhash_sig(
     subtree of dd04's candidate generation AND its invariant checks.  With
     ``with_fingerprint`` the whitespace-normalized md5 fingerprint is computed
     from the SAME token array in the SAME pass (``array_join(toks, ' ')`` ==
-    the collapsed+trimmed normalized text for any doc that has tokens), so
+    the collapsed+trimmed normalized text for EVERY whitespace shape, because
+    the tokens are derived by splitting that exact normalized string), so
     dd04 needs no second documents scan or fingerprint join.  Only docs with
     >= 3 tokens appear (3-gram shingles exist) — exactly the oracle's
     fingerprint-population filter."""
@@ -287,9 +288,18 @@ def _fast_minhash_sig(
     target = spark.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < target:
         d = d.repartition(target, "doc_id")
-    # trim before split: leading/trailing whitespace would otherwise inject
-    # empty tokens and break "same normalized text -> same shingles"
-    sh = d.selectExpr("doc_id", "split(lower(trim(text)), '\\\\s+') AS toks")
+    # Oracle-exact token derivation: collapse ALL whitespace runs to single
+    # spaces FIRST, then trim, then split on the single space.  Spark's trim
+    # strips only ASCII spaces, so the naive split(lower(trim(text)), '\s+')
+    # injects empty edge tokens when text starts/ends with tabs or newlines —
+    # and md5(array_join(toks,' ')) would then diverge from the oracle's
+    # md5(trim(regexp_replace(lower(text),'\s+',' '))) on such data.  This
+    # form makes the fingerprint (and the shingle set) identical to the
+    # normalized text for EVERY whitespace shape.
+    sh = d.selectExpr(
+        "doc_id",
+        "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ') AS toks",
+    )
     if with_fingerprint:
         sh = sh.selectExpr("doc_id", "md5(array_join(toks, ' ')) AS f", "toks")
     keys = ["doc_id", "f"] if with_fingerprint else ["doc_id"]
@@ -372,18 +382,23 @@ def _fast_minhash_pairs(sig: DataFrame) -> DataFrame:
 )
 def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE pass computes signatures AND the normalized fingerprint (same token
-    # array), cached so the three consumers (band self-join sides, id-validity
-    # lookups, fingerprint groups) read one materialization instead of
-    # re-running the shingle explode per branch — the r5 regression was
-    # exactly that: 6 documents scans, 0 ReusedExchange.  The cache is
-    # n_docs x 17 small columns, bounded and session-scoped.
+    # array), cached so the three consumers (two band self-join sides,
+    # fingerprint groups) read one materialization instead of re-running the
+    # shingle explode per branch — the r5 regression was exactly that: 6
+    # documents scans, 0 ReusedExchange.  The cache is n_docs x 17 small
+    # columns, bounded and session-scoped.
     sig = _fast_minhash_sig(spark, sf_dir, with_fingerprint=True).persist()
     pairs = _fast_minhash_pairs(sig.drop("f"))
     # Pair-level invariants in ONE aggregate over the candidate set; id
-    # validity via two left lookups against the cached signature ids (a
-    # subset of documents.doc_id by construction, so membership there implies
-    # membership in the corpus).
-    doc_ids = sig.select(F.col("doc_id").alias("id"), F.lit(True).alias("__known"))
+    # validity via two left lookups against the SOURCE relation's doc_id
+    # (one pruned column, AQE-broadcast) — NOT against the cached sig ids,
+    # which would be tautologically true (the pairs were generated from sig)
+    # and could never catch an id-corruption bug in the band pipeline.
+    doc_ids = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("id"))
+        .withColumn("__known", F.lit(True))
+    )
     pair_agg = (
         pairs.join(doc_ids.select(F.col("id").alias("d1"), F.col("__known").alias("__k1")), "d1", "left")
         .join(doc_ids.select(F.col("id").alias("d2"), F.col("__known").alias("__k2")), "d2", "left")
@@ -433,11 +448,19 @@ def _fast_simhash(
     dd05 needs no second documents scan or fingerprint join.  The same
     small-scan parallelism gate as dd04: repartition by doc_id replaces the
     post-explode vote shuffle on sub-core-count inputs, no-op at scale."""
-    narrow = docs.select("doc_id", F.lower(text_expr).alias("__lt"))
+    # Oracle-exact token derivation (dd04's fix applies here too): collapse
+    # whitespace runs to single spaces, trim, split on the single space —
+    # Spark trim strips only ASCII spaces, so splitting the raw text on \s+
+    # would inject empty edge tokens for tab/newline-padded text and break
+    # "same normalized text -> same fingerprint / same token bag".
+    narrow = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower(text_expr), r"\s+", " ")).alias("__lt"),
+    )
     target = docs.sparkSession.sparkContext.defaultParallelism
     if narrow.rdd.getNumPartitions() < target:
         narrow = narrow.repartition(target, "doc_id")
-    narrow = narrow.select("doc_id", F.split(F.col("__lt"), r"\s+").alias("toks"))
+    narrow = narrow.select("doc_id", F.split(F.col("__lt"), " ").alias("toks"))
     if with_fingerprint:
         narrow = narrow.select(
             "doc_id", F.md5(F.array_join("toks", " ")).alias("f"), "toks"
@@ -492,10 +515,13 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # restructure applied here: the previous shape re-ran the explode per
     # branch — 9 documents scans, 8 exchanges).  The reversed-text pass is
     # inherently a second tokenize (it TESTS order-invariance by computing
-    # the signature from a different token sequence).  trim before split:
-    # keeps "same normalized text -> same token bag" exact.
-    sigs = _fast_simhash(d, F.trim(F.col("text")), with_fingerprint=True).persist()
-    reversed_text = F.array_join(F.reverse(F.split(F.lower(F.trim(F.col("text"))), r"\s+")), " ")
+    # the signature from a different token sequence); it reuses the same
+    # collapse-trim-split normalization so the token BAG is identical.
+    sigs = _fast_simhash(d, F.col("text"), with_fingerprint=True).persist()
+    reversed_text = F.array_join(
+        F.reverse(F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")),
+        " ",
+    )
     sigs_rev = _fast_simhash(d, reversed_text).withColumnRenamed("simhash", "simhash_rev")
     per_doc = sigs.join(sigs_rev, "doc_id").select(
         (F.col("simhash") >= 0).alias("nonneg"),
@@ -504,14 +530,13 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-dup invariants per fingerprint GROUP instead of per pair (dd04's
     # combinatorial trick): pair count = sum n*(n-1)/2, and every multi-doc
     # group carries one distinct signature (min==max) <=> every exact-dup
-    # pair has identical signatures.  n_docs folds out of the same groups.
+    # pair has identical signatures.
     fgroups = sigs.groupBy("f").agg(
         F.count("*").alias("n"),
         F.min("simhash").alias("sig_lo"),
         F.max("simhash").alias("sig_hi"),
     )
     dup_agg = fgroups.agg(
-        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_docs"),
         F.coalesce(F.sum(F.col("n") * (F.col("n") - 1) / 2), F.lit(0))
         .cast("long")
         .alias("n_exact_dup_pairs"),
@@ -519,7 +544,13 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n") >= 2, F.col("sig_lo") == F.col("sig_hi")).otherwise(F.lit(True))
         ).alias("dup_eq"),
     )
-    return dup_agg.crossJoin(  # 1x1 scalar combine
+    # n_docs from the SOURCE relation, not SUM(n) over fingerprint groups: a
+    # NULL-text document never produces an exploded token row (explode drops
+    # it from sigs entirely), but the oracle's COUNT(*) FROM documents counts
+    # it — summing group sizes would silently undercount on such data.  A
+    # count(*) over one zero-column parquet scan is metadata-cheap.
+    n_docs_agg = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return n_docs_agg.crossJoin(dup_agg).crossJoin(  # 1x1 scalar combines
         per_doc.agg(
             F.min("nonneg").alias("sigs_nonnegative"),
             F.min("order_inv").alias("token_order_invariant"),

@@ -145,24 +145,65 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
-    _write_zorder_meta(path, cols, bits, bounds)
+    _write_zorder_meta(df.sparkSession, path, cols, bits, bounds)
     return bounds
 
 
 def _zorder_meta_path(path: str) -> str:
-    import os
-
-    return os.path.join(path, "_zorder.json")
+    return path.rstrip("/") + "/_zorder.json"
 
 
-def _write_zorder_meta(path: str, cols: list[str], bits: int, bounds: dict) -> None:
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via Spark's Hadoop FS layer — the same
+    resolver the parquet writer uses, so the sidecar lands wherever the data
+    does (local FS, HDFS, s3a/gs/abfs object stores), not on the driver's
+    local disk."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _write_zorder_meta(
+    spark: SparkSession, path: str, cols: list[str], bits: int, bounds: dict
+) -> None:
     """Persist the quantizer next to the data (same contract as the ANN
     index's frozen centroid table: layout key and data must never drift
-    apart).  Underscore-prefixed, so parquet readers ignore it."""
+    apart).  Underscore-prefixed, so parquet readers ignore it.  Written
+    through the Hadoop FileSystem API — the parquet data goes through that
+    layer, and a plain local ``open()`` would succeed for the data but strand
+    the sidecar on the driver's local disk when ``path`` is an object-store
+    or HDFS URI, silently breaking ``append_zordered``'s contract."""
     import json
 
-    with open(_zorder_meta_path(path), "w") as fh:
-        json.dump({"cols": cols, "bits": bits, "bounds": bounds}, fh)
+    payload = json.dumps({"cols": cols, "bits": bits, "bounds": bounds})
+    fs, jpath = _hadoop_fs(spark, _zorder_meta_path(path))
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_zorder_meta(spark: SparkSession, path: str) -> dict:
+    import json
+
+    fs, jpath = _hadoop_fs(spark, _zorder_meta_path(path))
+    jvm = spark._jvm
+    # Line-wise read through a JVM reader: py4j copies byte[] arguments by
+    # value, so a readFully-into-bytearray would never see the data — strings
+    # returned per line cross the bridge correctly.
+    reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(fs.open(jpath), "UTF-8"))
+    lines = []
+    try:
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        reader.close()
+    return json.loads("\n".join(lines))
 
 
 def append_zordered(df: DataFrame, path: str, n_files: int = 1) -> None:
@@ -178,10 +219,7 @@ def append_zordered(df: DataFrame, path: str, n_files: int = 1) -> None:
     warrants it (the ``compact`` tradeoff, not a correctness issue).
     O(batch) per append, existing files never touched.
     """
-    import json
-
-    with open(_zorder_meta_path(path)) as fh:
-        meta = json.load(fh)
+    meta = _read_zorder_meta(df.sparkSession, path)
     bounds = {c: tuple(v) for c, v in meta["bounds"].items()}
     key, _ = zorder_key(df, meta["cols"], bits=meta["bits"], bounds=bounds)
     (

@@ -333,7 +333,10 @@ def test_adaptive_quality_filter_modes(spark):
 
     approx = adaptive_quality_filter(d, drop_pct=20, method="approx")
     rate = approx.count() / d.count()
-    assert 0.65 < rate < 0.92  # ~0.8 with sketch/tie slack
+    # Threshold-tied rows are KEPT (>=), so the rate floor is ~0.8 minus
+    # sketch error only; the ceiling allows for a tie mass point sitting at
+    # the 20th percentile being retained in full.
+    assert 0.75 < rate <= 0.97
 
     import pytest as _pytest
 

@@ -317,3 +317,58 @@ def test_small_scan_gate_never_adds_a_shuffle(spark):
         plan = band_buckets(df)._jdf.queryExecution().executedPlan().toString()
         n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
         assert n_exchanges == 1, plan
+
+
+def test_fast_fingerprints_survive_hostile_whitespace(spark, tmp_path):
+    """dd04/dd05's in-pass fingerprint (md5 of array_join(toks,' ')) must
+    equal normalized_fingerprint for EVERY whitespace shape, and both queries
+    must match their DuckDB oracles on a corpus the stock testdata never
+    exercises: tab/newline-padded edges, whitespace-only text, NULL text.
+    Spark's trim strips only ASCII spaces, so the pre-fix derivation
+    split(lower(trim(text)),'\\s+') injected empty edge tokens for such docs
+    and silently diverged from the oracle (the r6 ADVICE medium)."""
+    import duckdb
+    import pandas as pd
+
+    from healthcare_data_pipeline_spark.queries import catalog
+    from healthcare_data_pipeline_spark.queries.dedup import _fast_minhash_sig
+    from tests.conftest import compare_with_oracle
+
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, base),
+        (2, "\t" + base + "\n"),            # tab/newline edges: exact dup of 1
+        (3, "  alpha\tbeta\n gamma  delta epsilon zeta "),  # mixed runs: dup of 1
+        (4, base.replace("zeta", "eta")),   # near dup, NOT exact
+        (5, None),                          # NULL text: must count in n_docs only
+        (6, " \t\n "),                      # whitespace-only
+        (7, "one two"),                     # < 3 tokens: no shingles
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"], pdf["source"] = "en", "t"
+    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int64")
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+
+    # In-pass fingerprint == normalized_fingerprint, per doc_id.
+    sig = _fast_minhash_sig(spark, str(tmp_path), with_fingerprint=True)
+    got = {r.doc_id: r.f for r in sig.select("doc_id", "f").collect()}
+    want = {
+        r.doc_id: r.f
+        for r in spark.read.parquet(path)
+        .select("doc_id", normalized_fingerprint().alias("f"))
+        .collect()
+    }
+    for doc_id, f in got.items():
+        assert f == want[doc_id], (doc_id, f, want[doc_id])
+    # docs 1,2,3 are exact dups after normalization -> one shared fingerprint
+    assert want[1] == got[1] == got[2] == got[3] != got[4]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    cat = catalog()
+    for name in ("dd04_minhash_lsh", "dd05_simhash"):
+        compare_with_oracle(
+            cat[name].fn(spark, str(tmp_path)), con, cat[name].oracle, name=name
+        )
+    con.close()
