@@ -49,18 +49,50 @@ def main() -> None:
     # JSON, and shout when the machine isn't quiet so a polluted number is
     # never mistaken for a regression.
     cpus = os.cpu_count() or 1
-    try:
-        load1 = round(os.getloadavg()[0], 2)
-    except OSError:  # platform without getloadavg
-        load1 = None
+
+    # Test hook: the quiet-wait gate needs a deterministic "busy machine"
+    # (tests/test_bench_harness.py) without actually loading the box.
+    fake_load = os.environ.get("SPARK_GRAFT_BENCH_FAKE_LOAD")
+
+    def _load1():
+        if fake_load is not None:
+            return float(fake_load)
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:  # platform without getloadavg
+            return None
+
     # Threshold: measured on this box, a pre-run 1m loadavg of ~5 on 32 cpus
     # still inflates every query ~30%, so the gate is 0.1*cpus, not 0.2.
-    quiet = load1 is None or load1 <= max(2.0, 0.1 * cpus)
+    def _quiet(l1):
+        return l1 is None or l1 <= max(2.0, 0.1 * cpus)
+
+    # The r6 lesson: the quiet gate fired (loadavg 4.48) and the polluted
+    # number still shipped as the round artifact.  Don't just warn — WAIT:
+    # poll with backoff until the 1m loadavg decays below the gate or the
+    # wait budget (default 15 min, ~3 loadavg half-lives past a burst) is
+    # spent.  Only then run, and stamp quiet honestly either way so a
+    # still-polluted number can never be mistaken for a regression.
+    load1 = _load1()
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "900"))
+    waited, interval = 0.0, 15.0
+    while not _quiet(load1) and waited < wait_budget:
+        print(
+            f"# machine not quiet (1m loadavg {load1} on {cpus} cpus) — "
+            f"waiting {interval:.0f}s for load to decay "
+            f"({waited:.0f}/{wait_budget:.0f}s used)",
+            file=sys.stderr,
+        )
+        time.sleep(interval)
+        waited += interval
+        interval = min(interval * 1.5, 60.0)
+        load1 = _load1()
+    quiet = _quiet(load1)
     if not quiet:
         print(
-            f"# WARNING: machine not quiet (1m loadavg {load1} on {cpus} cpus) — "
-            "timings below are load-inflated; rerun on an idle machine before "
-            "comparing across rounds",
+            f"# WARNING: machine not quiet (1m loadavg {load1} on {cpus} cpus) "
+            f"after waiting {waited:.0f}s — timings below are load-inflated; "
+            "rerun on an idle machine before comparing across rounds",
             file=sys.stderr,
         )
     spark = get_spark(app_name="hdp-spark-bench")

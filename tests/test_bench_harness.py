@@ -17,7 +17,14 @@ from bench import HEADLINE  # noqa: E402
 
 
 def _run_bench(extra_env: dict[str, str]) -> tuple[subprocess.CompletedProcess, dict]:
-    env = {**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR, **extra_env}
+    # MAX_WAIT=0: the quiet-wait gate must not stall the suite when the suite
+    # ITSELF is the load (Spark workers peg the loadavg during pytest).
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_SF_DIR": SF_DIR,
+        "SPARK_GRAFT_BENCH_MAX_WAIT": "0",
+        **extra_env,
+    }
     proc = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=REPO,
@@ -49,3 +56,23 @@ def test_bench_survives_one_broken_query():
     assert "q26_sessionize" in out.get("errors", {}), out
     assert len(out["queries"]) == len(HEADLINE) - 1 and "q26_sessionize" not in out["queries"]
     assert out["value"] > 0
+
+
+def test_bench_waits_for_quiet_machine_then_stamps_honestly():
+    """The r6 process failure: a loadavg-4.48 bench shipped as the round
+    artifact.  With a fake high load and a 20s wait budget the bench must
+    (a) visibly wait+backoff, (b) still publish numbers, (c) stamp
+    quiet=false so the artifact is self-describing."""
+    proc, out = _run_bench(
+        {"SPARK_GRAFT_BENCH_FAKE_LOAD": "99.9", "SPARK_GRAFT_BENCH_MAX_WAIT": "20"}
+    )
+    assert "waiting" in proc.stderr and "WARNING: machine not quiet" in proc.stderr
+    assert out["quiet"] is False and out["loadavg_1m"] == 99.9
+    assert out["value"] > 0 and "errors" not in out
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+def test_bench_quiet_machine_skips_the_wait():
+    proc, out = _run_bench({"SPARK_GRAFT_BENCH_FAKE_LOAD": "0.5"})
+    assert "waiting" not in proc.stderr
+    assert out["quiet"] is True
