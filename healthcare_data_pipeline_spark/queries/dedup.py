@@ -386,8 +386,17 @@ def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint groups) read one materialization instead of re-running the
     # shingle explode per branch — the r5 regression was exactly that: 6
     # documents scans, 0 ReusedExchange.  The cache is n_docs x 17 small
-    # columns, bounded and session-scoped.
-    sig = _fast_minhash_sig(spark, sf_dir, with_fingerprint=True).persist()
+    # columns, bounded and session-scoped.  Storage level measured at sf0.1
+    # (cold cache, min of 3): MEMORY_ONLY 1.31s vs default
+    # MEMORY_AND_DISK_DESER 1.88s vs no persist at all 1.57s — the
+    # deserialized default's cache-population cost exceeded what the 3 reads
+    # saved (the r6 "dd04 slower than r4" regression); serialized columnar
+    # batches populate cheaply AND still spare the explode re-runs.
+    from pyspark import StorageLevel
+
+    sig = _fast_minhash_sig(spark, sf_dir, with_fingerprint=True).persist(
+        StorageLevel.MEMORY_ONLY
+    )
     pairs = _fast_minhash_pairs(sig.drop("f"))
     # Pair-level invariants in ONE aggregate over the candidate set; id
     # validity via two left lookups against the SOURCE relation's doc_id
@@ -517,7 +526,13 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inherently a second tokenize (it TESTS order-invariance by computing
     # the signature from a different token sequence); it reuses the same
     # collapse-trim-split normalization so the token BAG is identical.
-    sigs = _fast_simhash(d, F.col("text"), with_fingerprint=True).persist()
+    from pyspark import StorageLevel
+
+    # MEMORY_ONLY: same measured tradeoff as dd04 — the deserialized default
+    # pays more populating the cache than its reads save.
+    sigs = _fast_simhash(d, F.col("text"), with_fingerprint=True).persist(
+        StorageLevel.MEMORY_ONLY
+    )
     reversed_text = F.array_join(
         F.reverse(F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")),
         " ",
