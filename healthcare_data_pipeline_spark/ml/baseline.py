@@ -92,6 +92,7 @@ class TrainResult:
     n_train: int
     n_test: int
     predictions: DataFrame
+    model: object | None = None  # fitted PipelineModel (last stage = the RF)
 
 
 def train_and_evaluate(features: DataFrame, artifacts_dir: str | None = None) -> TrainResult:
@@ -105,10 +106,28 @@ def train_and_evaluate(features: DataFrame, artifacts_dir: str | None = None) ->
     mae = evaluator.setMetricName("mae").evaluate(preds)
     r2 = evaluator.setMetricName("r2").evaluate(preds)
     result = TrainResult(
-        rmse=rmse, mae=mae, r2=r2, n_train=train.count(), n_test=test.count(), predictions=preds
+        rmse=rmse,
+        mae=mae,
+        r2=r2,
+        n_train=train.count(),
+        n_test=test.count(),
+        predictions=preds,
+        model=model,
     )
     if artifacts_dir:
+        from healthcare_data_pipeline_spark.ml.diagnostics import (
+            render_diagnostics,
+            rf_feature_importances,
+        )
+
         os.makedirs(artifacts_dir, exist_ok=True)
+        # Feature importances from the fitted RF (reference extracts
+        # sklearn's feature_importances_ via the saved joblib model,
+        # baseline_model.py:155-167 + model_evaluate.py:146-173).  The
+        # StandardScaler emits anonymous num_scaled_{i} slots; map them back
+        # to the source numeric columns.
+        numeric_slots = {f"num_scaled_{i}": c for i, c in enumerate(NUMERIC)}
+        importances = rf_feature_importances(model, preds, rename=numeric_slots)
         with open(os.path.join(artifacts_dir, "model_summary.json"), "w") as fh:
             json.dump(
                 {
@@ -118,11 +137,17 @@ def train_and_evaluate(features: DataFrame, artifacts_dir: str | None = None) ->
                     "r2": r2,
                     "n_train": result.n_train,
                     "n_test": result.n_test,
+                    "feature_importances": importances,
                 },
                 fh,
                 indent=2,
             )
         preds.select(LABEL, "prediction").limit(10_000).toPandas().to_csv(
             os.path.join(artifacts_dir, "predictions.csv"), index=False
+        )
+        # The reference's diagnostic plot set (model_evaluate.py:116-173)
+        # under artifacts/plots/.
+        render_diagnostics(
+            preds, LABEL, "prediction", artifacts_dir, model=model, rename=numeric_slots
         )
     return result

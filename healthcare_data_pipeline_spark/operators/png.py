@@ -77,3 +77,60 @@ def bar_chart_data_uri(values: list[float], **kw) -> str:
     return "data:image/png;base64," + base64.b64encode(
         bar_chart_png(values, **kw)
     ).decode("ascii")
+
+
+REFLINE = (200, 60, 60)  # the reference's red dashed guide lines
+
+
+def scatter_png(
+    xs: list[float],
+    ys: list[float],
+    width: int = 360,
+    height: int = 240,
+    diagonal: bool = False,
+    zero_line: bool = False,
+    color: RGB = BAR,
+) -> bytes:
+    """Scatter raster for the model-diagnostic plots (reference
+    ``model_evaluate.py:125-144`` draws these with matplotlib): points
+    quantized to the pixel grid against the data min/max, each as a 2x2
+    block; ``diagonal`` adds the y=x guide over the shared axis range
+    (pred-vs-actual), ``zero_line`` a horizontal y=0 guide (residuals).
+    Driver-side only, callers pass BOUNDED samples."""
+    pts = [(float(x), float(y)) for x, y in zip(xs, ys)]
+    if not pts:
+        pts = [(0.0, 0.0)]
+    x_lo, x_hi = min(p[0] for p in pts), max(p[0] for p in pts)
+    y_lo, y_hi = min(p[1] for p in pts), max(p[1] for p in pts)
+    if diagonal:  # shared range so y=x is the true identity line
+        x_lo = y_lo = min(x_lo, y_lo)
+        x_hi = y_hi = max(x_hi, y_hi)
+    if zero_line:
+        y_lo, y_hi = min(y_lo, 0.0), max(y_hi, 0.0)
+    x_span = (x_hi - x_lo) or 1.0
+    y_span = (y_hi - y_lo) or 1.0
+    raster = [[BACKGROUND] * width for _ in range(height)]
+    for gx in (width // 4, width // 2, (3 * width) // 4):
+        for y in range(height):
+            raster[y][gx] = GRID
+
+    def _px(x: float, y: float) -> tuple[int, int]:
+        cx = int((x - x_lo) / x_span * (width - 2))
+        cy = (height - 2) - int((y - y_lo) / y_span * (height - 2))  # row 0 = top
+        return cx, cy
+
+    if diagonal:
+        for x in range(0, width - 1, 3):  # dashed y=x
+            v = x_lo + x / (width - 2) * x_span
+            cx, cy = _px(v, v)
+            raster[min(cy, height - 1)][min(cx, width - 1)] = REFLINE
+    if zero_line:
+        _, cy = _px(x_lo, 0.0)
+        for x in range(0, width, 3):  # dashed y=0
+            raster[min(cy, height - 1)][x] = REFLINE
+    for x, y in pts:
+        cx, cy = _px(x, y)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                raster[min(cy + dy, height - 1)][min(cx + dx, width - 1)] = color
+    return png_bytes(raster)

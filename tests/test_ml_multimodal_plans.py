@@ -192,3 +192,65 @@ def test_repartition_for_media_is_lazy_and_lossless(spark):
     assert "__media_chunk" not in sized.columns
     got = sorted(r.doc_id for r in sized.collect())
     assert got == list(range(1000))
+
+
+def test_ml_diagnostic_artifacts(spark, domain_dfs, tmp_path):
+    """Reference parity (model_evaluate.py:116-173 + baseline_model.py:155-167):
+    training with an artifacts_dir must emit the four diagnostic PNGs under
+    plots/ and a non-trivial feature-importance list in model_summary.json."""
+    import json
+    import struct
+
+    feats = baseline.prepare_features(
+        domain_dfs["prescriber_drug"], domain_dfs["prescriber"], domain_dfs["drug"]
+    )
+    baseline.train_and_evaluate(feats, artifacts_dir=str(tmp_path))
+
+    def _png_dims(path):
+        with open(path, "rb") as fh:
+            data = fh.read()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n", path
+        return struct.unpack(">II", data[16:24])  # IHDR width, height
+
+    plots = tmp_path / "plots"
+    for name in (
+        "residuals_hist.png",
+        "pred_vs_actual.png",
+        "residuals_vs_pred.png",
+        "feature_importances.png",
+    ):
+        w, h = _png_dims(plots / name)
+        assert w >= 100 and h >= 10, (name, w, h)
+
+    summary = json.loads((tmp_path / "model_summary.json").read_text())
+    imps = summary["feature_importances"]
+    # non-trivial: several named features, normalized weights, sorted desc
+    assert len(imps) >= 4
+    assert abs(sum(d["importance"] for d in imps) - 1.0) < 1e-6
+    assert all(
+        imps[i]["importance"] >= imps[i + 1]["importance"] for i in range(len(imps) - 1)
+    )
+    named = [d["feature"] for d in imps]
+    assert any("total_drug_cost" in n for n in named)  # expanded slot names, not f#
+
+
+def test_render_diagnostics_standalone(spark, tmp_path):
+    """render_diagnostics works on a bare predictions frame (no model):
+    the evaluator path, reference model_evaluate.py's CSV-driven mode."""
+    from healthcare_data_pipeline_spark.ml.diagnostics import (
+        render_diagnostics,
+        residual_histogram,
+    )
+
+    preds = spark.range(400).select(
+        (F.col("id").cast("double")).alias("actual"),
+        (F.col("id").cast("double") + (F.col("id") % 7) - 3).alias("prediction"),
+    )
+    out = render_diagnostics(preds, "actual", "prediction", str(tmp_path))
+    assert set(out) == {"residuals_hist", "pred_vs_actual", "residuals_vs_pred"}
+    for p in out.values():
+        assert os.path.getsize(p) > 100
+    hist = residual_histogram(preds, "actual", "prediction", bins=50)
+    assert sum(hist) == 400 and len(hist) == 50
+    # residuals span -3..3 over 7 uniform classes: no single bin dominates
+    assert max(hist) < 400
