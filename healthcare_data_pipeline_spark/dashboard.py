@@ -53,13 +53,28 @@ def _kpis(artifacts_dir: str) -> list[tuple[str, str]]:
     if os.path.exists(summary_path):
         with open(summary_path) as fh:
             summary = json.load(fh)
-        # operators.eda writes a list of per-table summaries, each carrying a
-        # per-column profile with the table's row_count
-        if isinstance(summary, list):
-            out.append(("tables profiled", str(len(summary))))
+        # operators.eda writes the reference's object shape (generated_at /
+        # tables / top_drugs / summaries, reference eda.py:296-301) with the
+        # engine's per-table profiles under table_profiles; a bare list is
+        # the pre-r7 layout, kept readable.
+        profiles = (
+            summary.get("table_profiles", []) if isinstance(summary, dict) else summary
+        )
+        if isinstance(summary, dict):
+            kpis = summary.get("summaries", {})
+            for key, label in (
+                ("distinct_drugs", "distinct drugs"),
+                ("distinct_prescribers", "distinct prescribers"),
+                ("total_prescriptions", "total prescriptions"),
+            ):
+                v = kpis.get(key)
+                if isinstance(v, int):
+                    out.append((label, f"{v:,}"))
+        if profiles:
+            out.append(("tables profiled", str(len(profiles))))
             rows = sum(
                 t["profile"][0].get("row_count", 0)
-                for t in summary
+                for t in profiles
                 if isinstance(t, dict) and t.get("profile")
             )
             if rows:

@@ -181,13 +181,67 @@ for (const s of specs) {{
 </script></body></html>"""
 
 
+def kpi_summaries(dfs: dict[str, DataFrame]) -> dict[str, Any]:
+    """The reference's dashboard KPI block (eda.py:220-238): row counts of
+    the drug/prescriber dims and the summed claim volume of the fact —
+    ``'NA'`` where a table or column is absent, exactly like the reference.
+    Each KPI is one scalar Spark aggregate."""
+    import pyspark.sql.functions as F
+
+    out: dict[str, Any] = {"tables": sorted(dfs)}
+    out["distinct_drugs"] = dfs["drug"].count() if "drug" in dfs else "NA"
+    out["distinct_prescribers"] = dfs["prescriber"].count() if "prescriber" in dfs else "NA"
+    fact = dfs.get("prescriber_drug")
+    count_col = next(
+        (c for c in ("total_claims", "prescriptions") if fact is not None and c in fact.columns),
+        None,
+    )
+    out["total_prescriptions"] = (
+        int(fact.agg(F.sum(count_col)).collect()[0][0] or 0) if count_col else "NA"
+    )
+    return out
+
+
+def top_drugs(dfs: dict[str, DataFrame], n: int = 20) -> list[dict[str, Any]]:
+    """Reference eda.py:246-258: group the fact by its drug-name-ish column,
+    sum its claims-ish column, top ``n`` — one groupBy + ordered limit (the
+    same column-name heuristics as the reference, so the artifacts agree)."""
+    import pyspark.sql.functions as F
+
+    fact = dfs.get("prescriber_drug")
+    if fact is None:
+        return []
+    name_cols = [c for c in fact.columns if "drug" in c.lower() and "name" in c.lower()]
+    count_markers = ("claim", "count", "total", "prescript", "qty", "quantity", "num")
+    count_cols = [c for c in fact.columns if any(k in c.lower() for k in count_markers)]
+    name_col = name_cols[0] if name_cols else fact.columns[0]
+    count_col = count_cols[0] if count_cols else fact.columns[-1]
+    rows = (
+        fact.groupBy(name_col)
+        .agg(F.sum(count_col).alias("prescriptions"))
+        .orderBy(F.col("prescriptions").desc(), F.col(name_col))
+        .limit(n)
+        .collect()
+    )
+    return [{"drug": r[name_col], "prescriptions": int(r["prescriptions"])} for r in rows]
+
+
 def generate_eda_report(
     dfs: dict[str, DataFrame], artifacts_dir: str
 ) -> tuple[str, str]:
     """Compute EDA for every table, write ``eda_report.html`` (static inline
     SVG) + ``eda_interactive.html`` (plotly.js CDN) + ``eda_summary.json``
     (reference artifacts eda.py:205-208,296-312).  Returns the static html +
-    json paths."""
+    json paths.
+
+    ``eda_summary.json`` matches the reference's object shape key-by-key
+    (eda.py:296-301: ``generated_at`` / ``tables`` / ``top_drugs`` /
+    ``summaries``) so the reference's dashboard KPI tiles read it directly;
+    the engine's richer per-table profiles ride along under
+    ``table_profiles`` (golden-diffed against the bundled reference artifact
+    in tests/test_eda_audit_evaluate.py)."""
+    import datetime
+
     os.makedirs(artifacts_dir, exist_ok=True)
     summaries = [eda_summary(df, name) for name, df in sorted(dfs.items())]
     html_path = os.path.join(artifacts_dir, "eda_report.html")
@@ -196,11 +250,17 @@ def generate_eda_report(
         f.write(render_eda_html(summaries))
     with open(os.path.join(artifacts_dir, "eda_interactive.html"), "w") as f:
         f.write(render_interactive_html(summaries))
+    summary_obj = {
+        "generated_at": datetime.datetime.now(datetime.timezone.utc)
+        .isoformat()
+        .replace("+00:00", "Z"),
+        "tables": sorted(dfs),
+        "top_drugs": top_drugs(dfs),
+        "summaries": kpi_summaries(dfs),
+        "table_profiles": [
+            {k: v for k, v in s.items() if k != "sample"} for s in summaries
+        ],
+    }
     with open(json_path, "w") as f:
-        json.dump(
-            [{k: v for k, v in s.items() if k != "sample"} for s in summaries],
-            f,
-            indent=2,
-            default=str,
-        )
+        json.dump(summary_obj, f, indent=2, default=str)
     return html_path, json_path

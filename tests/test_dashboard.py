@@ -15,10 +15,21 @@ def _fake_artifacts(base: str) -> str:
     os.makedirs(os.path.join(art, "readable_reports"))
     with open(os.path.join(art, "eda_summary.json"), "w") as fh:
         json.dump(
-            [
-                {"table": "drug", "profile": [{"column": "c", "row_count": 1200}]},
-                {"table": "presc", "profile": [{"column": "c", "row_count": 240}]},
-            ],
+            {
+                "generated_at": "2026-01-01T00:00:00Z",
+                "tables": ["drug", "presc"],
+                "top_drugs": [{"drug": "aspirin", "prescriptions": 5}],
+                "summaries": {
+                    "tables": ["drug", "presc"],
+                    "distinct_drugs": 1200,
+                    "distinct_prescribers": "NA",
+                    "total_prescriptions": 599651,
+                },
+                "table_profiles": [
+                    {"table": "drug", "profile": [{"column": "c", "row_count": 1200}]},
+                    {"table": "presc", "profile": [{"column": "c", "row_count": 240}]},
+                ],
+            },
             fh,
         )
     with open(os.path.join(art, "pipeline_manifest.json"), "w") as fh:
@@ -39,6 +50,9 @@ def test_build_index_links_artifacts(tmp_path):
     assert "pipeline done" in page  # log tail inlined
     assert "1,440" in page  # KPI: total rows across profiled tables
     assert "12.3 s" in page  # KPI: last runtime
+    # reference KPI tiles (eda.py:150-153 feeds these from summaries)
+    assert "599,651" in page and "total prescriptions" in page
+    assert "distinct drugs" in page and "distinct prescribers" not in page  # NA skipped
 
 
 def test_serve_renders_live_index(tmp_path):

@@ -7,6 +7,8 @@ import json
 import math
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from healthcare_data_pipeline_spark.catalog import table
@@ -30,7 +32,13 @@ def test_eda_report_artifacts(spark, tmp_path):
     assert "cdn.plot.ly" in interactive and "Plotly.newPlot" in interactive
     assert "orders" in interactive
     summary = json.load(open(json_path))
-    by_table = {s["table"]: s for s in summary}
+    # reference object shape (eda.py:296-301) + the engine's richer profiles
+    assert set(summary) == {"generated_at", "tables", "top_drugs", "summaries", "table_profiles"}
+    assert summary["tables"] == ["nation", "orders"]
+    # no domain tables here -> reference 'NA' semantics
+    assert summary["summaries"]["distinct_drugs"] == "NA"
+    assert summary["top_drugs"] == []
+    by_table = {s["table"]: s for s in summary["table_profiles"]}
     n_rows = dfs["nation"].count()
     prof = {p["column"]: p for p in by_table["nation"]["profile"]}
     assert prof["n_nationkey"]["row_count"] == n_rows
@@ -83,3 +91,38 @@ def test_evaluate_autodetect_and_artifact(spark, tmp_path):
     saved = json.load(open(os.path.join(str(tmp_path), "model_metrics.json")))
     assert saved["y_true"] == "actual" and saved["y_pred"] == "predicted"
     assert math.isclose(saved["mse"], m["mse"]) and math.isclose(m["mse"], 1.0)
+
+
+REF_ART = "/root/reference/local_data/artifacts/eda_summary.json"
+REF_RAW = "/root/reference/local_data/raw"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_ART), reason="reference artifact not bundled")
+def test_eda_summary_golden_diff_vs_reference(spark, tmp_path):
+    """Golden diff against the REFERENCE'S OWN bundled artifact: run our EDA
+    over the reference's raw CSVs (the ~6k-row fixture its eda.py ran on)
+    and compare eda_summary.json key-by-key — shape AND values for the KPI
+    summaries block and the top-drugs list (reference eda.py:220-258,
+    296-306)."""
+    golden = json.load(open(REF_ART))
+    dfs = {
+        name: spark.read.option("header", True)
+        .option("inferSchema", True)
+        .csv(os.path.join(REF_RAW, f"{name}.csv"))
+        for name in ("drug", "prescriber", "prescriber_drug")
+    }
+    _, json_path = generate_eda_report(dfs, str(tmp_path))
+    ours = json.load(open(json_path))
+
+    # same top-level keys (ours adds table_profiles on top)
+    assert set(golden) <= set(ours)
+    assert ours["tables"] == golden["tables"]
+    # KPI summaries: identical key set AND identical values
+    assert set(ours["summaries"]) == set(golden["summaries"])
+    assert ours["summaries"] == golden["summaries"]
+    # top_drugs: same element shape, same length, same (drug -> prescriptions)
+    assert len(ours["top_drugs"]) == len(golden["top_drugs"]) == 20
+    assert all(set(d) == {"drug", "prescriptions"} for d in ours["top_drugs"])
+    assert {d["drug"]: d["prescriptions"] for d in ours["top_drugs"]} == {
+        d["drug"]: d["prescriptions"] for d in golden["top_drugs"]
+    }
