@@ -84,6 +84,16 @@ def build_pipeline() -> Pipeline:
     return Pipeline(stages=[*indexers, encoder, num_assembler, scaler, assembler, rf])
 
 
+def load_model(path: str):
+    """Reload a persisted baseline model (the counterpart of the save in
+    ``train_and_evaluate`` — reference model_evaluate.py's joblib.load path).
+    Returns a fitted PipelineModel; ``model.transform(features)`` re-scores
+    without retraining."""
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)
+
+
 @dataclass
 class TrainResult:
     rmse: float
@@ -145,6 +155,14 @@ def train_and_evaluate(features: DataFrame, artifacts_dir: str | None = None) ->
         preds.select(LABEL, "prediction").limit(10_000).toPandas().to_csv(
             os.path.join(artifacts_dir, "predictions.csv"), index=False
         )
+        # Persist the fitted model itself (reference baseline_model.py:144-145,
+        # joblib.dump -> models/baseline_model.joblib) so evaluation can
+        # reload and re-score without retraining (model_evaluate.py's load
+        # path).  MLlib-native save: a directory of per-stage metadata +
+        # parquet tree data — written through the Hadoop FS layer, so the
+        # same call works on HDFS/object stores; reload with
+        # ``load_model(path)``.
+        model.write().overwrite().save(os.path.join(artifacts_dir, "baseline_model"))
         # The reference's diagnostic plot set (model_evaluate.py:116-173)
         # under artifacts/plots/.
         render_diagnostics(

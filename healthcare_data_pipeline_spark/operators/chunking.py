@@ -51,7 +51,7 @@ def chunk_documents(
     if not 0 <= overlap < chunk_size:
         raise ValueError(f"need 0 <= overlap < chunk_size, got {overlap=} {chunk_size=}")
     stride = chunk_size - overlap
-    toks = F.split(F.col(text_col), r"\s+")
+    toks = F.split(F.col(text_col), r"[ \t\n\r\f\x0B]+")
     n = F.size(toks)
     # starts: 1, 1+stride, ...; n_starts = 1 if n <= chunk_size else ceil((n-chunk_size)/stride)+1
     n_starts = F.when(n <= chunk_size, F.lit(1)).otherwise(
@@ -92,7 +92,7 @@ def pack_sequences(
     (parallel, no global sort) + an explode over the (first_bin..last_bin)
     range — at most ceil(n_tokens/budget)+1 rows per document.
     """
-    toks = F.split(F.col(text_col), r"\s+")
+    toks = F.split(F.col(text_col), r"[ \t\n\r\f\x0B]+")
     n = F.size(toks).cast("long")
     w = Window.partitionBy(group_col).orderBy(id_col)
     cum = F.sum("n_tokens").over(w)

@@ -42,7 +42,7 @@ def word_ngrams_sql(n: int, toks: str = "toks") -> str:
 
 def _exploded_ngrams(df: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
     return df.selectExpr(
-        id_col, f"split(lower({text_col}), '\\\\s+') AS toks"
+        id_col, f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks"
     ).selectExpr(id_col, f"explode(array_distinct({word_ngrams_sql(n)})) AS g")
 
 

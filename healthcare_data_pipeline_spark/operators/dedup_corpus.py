@@ -82,7 +82,7 @@ def normalized_fingerprint(text_col: str = "text") -> F.Column:
     the exact-dedup key.  The trim matters: without it, leading/trailing
     whitespace survives the collapse and otherwise-identical documents get
     distinct fingerprints."""
-    return F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")))
+    return F.md5(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\r\f\x0B]+", " ")))
 
 
 def minhash_pairs(
@@ -176,7 +176,7 @@ def band_buckets(
     if narrow.rdd.getNumPartitions() < target:
         narrow = narrow.repartition(target, "doc_id")
     sh = (
-        narrow.selectExpr("doc_id", "split(lower(__text), '\\\\s+') AS toks")
+        narrow.selectExpr("doc_id", "split(lower(__text), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks")
         .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
     )
     if hasher == "portable":
@@ -243,7 +243,7 @@ def containment_pairs(
     per dup-cluster (dd09's output) rather than corpus-wide.
     """
     sh = (
-        docs.selectExpr(f"{id_col} AS doc_id", f"split(lower({text_col}), '\\\\s+') AS toks")
+        docs.selectExpr(f"{id_col} AS doc_id", f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks")
         .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
     )
     keep = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_shingle_df)

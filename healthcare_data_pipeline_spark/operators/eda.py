@@ -218,7 +218,9 @@ def top_drugs(dfs: dict[str, DataFrame], n: int = 20) -> list[dict[str, Any]]:
     count_col = count_cols[0] if count_cols else fact.columns[-1]
     rows = (
         fact.groupBy(name_col)
-        .agg(F.sum(count_col).alias("prescriptions"))
+        # coalesce: a drug whose count column is all NULL sums to NULL in
+        # Spark but 0 in the reference's pandas groupby-sum — emit 0.
+        .agg(F.coalesce(F.sum(count_col), F.lit(0)).alias("prescriptions"))
         .orderBy(F.col("prescriptions").desc(), F.col(name_col))
         .limit(n)
         .collect()

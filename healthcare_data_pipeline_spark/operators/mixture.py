@@ -179,7 +179,7 @@ def corpus_composition(
     (standard ROLLUP semantics).
     """
     with_split = hash_split(docs, fractions, id_col=id_col, salt=salt)
-    ntok = F.size(F.split(F.col(text_col), r"\s+")).cast("long")
+    ntok = F.size(F.split(F.col(text_col), r"[ \t\n\r\f\x0B]+")).cast("long")
     return with_split.rollup(group_col, "split").agg(
         F.count("*").alias("n_docs"),
         F.sum(ntok).cast("long").alias("n_tokens"),

@@ -28,7 +28,7 @@ def quality_predicate(
     min_stopword_ratio: float | None = None,
 ) -> Column:
     """The reusable gate expression (also usable on a streaming ingest)."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f\x0B]+")
     n_words = F.size(toks)
     avg_word_len = (F.length(text_col) - n_words + 1).cast("double") / n_words.cast("double")
     pred = n_words.between(min_words, max_words) & (avg_word_len <= max_avg_word_len)
@@ -65,7 +65,7 @@ def stopword_ratio(text_col: str = "text") -> Column:
     """The default quality score: stopword fraction of the token bag — an
     IEEE-exact double (small-int division), so rankings on it reproduce
     bit-identically in any engine."""
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    toks = F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f\x0B]+")
     return (
         F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
         / F.size(toks).cast("double")
@@ -93,7 +93,13 @@ def adaptive_quality_filter(
     ``floor(drop_pct * n / 100)`` rows drop — integer boundary arithmetic,
     so the kept set reproduces exactly in any engine (catalog t21).  Cost:
     one shuffle + per-group sort; a group's ranking lives in one partition,
-    so this is for bounded strata or post-sampled slices.
+    so this is for bounded strata or post-sampled slices.  Tie semantics
+    differ from approx BY DESIGN: exact drops exactly ``floor(n*pct/100)``
+    rows (the (score, id) ordering breaks score ties deterministically, so
+    part of a tie mass at the boundary can drop), while approx keeps the
+    ENTIRE tie mass at the threshold — on tie-heavy scores (stopword_ratio
+    over short docs) the two methods' retained rates can differ well beyond
+    sketch error.  Exact = a hard row budget; approx = a score threshold.
 
     ``method='approx'``: the 100 TB path — one ``approx_percentile`` pass
     computes a per-group threshold (map-side sketches, no sort), broadcast

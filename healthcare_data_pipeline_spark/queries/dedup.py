@@ -63,7 +63,7 @@ _SQL_H32 = " + ".join(
 @query(
     "dd01_exact_dedup",
     oracle="""
-    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+    SELECT md5(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS fingerprint,
            COUNT(*) AS n_copies,
            MIN(doc_id) AS canonical_id
     FROM documents
@@ -75,7 +75,7 @@ _SQL_H32 = " + ".join(
 )
 def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\r\f\x0B]+", " "))
     return (
         d.select(fp.alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
@@ -87,7 +87,7 @@ def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd02_jaccard_pairs",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
       FROM documents
     ),
     sh AS (
@@ -131,7 +131,7 @@ def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sh = (
-        d.selectExpr("doc_id", "split(lower(text), '\\\\s+') AS toks")
+        d.selectExpr("doc_id", "split(lower(text), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks")
         .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
     )
     keep = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= MAX_SHINGLE_DF)
@@ -162,7 +162,7 @@ def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd16_containment_pairs",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
       FROM documents
     ),
     sh AS (
@@ -290,15 +290,19 @@ def _fast_minhash_sig(
         d = d.repartition(target, "doc_id")
     # Oracle-exact token derivation: collapse ALL whitespace runs to single
     # spaces FIRST, then trim, then split on the single space.  Spark's trim
-    # strips only ASCII spaces, so the naive split(lower(trim(text)), '\s+')
+    # strips only ASCII spaces, so the naive split(lower(trim(text)), '[ \t\n\r\f\x0B]+')
     # injects empty edge tokens when text starts/ends with tabs or newlines —
     # and md5(array_join(toks,' ')) would then diverge from the oracle's
-    # md5(trim(regexp_replace(lower(text),'\s+',' '))) on such data.  This
+    # md5(trim(regexp_replace(lower(text),'[ \t\n\r\f\x0B]+',' '))) on such data.  This
     # form makes the fingerprint (and the shingle set) identical to the
-    # normalized text for EVERY whitespace shape.
+    # normalized text for EVERY whitespace shape.  The class is spelled out
+    # instead of \s because the engines' \s differ by exactly one character:
+    # Java \s includes \x0B (vertical tab), RE2's (DuckDB) does not — \s on
+    # both sides silently diverges on \x0B-edged text (r7 ADVICE; the same
+    # explicit class is used at every oracle-paired tokenization site).
     sh = d.selectExpr(
         "doc_id",
-        "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ') AS toks",
+        "split(trim(regexp_replace(lower(text), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+', ' ')), ' ') AS toks",
     )
     if with_fingerprint:
         sh = sh.selectExpr("doc_id", "md5(array_join(toks, ' ')) AS f", "toks")
@@ -355,10 +359,10 @@ def _fast_minhash_pairs(sig: DataFrame) -> DataFrame:
     "dd04_minhash_lsh",
     oracle="""
     WITH fp AS (
-      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS f
       FROM documents
-      WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-            - length(replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ', '')) >= 2
+      WHERE length(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))
+            - length(replace(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ', '')) >= 2
     ),
     dups AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2
@@ -459,12 +463,12 @@ def _fast_simhash(
     post-explode vote shuffle on sub-core-count inputs, no-op at scale."""
     # Oracle-exact token derivation (dd04's fix applies here too): collapse
     # whitespace runs to single spaces, trim, split on the single space —
-    # Spark trim strips only ASCII spaces, so splitting the raw text on \s+
+    # Spark trim strips only ASCII spaces, so splitting the raw text on [ \t\n\r\f\x0B]+
     # would inject empty edge tokens for tab/newline-padded text and break
     # "same normalized text -> same fingerprint / same token bag".
     narrow = docs.select(
         "doc_id",
-        F.trim(F.regexp_replace(F.lower(text_expr), r"\s+", " ")).alias("__lt"),
+        F.trim(F.regexp_replace(F.lower(text_expr), r"[ \t\n\r\f\x0B]+", " ")).alias("__lt"),
     )
     target = docs.sparkSession.sparkContext.defaultParallelism
     if narrow.rdd.getNumPartitions() < target:
@@ -498,7 +502,7 @@ def _fast_simhash(
     "dd05_simhash",
     oracle="""
     WITH fp AS (
-      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS f
       FROM documents
     )
     SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
@@ -534,7 +538,7 @@ def dd05_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_ONLY
     )
     reversed_text = F.array_join(
-        F.reverse(F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " ")),
+        F.reverse(F.split(F.trim(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\r\f\x0B]+", " ")), " ")),
         " ",
     )
     sigs_rev = _fast_simhash(d, reversed_text).withColumnRenamed("simhash", "simhash_rev")
@@ -600,7 +604,7 @@ def _pmh_pairs_ctes(src: str, p: str = "") -> str:
         for bi in range(PMH_BANDS)
     )
     return f"""{p}t AS (
-      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM {src}
+      SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks FROM {src}
     ),
     {p}sh AS (
       SELECT DISTINCT doc_id, s FROM (
@@ -658,7 +662,7 @@ def _psh_oracle_sql() -> str:
     reassembly — all integer arithmetic, engine-portable."""
     return f"""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS s
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+')) AS s
       FROM documents
     ),
     hh AS (
@@ -689,7 +693,7 @@ def _psh_oracle_sql() -> str:
 def dd07_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("s")
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"[ \t\n\r\f\x0B]+")).alias("s")
     ).withColumn("h32", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long"))
     votes = toks.groupBy("doc_id").agg(
         *[
@@ -718,7 +722,7 @@ def _dedup_corpus_oracle_sql() -> str:
     WITH RECURSIVE kept AS (
       SELECT MIN(doc_id) AS doc_id
       FROM documents
-      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))
     ),
     kdocs AS (
       SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)
@@ -823,7 +827,7 @@ def _dedup_incremental_oracle_sql() -> str:
     (contributing only its fingerprint + band indexes), the odd-id half is
     the new batch.  Exact semi-drop -> band-bucket semi-drop -> within-batch
     dd09 pipeline (fingerprint keeper + pairs + recursive closure)."""
-    fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    fp = "md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))"
     return f"""
     WITH RECURSIVE corpus AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
@@ -915,7 +919,7 @@ def _prep_corpus_oracle_sql() -> str:
     return f"""
     WITH RECURSIVE tq AS (
       SELECT doc_id, text,
-             string_split_regex(lower(text), '\\s+') AS toks,
+             string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks,
              length(text) AS nc
       FROM documents
     ),
@@ -929,7 +933,7 @@ def _prep_corpus_oracle_sql() -> str:
     kept AS (
       SELECT MIN(doc_id) AS doc_id
       FROM filtered
-      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))
     ),
     kdocs AS (
       SELECT f.doc_id, f.text FROM filtered f JOIN kept USING (doc_id)
@@ -970,12 +974,12 @@ def _decontaminate_oracle_sql() -> str:
     return f"""
     WITH tr AS (
       SELECT doc_id, lang, source, n_chars,
-             string_split_regex(lower(text), '\\s+') AS toks
+             string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
       FROM documents WHERE source <> 'src0'
     ),
     ev AS (
       SELECT DISTINCT {g3} AS g
-      FROM (SELECT string_split_regex(lower(text), '\\s+') AS toks
+      FROM (SELECT string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
             FROM documents WHERE source = 'src0')
     ),
     bad AS (
@@ -1016,9 +1020,9 @@ def dd13_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source AS "group",
            COUNT(*) AS n_docs,
-           COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+           COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))))
              AS n_exact_dups,
-           CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+           CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))))
                 AS DOUBLE) / COUNT(*) AS dup_rate
     FROM documents
     GROUP BY source
@@ -1085,12 +1089,12 @@ def _contamination_report_oracle_sql() -> str:
     )
     return f"""
     WITH tr AS (
-      SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS toks
+      SELECT doc_id, source, string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
       FROM documents WHERE source <> 'src0'
     ),
     ev AS (
       SELECT DISTINCT {g3} AS g
-      FROM (SELECT string_split_regex(lower(text), '\\s+') AS toks
+      FROM (SELECT string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
             FROM documents WHERE source = 'src0')
     ),
     bad AS (

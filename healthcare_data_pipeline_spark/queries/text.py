@@ -21,7 +21,7 @@ _STOP_SQL = "('the', 'a', 'of', 'and', 'in', 'to')"
 
 
 def _tokens(col):
-    return F.split(F.lower(col), r"\s+")
+    return F.split(F.lower(col), r"[ \t\n\r\f\x0B]+")
 
 
 @query(
@@ -31,7 +31,7 @@ def _tokens(col):
       doc_id,
       length(text) AS n_chars_observed,
       n_chars,
-      len(string_split_regex(text, '\\s+')) AS n_tokens
+      len(string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+')) AS n_tokens
     FROM documents
     """,
     tags=("text", "EXT", "tokens"),
@@ -43,7 +43,7 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars_observed"),
         "n_chars",
-        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+        F.size(F.split(F.col("text"), r"[ \t\n\r\f\x0B]+")).alias("n_tokens"),
     )
 
 
@@ -52,7 +52,7 @@ def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             string_split_regex(lower(text), '\\s+') AS toks,
+             string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks,
              length(text) AS n_chars
       FROM documents
     )
@@ -90,7 +90,7 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang,
-             string_split_regex(lower(text), '\\s+') AS toks
+             string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
       FROM documents
     )
     SELECT
@@ -127,7 +127,7 @@ def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t04_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+           md5(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS fingerprint
     FROM documents
     """,
     tags=("text", "EXT", "fingerprint"),
@@ -138,7 +138,7 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.md5(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("fingerprint"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\r\f\x0B]+", " ")).alias("fingerprint"),
     )
 
 
@@ -146,7 +146,7 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t05_shingle_stats",
     oracle="""
     WITH t AS (
-      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
       FROM documents
     )
     SELECT
@@ -170,7 +170,7 @@ def t05_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     out = d.selectExpr(
         "doc_id",
-        "split(lower(text), '\\\\s+') AS toks",
+        "split(lower(text), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks",
     ).selectExpr(
         "doc_id",
         "size(toks) AS n_tokens",
@@ -184,7 +184,7 @@ def t05_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # GPT-2-style pre-tokenizer alternation, RE2-safe (no lookaheads, so Java regex
 # and DuckDB RE2 agree): optional-space letter runs / digit runs / punct runs.
-_BPE_PAT = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+_BPE_PAT = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\r\f\x0B]+"
 
 
 @query(
@@ -224,7 +224,7 @@ _CHUNK, _STRIDE = 64, 48  # chunk_size=64, overlap=16
     "t08_chunk_documents",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+      SELECT doc_id, string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+') AS toks FROM documents
     ),
     s AS (
       SELECT doc_id, toks,
@@ -262,7 +262,7 @@ _PACK_BUDGET = 512
     oracle=f"""
     WITH t AS (
       SELECT source, doc_id,
-             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+             CAST(len(string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     c AS (
@@ -479,7 +479,7 @@ def _t22_oracle_sql() -> str:
     return f"""
     WITH t AS (
       SELECT doc_id, source, CAST(doc_id AS VARCHAR) || ':split' AS s,
-             len(string_split_regex(text, '\\s+')) AS ntok
+             len(string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+')) AS ntok
       FROM documents
     ),
     h AS (SELECT source, ntok, ({_SQL_H32}) % {DENOM} AS u FROM t),
@@ -511,7 +511,7 @@ def t22_corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t21_adaptive_quality",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS toks
+      SELECT doc_id, source, string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
       FROM documents
     ),
     sc AS (
@@ -634,14 +634,14 @@ def _t14_oracle_sql() -> str:
     return f"""
     WITH tr AS (
       SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS s,
-             string_split_regex(lower(text), '\\s+') AS ltoks,
-             string_split_regex(text, '\\s+') AS toks_raw,
+             string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS ltoks,
+             string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+') AS toks_raw,
              length(text) AS nc
       FROM documents WHERE source <> 'src0'
     ),
     ev AS (
       SELECT DISTINCT {g3} AS g
-      FROM (SELECT string_split_regex(lower(text), '\\s+') AS toks
+      FROM (SELECT string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
             FROM documents WHERE source = 'src0')
     ),
     bad AS (
@@ -706,7 +706,7 @@ def t14_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t15_vocab_stats",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+')) AS token
       FROM documents
     )
     SELECT token,
@@ -737,7 +737,7 @@ def t15_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t16_doc_keywords",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+      SELECT doc_id, unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+')) AS token
       FROM documents
     ),
     tf AS (
@@ -785,7 +785,7 @@ def t16_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang, source, n_chars,
-             string_split_regex(lower(text), '\\s+') AS toks,
+             string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks,
              length(text) AS nc
       FROM documents
     )
@@ -815,7 +815,7 @@ def t07_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t18_repetition_stats",
     oracle="""
     WITH t AS (
-      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+      SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
       FROM documents
     ),
     tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
@@ -844,7 +844,7 @@ def t07_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t18_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    t = d.selectExpr("doc_id", "split(lower(text), '\\\\s+') AS toks")
+    t = d.selectExpr("doc_id", "split(lower(text), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks")
     grams = t.selectExpr(
         "doc_id",
         "size(toks) AS n_tokens",

@@ -177,12 +177,23 @@ def _write_zorder_meta(
     import json
 
     payload = json.dumps({"cols": cols, "bits": bits, "bounds": bounds})
+    # Committer-style write: stage to a .tmp sibling, then rename over the
+    # target (rename is atomic on HDFS/local FS) — a crashed or concurrent
+    # writer can never leave a half-written sidecar that _read_zorder_meta
+    # would fail to parse.  Hadoop rename refuses an existing destination on
+    # some filesystems, so the old sidecar is deleted first; the window is
+    # "no sidecar" (append fails loudly), never "corrupt sidecar".
     fs, jpath = _hadoop_fs(spark, _zorder_meta_path(path))
-    out = fs.create(jpath, True)
+    jtmp = _hadoop_fs(spark, _zorder_meta_path(path) + ".tmp")[1]
+    out = fs.create(jtmp, True)
     try:
         out.write(bytearray(payload.encode("utf-8")))
     finally:
         out.close()
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+    if not fs.rename(jtmp, jpath):
+        raise IOError(f"rename {jtmp} -> {jpath} failed")
 
 
 def _read_zorder_meta(spark: SparkSession, path: str) -> dict:

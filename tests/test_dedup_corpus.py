@@ -343,6 +343,10 @@ def test_fast_fingerprints_survive_hostile_whitespace(spark, tmp_path):
         (5, None),                          # NULL text: must count in n_docs only
         (6, " \t\n "),                      # whitespace-only
         (7, "one two"),                     # < 3 tokens: no shingles
+        # vertical-tab edges: exact dup of 1 ONLY with the explicit
+        # [ \t\n\r\f\x0B] class — Java \s includes \x0B but RE2 \s does
+        # not, so a \s-based normalization diverges from the oracle here.
+        (8, "\x0b" + base.replace(" gamma", "\x0b gamma")),
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     pdf["lang"], pdf["source"] = "en", "t"
@@ -361,8 +365,8 @@ def test_fast_fingerprints_survive_hostile_whitespace(spark, tmp_path):
     }
     for doc_id, f in got.items():
         assert f == want[doc_id], (doc_id, f, want[doc_id])
-    # docs 1,2,3 are exact dups after normalization -> one shared fingerprint
-    assert want[1] == got[1] == got[2] == got[3] != got[4]
+    # docs 1,2,3,8 are exact dups after normalization -> one shared fingerprint
+    assert want[1] == got[1] == got[2] == got[3] == got[8] != got[4]
 
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")

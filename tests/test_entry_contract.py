@@ -134,3 +134,39 @@ def test_oracle_sql_is_subset_with_matching_keys():
     osql = entry.oracle_sql()
     assert set(osql) <= set(qs)
     assert all(isinstance(s, str) and s.strip() for s in osql.values())
+
+
+def test_verification_cadence_never_drifts_past_two_rounds():
+    """Cadence insurance (r6 task 8 / r7 task 2): the driver window verifies
+    50 of the 100+ catalog entries per round, so with `_catalog_order`
+    front-loading the least-recently-verified, steady state re-verifies every
+    entry at worst every ceil(len(catalog)/50) rounds.  Assert no entry's
+    last GREEN driver round has drifted older than max_recorded_round - 2 —
+    exactly the t08-t13/t18 situation this test exists to catch (last green
+    r5 while the history had reached r7 and r8 was underway).  Entries with
+    no history at all are new this round; they sort first in the window, so
+    flagging them would just punish adding operators."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(entry.__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    assert rounds, "no CORRECTNESS history — driver has not run yet"
+    current = max(rounds)
+    recency = entry._verification_recency()
+    stale = {
+        name: last
+        for name, last in sorted(recency.items())
+        if name in catalog() and last < current - 2
+    }
+    assert not stale, (
+        f"entries last driver-verified more than 2 rounds before r{current} "
+        f"(window rotation has stalled — check _catalog_order and catalog growth): {stale}"
+    )
+    # rotation only holds while the catalog fits two windows plus the
+    # steady-state remainder; growth past this bound needs a wider window
+    assert len(catalog()) <= 3 * DRIVER_WINDOW, "catalog outgrew the rotation cadence"

@@ -41,6 +41,25 @@ def test_ml_baseline_trains_and_scores(spark, domain_dfs, tmp_path):
     res2 = baseline.train_and_evaluate(feats)
     assert (res2.n_train, res2.n_test) == (res.n_train, res.n_test)
     assert res2.rmse == pytest.approx(res.rmse)
+    # persisted model (reference baseline_model.py:144-145): reload and
+    # reproduce the holdout predictions exactly, without retraining
+    model_dir = tmp_path / "baseline_model"
+    assert os.path.isdir(model_dir)
+    reloaded = baseline.load_model(str(model_dir))
+    # the split is seed-pinned, so re-deriving the holdout feeds the reloaded
+    # model the exact rows the original scored
+    _, test = feats.randomSplit([0.8, 0.2], seed=baseline.SEED)
+    key = ["presc_id", "drug_brand_name"]
+    orig = sorted(
+        (tuple(r[k] for k in key), r.prediction)
+        for r in res.predictions.select(*key, "prediction").collect()
+    )
+    again = sorted(
+        (tuple(r[k] for k in key), r.prediction)
+        for r in reloaded.transform(test).select(*key, "prediction").collect()
+    )
+    assert [k for k, _ in again] == [k for k, _ in orig]
+    assert [p for _, p in again] == pytest.approx([p for _, p in orig])
 
 
 def test_multimodal_plumbing(spark):
