@@ -323,36 +323,78 @@ def _fast_minhash_sig(
     )
 
 
-def _fast_minhash_pairs(sig: DataFrame) -> DataFrame:
-    """xxhash64 MinHash+LSH candidate pairs from a signature table — the raw
-    fast-path stage dd04 verifies (identical to
-    ``operators.dedup_corpus.minhash_pairs`` with ``hasher='fast'`` but kept
-    inline so dd04 documents the full plan)."""
-    rows_per_band = N_MINHASH // LSH_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("bucket"),
-                    )
-                    for bi in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = bands.select(F.col("doc_id").alias("d1"), "band", "bucket")
-    b = bands.select(F.col("doc_id").alias("d2"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("n_shared_bands"))
+def _dd04_invariant_sql() -> str:
+    """The whole post-signature dd04 plan as ONE SQL statement over the
+    cached signature view (``dd04_sig``) and the pruned source-id view
+    (``dd04_docids``).  Semantically identical to the former chain of
+    DataFrame calls (band explode -> bucket self-join -> pair invariants;
+    fingerprint groups -> combinatorial dup count), but issued as a single
+    statement so Catalyst analyzes the tree ONCE — the incremental
+    per-DataFrame-call analysis of the old form cost ~0.6s of driver time
+    per bench rep at sf0.1, pure fixed overhead that the single parse+
+    analyze collapses to ~0.1s.  The candidate generation is identical to
+    ``operators.dedup_corpus.minhash_pairs`` with ``hasher='fast'``."""
+    rpb = N_MINHASH // LSH_BANDS
+    band_structs = ", ".join(
+        "named_struct('band', {bi}, 'bucket', xxhash64({cols}))".format(
+            bi=bi, cols=", ".join(f"mh{bi * rpb + r}" for r in range(rpb))
+        )
+        for bi in range(LSH_BANDS)
     )
+    mh_cols = ", ".join(f"mh{i}" for i in range(N_MINHASH))
+    return f"""
+    WITH bands AS (
+      SELECT doc_id, bb.band AS band, bb.bucket AS bucket
+      FROM dd04_sig LATERAL VIEW explode(array({band_structs})) AS bb
+    ),
+    pairs AS (  -- LSH candidate pairs: band-bucket equi-join, linear in corpus size
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pair_agg AS (
+      -- Pair-level invariants in ONE aggregate; id validity via two left
+      -- lookups against the SOURCE relation's doc_id (one pruned column,
+      -- AQE-broadcast) — NOT against the cached sig ids, which would be
+      -- tautologically true (the pairs were generated from sig) and could
+      -- never catch an id-corruption bug in the band pipeline.
+      SELECT MIN(p.n_shared_bands BETWEEN 1 AND {LSH_BANDS}) AS bands_bounded,
+             MIN(p.d1 < p.d2) AS pairs_ordered,
+             MIN(COALESCE(k1.doc_id IS NOT NULL AND k2.doc_id IS NOT NULL,
+                          FALSE)) AS ids_valid
+      FROM pairs p
+      LEFT JOIN dd04_docids k1 ON p.d1 = k1.doc_id
+      LEFT JOIN dd04_docids k2 ON p.d2 = k2.doc_id
+    ),
+    fgroups AS (
+      -- Exact-dup invariants WITHOUT a fingerprint self-join or full-outer
+      -- pair merge (the r4 perf regression): group the >=3-token docs
+      -- (exactly the docs in sig — 3-gram shingles exist) by normalized
+      -- fingerprint; a multi-doc group must carry ONE distinct signature
+      -- (min==max per permutation).  Identical signature => identical band
+      -- buckets => the pair is in the candidate set with all bands shared —
+      -- the deterministic LSH guarantee, checked per-group instead of
+      -- per-pair.
+      SELECT f, COUNT(*) AS n,
+             MIN(struct({mh_cols})) AS sig_lo, MAX(struct({mh_cols})) AS sig_hi
+      FROM dd04_sig GROUP BY f
+    ),
+    dup_agg AS (
+      -- n*(n-1)/2 == the oracle's equal-f a.doc_id<b.doc_id join count
+      SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_exact_dup_pairs,
+             MIN(CASE WHEN n >= 2 THEN sig_lo = sig_hi ELSE TRUE END)
+               AS exact_dups_all_bands
+      FROM fgroups
+    )
+    -- 1x1 scalar cross join; empty-corpus guard (zero-row aggs yield nulls)
+    SELECT COALESCE(n_exact_dup_pairs, CAST(0 AS BIGINT)) AS n_exact_dup_pairs,
+           COALESCE(bands_bounded, TRUE) AS bands_bounded,
+           COALESCE(pairs_ordered, TRUE) AS pairs_ordered,
+           COALESCE(ids_valid, TRUE) AS ids_valid,
+           COALESCE(exact_dups_all_bands, TRUE) AS exact_dups_all_bands
+    FROM pair_agg CROSS JOIN dup_agg
+    """
 
 
 @query(
@@ -390,65 +432,33 @@ def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint groups) read one materialization instead of re-running the
     # shingle explode per branch — the r5 regression was exactly that: 6
     # documents scans, 0 ReusedExchange.  The cache is n_docs x 17 small
-    # columns, bounded and session-scoped.  Storage level measured at sf0.1
-    # (cold cache, min of 3): MEMORY_ONLY 1.31s vs default
-    # MEMORY_AND_DISK_DESER 1.88s vs no persist at all 1.57s — the
-    # deserialized default's cache-population cost exceeded what the 3 reads
-    # saved (the r6 "dd04 slower than r4" regression); serialized columnar
-    # batches populate cheaply AND still spare the explode re-runs.
+    # columns, bounded and session-scoped; serialized MEMORY_ONLY because the
+    # deserialized default's population cost exceeded what the 3 reads saved
+    # (the r6 "dd04 slower than r4" regression).
+    #
+    # COST RECONCILIATION (the r7 verdict item — BENCH_r07 2.34s vs a
+    # docstring claiming 1.31s): the 1.31s was min-of-3 EXECUTION time of an
+    # already-built DataFrame; a bench rep pays fn-build + execution, and
+    # driver-side Catalyst analysis of the old ~15-call DataFrame chain cost
+    # ~1.0s per rep on top of ~1.4s cold execution — which is the official
+    # 2.3-2.5s, load permitting.  Hence this form: the post-signature plan is
+    # ONE spark.sql statement (single parse+analyze, ~0.1s), measured
+    # bench-style (fresh build + cold cache, quiet box, sf0.1) at 1.26-1.57s
+    # vs 1.59-1.60s for the DataFrame chain.  Execution plan is unchanged.
+    # In the FULL bench (14th of 14 queries, sharing the session with the
+    # 13 preceding queries' residual load and GC) the same code measures
+    # ~2.0s — that in-context number is what BENCH_r{N}.json records, and
+    # the honest one to compare across rounds.
     from pyspark import StorageLevel
 
     sig = _fast_minhash_sig(spark, sf_dir, with_fingerprint=True).persist(
         StorageLevel.MEMORY_ONLY
     )
-    pairs = _fast_minhash_pairs(sig.drop("f"))
-    # Pair-level invariants in ONE aggregate over the candidate set; id
-    # validity via two left lookups against the SOURCE relation's doc_id
-    # (one pruned column, AQE-broadcast) — NOT against the cached sig ids,
-    # which would be tautologically true (the pairs were generated from sig)
-    # and could never catch an id-corruption bug in the band pipeline.
-    doc_ids = (
-        table(spark, sf_dir, "documents")
-        .select(F.col("doc_id").alias("id"))
-        .withColumn("__known", F.lit(True))
+    sig.createOrReplaceTempView("dd04_sig")
+    table(spark, sf_dir, "documents").select("doc_id").createOrReplaceTempView(
+        "dd04_docids"
     )
-    pair_agg = (
-        pairs.join(doc_ids.select(F.col("id").alias("d1"), F.col("__known").alias("__k1")), "d1", "left")
-        .join(doc_ids.select(F.col("id").alias("d2"), F.col("__known").alias("__k2")), "d2", "left")
-        .agg(
-            F.min(F.col("n_shared_bands").between(1, LSH_BANDS)).alias("bands_bounded"),
-            F.min(F.col("d1") < F.col("d2")).alias("pairs_ordered"),
-            F.min(F.coalesce(F.col("__k1") & F.col("__k2"), F.lit(False))).alias("ids_valid"),
-        )
-    )
-    # Exact-dup invariants WITHOUT a fingerprint self-join or full-outer pair
-    # merge (the r4 perf regression): group the >=3-token docs (exactly the
-    # docs present in sig — 3-gram shingles exist) by normalized fingerprint,
-    # count pairs combinatorially (n*(n-1)/2 == the oracle's equal-f
-    # a.doc_id<b.doc_id join count), and assert every multi-doc group carries
-    # ONE distinct signature (min==max per permutation). Identical signature
-    # => identical band buckets => the pair is in the candidate set with all
-    # LSH_BANDS bands shared — the deterministic LSH guarantee, checked
-    # per-group instead of per-pair.
-    fgroups = sig.groupBy("f").agg(
-        F.count("*").alias("n"),
-        F.min(F.struct(*[F.col(f"mh{i}") for i in range(N_MINHASH)])).alias("sig_lo"),
-        F.max(F.struct(*[F.col(f"mh{i}") for i in range(N_MINHASH)])).alias("sig_hi"),
-    )
-    dup_agg = fgroups.agg(
-        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_exact_dup_pairs"),
-        F.min(
-            F.when(F.col("n") >= 2, F.col("sig_lo") == F.col("sig_hi")).otherwise(F.lit(True))
-        ).alias("exact_dups_all_bands"),
-    )
-    # 1x1 scalar crossJoin; empty-corpus guard (zero-row aggregates yield nulls)
-    return pair_agg.crossJoin(dup_agg).select(
-        F.coalesce("n_exact_dup_pairs", F.lit(0).cast("long")).alias("n_exact_dup_pairs"),
-        *[
-            F.coalesce(c, F.lit(True)).alias(c)
-            for c in ("bands_bounded", "pairs_ordered", "ids_valid", "exact_dups_all_bands")
-        ],
-    )
+    return spark.sql(_dd04_invariant_sql())
 
 
 def _fast_simhash(
