@@ -275,6 +275,75 @@ def containment_pairs(
     return dir1.unionByName(dir2).filter(F.col("containment") >= threshold)
 
 
+def containment_for_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Containment scores for a GIVEN candidate pair set — the scoped form
+    of ``containment_pairs`` (its docstring's "at 100 TB run it per LSH
+    bucket or per dup-cluster" knob, made concrete).
+
+    ``pairs`` is any (d1, d2) candidate relation: LSH band collisions
+    (``minhash_pairs``), dd09's dup clusters expanded pairwise, or a
+    metadata blocking key.  Instead of the corpus-wide DF-capped
+    shingle-equality SELF-join (whose fan-out is bounded but global), each
+    candidate pair joins d1's shingle set against d2's: total work is
+    sum over pairs of |shingles(d1)| — LINEAR in the candidate count with a
+    per-pair constant, and docs in no pair are pruned before the shingle
+    explode.  Recall caveat, documented not hidden: LSH candidates are
+    resemblance-biased, so a small-doc-in-huge-doc containment pair with
+    tiny Jaccard may never become a candidate — corpus-wide
+    ``containment_pairs`` (with its DF cap) is the discovery pass; this is
+    the cheap verification/scoring pass over an existing candidate or
+    cluster structure.
+
+    Output schema matches ``containment_pairs``: (contained, container,
+    n_common, containment), one row per direction at/above ``threshold``.
+    """
+    p = pairs.select("d1", "d2").distinct()
+    ids = (
+        p.select(F.col("d1").alias("doc_id"))
+        .unionByName(p.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(ids, docs[id_col] == ids["doc_id"], "left_semi")
+        .selectExpr(
+            f"{id_col} AS doc_id",
+            f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks",
+        )
+        .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # pair ⋈ d1-shingles on d1, then ⋈ d2-shingles on (d2, s): each surviving
+    # row is one common shingle of one candidate pair
+    inter = (
+        p.join(sh.select(F.col("doc_id").alias("d1"), "s"), "d1")
+        .join(sh.select(F.col("doc_id").alias("d2"), "s"), ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n_sh1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n_sh2"))
+    both = inter.join(s1, "d1").join(s2, "d2")
+    dir1 = both.select(
+        F.col("d1").alias("contained"),
+        F.col("d2").alias("container"),
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_sh1").cast("double")).alias("containment"),
+    )
+    dir2 = both.select(
+        F.col("d2").alias("contained"),
+        F.col("d1").alias("container"),
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_sh2").cast("double")).alias("containment"),
+    )
+    return dir1.unionByName(dir2).filter(F.col("containment") >= threshold)
+
+
 def portable_minhash_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

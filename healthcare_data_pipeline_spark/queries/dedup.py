@@ -664,6 +664,69 @@ def dd06_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return portable_minhash_pairs(table(spark, sf_dir, "documents"))
 
 
+def _dd17_oracle_sql() -> str:
+    """dd17 oracle: the SAME portable band-bucket candidate CTEs as dd06
+    (one source of truth for the constants), then containment computed ONLY
+    for candidate pairs — pair ⋈ d1-shingles ⋈ d2-shingles, mirroring the
+    Spark plan's per-pair linear work."""
+
+    return f"""
+    WITH {_pmh_pairs_ctes("documents")},
+    cand AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT c.d1, c.d2, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.d1
+      JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    pairs2 AS (
+      SELECT i.d1, i.d2, i.n_common, s1.n_sh AS n_sh1, s2.n_sh AS n_sh2
+      FROM inter i
+      JOIN sizes s1 ON i.d1 = s1.doc_id
+      JOIN sizes s2 ON i.d2 = s2.doc_id
+    )
+    SELECT contained, container, n_common, containment FROM (
+      SELECT d1 AS contained, d2 AS container, n_common,
+             CAST(n_common AS DOUBLE) / CAST(n_sh1 AS DOUBLE) AS containment
+      FROM pairs2
+      UNION ALL
+      SELECT d2, d1, n_common,
+             CAST(n_common AS DOUBLE) / CAST(n_sh2 AS DOUBLE)
+      FROM pairs2
+    ) WHERE containment >= 0.5
+    """
+
+
+@query(
+    "dd17_containment_scoped",
+    oracle=_dd17_oracle_sql(),
+    tags=("dedup", "EXT", "containment", "scoped"),
+    doc="Bucket-scoped containment (operators.dedup_corpus.containment_for_pairs over the "
+    "portable LSH candidate pairs): the 100 TB form of dd16 — containment is computed "
+    "ONLY for pairs already sharing an LSH band bucket, so total work is linear in the "
+    "candidate count (pair ⋈ d1-shingles ⋈ d2-shingles) instead of a corpus-wide "
+    "shingle-equality self-join. Recall is candidate-bounded (a tiny-Jaccard "
+    "small-in-huge containment pair may never be a candidate; dd16 with its DF cap is "
+    "the discovery pass) — this scores an existing candidate/cluster structure cheaply.",
+)
+def dd17_containment_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        containment_for_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return containment_for_pairs(docs, portable_minhash_pairs(docs), threshold=0.5)
+
+
 PSH_BITS = 30  # bits taken from the md5-derived 32-bit token hash
 
 

@@ -376,3 +376,50 @@ def test_fast_fingerprints_survive_hostile_whitespace(spark, tmp_path):
             cat[name].fn(spark, str(tmp_path)), con, cat[name].oracle, name=name
         )
     con.close()
+
+
+def test_containment_for_pairs_matches_corpuswide_on_full_pairset(spark):
+    """The scoped form is the same measure, just restricted to a candidate
+    relation: fed the COMPLETE d1<d2 pair set it must reproduce the
+    corpus-wide ``containment_pairs`` result exactly (with the DF cap
+    disabled there, since scoping replaces the cap as the fan-out bound)."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        containment_for_pairs,
+        containment_pairs,
+    )
+
+    docs = table(spark, SF_DIR, "documents").limit(200)
+    ids = docs.select("doc_id")
+    all_pairs = (
+        ids.select(F.col("doc_id").alias("d1"))
+        .crossJoin(ids.select(F.col("doc_id").alias("d2")))
+        .filter(F.col("d1") < F.col("d2"))
+    )
+    wide = containment_pairs(docs, threshold=0.3, max_shingle_df=10**9)
+    scoped = containment_for_pairs(docs, all_pairs, threshold=0.3)
+    diff = wide.exceptAll(scoped).count() + scoped.exceptAll(wide).count()
+    assert diff == 0
+    assert wide.count() > 0  # non-degenerate: the corpus has containment pairs
+
+
+def test_containment_for_pairs_prunes_unpaired_docs(spark):
+    """Docs outside the candidate relation must not reach the shingle
+    explode (the scoped form's whole point): with a single candidate pair,
+    the result only ever mentions those two ids."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        containment_for_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "alpha beta gamma delta epsilon"),  # identical to 1, NOT a candidate
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    got = containment_for_pairs(docs, pairs, threshold=0.0).collect()
+    assert {(r.contained, r.container) for r in got} == {(1, 2), (2, 1)}
+    r = next(r for r in got if r.contained == 1)
+    assert r.containment == 1.0  # doc 1's 3 shingles all inside doc 2

@@ -102,10 +102,19 @@ def ops(spark, sf_dir: str):
     the full plan (noop sink — no driver materialization)."""
     from healthcare_data_pipeline_spark.operators.dedup_corpus import (
         band_skew_report,
+        containment_for_pairs,
         containment_pairs,
         dedup_corpus,
+        minhash_pairs,
     )
-    from healthcare_data_pipeline_spark.operators.quality import filter_corpus
+    from healthcare_data_pipeline_spark.operators.mixture import (
+        exact_stratified_split,
+        hash_split,
+    )
+    from healthcare_data_pipeline_spark.operators.quality import (
+        adaptive_quality_filter,
+        filter_corpus,
+    )
     from healthcare_data_pipeline_spark.operators.shuffle import shuffle_corpus
     from healthcare_data_pipeline_spark.operators.similarity import (
         ann_index_build,
@@ -131,6 +140,26 @@ def ops(spark, sf_dir: str):
         "band_skew_report": lambda: sink(band_skew_report(docs)),
         "quality_filter": lambda: sink(filter_corpus(docs)),
         "containment_pairs (DF-capped)": lambda: sink(containment_pairs(docs)),
+        # The scoped form (r7 verdict task 5): same containment measure but
+        # only over LSH candidate pairs — work linear in the candidate count.
+        "containment_for_pairs (LSH-scoped)": lambda: sink(
+            containment_for_pairs(docs, minhash_pairs(docs, hasher="fast"))
+        ),
+        # Bounded-strata stress (r7 verdict task 4): `source` is a 5-value
+        # heavy-hitter column, so each stratum grows k-fold and the exact
+        # paths' whole-stratum-in-one-partition sort grows with it, while the
+        # scale paths (narrow hash projection / sketch + broadcast filter)
+        # stay scan-bound.
+        "exact_stratified_split (heavy stratum)": lambda: sink(
+            exact_stratified_split(docs, strat_col="source")
+        ),
+        "hash_split (scale path)": lambda: sink(hash_split(docs)),
+        "adaptive_quality_filter exact (heavy stratum)": lambda: sink(
+            adaptive_quality_filter(docs, method="exact")
+        ),
+        "adaptive_quality_filter approx (scale path)": lambda: sink(
+            adaptive_quality_filter(docs, method="approx")
+        ),
         "corpus_shuffle": lambda: sink(shuffle_corpus(docs, num_splits=32)),
         "ann_index_probe (build once)": probe,
     }
@@ -199,6 +228,27 @@ def main() -> None:
         "",
         "Numbers are best-of-%d on local[%s]; regenerate with "
         "`python tools/scale_stress.py`." % (args.repeats, os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count())),
+        "",
+        "Bounded-strata crossover (the r7 verdict's task 4): "
+        f"`exact_stratified_split` (alpha {alphas.get('exact_stratified_split (heavy stratum)')}) and "
+        f"`adaptive_quality_filter method='exact'` (alpha {alphas.get('adaptive_quality_filter exact (heavy stratum)')}) "
+        "put each stratum's whole rank/sort in ONE partition, so with a "
+        "heavy-hitter stratum (`source`, 5 values, each growing k-fold here) "
+        "their growth rides a single task's sort while the scale paths stay "
+        f"scan-bound narrow plans — `hash_split` alpha {alphas.get('hash_split (scale path)')}, "
+        f"approx-percentile filter alpha {alphas.get('adaptive_quality_filter approx (scale path)')}. "
+        "The exact paths are for bounded strata (label taxonomies, source "
+        "lists) or post-sampled slices; at 100 TB a heavy stratum must go "
+        "through the hash/approx paths.",
+        "",
+        "Scoped containment (the r7 verdict's task 5): "
+        f"`containment_for_pairs` over LSH candidates (alpha {alphas.get('containment_for_pairs (LSH-scoped)')}, "
+        f"{results.get('containment_for_pairs (LSH-scoped)', {}).get(k_hi)}s at {k_hi}x) vs the corpus-wide "
+        f"DF-capped self-join (alpha {alphas.get('containment_pairs (DF-capped)')}, "
+        f"{results.get('containment_pairs (DF-capped)', {}).get(k_hi)}s at {k_hi}x) — the per-bucket/per-cluster "
+        "scoping knob the containment docstring promises, measured: work is "
+        "linear in the candidate count (pair ⋈ d1-shingles ⋈ d2-shingles), "
+        "docs outside every candidate pair never reach the shingle explode.",
         "",
         "Harness sensitivity check: with a suffix-only replica perturbation "
         "(cross-replica MinHash signatures collide, so ~(k-1)/k of the corpus "
