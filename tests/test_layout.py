@@ -195,3 +195,40 @@ def test_zorder_append_uses_frozen_bounds(spark, tmp_path):
         lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
         hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
         assert hi - lo < 2500
+
+
+def test_zorder_sidecar_write_is_atomic_and_tmp_tolerant(spark, tmp_path):
+    """The sidecar goes through tmp-write + rename (r7 ADVICE): a stray
+    half-written .tmp from a crashed writer must never be read, a rewrite
+    must replace the sidecar in one step, and the final state carries no
+    .tmp residue."""
+    import json
+
+    from healthcare_data_pipeline_spark.sources.layout import (
+        _read_zorder_meta,
+        write_zordered,
+    )
+
+    d = str(tmp_path / "z")
+    base = spark.range(1_000).select(
+        F.col("id"), (F.col("id") % 100).alias("x"), (F.col("id") % 77).alias("y")
+    )
+    write_zordered(base, d, ["x", "y"], n_files=2)
+    meta_path = os.path.join(d, "_zorder.json")
+    assert os.path.exists(meta_path)
+    assert not os.path.exists(meta_path + ".tmp")
+    with open(meta_path) as fh:
+        json.load(fh)  # committed sidecar is complete JSON
+
+    # simulate a crashed writer: a garbage .tmp next to a good sidecar —
+    # readers must keep reading the committed file
+    with open(meta_path + ".tmp", "w") as fh:
+        fh.write('{"cols": ["x"')  # truncated mid-write
+    meta = _read_zorder_meta(spark, d)
+    assert meta["cols"] == ["x", "y"]
+
+    # a full rewrite replaces the sidecar atomically and clears the residue
+    write_zordered(base.withColumn("x", F.col("x") * 2), d, ["x", "y"], n_files=2)
+    meta2 = _read_zorder_meta(spark, d)
+    assert meta2["bounds"]["x"] != meta["bounds"]["x"]
+    assert not os.path.exists(meta_path + ".tmp")
