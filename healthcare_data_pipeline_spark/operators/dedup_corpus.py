@@ -260,19 +260,41 @@ def containment_pairs(
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n_sh1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n_sh2"))
     both = inter.join(s1, "d1").join(s2, "d2")
-    dir1 = both.select(
-        F.col("d1").alias("contained"),
-        F.col("d2").alias("container"),
-        "n_common",
-        (F.col("n_common").cast("double") / F.col("n_sh1").cast("double")).alias("containment"),
+    return _both_directions(both, threshold)
+
+
+def _both_directions(both: DataFrame, threshold: float) -> DataFrame:
+    """(d1, d2, n_common, n_sh1, n_sh2) -> one row per direction at/above
+    ``threshold``.  A single explode(array(struct, struct)) projection, NOT
+    a self-union: a union of two selects over the same child duplicates the
+    whole upstream subtree in the physical plan (every scan/exchange above
+    it runs twice), while the explode emits both directions in one pass."""
+    return (
+        both.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("d1").alias("contained"),
+                        F.col("d2").alias("container"),
+                        F.col("n_common").alias("n_common"),
+                        (
+                            F.col("n_common").cast("double") / F.col("n_sh1").cast("double")
+                        ).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("d2").alias("contained"),
+                        F.col("d1").alias("container"),
+                        F.col("n_common").alias("n_common"),
+                        (
+                            F.col("n_common").cast("double") / F.col("n_sh2").cast("double")
+                        ).alias("containment"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .filter(F.col("containment") >= threshold)
     )
-    dir2 = both.select(
-        F.col("d2").alias("contained"),
-        F.col("d1").alias("container"),
-        "n_common",
-        (F.col("n_common").cast("double") / F.col("n_sh2").cast("double")).alias("containment"),
-    )
-    return dir1.unionByName(dir2).filter(F.col("containment") >= threshold)
 
 
 def containment_for_pairs(
@@ -304,20 +326,21 @@ def containment_for_pairs(
     n_common, containment), one row per direction at/above ``threshold``.
     """
     p = pairs.select("d1", "d2").distinct()
-    ids = (
-        p.select(F.col("d1").alias("doc_id"))
-        .unionByName(p.select(F.col("d2").alias("doc_id")))
-        .distinct()
-    )
-    sh = (
+    # one explode, not a two-select self-union (which would run the whole
+    # candidate-generation subtree twice in the physical plan)
+    ids = p.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
+    # (doc_id, distinct-shingle array) for paired docs only; n_sh comes from
+    # the ARRAY SIZE — no explode + groupBy round-trip for the denominators
+    base = (
         docs.join(ids, docs[id_col] == ids["doc_id"], "left_semi")
         .selectExpr(
             f"{id_col} AS doc_id",
             f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks",
         )
-        .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
+        .selectExpr("doc_id", f"array_distinct({WORD_3GRAMS_SQL}) AS grams")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = base.select("doc_id", F.explode("grams").alias("s"))
+    sizes = base.select("doc_id", F.size("grams").alias("n_sh"))
     # pair ⋈ d1-shingles on d1, then ⋈ d2-shingles on (d2, s): each surviving
     # row is one common shingle of one candidate pair
     inter = (
@@ -329,19 +352,7 @@ def containment_for_pairs(
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n_sh1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n_sh2"))
     both = inter.join(s1, "d1").join(s2, "d2")
-    dir1 = both.select(
-        F.col("d1").alias("contained"),
-        F.col("d2").alias("container"),
-        "n_common",
-        (F.col("n_common").cast("double") / F.col("n_sh1").cast("double")).alias("containment"),
-    )
-    dir2 = both.select(
-        F.col("d2").alias("contained"),
-        F.col("d1").alias("container"),
-        "n_common",
-        (F.col("n_common").cast("double") / F.col("n_sh2").cast("double")).alias("containment"),
-    )
-    return dir1.unionByName(dir2).filter(F.col("containment") >= threshold)
+    return _both_directions(both, threshold)
 
 
 def portable_minhash_pairs(
