@@ -329,18 +329,22 @@ def containment_for_pairs(
     # one explode, not a two-select self-union (which would run the whole
     # candidate-generation subtree twice in the physical plan)
     ids = p.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()
-    # (doc_id, distinct-shingle array) for paired docs only; n_sh comes from
-    # the ARRAY SIZE — no explode + groupBy round-trip for the denominators
-    base = (
+    # Shingles for paired docs only, exploded DIRECTLY in the projection:
+    # materializing the distinct-shingle ARRAY as its own multi-consumer
+    # column (to derive n_sh via F.size without the groupBy) measured ~7x
+    # SLOWER at every scale — the standalone array column pushes the
+    # Generate out of whole-stage codegen, while the inline explode keeps
+    # the whole split->3gram->distinct->explode chain fused.  The groupBy
+    # denominator rides sh's existing shuffle; it is not the cost center.
+    sh = (
         docs.join(ids, docs[id_col] == ids["doc_id"], "left_semi")
         .selectExpr(
             f"{id_col} AS doc_id",
             f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks",
         )
-        .selectExpr("doc_id", f"array_distinct({WORD_3GRAMS_SQL}) AS grams")
+        .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
     )
-    sh = base.select("doc_id", F.explode("grams").alias("s"))
-    sizes = base.select("doc_id", F.size("grams").alias("n_sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # pair ⋈ d1-shingles on d1, then ⋈ d2-shingles on (d2, s): each surviving
     # row is one common shingle of one candidate pair
     inter = (
