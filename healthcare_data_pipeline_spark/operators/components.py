@@ -33,11 +33,11 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     return df.checkpoint(eager=True) if has_dir else df.localCheckpoint(eager=True)
 
 
-def _driver_union_find(edges: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Union-find over a driver-sized edge list — one Arrow transfer, zero
-    iterations.  Union attaches the larger root under the smaller, so every
-    set's root IS its minimum vertex (the distributed path's contract)."""
-    pdf = pairs.toPandas()
+def _driver_union_find(spark_from: DataFrame, pdf) -> DataFrame:
+    """Union-find over a driver-sized edge list (a pandas frame the gate
+    already collected) — zero shuffle iterations.  Union attaches the larger
+    root under the smaller, so every set's root IS its minimum vertex (the
+    distributed path's contract)."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -53,7 +53,7 @@ def _driver_union_find(edges: DataFrame, pairs: DataFrame) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(v, find(v)) for v in parent]
-    return edges.sparkSession.createDataFrame(rows, "vertex long, component long")
+    return spark_from.sparkSession.createDataFrame(rows, "vertex long, component long")
 
 
 def connected_components(
@@ -69,22 +69,30 @@ def connected_components(
     O(graph diameter) iterations; raises if ``max_iter`` is hit without a
     fixpoint (pathological chain — raise the limit or pre-bucket).
 
-    Size-gated hybrid: the edge count is measured first (one aggregation over
-    the cached distinct pairs), and a graph at or under ``driver_threshold``
-    edges is solved by union-find on the driver — one Arrow collect, zero
-    shuffle iterations.  The gate is the same budget class as a size-gated
+    Size-gated hybrid: one ``limit(threshold+1)`` Arrow collect both gates
+    and fetches — a graph at or under ``driver_threshold`` edges is solved
+    by union-find on the driver with the rows that collect already moved,
+    zero shuffle iterations; an over-threshold graph short-circuits the
+    collect at threshold+1 rows instead of being counted in full.  The gate is the same budget class as a size-gated
     broadcast: LSH/band candidate graphs are orders of magnitude smaller than
     the corpus that produced them (the whole point of banding), so even at
     100 TB most dedup runs clear it; a graph that doesn't takes the
     O(diameter) distributed label propagation below, unchanged.  Pass
     ``driver_threshold=0`` to force the distributed path.
     """
-    pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct().cache()
-    if driver_threshold and pairs.count() <= driver_threshold:
-        try:
-            return _driver_union_find(edges, pairs)
-        finally:
-            pairs.unpersist()
+    pairs = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    if driver_threshold:
+        # Gate AND collect in ONE action: limit(threshold+1).toPandas() both
+        # answers "is the graph driver-sized?" and, when yes, IS the edge
+        # list union-find needs — the former count-then-collect pair cost a
+        # cache write plus a second pass over the candidate pipeline (~20%
+        # of dd09's wall-clock at sf0.1).  On an over-threshold graph the
+        # limit short-circuits after threshold+1 rows instead of counting
+        # the whole edge set.
+        sample = pairs.limit(driver_threshold + 1).toPandas()
+        if len(sample) <= driver_threshold:
+            return _driver_union_find(edges, sample)
+    pairs = pairs.cache()
     sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     labels = sym.select(F.col("a").alias("v")).distinct().withColumn("label", F.col("v"))
     sym = sym.cache()
