@@ -445,10 +445,10 @@ def dd04_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE spark.sql statement (single parse+analyze, ~0.1s), measured
     # bench-style (fresh build + cold cache, quiet box, sf0.1) at 1.26-1.57s
     # vs 1.59-1.60s for the DataFrame chain.  Execution plan is unchanged.
-    # In the FULL bench (14th of 14 queries, sharing the session with the
-    # 13 preceding queries' residual load and GC) the same code measures
-    # ~2.0s — that in-context number is what BENCH_r{N}.json records, and
-    # the honest one to compare across rounds.
+    # In the FULL bench (sharing the session with 13 preceding queries'
+    # residual load and GC) the same code measures ~2.0-2.3s — that
+    # in-context number is what BENCH_r{N}.json records, and the honest one
+    # to compare across rounds.
     from pyspark import StorageLevel
 
     sig = _fast_minhash_sig(spark, sf_dir, with_fingerprint=True).persist(
