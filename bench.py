@@ -156,6 +156,11 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s", file=sys.stderr)
         spark.catalog.clearCache()
         gc.collect()
+        # Pay JVM GC debt BETWEEN timed windows, not during them: without
+        # this, allocation pressure from earlier queries lands as GC pauses
+        # inside later queries' timings (dd04/dd09 measured ~+0.7s in-bench
+        # vs standalone; the same fix stabilized tools/scale_stress.py).
+        spark.sparkContext._jvm.System.gc()
 
     # ANN recall/latency point at the bench SF (untimed in the headline
     # total): the IVF nprobe default is a recall-vs-cost tradeoff, so publish
