@@ -159,3 +159,64 @@ def prep_corpus(
         docs, text_col=text_col, min_stopword_ratio=min_stopword_ratio
     )
     return dedup_corpus(filtered, id_col=id_col, text_col=text_col, hasher=hasher)
+
+
+def rare_bigram_scores(
+    docs: DataFrame,
+    rare_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CORPUS-ADAPTIVE gibberish scoring: per-document rare-bigram ratio.
+
+    The per-doc heuristics (stopword ratio, length gates) can't see
+    distributional junk — shuffled words, OCR noise, keyboard mash all have
+    plausible lengths and may even hit stopwords.  What exposes them is that
+    their word BIGRAMS never recur anywhere else: natural text draws its
+    transitions from a heavy head ("of the", "in a"), junk draws uniformly
+    from the enormous tail.  Score = fraction of a document's bigram
+    OCCURRENCES whose corpus-wide bigram frequency is <= ``rare_df``; gate
+    high-ratio docs.  This is the integer-exact stand-in for n-gram LM
+    perplexity — same signal, but counts and a small-int division instead of
+    transcendental logs, so the result value-hashes identically in any
+    engine (catalog t23).
+
+    Scale shape: one bigram explode (~n_tokens rows), one groupBy(bigram)
+    with map-side combine for the frequency table, one shuffle join of the
+    exploded bigrams back against it (both sides already clustered by
+    bigram), one per-doc aggregation.  Everything is linear in corpus token
+    count; the frequency table is never collected or broadcast (at 100 TB
+    it is itself huge — and the RARE side is most of it, so no small-side
+    broadcast exists by construction).
+
+    Output: (doc_id, n_bigrams, n_rare, rare_ratio) for every doc with at
+    least one bigram (>= 2 tokens).
+    """
+    toks_sql = f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+')"
+    bigrams_sql = f"""
+      CASE WHEN size(toks) >= 2 THEN transform(
+        sequence(1, size(toks) - 1),
+        i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))
+      ) ELSE array() END
+    """
+    bg = (
+        docs.selectExpr(f"{id_col} AS doc_id", f"{toks_sql} AS toks")
+        .selectExpr("doc_id", f"explode({bigrams_sql}) AS bg")
+    )
+    counts = bg.groupBy("bg").agg(F.count("*").alias("df_bg"))
+    return (
+        bg.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("df_bg") <= rare_df, 1).otherwise(0)).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "rare_ratio"
+            ),
+        )
+    )

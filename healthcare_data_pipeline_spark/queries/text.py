@@ -863,3 +863,43 @@ def t18_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("count").alias("top_token_count"))
     )
     return grams.join(top, "doc_id")
+
+
+@query(
+    "t23_rare_bigram_gibberish",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+      FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE len(toks) >= 2
+    ),
+    c AS (
+      SELECT bg, COUNT(*) AS df_bg FROM bg GROUP BY bg
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN df_bg <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(SUM(CASE WHEN df_bg <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
+    FROM bg JOIN c USING (bg)
+    GROUP BY doc_id
+    """,
+    tags=("text", "EXT", "quality", "corpus-adaptive"),
+    doc="Corpus-adaptive gibberish scoring (operators.quality.rare_bigram_scores): per-doc "
+    "fraction of bigram occurrences whose corpus-wide frequency is <= 2. Distributional "
+    "junk (shuffled words, OCR noise) passes every per-doc gate but draws its word "
+    "transitions from the long tail — natural text reuses a heavy head. The "
+    "integer-exact stand-in for n-gram LM perplexity (counts + small-int division, no "
+    "transcendental logs, so it value-hashes in any engine). One bigram explode, one "
+    "frequency groupBy (map-side combine), one bigram-clustered shuffle join back, one "
+    "per-doc agg — all linear in token count; the frequency table is never collected "
+    "or broadcast (its rare side IS most of it at any scale).",
+)
+def t23_rare_bigram_gibberish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.quality import rare_bigram_scores
+
+    return rare_bigram_scores(table(spark, sf_dir, "documents"), rare_df=2)

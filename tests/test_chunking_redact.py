@@ -376,3 +376,35 @@ def test_corpus_composition_totals(spark):
     }
     got = {(r.source, r.split): r.n_docs for r in rows if r.source and r.split}
     assert got == want
+
+
+def test_rare_bigram_scores_separate_gibberish_from_natural_text(spark):
+    """The corpus-adaptive scorer must rank distributional junk above
+    natural text even when per-doc gates (length, stopwords) cannot tell
+    them apart: the junk docs below reuse the same words as the natural
+    ones — only their TRANSITIONS are novel."""
+    from healthcare_data_pipeline_spark.operators.quality import rare_bigram_scores
+
+    natural = "the quick brown fox jumps over the lazy dog near the old barn"
+    rows = [
+        # natural docs share their phrasing -> common bigrams
+        (1, natural),
+        (2, natural.replace("old barn", "tall tree")),
+        (3, "the quick brown fox jumps over the lazy dog every single day"),
+        # same vocabulary, shuffled transitions -> every bigram is rare
+        (4, "barn the over dog quick near lazy the fox old jumps brown the"),
+        (5, None),       # NULL text: no bigrams, absent from output
+        (6, "one"),      # single token: no bigrams, absent from output
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in rare_bigram_scores(docs, rare_df=2).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # the shuffled doc is maximally rare; the shared-phrasing docs are not
+    assert got[4].rare_ratio == 1.0
+    assert all(got[i].rare_ratio < got[4].rare_ratio for i in (1, 2, 3))
+    # counts are exact: doc 1 has 12 bigrams, and "the lazy" / "lazy dog" /
+    # "the quick" / "quick brown" / "brown fox" / "fox jumps" / "jumps over"
+    # / "over the" recur in docs 2-3, so well under half of doc 1 is rare
+    assert got[1].n_bigrams == 12
+    assert 0 <= got[1].n_rare <= 4
+    assert all(0 <= r.n_rare <= r.n_bigrams for r in got.values())
