@@ -281,3 +281,79 @@ def mixture_resample(
         .withColumn("epoch", F.col("epoch").cast("long"))
         .drop("__n")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    budgets: dict[str, int] | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "budget",
+    method: str = "exact",
+) -> DataFrame:
+    """TOKEN-budget mixture sampling: from each group, keep documents in
+    salted-hash order until the group's token budget is spent.
+
+    Mixture recipes are written in tokens ("200B tokens of web, 30B of
+    code"), but ``mixture_sample``/``group_sample`` select by DOCUMENT,
+    and doc-length distributions differ wildly across sources — a doc-rate
+    that hits the web budget blows the transcript budget.  This selects on
+    the running TOKEN total directly.  Every group gets the default
+    ``budget``; ``budgets`` overrides it per group.
+
+    ``method='exact'``: rank each group by the salted portable hash (id
+    tie-break) and keep a document iff its INCLUSIVE cumulative token count
+    is <= the budget — integer window arithmetic, bit-identical in any
+    engine (catalog t24).  Same bounded-strata cost shape as
+    ``exact_stratified_split`` (a group's cumsum lives in one partition —
+    see SCALE.md); and unlike ``hash_split``, membership is a SNAPSHOT:
+    adding documents can displace later ones in hash order.
+
+    ``method='approx'``: the 100 TB path — one aggregation computes each
+    group's total token count, the keep-threshold ``budget/total`` maps
+    onto the hash domain, and selection becomes the same zero-shuffle
+    narrow filter as ``mixture_sample`` (broadcast per-group thresholds).
+    Hits the budget in expectation (doc-length/hash independence), not
+    exactly — rate-tested, not value-oracled.
+
+    NULL-text documents carry no tokens and are excluded up front.
+    Output: the kept rows of ``df`` plus ``n_tokens`` (and, for the exact
+    path, ``cum_tokens`` — the running total that justified keeping each
+    row, which makes the selection auditable).
+    """
+    if method not in ("exact", "approx"):
+        raise ValueError(f"unknown method {method!r}: expected 'exact' or 'approx'")
+    per_group = dict(budgets or {})
+    ntok = F.size(F.split(F.col(text_col), r"[ \t\n\r\f\x0B]+")).cast("long")
+    d = df.filter(F.col(text_col).isNotNull()).withColumn("n_tokens", ntok)
+    budget_col = F.lit(int(budget)).cast("long")
+    for g, b in sorted(per_group.items()):
+        budget_col = F.when(F.col(group_col) == g, F.lit(int(b)).cast("long")).otherwise(
+            budget_col
+        )
+    if method == "approx":
+        totals = d.groupBy(group_col).agg(F.sum("n_tokens").alias("__total"))
+        return (
+            d.join(F.broadcast(totals), group_col)
+            # keep-fraction budget/total mapped onto the hash domain; a group
+            # under budget keeps everything (threshold caps at DENOM)
+            .filter(
+                _split_hash(id_col, salt)
+                < F.least(
+                    F.lit(DENOM).cast("long"),
+                    (budget_col * DENOM / F.col("__total")).cast("long"),
+                )
+            )
+            .drop("__total")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _split_hash(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_col)
+    )

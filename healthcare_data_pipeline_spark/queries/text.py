@@ -903,3 +903,49 @@ def t23_rare_bigram_gibberish(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.quality import rare_bigram_scores
 
     return rare_bigram_scores(table(spark, sf_dir, "documents"), rare_df=2)
+
+
+def _t24_oracle_sql() -> str:
+    from healthcare_data_pipeline_spark.operators.mixture import DENOM
+    from healthcare_data_pipeline_spark.queries.dedup import _SQL_H32
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(doc_id AS VARCHAR) || ':budget' AS s,
+             CAST(len(string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+')) AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT doc_id, source, n_tokens, ({_SQL_H32}) % {DENOM} AS u FROM t
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum_tokens
+      FROM h
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 5000
+    """
+
+
+@query(
+    "t24_token_budget_sample",
+    oracle=_t24_oracle_sql(),
+    tags=("text", "EXT", "sampling", "mixture"),
+    doc="Token-budget mixture sampling (operators.mixture.token_budget_sample): keep each "
+    "source's documents in salted-portable-hash order until 5000 tokens are spent. "
+    "Mixture recipes are written in TOKENS, but doc-count sampling can't hit token "
+    "targets when doc-length distributions differ across sources — this selects on the "
+    "inclusive running token total directly (integer window arithmetic, bit-identical "
+    "in any engine; cum_tokens emitted so the selection is auditable). Exact path is "
+    "bounded-strata (per-group cumsum in one partition, SCALE.md); method='approx' is "
+    "the 100 TB path — per-group totals once, then the same zero-shuffle hash-threshold "
+    "filter as mixture_sample, budget-exact in expectation (rate-tested).",
+)
+def t24_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.mixture import token_budget_sample
+
+    d = table(spark, sf_dir, "documents")
+    return token_budget_sample(d, budget=5000).select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )

@@ -408,3 +408,49 @@ def test_rare_bigram_scores_separate_gibberish_from_natural_text(spark):
     assert got[1].n_bigrams == 12
     assert 0 <= got[1].n_rare <= 4
     assert all(0 <= r.n_rare <= r.n_bigrams for r in got.values())
+
+
+def test_token_budget_sample_exact_and_approx(spark):
+    """Exact path: per-group inclusive cum_tokens never exceeds its budget,
+    per-group overrides bind, NULL text never selected, and the kept token
+    mass is maximal for the hash order (adding the next doc in hash order
+    would bust the budget).  Approx path: hits each group's budget within
+    a loose rate band and keeps everything when the budget exceeds the
+    group's total."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.mixture import token_budget_sample
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, SF_DIR, "documents")
+    kept = token_budget_sample(docs, budget=1000, budgets={"src0": 200})
+    agg = {
+        r.source: (r.total, r.n)
+        for r in kept.groupBy("source")
+        .agg(F.sum("n_tokens").alias("total"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert agg, "selection is non-degenerate"
+    for src, (total, n) in agg.items():
+        assert total <= (200 if src == "src0" else 1000), (src, total)
+        assert n >= 1
+    # max(cum_tokens) == kept token mass: the running total is consistent
+    mx = {r.source: r.mx for r in kept.groupBy("source").agg(F.max("cum_tokens").alias("mx")).collect()}
+    assert all(mx[s] == agg[s][0] for s in agg)
+    # NULL text is excluded before selection
+    with_null = docs.limit(0).unionByName(
+        spark.createDataFrame(
+            [(10**9, None, "en", "srcX", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+    ).unionByName(docs)
+    assert token_budget_sample(with_null, budget=10**9).filter(
+        F.col("doc_id") == 10**9
+    ).count() == 0
+
+    # approx: in-expectation budget within a loose band; over-budget keeps all
+    n_docs = docs.filter(F.col("text").isNotNull()).count()
+    approx = token_budget_sample(docs, budget=1000, method="approx")
+    for r in approx.groupBy("source").agg(F.sum("n_tokens").alias("total")).collect():
+        assert r.total <= 3000, (r.source, r.total)  # 3x band on a small group
+    everything = token_budget_sample(docs, budget=10**9, method="approx")
+    assert everything.count() == n_docs
