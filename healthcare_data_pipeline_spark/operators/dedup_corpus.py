@@ -325,7 +325,20 @@ def containment_for_pairs(
     Output schema matches ``containment_pairs``: (contained, container,
     n_common, containment), one row per direction at/above ``threshold``.
     """
-    p = pairs.select("d1", "d2").distinct()
+    # Canonicalize orientation BEFORE distinct: a candidate relation holding
+    # both (a,b) and (b,a) would otherwise score each direction's output row
+    # twice (the docstring promises "any (d1, d2) candidate relation"), and
+    # self-pairs (a,a) would emit a spurious containment=1.0 row.  Output is
+    # unaffected for already-canonical inputs (LSH candidates emit d1 < d2),
+    # since _both_directions scores both orientations regardless.
+    p = (
+        pairs.select(
+            F.least(F.col("d1"), F.col("d2")).alias("d1"),
+            F.greatest(F.col("d1"), F.col("d2")).alias("d2"),
+        )
+        .filter(F.col("d1") != F.col("d2"))
+        .distinct()
+    )
     # one explode, not a two-select self-union (which would run the whole
     # candidate-generation subtree twice in the physical plan)
     ids = p.select(F.explode(F.array("d1", "d2")).alias("doc_id")).distinct()

@@ -338,12 +338,16 @@ def token_budget_sample(
         return (
             d.join(F.broadcast(totals), group_col)
             # keep-fraction budget/total mapped onto the hash domain; a group
-            # under budget keeps everything (threshold caps at DENOM)
+            # under budget keeps everything (threshold caps at DENOM).  The
+            # ratio is computed in DOUBLE before scaling: a long product
+            # budget*DENOM overflows past ~9.2e12 tokens and wraps negative in
+            # non-ANSI Spark — silently emptying the sample for exactly the
+            # multi-trillion-token groups this path exists for.
             .filter(
                 _split_hash(id_col, salt)
                 < F.least(
                     F.lit(DENOM).cast("long"),
-                    (budget_col * DENOM / F.col("__total")).cast("long"),
+                    (budget_col.cast("double") / F.col("__total") * DENOM).cast("long"),
                 )
             )
             .drop("__total")

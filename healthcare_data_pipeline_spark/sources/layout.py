@@ -198,8 +198,19 @@ def _write_zorder_meta(
 
 def _read_zorder_meta(spark: SparkSession, path: str) -> dict:
     import json
+    import time
 
     fs, jpath = _hadoop_fs(spark, _zorder_meta_path(path))
+    # A concurrent rewrite commits via delete-then-rename (Hadoop rename
+    # refuses an existing destination on some filesystems), so a reader can
+    # race into the "no sidecar yet" window.  If the sidecar is absent but
+    # its .tmp sibling exists, the writer is mid-commit: wait a beat and
+    # re-check once before failing, so the race surfaces as a transient
+    # retry instead of a spurious FileNotFound.
+    if not fs.exists(jpath):
+        jtmp = _hadoop_fs(spark, _zorder_meta_path(path) + ".tmp")[1]
+        if fs.exists(jtmp):
+            time.sleep(0.2)
     jvm = spark._jvm
     # Line-wise read through a JVM reader: py4j copies byte[] arguments by
     # value, so a readFully-into-bytearray would never see the data — strings

@@ -454,3 +454,8 @@ def test_token_budget_sample_exact_and_approx(spark):
         assert r.total <= 3000, (r.source, r.total)  # 3x band on a small group
     everything = token_budget_sample(docs, budget=10**9, method="approx")
     assert everything.count() == n_docs
+    # multi-trillion-token budget (r8 ADVICE): the threshold math must not
+    # overflow long — budget*DENOM at 10^13 wraps negative in non-ANSI Spark
+    # and silently emptied the sample before the double-division fix
+    huge = token_budget_sample(docs, budget=10**13, method="approx")
+    assert huge.count() == n_docs

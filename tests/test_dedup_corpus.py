@@ -423,3 +423,26 @@ def test_containment_for_pairs_prunes_unpaired_docs(spark):
     assert {(r.contained, r.container) for r in got} == {(1, 2), (2, 1)}
     r = next(r for r in got if r.contained == 1)
     assert r.containment == 1.0  # doc 1's 3 shingles all inside doc 2
+
+
+def test_containment_for_pairs_canonicalizes_candidates(spark):
+    """The docstring promises ANY (d1, d2) candidate relation (r8 ADVICE):
+    a relation holding both orientations and self-pairs must score each
+    unordered pair exactly once — no doubled output rows, no spurious
+    containment=1.0 self-pair rows."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        containment_for_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (1, 1), (2, 2)], "d1 long, d2 long"
+    )
+    got = containment_for_pairs(docs, messy, threshold=0.0).collect()
+    assert sorted((r.contained, r.container) for r in got) == [(1, 2), (2, 1)]

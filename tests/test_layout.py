@@ -232,3 +232,20 @@ def test_zorder_sidecar_write_is_atomic_and_tmp_tolerant(spark, tmp_path):
     meta2 = _read_zorder_meta(spark, d)
     assert meta2["bounds"]["x"] != meta["bounds"]["x"]
     assert not os.path.exists(meta_path + ".tmp")
+
+    # reader racing a rewrite's delete-then-rename window (r8 ADVICE): with
+    # the sidecar momentarily absent but a committed .tmp present, the reader
+    # waits out the window instead of failing — a sibling thread completes
+    # the rename mid-wait, and the read returns the new meta.
+    import shutil
+    import threading
+
+    committed = meta_path + ".tmp"
+    shutil.move(meta_path, committed)  # mid-commit state: .tmp only
+    t = threading.Timer(0.05, shutil.move, args=(committed, meta_path))
+    t.start()
+    try:
+        meta3 = _read_zorder_meta(spark, d)
+    finally:
+        t.join()
+    assert meta3 == meta2
