@@ -3,8 +3,12 @@
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Each query is executed to completion (count-collapsed — results are consumed,
-not collected to the driver) and timed wall-clock.  A warmup pass on sf's
+not collected to the driver) and timed wall-clock, min-of-3 reps (all reps
+recorded in the JSON so the variance is visible).  A warmup pass on sf's
 smallest table absorbs JVM/codegen startup so timings reflect the plans.
+A fixed calibration probe runs before and after the suite; if it deviates
+>15% from its committed idle reference, the artifact is stamped quiet=false
+even when loadavg looked clean (the r8 lesson).
 """
 
 from __future__ import annotations
@@ -38,6 +42,42 @@ HEADLINE = [
     # the production probe path — partition-pruned scan of the probed cells.
     "s07_ann_index_probe",
 ]
+
+# Calibration probe (the r8 lesson: loadavg sampled once before the run
+# CANNOT see decaying contention — BENCH_r08 stamped quiet:true at loadavg
+# 3.05 and recorded 25.68s where the same code measured 14.99s idle).  The
+# probe is a fixed, data-independent, CPU-saturating computation (xxhash64
+# over a 2B-row range, bit_xor-combined — whole-stage codegen, no I/O, no
+# shuffle data): its runtime moves with exactly the host contention that
+# inflates the query timings.  It runs min-of-PROBE_REPS BEFORE and AFTER
+# the timed suite; if either measurement exceeds the committed idle
+# reference by >15%, the artifact is stamped quiet:false regardless of
+# loadavg.  Reference: repeated min-of-3 measurements at loadavg <2 on the
+# 32-cpu build box span 0.444-0.493s across sessions; committed 0.46s, so
+# the 15% gate trips at 0.529s — above every idle measurement, below the
+# ~30%+ inflation real contention produces.  Gating only applies on
+# PROBE_REF_CPUS boxes — on other hosts the probe times are recorded but
+# the reference does not transfer.
+PROBE_ROWS = 2_000_000_000
+PROBE_REPS = 3
+PROBE_REF_SEC = 0.46
+PROBE_REF_CPUS = 32
+PROBE_TOL = 1.15
+
+
+def run_probe(spark, cpus: int, fake: str | None = None) -> float:
+    """Min-of-PROBE_REPS wall time of the fixed calibration computation."""
+    if fake is not None:
+        return float(fake)
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, PROBE_ROWS, 1, cpus).select(F.bit_xor(F.xxhash64("id"))).collect()
+        return time.perf_counter() - t0
+
+    once()  # warm: codegen for the probe itself is not host noise
+    return round(min(once() for _ in range(PROBE_REPS)), 3)
 
 
 def main() -> None:
@@ -137,30 +177,63 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
 
+    # Calibration probe before the timed suite (and again after it): detects
+    # the contention-decay shape loadavg cannot — see the PROBE_* comment.
+    fake_probe = os.environ.get("SPARK_GRAFT_BENCH_FAKE_PROBE")
+    probe_ref = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_REF", str(PROBE_REF_SEC)))
+    probe_before = run_probe(spark, cpus, fake_probe)
+    print(f"# calibration probe (before): {probe_before:.3f}s (ref {probe_ref:.2f}s)", file=sys.stderr)
+
+    # Timed pass, min-of-REPS per query: a transient burst of host load can
+    # only inflate SOME reps, and the min is the rep that dodged it.  All
+    # reps are recorded in the JSON so the variance itself is visible — a
+    # wide rep spread on a quiet-stamped artifact is the tell to re-run.
+    reps_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
     total = 0.0
     for name in names:
         if name in errors:
             continue
-        t0 = time.perf_counter()
-        try:
-            # Force full execution without driver-side materialization cost.
-            build(name).write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"# {name}: FAILED — {errors[name]}", file=sys.stderr)
+        rep_times: list[float] = []
+        for _ in range(reps_n):
+            t0 = time.perf_counter()
+            try:
+                # Force full execution without driver-side materialization cost.
+                build(name).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"# {name}: FAILED — {errors[name]}", file=sys.stderr)
+                break
+            rep_times.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+            gc.collect()
+            # Pay JVM GC debt BETWEEN timed windows, not during them: without
+            # this, allocation pressure from earlier queries lands as GC pauses
+            # inside later queries' timings (dd04/dd09 measured ~+0.7s in-bench
+            # vs standalone; the same fix stabilized tools/scale_stress.py).
+            spark.sparkContext._jvm.System.gc()
+        if name in errors:
             continue
-        dt = round(time.perf_counter() - t0, 3)
+        dt = min(rep_times)
         timings[name] = dt
+        reps[name] = rep_times
         total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
-        spark.catalog.clearCache()
-        gc.collect()
-        # Pay JVM GC debt BETWEEN timed windows, not during them: without
-        # this, allocation pressure from earlier queries lands as GC pauses
-        # inside later queries' timings (dd04/dd09 measured ~+0.7s in-bench
-        # vs standalone; the same fix stabilized tools/scale_stress.py).
-        spark.sparkContext._jvm.System.gc()
+        print(f"# {name}: {dt:.3f}s (reps: {', '.join(f'{r:.3f}' for r in rep_times)})", file=sys.stderr)
+
+    probe_after = run_probe(spark, cpus, fake_probe)
+    print(f"# calibration probe (after): {probe_after:.3f}s (ref {probe_ref:.2f}s)", file=sys.stderr)
+    probe_gated = cpus == PROBE_REF_CPUS or fake_probe is not None
+    probe_quiet = (not probe_gated) or max(probe_before, probe_after) <= probe_ref * PROBE_TOL
+    if not probe_quiet:
+        quiet = False
+        print(
+            f"# WARNING: calibration probe {max(probe_before, probe_after):.3f}s exceeds "
+            f"{PROBE_TOL:.2f}x the committed idle reference ({probe_ref:.2f}s) — the host "
+            "is contended in a way loadavg did not show; timings are load-inflated, "
+            "stamping quiet=false",
+            file=sys.stderr,
+        )
 
     # ANN recall/latency point at the bench SF (untimed in the headline
     # total): the IVF nprobe default is a recall-vs-cost tradeoff, so publish
@@ -215,9 +288,16 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         "loadavg_1m": load1,
+        "probe": {
+            "before_sec": probe_before,
+            "after_sec": probe_after,
+            "ref_sec": probe_ref,
+            "gated": probe_gated,
+        },
         "quiet": quiet,
     }
     if ann_recall:

@@ -45,6 +45,44 @@ def test_bench_emits_complete_json():
     assert out["unit"] == "sec" and out["value"] > 0
     assert len(out["queries"]) == len(HEADLINE) and "errors" not in out
     assert abs(sum(out["queries"].values()) - out["value"]) < 0.01
+    # min-of-N reps, all recorded (r8 verdict task 1): the headline number is
+    # each query's best rep, and the full rep list makes variance visible
+    assert set(out["reps"]) == set(out["queries"])
+    for name, rep_times in out["reps"].items():
+        assert len(rep_times) == 3 and out["queries"][name] == min(rep_times)
+    # calibration probe ran before AND after and is self-describing
+    assert out["probe"]["before_sec"] > 0 and out["probe"]["after_sec"] > 0
+    assert out["probe"]["ref_sec"] > 0 and isinstance(out["probe"]["gated"], bool)
+
+
+def test_bench_probe_overrides_clean_loadavg():
+    """The r8 failure: loadavg 3.05 passed the gate while real contention
+    inflated the suite 71%.  A slow calibration probe must stamp quiet=false
+    even when loadavg looks clean."""
+    proc, out = _run_bench(
+        {
+            "SPARK_GRAFT_BENCH_FAKE_LOAD": "0.5",
+            "SPARK_GRAFT_BENCH_FAKE_PROBE": "10.0",
+            "SPARK_GRAFT_BENCH_REPS": "1",
+        }
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out["quiet"] is False and out["loadavg_1m"] == 0.5
+    assert "calibration probe" in proc.stderr and "quiet=false" in proc.stderr
+    assert out["probe"]["gated"] is True and out["probe"]["before_sec"] == 10.0
+
+
+def test_bench_fast_probe_keeps_quiet_stamp():
+    proc, out = _run_bench(
+        {
+            "SPARK_GRAFT_BENCH_FAKE_LOAD": "0.5",
+            "SPARK_GRAFT_BENCH_FAKE_PROBE": "0.4",
+            "SPARK_GRAFT_BENCH_REPS": "1",
+        }
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out["quiet"] is True
+    assert [len(r) for r in out["reps"].values()] == [1] * len(HEADLINE)
 
 
 def test_bench_survives_one_broken_query():
