@@ -161,6 +161,123 @@ def embed_media(
     return df.select(id_col, content_col).mapInPandas(batches, schema)
 
 
+# Perceptual average-hash geometry: 64 hash bits (an 8x8 thumbnail, one bit
+# per pixel) sliced into 4 bands of 16 bits for Hamming-band LSH.  The
+# pigeonhole guarantee: two hashes within PHASH_BANDS - 1 = 3 differing bits
+# ALWAYS share at least one identical band, so the band-equality join loses
+# no pair at the default threshold — same structure as MinHash LSH banding
+# (queries/dedup.py), applied to hash-bit slices instead of minhash rows.
+PHASH_BITS = 64
+PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("bands", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def perceptual_hash(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content", real: bool = False
+) -> DataFrame:
+    """Arrow-batched perceptual average-hash -> (id, bands array<int>).
+
+    The aHash recipe over the decoded thumbnail: take the 8x8 grayscale
+    pixels, set bit i iff pixel i is above the thumbnail mean (computed in
+    pure integer arithmetic as ``p[i] * 64 > sum(p)`` — no float mean), and
+    slice the 64 bits into PHASH_BANDS 16-bit band values (little-endian
+    within each band).  Re-encoded/resized twins keep nearly identical
+    thumbnails, so their hashes differ in only a few bits — the signal
+    ``media_neardup_pairs`` banding exploits.
+
+    ``real=True`` is where a decoder + resampler plugs in (PIL/OpenCV, not
+    shipped in this container).  The deterministic stand-in derives the 64
+    "pixels" from two content digests (sha256(c) || sha256(c + 0x01)), which
+    keeps the whole pipeline — including this Python batch stage —
+    value-hash-verifiable against integer SQL (query m06), the same
+    reproducibility contract as ``decode_images``/``embed_media``.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if real:
+                raise NotImplementedError(
+                    "real perceptual hashing needs an image decoder — not shipped in this container"
+                )
+            all_bands = []
+            for c in pdf[content_col]:
+                c = bytes(c)
+                px = hashlib.sha256(c).digest() + hashlib.sha256(c + b"\x01").digest()
+                total = sum(px)
+                bits = [1 if p * PHASH_BITS > total else 0 for p in px]
+                all_bands.append(
+                    [
+                        sum(
+                            bits[PHASH_BAND_BITS * j + i] << i
+                            for i in range(PHASH_BAND_BITS)
+                        )
+                        for j in range(PHASH_BANDS)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "bands": all_bands})
+
+    return df.select(id_col, content_col).mapInPandas(batches, PHASH_SCHEMA)
+
+
+def media_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = PHASH_BANDS - 1,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Perceptual NEAR-dup candidate pairs -> (d1, d2, hamming).
+
+    The near-dup twin of exact digest dedup (query m05): re-encoded, resized,
+    or slightly-retouched media share a perceptual hash within a few bits,
+    which byte digests cannot see.  Candidates come from a band-equality
+    self-join on the 16-bit hash slices (the dd04 LSH pattern — NO all-pairs
+    join anywhere: per band, work is quadratic only within same-band-value
+    buckets, and 16-bit bands keep random collisions ~n^2/65536 per band),
+    then each candidate's EXACT 64-bit Hamming distance is computed from the
+    band arrays carried through the join (bit_count over per-band XOR — one
+    projection, no join-back) and filtered to ``max_hamming``.
+
+    Banding recall guarantee holds for ``max_hamming <= PHASH_BANDS - 1``
+    (default): any pair within that distance shares a band.  A larger
+    threshold still works but becomes approximate — pairs differing in
+    ``> PHASH_BANDS - 1`` bits may not collide in any band.
+
+    At 100 TB: hash computation is one Arrow pass over the media scan; the
+    self-join shuffles only (band, val, bands) — 24 bytes/row×band, never
+    the blobs — and band-value skew (e.g. flat-color thumbnails hashing to
+    all-zero bands) is observable with the same band_skew_report pre-flight
+    as text LSH.
+    """
+    ph = perceptual_hash(df, id_col=id_col, content_col=content_col)
+    b = ph.select("doc_id", "bands", F.posexplode("bands").alias("band", "val"))
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("a.bands"), F.col("b.bands"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    return (
+        b.alias("a")
+        .join(b.alias("b"), ["band", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def frame_sample(
     df: DataFrame,
     every_n: int = 10,

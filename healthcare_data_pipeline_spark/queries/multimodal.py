@@ -136,6 +136,66 @@ def m05_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _m06_oracle_sql() -> str:
+    """m06 oracle: the full aHash pipeline in integer SQL — 64 stub "pixels"
+    from two content digests, mean-threshold bits via p*64 > sum(p), 16-bit
+    band values, band-equality candidate join, exact Hamming via
+    bit_count(xor) per band."""
+    return f"""
+    WITH h AS (
+      SELECT doc_id, sha256(text) AS h1, sha256(text || chr(1)) AS h2 FROM documents
+    ),
+    px AS (
+      SELECT doc_id, t.i AS i,
+             CASE WHEN t.i < 32 THEN {_HEXB.format(h='h1', i='2 * t.i + 1')}
+                  ELSE {_HEXB.format(h='h2', i='2 * (t.i - 32) + 1')} END AS p
+      FROM h, generate_series(0, 63) t(i)
+    ),
+    tot AS (SELECT doc_id, SUM(p) AS total FROM px GROUP BY doc_id),
+    bits AS (
+      SELECT px.doc_id, px.i,
+             CASE WHEN px.p * 64 > tot.total THEN 1 ELSE 0 END AS b
+      FROM px JOIN tot USING (doc_id)
+    ),
+    bands AS (
+      SELECT doc_id, CAST(i // 16 AS INTEGER) AS band,
+             CAST(SUM(b << (i % 16)) AS INTEGER) AS val
+      FROM bits GROUP BY doc_id, i // 16
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b ON a.band = b.band AND a.val = b.val
+                                AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT c.d1, c.d2, CAST(SUM(bit_count(xor(x.val, y.val))) AS INTEGER) AS hamming
+      FROM cands c
+      JOIN bands x ON x.doc_id = c.d1
+      JOIN bands y ON y.doc_id = c.d2 AND y.band = x.band
+      GROUP BY c.d1, c.d2
+    )
+    SELECT d1, d2, hamming FROM ham WHERE hamming <= 3
+    """
+
+
+@query(
+    "m06_media_neardup",
+    oracle=_m06_oracle_sql(),
+    tags=("multimodal", "EXT", "dedup", "lsh", "mapInPandas"),
+    doc="Perceptual near-dup media pairs (operators/multimodal.media_neardup_pairs): "
+    "average-hash over the deterministic decoded pixels, Hamming-band LSH candidate "
+    "generation (4x16-bit bands — pigeonhole-complete for the <=3-bit default), exact "
+    "Hamming verification via bit_count(xor). The near-dup twin of m05's exact digest "
+    "dedup: catches re-encoded/resized media whose bytes (and byte digests) differ. "
+    "Full integer oracle — even the Python aHash batch stage reproduces in SQL.",
+)
+def m06_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.multimodal import media_neardup_pairs
+
+    d = table(spark, sf_dir, "documents").withColumn("content", F.encode("text", "UTF-8"))
+    return media_neardup_pairs(d, max_hamming=3)
+
+
 _M04_DIM = 16
 _M04_PLANES = 8
 

@@ -85,6 +85,39 @@ def test_multimodal_plumbing(spark):
     assert all(r.frame_idx % 5 == 0 for r in frames)
 
 
+def test_perceptual_neardup_finds_twins_and_stays_bnlj_free(spark):
+    """m06 behavior: identical content pairs surface at hamming 0 (in EVERY
+    band, deduped to one output row); unrelated content (random ~32-bit
+    hamming) never passes the <=3 threshold; default threshold respects the
+    banding recall guarantee; and the physical plan contains no all-pairs
+    join (band-equality equi-join only)."""
+    docs = spark.createDataFrame(
+        [
+            (1, b"same bytes here"),
+            (2, b"same bytes here"),
+            (3, b"totally different content"),
+            (4, b"yet another media blob"),
+            (5, b"same bytes here"),
+        ],
+        "doc_id long, content binary",
+    )
+    df = mm.media_neardup_pairs(docs)
+    got = {(r.d1, r.d2): r.hamming for r in df.collect()}
+    assert got == {(1, 2): 0, (1, 5): 0, (2, 5): 0}
+    plan = plans.simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    # hash geometry: 4 bands of 16 bits, deterministic across runs
+    ph = mm.perceptual_hash(docs).collect()
+    assert all(len(r.bands) == mm.PHASH_BANDS for r in ph)
+    assert all(0 <= v < (1 << mm.PHASH_BAND_BITS) for r in ph for v in r.bands)
+    by_id = {r.doc_id: r.bands for r in ph}
+    assert by_id[1] == by_id[2] == by_id[5] != by_id[3]
+    assert mm.media_neardup_pairs.__defaults__[0] <= mm.PHASH_BANDS - 1
+    # the real-codec path is an explicit stub, same as decode_images
+    with pytest.raises(Exception, match="NotImplementedError|perceptual hashing"):
+        mm.perceptual_hash(docs, real=True).collect()
+
+
 def test_star_join_plan_broadcasts_dims(spark):
     df = catalog()["q14_star_join"].fn(spark, SF_DIR)
     assert plans.has_broadcast_join(df), "dims must broadcast in the star join"
