@@ -594,6 +594,70 @@ def ann_index_append(spark, index_dir: str, new_en: DataFrame) -> None:
     )
 
 
+def ann_index_report(
+    spark, index_dir: str, flag_factor: float = 4.0, detail: bool = False
+) -> DataFrame:
+    """Quantizer-drift / cell-occupancy diagnostic over a persisted IVF
+    index — the index twin of ``band_skew_report``.
+
+    ``ann_index_append`` freezes the coarse quantizer forever (the correct
+    O(batch) maintenance contract), which means a DRIFTING embedding
+    distribution degrades the index silently: new mass lands in few cells
+    (probe cost for queries routed there grows past the nprobe/n_cells
+    design point) and, worse, a drifted cluster that straddles a cell
+    boundary gets SPLIT by the frozen quantizer — its members' true nearest
+    neighbors sit in sibling cells a low-nprobe probe never scans, so
+    recall decays with no error anywhere (measured in
+    ``tests/test_similarity_ops.py``: a boundary-straddling appended
+    cluster probes at recall@5 0.56 vs 1.00 after a rebuild).
+
+    This report makes the drift observable BEFORE recall pays for it.
+    Summary row: (n_cells, n_vectors, n_empty_cells, max_cell, skew_ratio,
+    rebuild_recommended) where ``skew_ratio = max_cell * n_cells /
+    n_vectors`` — 1.0 is perfectly uniform occupancy, and
+    ``rebuild_recommended`` fires at ``flag_factor`` (default 4.0: the
+    largest cell holds 4x its uniform share; a quantizer whose occupancy
+    was ~uniform at build time does not reach that by noise).
+    ``detail=True`` returns the per-cell rows instead (cell, n_vectors),
+    zero-occupancy cells included — the input for occupancy-over-time
+    monitoring.
+
+    Cost at 100 TB: the vectors scan projects ONLY the cell partition
+    column (no data pages read), one partial-agg shuffle of n_cells rows,
+    and a broadcast join against the (tiny) centroid table — cheap enough
+    to run after every append batch.  Rebuild decision stays the caller's:
+    the threshold trades probe-cost/recall degradation against the one
+    full re-quantization pass a rebuild costs.
+    """
+    import os
+
+    vec_cells = spark.read.parquet(os.path.join(index_dir, "vectors")).select("cell")
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids")).select(
+        F.col("cent_id").cast("string").alias("cell")
+    )
+    occupied = vec_cells.groupBy("cell").agg(F.count("*").alias("n"))
+    # centroids LEFT JOIN occupancy: a cell the quantizer defines but no
+    # vector occupies is drift signal too (mass moved AWAY from it)
+    per_cell = cent.join(F.broadcast(occupied), "cell", "left").select(
+        "cell", F.coalesce("n", F.lit(0)).cast("long").alias("n_vectors")
+    )
+    if detail:
+        return per_cell
+    return (
+        per_cell.agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("n_vectors").cast("long").alias("n_vectors"),
+            F.sum((F.col("n_vectors") == 0).cast("int")).cast("long").alias("n_empty_cells"),
+            F.max("n_vectors").cast("long").alias("max_cell"),
+        )
+        .withColumn(
+            "skew_ratio",
+            F.col("max_cell").cast("double") * F.col("n_cells") / F.col("n_vectors"),
+        )
+        .withColumn("rebuild_recommended", F.col("skew_ratio") >= F.lit(float(flag_factor)))
+    )
+
+
 def ann_index_probe(
     spark, index_dir: str, queries: DataFrame, k: int = 5, nprobe: int = 1
 ) -> DataFrame:

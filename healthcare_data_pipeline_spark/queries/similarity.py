@@ -136,13 +136,14 @@ def s04_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(en, F.col("vec_id") < 20, cell_col="label", k=5)
 
 
-def _index_probe_oracle(quantizer_pred: str) -> str:
-    """Persisted-IVF probe oracle, recomputing the index from scratch:
-    integer component-sum centroids over the vectors satisfying
-    ``quantizer_pred`` (``TRUE`` = quantize on the full corpus, s07; a
-    subset predicate = the frozen-quantizer append contract, s08), then
-    assignment of ALL vectors against those centroids, query routing to the
-    2 nearest cells, and exact rescoring within the probed cells."""
+def _index_assign_ctes(quantizer_pred: str) -> str:
+    """CTEs recomputing a persisted IVF index from scratch, through
+    ``assign`` (vec_id -> cell): integer component-sum centroids over the
+    vectors satisfying ``quantizer_pred`` (``TRUE`` = quantize on the full
+    corpus, s07; a subset predicate = the frozen-quantizer append contract,
+    s08/s09), then assignment of ALL vectors against those centroids.
+    Shared by the probe oracles (s07/s08) and the occupancy-report oracle
+    (s09)."""
     return (
         _QUANT_SQL
         + f"""
@@ -168,8 +169,19 @@ def _index_probe_oracle(quantizer_pred: str) -> str:
                                 ORDER BY s.dot / cn.cnorm DESC, s.cent_id ASC) AS crn
       FROM scores s JOIN cn USING (cent_id)
     ),
-    assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crn = 1),
-    probes AS (
+    assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crn = 1)
+    """
+    )
+
+
+def _index_probe_oracle(quantizer_pred: str) -> str:
+    """Persisted-IVF probe oracle: the shared assignment CTEs plus query
+    routing to the 2 nearest cells and exact rescoring within the probed
+    cells."""
+    return (
+        _index_assign_ctes(quantizer_pred)
+        + """
+    , probes AS (
       SELECT vec_id AS query_id, cent_id AS cell
       FROM ranked WHERE crn <= 2 AND vec_id < 20
     ),
@@ -246,6 +258,54 @@ def s08_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ann_index_for(spark, sf_dir, en, variant="append-demo", builder=build_then_append)
     qs = en.filter(F.col("vec_id") < 20).select("vec_id", "iv", "nrm2")
     return ann_index_probe(spark, idx, qs, k=5, nprobe=2)
+
+
+@query(
+    "s09_ann_index_report",
+    oracle=_index_assign_ctes("vec_id % 2 = 0")
+    + """
+    , cells AS (SELECT DISTINCT label AS cell FROM en WHERE vec_id % 2 = 0),
+    occ AS (SELECT cell, COUNT(*) AS n FROM assign GROUP BY cell),
+    percell AS (
+      SELECT c.cell, COALESCE(o.n, 0) AS n
+      FROM cells c LEFT JOIN occ o ON o.cell = c.cell
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_cells,
+           CAST(MAX(n) AS BIGINT) AS max_cell,
+           CAST(MAX(n) AS DOUBLE) * COUNT(*) / CAST(SUM(n) AS BIGINT) AS skew_ratio,
+           CAST(MAX(n) AS DOUBLE) * COUNT(*) / CAST(SUM(n) AS BIGINT) >= 4.0
+             AS rebuild_recommended
+    FROM percell
+    """,
+    tags=("similarity", "EXT", "ann", "ivf", "index", "diagnostic"),
+    doc="Quantizer-drift diagnostic over the persisted built+appended IVF index "
+    "(operators.similarity.ann_index_report): per-cell occupancy rolled into "
+    "(n_cells, n_vectors, n_empty_cells, max_cell, skew_ratio, rebuild_recommended) — "
+    "the index twin of dd15's band-skew pre-flight. ann_index_append freezes the "
+    "quantizer, so a drifting embedding distribution concentrates new mass in few cells "
+    "and silently degrades probe cost and recall; this report makes that observable "
+    "after every append batch for the cost of a partition-column-only scan. The oracle "
+    "recomputes the same assignment from scratch (even-half quantizer, all vectors "
+    "assigned) and aggregates occupancy identically.",
+)
+def s09_ann_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_for,
+        ann_index_report,
+    )
+
+    en = quantized(spark, sf_dir)
+
+    def build_then_append(idx: str) -> None:
+        ann_index_build(en.filter(F.col("vec_id") % 2 == 0), idx)
+        ann_index_append(spark, idx, en.filter(F.col("vec_id") % 2 == 1))
+
+    idx = ann_index_for(spark, sf_dir, en, variant="append-demo", builder=build_then_append)
+    return ann_index_report(spark, idx)
 
 
 # Sign-bit-LSH bucketing CTEs (bits/buckets/enb) — shared between the s05

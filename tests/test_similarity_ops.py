@@ -269,3 +269,93 @@ def test_ann_index_append_extends_without_rebuild(spark, tmp_path):
         for r in brute_topk(en, F.col("vec_id") <= 10, k=5).collect()
     }
     assert full == brute
+
+
+def test_ann_index_report_flags_drifted_append_and_rebuild_restores_recall(spark, tmp_path):
+    """The quantizer-drift failure mode, constructed deliberately: a drifted
+    cluster straddling the lab0/lab1 cell boundary is SPLIT by the frozen
+    quantizer on append (adjacent true neighbors land in alternating cells),
+    so nprobe=1 recall@5 collapses with no error anywhere — while
+    ann_index_report's occupancy skew makes the drift observable, and a
+    rebuild (which gives the cluster its own cell) restores recall to 1.0."""
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_probe,
+        ann_index_report,
+        brute_topk,
+    )
+
+    D = 8
+
+    def to_en(rows):
+        df = spark.createDataFrame(rows, "vec_id long, label string, iv array<double>")
+        nrm2 = F.aggregate(
+            F.zip_with("iv", "iv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        return df.withColumn("nrm2", nrm2)
+
+    # base: 8 one-hot-direction labels x 10 vectors — uniform occupancy
+    base = []
+    for j in range(8):
+        for i in range(10):
+            iv = [0.0] * D
+            iv[j] = 1000.0 + i
+            base.append((j * 100 + i, f"lab{j}", iv))
+    # drift: 20 vectors on the lab0/lab1 bisector, +-1 jitter alternating by
+    # parity (routes to lab0/lab1 alternately under the frozen quantizer)
+    # and a slowly-varying third component (true nearest neighbors are the
+    # ADJACENT indices — i.e. the OTHER cell)
+    drift = []
+    for i in range(20):
+        s = 1.0 if i % 2 == 0 else -1.0
+        iv = [0.0] * D
+        iv[0], iv[1], iv[2] = 1000.0 + s, 1000.0 - s, float(i)
+        drift.append((10_000 + i, "drift", iv))
+    en, dr = to_en(base), to_en(drift)
+
+    idx = str(tmp_path / "idx")
+    ann_index_build(en, idx)
+    rep0 = ann_index_report(spark, idx).first()
+    assert rep0.n_cells == 8 and rep0.n_vectors == 80 and rep0.n_empty_cells == 0
+    assert rep0.skew_ratio == 1.0 and not rep0.rebuild_recommended
+
+    ann_index_append(spark, idx, dr)
+    rep1 = ann_index_report(spark, idx, flag_factor=1.5).first()
+    # all 20 drifted vectors crowded into the two boundary cells
+    assert rep1.n_cells == 8 and rep1.n_vectors == 100
+    assert rep1.max_cell == 20 and rep1.rebuild_recommended
+    assert abs(rep1.skew_ratio - 1.6) < 1e-12
+    # per-cell detail: lab0 and lab1 took +10 each, the rest are untouched
+    detail = {r.cell: r.n_vectors for r in ann_index_report(spark, idx, detail=True).collect()}
+    assert detail["lab0"] == detail["lab1"] == 20
+    assert all(detail[f"lab{j}"] == 10 for j in range(2, 8))
+
+    def recall(index_dir, corpus):
+        qs = dr.select("vec_id", "iv", "nrm2")
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_index_probe(spark, index_dir, qs, k=5, nprobe=1).collect()
+        }
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_topk(corpus, F.col("vec_id") >= 10_000, k=5).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    union = en.unionByName(dr)
+    appended_recall = recall(idx, union)
+    idx2 = str(tmp_path / "idx2")
+    ann_index_build(union, idx2)
+    rebuilt_recall = recall(idx2, union)
+    # the drifted cluster's neighbors alternate cells under the frozen
+    # quantizer: nprobe=1 recall collapses; the rebuild restores it
+    assert appended_recall < 0.7, appended_recall
+    assert rebuilt_recall == 1.0, rebuilt_recall
+    # the rebuilt index has its own (20-vector) drift cell — mild, expected
+    # occupancy variance (skew 1.8 vs 10-vector label cells), under the
+    # DEFAULT 4.0 flag; only the boundary-crowding of the frozen-quantizer
+    # append was drift signal
+    rep2 = ann_index_report(spark, idx2).first()
+    assert rep2.n_cells == 9 and abs(rep2.skew_ratio - 1.8) < 1e-12
+    assert not rep2.rebuild_recommended
