@@ -88,7 +88,14 @@ def connected_components(
         # cache write plus a second pass over the candidate pipeline (~20%
         # of dd09's wall-clock at sf0.1).  On an over-threshold graph the
         # limit short-circuits after threshold+1 rows instead of counting
-        # the whole edge set.
+        # the whole edge set.  Documented tradeoff for the over-threshold
+        # MISS: the probe still ships threshold+1 rows to the driver only to
+        # discard them, and the distributed path below recomputes the
+        # distinct-pairs pipeline from scratch (cache() happens after the
+        # gate).  That is the right default — banding makes under-threshold
+        # overwhelmingly the common case — but if a workload routinely
+        # overflows the gate, either pass driver_threshold=0 or cache
+        # ``pairs`` before the probe to trade memory for the re-scan.
         sample = pairs.limit(driver_threshold + 1).toPandas()
         if len(sample) <= driver_threshold:
             return _driver_union_find(edges, sample)

@@ -143,22 +143,64 @@ def prep_corpus(
     id_col: str = "doc_id",
     min_stopword_ratio: float | None = 0.01,
     hasher: str = "portable",
+    max_rare_bigram_ratio: float | None = None,
+    rare_df: int = 2,
+    token_budget: int | None = None,
+    token_budgets: dict[str, int] | None = None,
+    budget_group_col: str = "source",
+    budget_method: str = "exact",
 ) -> DataFrame:
-    """The whole pre-training prep path: quality FILTER then full DEDUP
-    (exact fingerprint -> LSH near-dup clusters -> canonical survivors).
+    """The whole pre-training prep path: quality FILTER, optional
+    corpus-adaptive GIBBERISH gate, full DEDUP (exact fingerprint -> LSH
+    near-dup clusters -> canonical survivors), optional TOKEN-BUDGET
+    mixture sampling.
 
     Filter-first is the scale-correct order: the narrow quality predicate is
     the cheapest, most selective stage, so everything the dedup stages
     shuffle (shingles, signatures, band buckets) is computed only for
-    documents that can actually ship.  Catalog entry dd12_prep_corpus
-    verifies the composition end-to-end against a recursive-CTE oracle.
+    documents that can actually ship.  The optional stages slot in where a
+    training pipeline actually wants them:
+
+    - ``max_rare_bigram_ratio`` gates on ``rare_bigram_scores`` BETWEEN the
+      per-doc filter and dedup — the bigram frequency table is computed over
+      the quality-passing corpus (junk should not contribute "natural"
+      transitions), and gibberish dropped here never costs shingle shuffles.
+      ``rare_df`` forwards the rarity cutoff.
+    - ``token_budget`` (+ per-group ``token_budgets``, grouped by
+      ``budget_group_col``) applies ``token_budget_sample`` AFTER dedup —
+      a budget must buy unique tokens, not duplicates.  ``budget_method``
+      picks the exact (auditable ``cum_tokens``) or approx (100 TB) path;
+      the sampled output carries ``n_tokens`` (+ ``cum_tokens`` for exact).
+
+    Catalog entry dd12_prep_corpus verifies the base composition end-to-end
+    against a recursive-CTE oracle; dd18_prep_corpus_gated verifies the
+    fully-gated form (both optional stages on) the same way.
     """
     from healthcare_data_pipeline_spark.operators.dedup_corpus import dedup_corpus
+    from healthcare_data_pipeline_spark.operators.mixture import token_budget_sample
 
     filtered = filter_corpus(
         docs, text_col=text_col, min_stopword_ratio=min_stopword_ratio
     )
-    return dedup_corpus(filtered, id_col=id_col, text_col=text_col, hasher=hasher)
+    if max_rare_bigram_ratio is not None:
+        keep = (
+            rare_bigram_scores(filtered, rare_df=rare_df, id_col=id_col, text_col=text_col)
+            .filter(F.col("rare_ratio") <= float(max_rare_bigram_ratio))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        filtered = filtered.join(keep, id_col, "left_semi")
+    out = dedup_corpus(filtered, id_col=id_col, text_col=text_col, hasher=hasher)
+    if token_budget is not None:
+        out = token_budget_sample(
+            out,
+            budget=token_budget,
+            budgets=token_budgets,
+            group_col=budget_group_col,
+            id_col=id_col,
+            text_col=text_col,
+            method=budget_method,
+        )
+    return out
 
 
 def rare_bigram_scores(

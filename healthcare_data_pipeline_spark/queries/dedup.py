@@ -1037,6 +1037,97 @@ def _prep_corpus_oracle_sql() -> str:
     """
 
 
+def _prep_corpus_gated_oracle_sql() -> str:
+    """dd18 oracle: dd12's chain with both optional prep_corpus gates on —
+    t23's rare-bigram gibberish gate (frequencies over the quality-passing
+    corpus) spliced between the per-doc filter and dedup, and t24's exact
+    token-budget window over the dedup survivors."""
+    from healthcare_data_pipeline_spark.operators.mixture import DENOM
+    from healthcare_data_pipeline_spark.queries.text import _STOP_SQL
+
+    return f"""
+    WITH RECURSIVE tq AS (
+      SELECT doc_id, text, source,
+             string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks,
+             length(text) AS nc
+      FROM documents
+    ),
+    filtered AS (
+      SELECT doc_id, text, source, toks FROM tq
+      WHERE len(toks) BETWEEN 20 AND 1000
+        AND CAST(nc - len(toks) + 1 AS DOUBLE) / CAST(len(toks) AS DOUBLE) <= 12.0
+        AND CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE) >= 0.01
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+      FROM filtered, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE len(toks) >= 2
+    ),
+    bgc AS (SELECT bg, COUNT(*) AS df_bg FROM bg GROUP BY bg),
+    rr AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN df_bg <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS rare_ratio
+      FROM bg JOIN bgc USING (bg) GROUP BY doc_id
+    ),
+    gated AS (
+      SELECT f.doc_id, f.text, f.source FROM filtered f JOIN rr USING (doc_id)
+      WHERE rr.rare_ratio <= 0.02
+    ),
+    kept AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM gated
+      GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')))
+    ),
+    kdocs AS (
+      SELECT g.doc_id, g.text FROM gated g JOIN kept USING (doc_id)
+    ),
+    {_pmh_pairs_ctes("kdocs")},
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM pairs
+      UNION
+      SELECT d2 AS a, d1 AS b FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    removed AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) < a
+    ),
+    surv AS (
+      SELECT k.doc_id
+      FROM kept k LEFT JOIN removed r ON k.doc_id = r.doc_id
+      WHERE r.doc_id IS NULL
+    ),
+    sd AS (
+      SELECT g.doc_id, g.source, CAST(g.doc_id AS VARCHAR) || ':budget' AS s,
+             CAST(len(string_split_regex(g.text, '[ \\t\\n\\r\\f\\x0B]+')) AS BIGINT)
+               AS n_tokens
+      FROM gated g JOIN surv USING (doc_id)
+      WHERE g.text IS NOT NULL
+    ),
+    h AS (
+      SELECT doc_id, source, n_tokens, ({_SQL_H32}) % {DENOM} AS u FROM sd
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum_tokens
+      FROM h
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 5000
+    """
+
+
 def _decontaminate_oracle_sql() -> str:
     """dd13 oracle: eval-side distinct 3-grams -> train ids sharing any ->
     anti-join, mirroring operators.decontaminate.decontaminate(n=3)."""
@@ -1233,6 +1324,31 @@ def dd12_prep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return prep_corpus(d).select("doc_id")
+
+
+@query(
+    "dd18_prep_corpus_gated",
+    oracle=_prep_corpus_gated_oracle_sql(),
+    tags=("dedup", "EXT", "quality", "mixture", "front-door"),
+    doc="The FULLY-GATED prep front door (operators.quality.prep_corpus with both "
+    "optional stages on): C4-style quality gates -> corpus-adaptive rare-bigram "
+    "gibberish gate (t23's operator, frequencies computed over the quality-passing "
+    "corpus, spliced BEFORE dedup so junk never costs shingle shuffles) -> exact "
+    "fingerprint + portable-LSH dedup -> token-budget mixture sampling (t24's exact "
+    "window, 5000 tokens per source, AFTER dedup so budgets buy unique tokens). One "
+    "recursive-CTE oracle mirrors all five stages; cum_tokens makes the final "
+    "selection auditable. Gate threshold 0.02, not the production ~0.5: the synthetic "
+    "corpus is template-generated, so natural docs share nearly every bigram "
+    "(rare_ratio <= 0.045 corpus-wide) and 0.02 is what makes the gate bite on the "
+    "injected hostile tail — the composition under verification is the same.",
+)
+def dd18_prep_corpus_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.quality import prep_corpus
+
+    d = table(spark, sf_dir, "documents")
+    return prep_corpus(
+        d, max_rare_bigram_ratio=0.02, token_budget=5000
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
 
 
 @query(

@@ -446,3 +446,46 @@ def test_containment_for_pairs_canonicalizes_candidates(spark):
     )
     got = containment_for_pairs(docs, messy, threshold=0.0).collect()
     assert sorted((r.contained, r.container) for r in got) == [(1, 2), (2, 1)]
+
+
+def test_prep_corpus_optional_gates_compose(spark):
+    """prep_corpus's optional stages (r8 verdict task 7): the rare-bigram
+    gate binds BEFORE dedup (every survivor's rare_ratio, computed over the
+    quality-passing corpus, is under the threshold; 0.02 because the
+    template-generated testdata tops out at rare_ratio 0.045 — see dd18) and the token budget
+    binds AFTER dedup (per-source kept token mass <= budget, cum_tokens
+    auditable).  The full five-stage composition is value-hash-verified by
+    dd18's oracle; this pins the operator-level contracts."""
+    from healthcare_data_pipeline_spark.operators.quality import (
+        filter_corpus,
+        prep_corpus,
+        rare_bigram_scores,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    out = prep_corpus(docs, max_rare_bigram_ratio=0.02, token_budget=5000)
+    rows = out.collect()
+    assert rows, "gated prep must keep something at sf0.001"
+    assert {"n_tokens", "cum_tokens"} <= set(out.columns)
+    # token budget binds per source, and cum_tokens is the consistent
+    # inclusive running total that justified each kept row
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        total = sum(r.n_tokens for r in rs)
+        assert total <= 5000, (src, total)
+        assert max(r.cum_tokens for r in rs) == total
+    # the gibberish gate binds: every survivor scores under the threshold
+    # on the same corpus the operator computed frequencies over
+    scores = {
+        r.doc_id: r.rare_ratio
+        for r in rare_bigram_scores(filter_corpus(docs)).collect()
+    }
+    assert all(scores[r.doc_id] <= 0.02 for r in rows)
+    # and the gate is real: the quality-passing corpus does contain docs
+    # above the threshold (the driver testdata injects gibberish), none of
+    # which survive
+    dropped = {d for d, s in scores.items() if s > 0.02}
+    assert dropped, "testdata should contain gibberish above the gate"
+    assert dropped.isdisjoint({r.doc_id for r in rows})

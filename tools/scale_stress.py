@@ -110,10 +110,12 @@ def ops(spark, sf_dir: str):
     from healthcare_data_pipeline_spark.operators.mixture import (
         exact_stratified_split,
         hash_split,
+        token_budget_sample,
     )
     from healthcare_data_pipeline_spark.operators.quality import (
         adaptive_quality_filter,
         filter_corpus,
+        rare_bigram_scores,
     )
     from healthcare_data_pipeline_spark.operators.shuffle import shuffle_corpus
     from healthcare_data_pipeline_spark.operators.similarity import (
@@ -169,6 +171,19 @@ def ops(spark, sf_dir: str):
             adaptive_quality_filter(hot, method="approx", group_col="stratum")
         ),
         "corpus_shuffle": lambda: sink(shuffle_corpus(docs, num_splits=32)),
+        # r8 newcomers (r8 verdict task 2): t23's exploded-bigram frequency
+        # join is the heaviest new shape (two shuffles of ~n_tokens rows —
+        # the per-(bigram) frequency groupBy and the doc-clustered re-join);
+        # t24 exact is a new bounded-strata member (per-group cumsum window
+        # — expect it to track exact_stratified_split's alpha on the 90%-hot
+        # stratum) and t24 approx its zero-shuffle-selection scale twin.
+        "rare_bigram_scores (frequency join)": lambda: sink(rare_bigram_scores(docs)),
+        "token_budget_sample exact (90%-hot group)": lambda: sink(
+            token_budget_sample(hot, budget=100_000, group_col="stratum")
+        ),
+        "token_budget_sample approx (scale path)": lambda: sink(
+            token_budget_sample(hot, budget=100_000, group_col="stratum", method="approx")
+        ),
         "ann_index_probe (build once)": probe,
     }
 
@@ -278,6 +293,20 @@ def main() -> None:
         "self-join shuffles tens of GB; page-cache state swings repeated "
         "measurements 33-105s) — the scoped path sidesteps that shuffle "
         "volume entirely, which is most of why it is the 100 TB form.",
+        "",
+        "r8 newcomers (the r8 verdict's task 2): `rare_bigram_scores` "
+        f"(alpha {alphas.get('rare_bigram_scores (frequency join)')}) is the heaviest new shape — the "
+        "exploded-bigram frequency groupBy and the doc-clustered re-join "
+        "each shuffle ~n_tokens rows, with NO broadcast side (the frequency "
+        "table is mostly tail by construction) — but both stages are plain "
+        "linear shuffles, so growth stays scan/shuffle-bound. "
+        f"`token_budget_sample` exact (alpha {alphas.get('token_budget_sample exact (90%-hot group)')}) joins the "
+        "bounded-strata family: the per-group inclusive token cumsum lives "
+        "in ONE partition, the same single-task structural ceiling as "
+        "`exact_stratified_split`, and is likewise reserved for bounded "
+        "strata or post-sampled slices. Its approx path (alpha "
+        f"{alphas.get('token_budget_sample approx (scale path)')}) — one map-side total, broadcast "
+        "thresholds, zero-shuffle selection — is the 100 TB form.",
         "",
         "Harness sensitivity check: with a suffix-only replica perturbation "
         "(cross-replica MinHash signatures collide, so ~(k-1)/k of the corpus "
