@@ -574,3 +574,92 @@ def probe_band_index(batch_bands: DataFrame, corpus_bands: DataFrame) -> DataFra
         .select("band", "bucket")
         .distinct()
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_spans: bool = False,
+) -> DataFrame:
+    """CROSS-DOCUMENT duplicated-span removal — the passage-level third rung
+    of the dedup ladder (exact doc dd01, near-dup doc dd06/dd09, and now
+    sub-document): delete every ``k``-token span that occurs verbatim in at
+    least ``min_docs`` DISTINCT documents, keep the rest of each document
+    intact.  This is the shingle-granularity approximation of exact
+    substring deduplication (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better") and the token-stream analogue of RefinedWeb/
+    CCNet line-level boilerplate removal: headers, footers, license blocks
+    and template wrappers recur across documents even when no two documents
+    are near-duplicates, so document-level dedup never sees them.
+
+    Semantics: a token position survives iff NO duplicated span covers it;
+    overlapping duplicated spans merge naturally (their covered ranges
+    union).  Within-document repetition alone does NOT trigger removal
+    (``min_docs`` counts distinct docs) — looping/boilerplate *inside* one
+    doc is t18's detector, and removing it is a quality call, not dedup.
+    The cleaned ``text_col`` is rebuilt from surviving tokens joined by a
+    single space (whitespace-normalizing, like ``normalized_fingerprint``);
+    audit columns (n_tokens, n_removed, n_dup_spans) make the deletion
+    accountable per document.
+
+    Scale shape — the rare_bigram_scores family, nothing quadratic:
+    one span explode (~n_tokens rows, each span string k tokens wide — the
+    inherent k× byte amplification of any shingle method; ``hash_spans=True``
+    collapses each span to 8 bytes via xxhash64 BEFORE the shuffle, the
+    100 TB form), one groupBy(span) with map-side combine for the df count,
+    one left-semi join of span occurrences back against the duplicated set
+    (both sides clustered by span), one per-doc groupBy collecting duplicated
+    start positions (bounded by doc length), one join back to the docs table.
+    The per-token coverage test then runs as a pure column expression
+    (filter + exists over the bounded starts array) — no second explode, no
+    shuffle.  Catalog entry dd19_span_dedup value-hash-verifies the string
+    path end-to-end; the xxhash64 path is equivalence-tested in pytest.
+    """
+    base = docs.withColumn("__toks", F.split(F.col(text_col), r"[ \t\n\r\f\x0B]+"))
+    span_str = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+        lambda i: F.array_join(F.slice("__toks", i, k), " "),
+    )
+    spans = (
+        base.select(F.col(id_col).alias("__did"), "__toks")
+        .filter(F.size("__toks") >= k)
+        .select("__did", F.posexplode(span_str).alias("__p0", "__span"))
+        .select(
+            "__did",
+            (F.col("__p0") + 1).alias("__spos"),
+            (F.xxhash64("__span") if hash_spans else F.col("__span")).alias("__key"),
+        )
+    )
+    dup = (
+        spans.groupBy("__key")
+        .agg(F.count_distinct("__did").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__key")
+    )
+    starts = (
+        spans.join(dup, "__key", "left_semi")
+        .groupBy("__did")
+        .agg(F.sort_array(F.collect_set("__spos")).alias("__starts"))
+    )
+    joined = (
+        base.join(starts, F.col(id_col) == F.col("__did"), "left")
+        .drop("__did")
+        .withColumn("__st", F.coalesce(F.col("__starts"), F.array().cast("array<int>")))
+        .withColumn(
+            "__kept",
+            F.expr(
+                f"filter(__toks, (x, i) -> "
+                f"NOT exists(__st, s -> i + 1 >= s AND i + 1 <= s + {k - 1}))"
+            ),
+        )
+    )
+    return (
+        joined.withColumn("n_tokens", F.size("__toks"))
+        .withColumn("n_removed", F.size("__toks") - F.size("__kept"))
+        .withColumn("n_dup_spans", F.size("__st"))
+        .withColumn(text_col, F.array_join("__kept", " "))
+        .drop("__toks", "__starts", "__st", "__kept")
+    )

@@ -1396,3 +1396,63 @@ def dd08_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd06_minhash_portable(spark, sf_dir).filter(F.col("n_shared_bands") >= 1)
     comp = connected_components(pairs, "d1", "d2")
     return canonical_per_cluster(comp)
+
+
+@query(
+    "dd19_span_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, i AS spos, array_to_string(toks[i:i+7], ' ') AS span
+      FROM t, UNNEST(generate_series(1, len(toks) - 7)) AS g(i)
+      WHERE len(toks) >= 8
+    ),
+    dup AS (SELECT span FROM sh GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (SELECT DISTINCT doc_id, spos FROM sh JOIN dup USING (span)),
+    cov AS (
+      SELECT DISTINCT doc_id, spos + d AS p
+      FROM hits, UNNEST(generate_series(0, 7)) AS u(d)
+    ),
+    pos AS (
+      SELECT doc_id, i AS p, toks[i] AS tok
+      FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.p, p.tok
+      FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.p = c.p
+      WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text, COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    st AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM hits GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(a.text, '') AS text,
+           len(t.toks) AS n_tokens,
+           len(t.toks) - COALESCE(a.n_kept, 0) AS n_removed,
+           COALESCE(st.n_dup_spans, 0) AS n_dup_spans
+    FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN st USING (doc_id)
+    """,
+    tags=("dedup", "EXT", "spans"),
+    doc="Cross-document duplicated-SPAN removal (operators.dedup_corpus."
+    "remove_duplicate_spans, k=8): delete every 8-token span occurring verbatim in "
+    ">=2 distinct documents, keep the rest of each document — the shingle-granularity "
+    "approximation of exact substring dedup (Lee et al.) / RefinedWeb boilerplate "
+    "removal, the sub-document rung document-level dedup cannot see.  The oracle "
+    "recomputes coverage relationally (span explode -> df>=2 -> covered positions -> "
+    "surviving tokens reassembled in order) and hash-compares the rebuilt text plus "
+    "the per-doc audit counts.",
+)
+def dd19_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        remove_duplicate_spans,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d, k=8).select(
+        "doc_id", "text", "n_tokens", "n_removed", "n_dup_spans"
+    )

@@ -489,3 +489,73 @@ def test_prep_corpus_optional_gates_compose(spark):
     dropped = {d for d, s in scores.items() if s > 0.02}
     assert dropped, "testdata should contain gibberish above the gate"
     assert dropped.isdisjoint({r.doc_id for r in rows})
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """dd19's operator contract on a hand-built corpus: a span shared by >=2
+    docs is removed from BOTH (non-contiguous remainders rejoin), unique docs
+    pass through untouched, and within-doc-only repetition is NOT removed
+    (min_docs counts distinct documents — in-doc loops are t18's business)."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (1, "a b c d e f g h tail one unique", "s1"),
+        (2, "prefix two a b c d e f g h done", "s1"),
+        (3, "totally unique text with nothing shared at all", "s2"),
+        (4, "x x x x x x x x x x x x", "s2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r.doc_id: r for r in remove_duplicate_spans(df, k=8).collect()}
+    assert got[1].text == "tail one unique" and got[1].n_removed == 8
+    assert got[2].text == "prefix two done" and got[2].n_removed == 8
+    assert got[3].text == rows[2][1] and got[3].n_removed == 0
+    assert got[4].text == rows[3][1] and got[4].n_removed == 0  # in-doc only
+    # passthrough columns survive with text replaced in place
+    assert got[1].source == "s1"
+    # overlapping duplicated spans merge: two docs sharing a 9-token run have
+    # two overlapping 8-spans whose covered ranges union to all 9 positions
+    rows2 = [
+        (1, "a b c d e f g h i pad1 uniq1 uniq2", "s"),
+        (2, "a b c d e f g h i pad2 uniq3 uniq4", "s"),
+    ]
+    got2 = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            spark.createDataFrame(rows2, ["doc_id", "text", "source"]), k=8
+        ).collect()
+    }
+    assert got2[1].n_removed == 9 and got2[1].n_dup_spans == 2
+    assert got2[1].text.split(" ") == ["pad1", "uniq1", "uniq2"]
+
+
+def test_remove_duplicate_spans_hash_path_equivalent(spark):
+    """hash_spans=True (xxhash64 keys, the 100 TB shuffle-volume form) must
+    remove exactly what the oracle-verified string-key path removes."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        remove_duplicate_spans,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    a = remove_duplicate_spans(docs, k=8).select("doc_id", "text", "n_removed")
+    b = remove_duplicate_spans(docs, k=8, hash_spans=True).select(
+        "doc_id", "text", "n_removed"
+    )
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    # and the corpus genuinely exercises the operator: some docs lose spans,
+    # most docs keep everything
+    removed = a.filter(F.col("n_removed") > 0).count()
+    assert 0 < removed < docs.count()
+
+
+def test_remove_duplicate_spans_plan_bnlj_free(spark):
+    """The span-removal plan must stay in the linear-shuffle family: no
+    BroadcastNestedLoop join, no cartesian product anywhere."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        remove_duplicate_spans,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    plan = remove_duplicate_spans(docs, k=8)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
