@@ -361,3 +361,94 @@ def token_budget_sample(
         d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget_col)
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    top_n: int | None = None,
+) -> DataFrame:
+    """TARGETED data selection via importance scoring (DSIR-style): score
+    every document in ``docs`` by how much its token distribution looks like
+    the ``target`` corpus relative to the raw corpus itself — the knob that
+    turns "filter generic junk" (t07/t21/t23) into "select FOR a domain"
+    (pick the medical-looking 1% of a 100 TB web crawl given a small seed of
+    in-domain text).
+
+    Scoring: with c_t(w)/c_r(w) the token's occurrence count in target/raw
+    and N_t/N_r the corpora's total occurrences,
+
+        importance = (Σ_w∈doc c_t(w) / Σ_w∈doc c_r(w)) · (N_r / N_t)
+
+    — the doc's mean target-frequency over its mean raw-frequency, 1.0 when
+    the doc's tokens are distribution-neutral, >1 when they skew toward the
+    target.  This is the LINEARIZED surrogate of the DSIR paper's unigram
+    log-likelihood ratio Σ log(p_t/p_r): same per-token evidence, arithmetic
+    instead of geometric pooling.  The pooling is deliberate: the masses are
+    exact BIGINT sums and the score is three IEEE-exact double ops, so the
+    result value-hashes identically in any engine (catalog t25), whereas a
+    sum of libm logs is not bit-portable and would also need ad-hoc
+    smoothing for c_t = 0 (here zero-mass tokens simply contribute nothing,
+    and ``n_oov`` reports them explicitly).
+
+    Output per doc: (doc_id, n_tokens, n_oov, target_mass, raw_mass,
+    importance); with ``top_n`` set, instead returns the selected documents
+    (all ``docs`` columns + importance) — the top-n by (importance DESC,
+    doc_id) via TakeOrderedAndProject, a per-partition top-n merge that
+    never sorts the corpus.  For budgeted selection compose the scores with
+    token_budget_sample / group_sample instead of ``top_n``.
+
+    Scale shape — the rare_bigram_scores family twice over: one token
+    explode of each corpus, two groupBy(token) frequency tables with
+    map-side combine, one join of the exploded raw tokens against both
+    (all three clustered by token; the target table is usually small
+    enough that AQE broadcasts it), one per-doc aggregation.  The scalar
+    totals attach via a 1x1 broadcast combine.  Nothing is collected to
+    the driver; no table is assumed to fit anywhere.
+    """
+    tgt_text = target_text_col or text_col
+    ws = r"[ \t\n\r\f\x0B]+"
+    raw_tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), ws)).alias("tok"),
+    )
+    tgt_tok = target.select(F.explode(F.split(F.lower(F.col(tgt_text)), ws)).alias("tok"))
+    c_r = raw_tok.groupBy("tok").agg(F.count("*").alias("c_r"))
+    c_t = tgt_tok.groupBy("tok").agg(F.count("*").alias("c_t"))
+    per = (
+        raw_tok.join(c_r, "tok")
+        .join(c_t, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("c_t").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.sum(F.coalesce(F.col("c_t"), F.lit(0))).alias("target_mass"),
+            F.sum("c_r").alias("raw_mass"),
+        )
+    )
+    totals = raw_tok.agg(F.count("*").alias("n_raw")).crossJoin(
+        tgt_tok.agg(F.count("*").alias("n_target"))
+    )
+    scores = per.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        "target_mass",
+        "raw_mass",
+        (
+            (F.col("target_mass").cast("double") / F.col("raw_mass").cast("double"))
+            * (F.col("n_raw").cast("double") / F.col("n_target").cast("double"))
+        ).alias("importance"),
+    )
+    if top_n is None:
+        return scores
+    sel = scores.select(F.col("doc_id").alias("__sid"), "importance")
+    return (
+        docs.join(sel, F.col(id_col) == F.col("__sid"))
+        .drop("__sid")
+        .orderBy(F.col("importance").desc(), F.col(id_col))
+        .limit(top_n)
+    )

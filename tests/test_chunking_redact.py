@@ -459,3 +459,37 @@ def test_token_budget_sample_exact_and_approx(spark):
     # and silently emptied the sample before the double-division fix
     huge = token_budget_sample(docs, budget=10**13, method="approx")
     assert huge.count() == n_docs
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    """t25's operator contract: docs drawn from the target's vocabulary
+    score higher than docs drawn from a disjoint vocabulary, the neutral
+    self-target is exactly 1.0, and top_n selection returns the target-like
+    docs first."""
+    from healthcare_data_pipeline_spark.operators.mixture import dsir_scores
+
+    med = "patient dosage clinical trial symptom diagnosis therapy chronic"
+    web = "click subscribe banner cookie advert popup tracker redirect"
+    rows = (
+        [(i, med + f" filler{i}", "seed") for i in range(5)]
+        + [(10 + i, med + f" extra{i}", "crawl") for i in range(5)]
+        + [(20 + i, web + f" noise{i}", "crawl") for i in range(5)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    target = docs.filter(F.col("source") == "seed")
+    scores = {r.doc_id: r for r in dsir_scores(docs, target).collect()}
+    assert len(scores) == 15
+    med_imp = min(scores[10 + i].importance for i in range(5))
+    web_imp = max(scores[20 + i].importance for i in range(5))
+    assert med_imp > web_imp, (med_imp, web_imp)
+    # web-only tokens never occur in the target: all 9 are OOV
+    assert all(scores[20 + i].n_oov == 9 for i in range(5))
+    # self-target is distribution-neutral: c_t == c_r and N_t == N_r, so
+    # importance is EXACTLY 1.0 for every doc (IEEE division is exact here)
+    neutral = dsir_scores(docs, docs).collect()
+    assert all(r.importance == 1.0 for r in neutral)
+    # top_n selection: the 10 med-vocab docs outrank every web doc, and the
+    # selected frame keeps the docs' own columns + importance
+    sel = dsir_scores(docs, target, top_n=10)
+    assert set(sel.columns) == {"doc_id", "text", "source", "importance"}
+    assert {r.doc_id for r in sel.collect()} == set(range(5)) | {10 + i for i in range(5)}
