@@ -262,3 +262,102 @@ def rare_bigram_scores(
             ),
         )
     )
+
+
+def corpus_drift_report(
+    ref: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    mode: str = "summary",
+    top_n: int = 20,
+) -> DataFrame:
+    """TOKEN-DISTRIBUTION drift between a reference corpus and a new batch —
+    the text twin of s09's quantizer-drift report, and the monitoring gate a
+    continuously-ingesting pipeline (streaming/ingest.py) runs before
+    admitting a crawl snapshot: quality filters catch BAD documents, but a
+    distribution that silently moved (new boilerplate family, a language
+    shift, a scraper change) degrades everything trained downstream while
+    every individual document still looks fine.
+
+    The headline statistic is total variation distance over unigram
+    distributions, computed in EXACT integer arithmetic via the common-
+    denominator form
+
+        TVD = Σ_w |c_ref(w)·N_new − c_new(w)·N_ref| / (2·N_ref·N_new)
+
+    — integer products and sums (decimal(38,0), overflow-safe past 10^14
+    tokens per side), ONE final double division, so the report value-hashes
+    identically in any engine (catalog t26) with none of the libm-log
+    portability problems a KL/JS divergence would bring.  TVD ∈ [0, 1] is
+    also directly actionable: it is exactly the total probability mass that
+    moved.
+
+    Modes: ``summary`` (one row: n_ref_tokens, n_new_tokens, n_ref_types,
+    n_new_types, n_new_only_types, n_lost_types, tvd), ``tokens`` (per-token
+    c_ref / c_new / delta_scaled — the full drift table), ``movers`` (top
+    ``top_n`` tokens by scaled delta, deterministic (delta DESC, tok)
+    order — the "what changed" drill-down).
+
+    Scale shape: one token explode per side unioned with a side flag, ONE
+    groupBy(token) with map-side combine building the joint frequency table
+    (no join between the sides at all), scalar totals attached via a 1x1
+    broadcast combine, then either a scalar rollup (summary) or a bounded
+    top-n (movers).  Nothing corpus-sized crosses a second shuffle.
+    """
+    if mode not in ("summary", "tokens", "movers"):
+        raise ValueError(f"mode must be summary|tokens|movers, got {mode!r}")
+    ws = r"[ \t\n\r\f\x0B]+"
+
+    def toks(df: DataFrame, flag: int) -> DataFrame:
+        return df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), ws)).alias("tok"),
+            F.lit(flag).alias("is_ref"),
+        )
+
+    tk = (
+        toks(ref, 1)
+        .unionByName(toks(new, 0))
+        .groupBy("tok")
+        .agg(
+            F.sum("is_ref").alias("c_ref"),
+            F.sum(1 - F.col("is_ref")).alias("c_new"),
+        )
+    )
+    totals = tk.agg(
+        F.sum("c_ref").alias("n_ref"),
+        F.sum("c_new").alias("n_new"),
+    )
+    dec = "decimal(38,0)"
+    delta = F.abs(
+        F.col("c_ref").cast(dec) * F.col("n_new").cast(dec)
+        - F.col("c_new").cast(dec) * F.col("n_ref").cast(dec)
+    )
+    wide = tk.crossJoin(F.broadcast(totals)).withColumn("delta_scaled", delta)
+    if mode == "tokens":
+        return wide.select("tok", "c_ref", "c_new", "delta_scaled")
+    if mode == "movers":
+        return (
+            wide.select("tok", "c_ref", "c_new", "delta_scaled")
+            .orderBy(F.col("delta_scaled").desc(), "tok")
+            .limit(top_n)
+        )
+    return wide.agg(
+        F.sum("c_ref").cast("long").alias("n_ref_tokens"),
+        F.sum("c_new").cast("long").alias("n_new_tokens"),
+        F.sum(F.when(F.col("c_ref") > 0, 1).otherwise(0)).cast("long").alias("n_ref_types"),
+        F.sum(F.when(F.col("c_new") > 0, 1).otherwise(0)).cast("long").alias("n_new_types"),
+        F.sum(F.when((F.col("c_ref") == 0) & (F.col("c_new") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new_only_types"),
+        F.sum(F.when((F.col("c_new") == 0) & (F.col("c_ref") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lost_types"),
+        (
+            F.sum("delta_scaled").cast("double")
+            / (
+                F.lit(2.0)
+                * F.max("n_ref").cast("double")
+                * F.max("n_new").cast("double")
+            )
+        ).alias("tvd"),
+    )

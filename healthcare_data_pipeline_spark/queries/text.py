@@ -1000,3 +1000,62 @@ def t25_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return dsir_scores(d, d.filter(F.col("source") == "src0"))
+
+
+@query(
+    "t26_corpus_drift",
+    oracle="""
+    WITH reft AS (
+      SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+')) AS tok
+      FROM documents WHERE source <> 'src19'
+    ),
+    newt AS (
+      SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+')) AS tok
+      FROM documents WHERE source = 'src19'
+    ),
+    u AS (
+      SELECT tok, 1 AS is_ref FROM reft
+      UNION ALL
+      SELECT tok, 0 AS is_ref FROM newt
+    ),
+    tk AS (
+      SELECT tok,
+             CAST(SUM(is_ref) AS BIGINT) AS c_ref,
+             CAST(SUM(1 - is_ref) AS BIGINT) AS c_new
+      FROM u GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(c_new) AS BIGINT) AS n_new
+      FROM tk
+    )
+    SELECT
+      CAST(SUM(c_ref) AS BIGINT) AS n_ref_tokens,
+      CAST(SUM(c_new) AS BIGINT) AS n_new_tokens,
+      CAST(SUM(CASE WHEN c_ref > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref_types,
+      CAST(SUM(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_types,
+      CAST(SUM(CASE WHEN c_ref = 0 AND c_new > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_new_only_types,
+      CAST(SUM(CASE WHEN c_new = 0 AND c_ref > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_lost_types,
+      CAST(SUM(ABS(c_ref * n_new - c_new * n_ref)) AS DOUBLE)
+        / (2.0 * CAST(MAX(n_ref) AS DOUBLE) * CAST(MAX(n_new) AS DOUBLE)) AS tvd
+    FROM tk, tot
+    """,
+    tags=("text", "EXT", "quality", "drift"),
+    doc="Corpus DRIFT report (operators.quality.corpus_drift_report, summary mode): "
+    "token-distribution total variation distance between a new batch (source='src19' "
+    "here) and the reference corpus (everything else), plus exact vocabulary-churn "
+    "counts (new-only / lost token types) - the text twin of s09's quantizer-drift "
+    "diagnostic and the admission gate a continuously-ingesting pipeline runs before "
+    "accepting a crawl snapshot. TVD is computed in the common-denominator integer "
+    "form (decimal products, one final double division) so the statistic "
+    "value-hashes identically in any engine - no libm-log KL portability problems.",
+)
+def t26_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.quality import corpus_drift_report
+
+    d = table(spark, sf_dir, "documents")
+    return corpus_drift_report(
+        d.filter(F.col("source") != "src19"), d.filter(F.col("source") == "src19")
+    )

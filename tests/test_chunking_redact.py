@@ -493,3 +493,38 @@ def test_dsir_scores_rank_target_like_docs_higher(spark):
     sel = dsir_scores(docs, target, top_n=10)
     assert set(sel.columns) == {"doc_id", "text", "source", "importance"}
     assert {r.doc_id for r in sel.collect()} == set(range(5)) | {10 + i for i in range(5)}
+
+
+def test_corpus_drift_report_modes(spark):
+    """t26's operator contract: TVD is 0 for identical distributions, 1 for
+    disjoint vocabularies, in between for a partial shift; vocabulary-churn
+    counts are exact; movers mode surfaces the shifted tokens first."""
+    from healthcare_data_pipeline_spark.operators.quality import corpus_drift_report
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    a = mk([(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")])
+    same = corpus_drift_report(a, a).collect()[0]
+    assert same.tvd == 0.0
+    assert same.n_new_only_types == 0 and same.n_lost_types == 0
+    assert same.n_ref_tokens == 8 and same.n_new_tokens == 8
+
+    b = mk([(3, "epsilon zeta eta theta"), (4, "epsilon zeta eta theta")])
+    disjoint = corpus_drift_report(a, b).collect()[0]
+    assert disjoint.tvd == 1.0
+    assert disjoint.n_new_only_types == 4 and disjoint.n_lost_types == 4
+
+    # partial shift: new batch swaps 'delta' (2 of 8 occurrences) for 'omega'
+    # -> exactly 1/4 of the probability mass moved
+    c = mk([(5, "alpha beta gamma omega"), (6, "alpha beta gamma omega")])
+    part = corpus_drift_report(a, c).collect()[0]
+    assert part.tvd == 0.25
+    assert part.n_new_only_types == 1 and part.n_lost_types == 1
+
+    movers = corpus_drift_report(a, c, mode="movers", top_n=2).collect()
+    assert {m.tok for m in movers} == {"delta", "omega"}
+    toks = corpus_drift_report(a, c, mode="tokens")
+    assert toks.count() == 5  # alpha beta gamma delta omega
+    assert toks.filter(F.col("tok") == "alpha").collect()[0].delta_scaled == 0
+
+    with pytest.raises(ValueError):
+        corpus_drift_report(a, c, mode="bogus")
