@@ -145,6 +145,8 @@ def prep_corpus(
     hasher: str = "portable",
     max_rare_bigram_ratio: float | None = None,
     rare_df: int = 2,
+    span_k: int | None = None,
+    span_min_docs: int = 2,
     token_budget: int | None = None,
     token_budgets: dict[str, int] | None = None,
     budget_group_col: str = "source",
@@ -166,6 +168,13 @@ def prep_corpus(
       the quality-passing corpus (junk should not contribute "natural"
       transitions), and gibberish dropped here never costs shingle shuffles.
       ``rare_df`` forwards the rarity cutoff.
+    - ``span_k`` applies ``remove_duplicate_spans`` (dd19's cross-document
+      duplicated-span removal) BETWEEN the gates and dedup: stripping shared
+      boilerplate BEFORE fingerprinting makes template-wrapped payloads
+      collapse to exact duplicates the fingerprint stage can see — run after
+      it and the boilerplate would have kept them distinct.  It rewrites
+      ``text_col`` (whitespace-normalized surviving tokens), which is what
+      every downstream stage should consume anyway.
     - ``token_budget`` (+ per-group ``token_budgets``, grouped by
       ``budget_group_col``) applies ``token_budget_sample`` AFTER dedup —
       a budget must buy unique tokens, not duplicates.  ``budget_method``
@@ -174,7 +183,9 @@ def prep_corpus(
 
     Catalog entry dd12_prep_corpus verifies the base composition end-to-end
     against a recursive-CTE oracle; dd18_prep_corpus_gated verifies the
-    fully-gated form (both optional stages on) the same way.
+    gibberish-gate + token-budget form the same way; the ``span_k`` stage is
+    oracle-verified standalone (dd19) and composition-tested in pytest
+    (boilerplate-wrapped payloads collapsing to exact duplicates).
     """
     from healthcare_data_pipeline_spark.operators.dedup_corpus import dedup_corpus
     from healthcare_data_pipeline_spark.operators.mixture import token_budget_sample
@@ -189,6 +200,18 @@ def prep_corpus(
             .select(F.col("doc_id").alias(id_col))
         )
         filtered = filtered.join(keep, id_col, "left_semi")
+    if span_k is not None:
+        from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+            remove_duplicate_spans,
+        )
+
+        filtered = remove_duplicate_spans(
+            filtered,
+            k=span_k,
+            min_docs=span_min_docs,
+            id_col=id_col,
+            text_col=text_col,
+        ).drop("n_tokens", "n_removed", "n_dup_spans")
     out = dedup_corpus(filtered, id_col=id_col, text_col=text_col, hasher=hasher)
     if token_budget is not None:
         out = token_budget_sample(

@@ -106,14 +106,17 @@ def ops(spark, sf_dir: str):
         containment_pairs,
         dedup_corpus,
         minhash_pairs,
+        remove_duplicate_spans,
     )
     from healthcare_data_pipeline_spark.operators.mixture import (
+        dsir_scores,
         exact_stratified_split,
         hash_split,
         token_budget_sample,
     )
     from healthcare_data_pipeline_spark.operators.quality import (
         adaptive_quality_filter,
+        corpus_drift_report,
         filter_corpus,
         rare_bigram_scores,
     )
@@ -183,6 +186,22 @@ def ops(spark, sf_dir: str):
         ),
         "token_budget_sample approx (scale path)": lambda: sink(
             token_budget_sample(hot, budget=100_000, group_col="stratum", method="approx")
+        ),
+        # r9 newcomers: dd19's span explode is the k-wide cousin of the
+        # bigram join (span strings are k tokens — hash_spans=True collapses
+        # them to 8 bytes pre-shuffle, the measured form); t25 runs the
+        # frequency-join shape twice (raw + target) against a FIXED-size
+        # target slice (replica-0 docs only — a DSIR seed does not grow with
+        # the crawl); t26 is ONE groupBy over both sides with a flag (no
+        # join between the corpora), new batch fixed the same way.
+        "span_dedup (xxhash64 spans, k=8)": lambda: sink(
+            remove_duplicate_spans(docs, k=8, hash_spans=True)
+        ),
+        "dsir_scores (fixed target slice)": lambda: sink(
+            dsir_scores(docs, docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 10_000_000)))
+        ),
+        "corpus_drift_report (fixed new batch)": lambda: sink(
+            corpus_drift_report(docs, docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 10_000_000)))
         ),
         "ann_index_probe (build once)": probe,
     }
@@ -307,6 +326,19 @@ def main() -> None:
         "strata or post-sampled slices. Its approx path (alpha "
         f"{alphas.get('token_budget_sample approx (scale path)')}) — one map-side total, broadcast "
         "thresholds, zero-shuffle selection — is the 100 TB form.",
+        "",
+        "r9 newcomers: `span_dedup` "
+        f"(alpha {alphas.get('span_dedup (xxhash64 spans, k=8)')}) is the k-wide cousin of the bigram "
+        "join — span explode, frequency groupBy, left-semi join back, "
+        "bounded per-doc starts aggregation; hash_spans=True keys the "
+        "shuffle on 8-byte xxhash64 values instead of k-token strings, which "
+        "is what keeps the byte volume flat as k grows. `dsir_scores` "
+        f"(alpha {alphas.get('dsir_scores (fixed target slice)')}) runs the frequency-join shape twice "
+        "(raw corpus + a FIXED-size target slice — a DSIR seed does not grow "
+        "with the crawl), so growth tracks the raw side alone. "
+        f"`corpus_drift_report` (alpha {alphas.get('corpus_drift_report (fixed new batch)')}) is the lightest: "
+        "ONE groupBy(token) over both sides with a side flag — no join "
+        "between the corpora at all — then a scalar rollup.",
         "",
         "Harness sensitivity check: with a suffix-only replica perturbation "
         "(cross-replica MinHash signatures collide, so ~(k-1)/k of the corpus "
