@@ -11,12 +11,32 @@ Two collision definitions, both deterministic:
 * **ngram** — any shared word n-gram (the GPT-3-style 13-gram overlap rule;
   ``n`` is a knob, catalog dd13 pins n=3 so the synthetic corpus exhibits
   observable contamination).
+* **bloom** — the same n-gram rule through a Bloom filter of the eval grams
+  (catalog dd20): deterministic false positives at a sized rate, NO false
+  negatives (every true collision is always flagged — the direction that
+  matters for decontamination, where a false positive costs one training
+  doc and a false negative leaks a benchmark).
 
 Scale shape: the EVAL side is always the small one (benchmarks are KBs-MBs
 against a TB-scale train side), so its distinct n-gram/fingerprint set is
 broadcast; the train side is one linear explode + broadcast-hash semi-join
 to find contaminated ids, then a broadcast anti-join.  No shuffle of the
 train corpus at any point — the whole pass is map-side.
+
+The bloom mode exists because at full eval-suite scale even the broadcast
+has a cost: hundreds of benchmarks × 13-grams is easily 10^8 distinct gram
+STRINGS (~10 GB as a broadcast hash relation — past Spark's 8 GB broadcast
+ceiling and most executors' comfort).  The Bloom bitmap is O(m_bits) — a
+fixed 128 KiB at the default 2^20 bits — REGARDLESS of eval gram count, and
+membership is a per-gram ``exists()`` entirely inside codegen: the train
+side needs no explode, no join, and no shuffle at all; its physical plan is
+scan → project → (1×1 bitmap broadcast) → filter.  Hashing is the portable
+md5-h32 + affine-LCG family (same construction as the dd06 MinHash
+permutations, distinct seed range), so the whole thing — bit positions,
+bitmap, false positives included — is bit-identical in any engine and the
+DuckDB oracle verifies it value-exactly: "all k bits set" is equivalent to
+"each position ∈ the set of positions written by some eval gram", which is
+plain relational SQL.
 """
 
 from __future__ import annotations
@@ -24,9 +44,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from healthcare_data_pipeline_spark.operators.dedup_corpus import normalized_fingerprint
+from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+    PMH_PRIME,
+    _pmh_const,
+    normalized_fingerprint,
+)
 
 DEFAULT_NGRAM = 13
+
+# Bloom hash family: k affine transforms of the portable 32-bit md5 hash
+# (seed ranges 5000/6000 — disjoint from the MinHash 1000/2000 and fast
+# 3000/4000 families, so bloom positions never correlate with LSH buckets).
+# k=3 with the default m=2^20 bits gives FPP ≈ (1 - e^(-3n/m))^3 — under
+# 1e-5 per gram at n=15k eval grams; size m up for bigger eval suites
+# (m = -n·ln(p)/ln(2)² bits for a target p).
+BLOOM_K = 3
+BLOOM_M = 1 << 20
+BLOOM_A = [_pmh_const(5000 + j, 1, 1_000_000) * 2 + 1 for j in range(BLOOM_K)]
+BLOOM_B = [_pmh_const(6000 + j, 0, PMH_PRIME) for j in range(BLOOM_K)]
+
+# Portable 32-bit hash of a string SQL expression: first 8 hex chars of md5
+# as an integer — bit-identical in Spark and DuckDB (queries/dedup._SQL_H32
+# is the DuckDB spelling of the same value).
+def _h32_sql(col: str) -> str:
+    return f"CAST(conv(substring(md5({col}), 1, 8), 16, 10) AS BIGINT)"
+
+
+def _bloom_pos_sql(j: int, h: str, m_bits: int) -> str:
+    """Bit position of hash ``h`` under the j-th bloom hash function."""
+    return f"((({BLOOM_A[j]} * {h} + {BLOOM_B[j]}) % {PMH_PRIME}) % {m_bits})"
 
 
 def word_ngrams_sql(n: int, toks: str = "toks") -> str:
@@ -46,6 +92,82 @@ def _exploded_ngrams(df: DataFrame, n: int, id_col: str, text_col: str) -> DataF
     ).selectExpr(id_col, f"explode(array_distinct({word_ngrams_sql(n)})) AS g")
 
 
+def bloom_bitmap(
+    eval_df: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    m_bits: int = BLOOM_M,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE-row DataFrame [``bm``: array<bigint>, length m_bits/64] — the
+    packed Bloom bitmap of ``eval_df``'s distinct word n-grams.
+
+    Built distributed (gram explode → k positions → word-index bit_or), then
+    densified on the single aggregate row via transform(sequence(...)) with
+    zeros for untouched words — nothing is ever collected to the driver; the
+    row broadcasts as the standard 1×1 scalar combine.  An empty eval side
+    yields an all-zero bitmap (nothing flagged), not an error.
+    """
+    if m_bits % 64 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    n_words = m_bits // 64
+    ev = _exploded_ngrams(eval_df, n, id_col, text_col).select("g").distinct()
+    positions = ", ".join(_bloom_pos_sql(j, "h32", m_bits) for j in range(BLOOM_K))
+    pos = (
+        ev.selectExpr(f"{_h32_sql('g')} AS h32")
+        .selectExpr(f"explode(array({positions})) AS p")
+        .distinct()
+    )
+    words = pos.selectExpr(
+        "CAST(p DIV 64 AS INT) AS w",
+        "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS mask",
+    )
+    return (
+        words.groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("wm"))
+        .selectExpr(
+            f"transform(sequence(0, {n_words - 1}), "
+            "i -> coalesce(element_at(wm, i), CAST(0 AS BIGINT))) AS bm"
+        )
+    )
+
+
+def _bloom_hit_sql(grams_expr: str, m_bits: int) -> str:
+    """SQL predicate: any gram in ``grams_expr`` has all BLOOM_K bits set in
+    the broadcast ``bm`` column.  md5 runs once per gram (transform to h32
+    first), the k bit tests stay inside whole-stage codegen."""
+    tests = " AND ".join(
+        f"(element_at(bm, CAST({_bloom_pos_sql(j, 'h', m_bits)} DIV 64 AS INT) + 1) & "
+        f"shiftleft(CAST(1 AS BIGINT), CAST({_bloom_pos_sql(j, 'h', m_bits)} % 64 AS INT))) != 0"
+        for j in range(BLOOM_K)
+    )
+    return f"exists(transform({grams_expr}, g -> {_h32_sql('g')}), h -> {tests})"
+
+
+def _bloom_flagged(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int,
+    m_bits: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """``train`` + boolean ``__hit`` (bloom says: shares an n-gram with the
+    eval set).  The train side is scan → project → 1×1 bitmap broadcast →
+    predicate: no explode, no join relation, no shuffle."""
+    bm = bloom_bitmap(eval_df, n=n, m_bits=m_bits, id_col=id_col, text_col=text_col)
+    return (
+        train.withColumn(
+            "__toks", F.expr(f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+')")
+        )
+        .withColumn("__grams", F.expr(word_ngrams_sql(n, toks="__toks")))
+        .crossJoin(F.broadcast(bm))
+        .withColumn("__hit", F.expr(_bloom_hit_sql("__grams", m_bits)))
+        .drop("__toks", "__grams", "bm")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -53,9 +175,16 @@ def decontaminate(
     n: int = DEFAULT_NGRAM,
     id_col: str = "doc_id",
     text_col: str = "text",
+    m_bits: int = BLOOM_M,
 ) -> DataFrame:
     """Training rows minus those colliding with ``eval_df`` (all original
-    columns preserved)."""
+    columns preserved).  ``mode="bloom"`` applies the same n-gram rule via a
+    fixed-size Bloom bitmap (``m_bits``) — no false negatives, sized false
+    positives, zero train-side shuffle; the 100 TB form when the eval gram
+    set outgrows a comfortable broadcast."""
+    if mode == "bloom":
+        flagged = _bloom_flagged(train, eval_df, n, m_bits, id_col, text_col)
+        return flagged.filter(~F.col("__hit")).drop("__hit")
     if mode == "exact":
         ev = eval_df.select(normalized_fingerprint(text_col).alias("__fp")).distinct()
         return (
@@ -76,10 +205,18 @@ def contaminated_ids(
     n: int = DEFAULT_NGRAM,
     id_col: str = "doc_id",
     text_col: str = "text",
+    m_bits: int = BLOOM_M,
 ) -> DataFrame:
     """Ids of training docs colliding with the eval set — the small set both
     ``decontaminate`` (anti-join) and ``contamination_report`` (flag join)
     broadcast; bounded by the actual overlap, not by corpus size."""
+    if mode == "bloom":
+        return (
+            _bloom_flagged(train, eval_df, n, m_bits, id_col, text_col)
+            .filter(F.col("__hit"))
+            .select(id_col)
+            .distinct()
+        )
     if mode == "exact":
         ev = eval_df.select(normalized_fingerprint(text_col).alias("__fp")).distinct()
         return (
@@ -89,7 +226,9 @@ def contaminated_ids(
             .distinct()
         )
     if mode != "ngram":
-        raise ValueError(f"unknown decontaminate mode {mode!r}: expected 'exact' or 'ngram'")
+        raise ValueError(
+            f"unknown decontaminate mode {mode!r}: expected 'exact', 'ngram', or 'bloom'"
+        )
     ev = _exploded_ngrams(eval_df, n, id_col, text_col).select("g").distinct()
     return (
         _exploded_ngrams(train, n, id_col, text_col)
@@ -107,6 +246,7 @@ def contamination_report(
     id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str = "source",
+    m_bits: int = BLOOM_M,
 ) -> DataFrame:
     """Per-``group_col`` contamination statistics — the DIAGNOSTIC twin of
     ``decontaminate``: instead of dropping overlapping training docs, report
@@ -119,7 +259,7 @@ def contamination_report(
     for the flag join, and the group aggregation combines map-side.
     """
     bad = contaminated_ids(
-        train, eval_df, mode=mode, n=n, id_col=id_col, text_col=text_col
+        train, eval_df, mode=mode, n=n, id_col=id_col, text_col=text_col, m_bits=m_bits
     ).withColumn("__bad", F.lit(True))
     return (
         train.join(F.broadcast(bad), id_col, "left")

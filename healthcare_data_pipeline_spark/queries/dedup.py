@@ -1179,6 +1179,80 @@ def dd13_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontaminate_bloom_oracle_sql() -> str:
+    """dd20 oracle: the Bloom test "all k bits set" rewritten relationally —
+    each of the gram's k positions must be IN the set of positions written
+    by some eval gram.  Same BLOOM_A/BLOOM_B/m constants as the Spark plan
+    (one source of truth), same portable md5-h32, so false positives
+    reproduce bit-identically too."""
+    from healthcare_data_pipeline_spark.operators.decontaminate import (
+        BLOOM_A,
+        BLOOM_B,
+        BLOOM_K,
+        BLOOM_M,
+    )
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import PMH_PRIME
+
+    g3 = (
+        "unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+    )
+
+    def pos(j: int) -> str:
+        return f"((({BLOOM_A[j]} * h32 + {BLOOM_B[j]}) % {PMH_PRIME}) % {BLOOM_M})"
+
+    pos_union = "\n      UNION\n      ".join(
+        f"SELECT DISTINCT {pos(j)} AS p FROM evh" for j in range(BLOOM_K)
+    )
+    tests = " AND ".join(f"{pos(j)} IN (SELECT p FROM pos)" for j in range(BLOOM_K))
+    return f"""
+    WITH tr AS (
+      SELECT doc_id, lang, source, n_chars,
+             string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
+      FROM documents WHERE source <> 'src0'
+    ),
+    evt AS (
+      SELECT string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
+      FROM documents WHERE source = 'src0'
+    ),
+    evg AS (SELECT DISTINCT {g3} AS s FROM evt),
+    evh AS (SELECT ({_SQL_H32}) AS h32 FROM evg),
+    pos AS (
+      {pos_union}
+    ),
+    trg AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, {g3} AS s FROM tr)),
+    trh AS (SELECT doc_id, ({_SQL_H32}) AS h32 FROM trg),
+    bad AS (SELECT DISTINCT doc_id FROM trh WHERE {tests})
+    SELECT doc_id, lang, source, n_chars
+    FROM tr
+    WHERE NOT EXISTS (SELECT 1 FROM bad WHERE bad.doc_id = tr.doc_id)
+    """
+
+
+@query(
+    "dd20_decontaminate_bloom",
+    oracle=_decontaminate_bloom_oracle_sql(),
+    tags=("dedup", "EXT", "decontamination", "bloom"),
+    doc="Bloom-filter decontamination (operators.decontaminate.decontaminate mode='bloom', "
+    "n=3): dd13's n-gram overlap rule through a fixed 2^20-bit bitmap of the eval grams — "
+    "the 100 TB form for when the eval-suite gram set (10^8 strings across hundreds of "
+    "benchmarks) outgrows a comfortable broadcast. NO false negatives ever (a leaked "
+    "benchmark is the failure that matters); false positives at a sized, DETERMINISTIC "
+    "rate — the portable md5-h32 + affine-LCG hash family makes even the FPs bit-identical "
+    "across engines, so the oracle verifies them too. Train side: scan -> project -> 1x1 "
+    "bitmap broadcast -> codegen predicate; no explode, no join, no shuffle.",
+)
+def dd20_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.decontaminate import decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("source") != "src0")
+    ev = d.filter(F.col("source") == "src0")
+    return decontaminate(train, ev, mode="bloom", n=3).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 @query(
     "dd14_dup_rate_report",
     oracle="""

@@ -83,3 +83,80 @@ def test_contamination_report_counts_and_plan(spark):
     assert sum(r.n_contaminated for r in rows.values()) == n_dropped
     for r in rows.values():
         assert abs(r.contamination_rate - r.n_contaminated / r.n_docs) < 1e-12
+
+
+def test_bloom_mode_never_misses(spark):
+    """The direction that matters: every ngram-mode contaminated id is also
+    bloom-flagged (no false negatives, by construction — a true collision's
+    positions are all set by the eval gram itself)."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.decontaminate import contaminated_ids
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    train = d.filter(F.col("source") != "src0")
+    ev = d.filter(F.col("source") == "src0")
+    exact = {r.doc_id for r in contaminated_ids(train, ev, mode="ngram", n=3).collect()}
+    bloom = {r.doc_id for r in contaminated_ids(train, ev, mode="bloom", n=3).collect()}
+    assert exact, "synthetic corpus should exhibit contamination"
+    assert exact <= bloom
+    # at the default 2^20 bits the FP rate on this corpus is negligible:
+    # the two modes should agree outright (deterministic, pinned by the data)
+    assert bloom == exact
+
+
+def test_bloom_small_bitmap_false_positives_are_supersets(spark):
+    """Shrinking m_bits can only ADD flagged docs (more bit collisions),
+    never drop one — monotone in the conservative direction."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.decontaminate import contaminated_ids
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    train = d.filter(F.col("source") != "src0")
+    ev = d.filter(F.col("source") == "src0")
+    big = {r.doc_id for r in contaminated_ids(train, ev, mode="bloom", n=3).collect()}
+    small = {
+        r.doc_id
+        for r in contaminated_ids(train, ev, mode="bloom", n=3, m_bits=512).collect()
+    }
+    assert big <= small
+
+
+def test_bloom_m_bits_validation(spark):
+    from healthcare_data_pipeline_spark.operators.decontaminate import bloom_bitmap
+
+    d = _df(spark, [(1, "a b c d")])
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_bitmap(d, m_bits=100)
+
+
+def test_bloom_train_side_plan_is_joinless(spark):
+    """The 100 TB contract: the train side of the bloom path has NO join
+    relation and NO shuffle — just the 1x1 bitmap broadcast combine and a
+    codegen predicate.  All exchanges in the plan belong to the (small)
+    eval-side bitmap build."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.plans import simple_plan
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    out = decontaminate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        mode="bloom",
+        n=3,
+    )
+    plan = simple_plan(out)
+    assert "SortMergeJoin" not in plan
+    # no hash-join relation anywhere: the only join is the 1-row bitmap
+    # nested-loop broadcast (the documented scalar-combine pattern)
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # empty eval side -> all-zero bitmap -> nothing flagged, no error
+    empty_ev = d.filter(F.lit(False))
+    n_train = d.filter(F.col("source") != "src0").count()
+    assert (
+        decontaminate(d.filter(F.col("source") != "src0"), empty_ev, mode="bloom").count()
+        == n_train
+    )
