@@ -133,16 +133,57 @@ def bloom_bitmap(
     )
 
 
-def _bloom_hit_sql(grams_expr: str, m_bits: int) -> str:
+def _bloom_hit_sql(grams_expr: str, m_bits: int, bm_col: str = "bm") -> str:
     """SQL predicate: any gram in ``grams_expr`` has all BLOOM_K bits set in
-    the broadcast ``bm`` column.  md5 runs once per gram (transform to h32
+    the ``bm_col`` bitmap column.  md5 runs once per gram (transform to h32
     first), the k bit tests stay inside whole-stage codegen."""
     tests = " AND ".join(
-        f"(element_at(bm, CAST({_bloom_pos_sql(j, 'h', m_bits)} DIV 64 AS INT) + 1) & "
+        f"(element_at({bm_col}, CAST({_bloom_pos_sql(j, 'h', m_bits)} DIV 64 AS INT) + 1) & "
         f"shiftleft(CAST(1 AS BIGINT), CAST({_bloom_pos_sql(j, 'h', m_bits)} % 64 AS INT))) != 0"
         for j in range(BLOOM_K)
     )
     return f"exists(transform({grams_expr}, g -> {_h32_sql('g')}), h -> {tests})"
+
+
+def collect_bloom(
+    eval_df: DataFrame,
+    n: int = DEFAULT_NGRAM,
+    m_bits: int = BLOOM_M,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[int]:
+    """The packed bitmap as a driver-side list of longs — m_bits/8 bytes
+    (128 KiB at the default) REGARDLESS of eval gram count, the one thing
+    about the eval suite small enough to embed in a task closure.  This is
+    the form streaming gates take (``flag_bloom``): the bitmap becomes a
+    single array literal, so an unbounded stream gets decontamination as a
+    STATELESS row predicate — no per-batch join, no state store."""
+    return list(
+        bloom_bitmap(eval_df, n=n, m_bits=m_bits, id_col=id_col, text_col=text_col)
+        .first()["bm"]
+    )
+
+
+def flag_bloom(
+    df: DataFrame,
+    bloom_words: list[int],
+    n: int = DEFAULT_NGRAM,
+    text_col: str = "text",
+    out_col: str = "__hit",
+) -> DataFrame:
+    """``df`` + boolean ``out_col``: bloom says this row shares an n-gram
+    with the eval suite ``bloom_words`` was built from (``collect_bloom``).
+    Pure row-level expression — streaming-safe, shuffle-free, join-free."""
+    m_bits = len(bloom_words) * 64
+    return (
+        df.withColumn(
+            "__bm_toks", F.expr(f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+')")
+        )
+        .withColumn("__bm_grams", F.expr(word_ngrams_sql(n, toks="__bm_toks")))
+        .withColumn("__bm", F.lit(bloom_words).cast("array<bigint>"))
+        .withColumn(out_col, F.expr(_bloom_hit_sql("__bm_grams", m_bits, bm_col="__bm")))
+        .drop("__bm_toks", "__bm_grams", "__bm")
+    )
 
 
 def _bloom_flagged(

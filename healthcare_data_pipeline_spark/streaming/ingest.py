@@ -47,6 +47,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from healthcare_data_pipeline_spark.operators.dedup_corpus import (
@@ -93,21 +94,37 @@ def prep_stream(
     weights: dict[str, float] | None = None,
     min_stopword_ratio: float | None = 0.01,
     split_fractions: dict[str, float] | None = None,
+    eval_bloom: list[int] | None = None,
+    bloom_ngram: int = 13,
 ) -> DataFrame:
-    """The streaming corpus-prep gate: quality filter -> PII redaction ->
-    optional mixture gate -> optional train/val/test split.  Every stage is
-    a STATELESS row-level expression, so the exact batch operators run
-    unchanged on an unbounded stream — no watermark, no state store,
-    append-mode safe.  The split in particular is safe to assign at ingest
-    time because ``hash_split`` is a pure function of the doc id: a
-    document's split never depends on what else has arrived, so replays and
-    late re-ingests assign identically.  (Dedup, the stateful stage, is
-    `run_stream_dedup_ingest`'s job downstream.)"""
+    """The streaming corpus-prep gate: quality filter -> optional benchmark
+    decontamination -> PII redaction -> optional mixture gate -> optional
+    train/val/test split.  Every stage is a STATELESS row-level expression,
+    so the exact batch operators run unchanged on an unbounded stream — no
+    watermark, no state store, append-mode safe.  The split in particular is
+    safe to assign at ingest time because ``hash_split`` is a pure function
+    of the doc id: a document's split never depends on what else has
+    arrived, so replays and late re-ingests assign identically.  (Dedup, the
+    stateful stage, is `run_stream_dedup_ingest`'s job downstream.)
+
+    ``eval_bloom`` (from ``operators.decontaminate.collect_bloom``) drops
+    documents sharing a ``bloom_ngram``-gram with the eval suite.  The
+    bitmap is a fixed-size array literal in the task closure, so even this
+    normally join-shaped stage stays a stateless predicate — and it runs
+    BEFORE redaction, which rewrites text and could otherwise mask a
+    benchmark collision."""
+    from healthcare_data_pipeline_spark.operators.decontaminate import flag_bloom
     from healthcare_data_pipeline_spark.operators.mixture import hash_split, mixture_sample
     from healthcare_data_pipeline_spark.operators.quality import quality_predicate
     from healthcare_data_pipeline_spark.operators.redact import redact_pii
 
     out = docs.filter(quality_predicate(min_stopword_ratio=min_stopword_ratio))
+    if eval_bloom is not None:
+        out = (
+            flag_bloom(out, eval_bloom, n=bloom_ngram)
+            .filter(~F.col("__hit"))
+            .drop("__hit")
+        )
     out = redact_pii(out)
     if weights is not None:
         out = mixture_sample(out, weights)

@@ -160,3 +160,28 @@ def test_bloom_train_side_plan_is_joinless(spark):
         decontaminate(d.filter(F.col("source") != "src0"), empty_ev, mode="bloom").count()
         == n_train
     )
+
+
+def test_flag_bloom_literal_matches_distributed_bitmap(spark):
+    """collect_bloom + flag_bloom (the streaming closure form) flags exactly
+    the ids the distributed-bitmap path flags — one construction, two
+    delivery mechanisms."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.decontaminate import (
+        collect_bloom,
+        contaminated_ids,
+        flag_bloom,
+    )
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    train = d.filter(F.col("source") != "src0")
+    ev = d.filter(F.col("source") == "src0")
+    words = collect_bloom(ev, n=3)
+    assert len(words) * 64 == 1 << 20  # default sizing
+    lit_ids = {
+        r.doc_id
+        for r in flag_bloom(train, words, n=3).filter("__hit").select("doc_id").collect()
+    }
+    df_ids = {r.doc_id for r in contaminated_ids(train, ev, mode="bloom", n=3).collect()}
+    assert lit_ids == df_ids and lit_ids

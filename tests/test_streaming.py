@@ -1027,3 +1027,36 @@ def test_streaming_ingest_maintains_zordered_layout(spark, tmp_path):
             spans[c].append(hi - lo)
     for c, vals in spans.items():
         assert sum(vals) / len(vals) < 850, (c, vals)
+
+
+def test_stream_bloom_decontamination_gate_equals_batch(spark):
+    """The bloom gate is a stateless predicate (bitmap = array literal in
+    the closure), so streaming prep with eval_bloom emits exactly the batch
+    rows: quality-pass minus bloom-contaminated, then redacted."""
+    from healthcare_data_pipeline_spark.operators.decontaminate import (
+        collect_bloom,
+        contaminated_ids,
+    )
+    from healthcare_data_pipeline_spark.operators.quality import quality_predicate
+    from healthcare_data_pipeline_spark.operators.redact import redact_pii
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+
+    d = table(spark, SF_DIR, "documents")
+    ev = d.filter(F.col("source") == "src0")
+    words = collect_bloom(ev, n=3)
+    stream = ing.prep_stream(
+        ing.read_documents_stream(spark, SF_DIR), eval_bloom=words, bloom_ngram=3
+    )
+    stv.run_to_memory(stream.select("doc_id", "text"), "bloom_prep_out", output_mode="append")
+    got = {
+        (r.doc_id, r.text) for r in spark.sql("SELECT * FROM bloom_prep_out").collect()
+    }
+    passing = d.filter(quality_predicate(min_stopword_ratio=0.01))
+    bad = contaminated_ids(passing, ev, mode="bloom", n=3)
+    batch = redact_pii(passing.join(F.broadcast(bad), "doc_id", "left_anti"))
+    want = {(r.doc_id, r.text) for r in batch.select("doc_id", "text").collect()}
+    assert got == want and len(got) > 0
+    # the gate actually dropped something (src0 text overlaps other sources
+    # in the synthetic corpus)
+    n_without = passing.count()
+    assert len({g[0] for g in got}) < n_without
