@@ -122,15 +122,21 @@ def bloom_bitmap(
         "CAST(p DIV 64 AS INT) AS w",
         "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)) AS mask",
     )
-    return (
-        words.groupBy("w")
-        .agg(F.expr("bit_or(mask)").alias("bits"))
-        .agg(F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("wm"))
-        .selectExpr(
-            f"transform(sequence(0, {n_words - 1}), "
-            "i -> coalesce(element_at(wm, i), CAST(0 AS BIGINT))) AS bm"
-        )
+    wm = words.groupBy("w").agg(F.expr("bit_or(mask)").alias("bits"))
+    # Densify via a range LEFT join + ONE ordered collect, then a linear
+    # field extract.  (The tempting alternative — collect into a MAP and
+    # element_at(map, i) per index — is quadratic: Spark map lookup is a
+    # linear scan and higher-order functions run interpreted, measured 14s
+    # for 2^20 bits vs ~0.3s for this shape.)
+    dense = (
+        wm.sparkSession.range(n_words)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(wm, "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0).cast("bigint")).alias("bits"))
+        .agg(F.array_sort(F.collect_list(F.struct("w", "bits"))).alias("arr"))
+        .selectExpr("transform(arr, x -> x.bits) AS bm")
     )
+    return dense
 
 
 def _bloom_hit_sql(grams_expr: str, m_bits: int, bm_col: str = "bm") -> str:
@@ -173,14 +179,22 @@ def flag_bloom(
 ) -> DataFrame:
     """``df`` + boolean ``out_col``: bloom says this row shares an n-gram
     with the eval suite ``bloom_words`` was built from (``collect_bloom``).
-    Pure row-level expression — streaming-safe, shuffle-free, join-free."""
+    Stateless per row — streaming-safe (stream-static broadcast of the one
+    bitmap row), shuffle-free, no join relation.
+
+    Delivery detail: the bitmap rides as a ONE-ROW static DataFrame through
+    the standard 1×1 broadcast combine, NOT as an inline array literal — a
+    16K-element ``F.lit(list)`` becomes a CreateArray expression that Spark
+    re-evaluates per input row (measured ~17s over 5k docs vs ~1s for the
+    broadcast row)."""
     m_bits = len(bloom_words) * 64
+    bm = df.sparkSession.createDataFrame([(bloom_words,)], "__bm array<bigint>")
     return (
         df.withColumn(
             "__bm_toks", F.expr(f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+')")
         )
         .withColumn("__bm_grams", F.expr(word_ngrams_sql(n, toks="__bm_toks")))
-        .withColumn("__bm", F.lit(bloom_words).cast("array<bigint>"))
+        .crossJoin(F.broadcast(bm))
         .withColumn(out_col, F.expr(_bloom_hit_sql("__bm_grams", m_bits, bm_col="__bm")))
         .drop("__bm_toks", "__bm_grams", "__bm")
     )

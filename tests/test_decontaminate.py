@@ -149,9 +149,11 @@ def test_bloom_train_side_plan_is_joinless(spark):
     )
     plan = simple_plan(out)
     assert "SortMergeJoin" not in plan
-    # no hash-join relation anywhere: the only join is the 1-row bitmap
-    # nested-loop broadcast (the documented scalar-combine pattern)
-    assert "BroadcastHashJoin" not in plan
+    # exactly two joins, both eval/bitmap-side: the densify's range-left
+    # join (16K words vs the set-bit words) and the 1-row bitmap
+    # nested-loop broadcast (the documented scalar-combine pattern).  The
+    # train relation itself joins nothing.
+    assert plan.count("BroadcastHashJoin") == 1
     assert plan.count("BroadcastNestedLoopJoin") == 1
     # empty eval side -> all-zero bitmap -> nothing flagged, no error
     empty_ev = d.filter(F.lit(False))

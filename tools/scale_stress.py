@@ -137,6 +137,24 @@ def ops(spark, sf_dir: str):
     )
     en = quantized(spark, sf_dir)
     index_dir = os.path.join(sf_dir, "ann_index")
+    from healthcare_data_pipeline_spark.ml.quality_classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from healthcare_data_pipeline_spark.operators.decontaminate import decontaminate
+
+    # Fixed-size eval slice (replica 0 only) for the decontamination rows.
+    ev_slice = docs.filter((F.col("doc_id") % 20 == 3) & (F.col("doc_id") < 10_000_000))
+    # Fixed-size labeled sample for classifier training (untimed; the timed
+    # op is scoring).  Negatives: deterministic hex gibberish from positives.
+    cls_pos = docs.filter(F.col("doc_id") < 10_000_000).limit(300).select("text")
+    cls_neg = cls_pos.select(
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 40), "
+            "i -> substring(md5(concat(text, CAST(i AS STRING))), 1, 8)))"
+        ).alias("text")
+    )
+    model = train_quality_classifier(cls_pos, cls_neg)
 
     def sink(df):
         df.write.format("noop").mode("overwrite").save()
@@ -202,6 +220,23 @@ def ops(spark, sf_dir: str):
         ),
         "corpus_drift_report (fixed new batch)": lambda: sink(
             corpus_drift_report(docs, docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 10_000_000)))
+        ),
+        # Decontamination twins (dd13 vs dd20) against a FIXED eval slice
+        # (benchmarks do not grow with the crawl): ngram explodes the train
+        # side and semi-joins the broadcast gram set; bloom replaces the
+        # join with a fixed 128 KiB bitmap predicate — both should be
+        # scan-bound in corpus size, bloom with the flatter constant.
+        "decontaminate ngram (broadcast eval grams)": lambda: sink(
+            decontaminate(docs, ev_slice, mode="ngram", n=3)
+        ),
+        "decontaminate bloom (fixed bitmap)": lambda: sink(
+            decontaminate(docs, ev_slice, mode="bloom", n=3)
+        ),
+        # Classifier scoring (ml/quality_classifier): training is untimed
+        # (fixed labeled sample, replica 0); the timed pass is the 100 TB
+        # shape — a map-side JVM transform of the whole corpus.
+        "classifier_score (map-side transform)": lambda: sink(
+            score_quality(model, docs)
         ),
         "ann_index_probe (build once)": probe,
     }
@@ -339,6 +374,19 @@ def main() -> None:
         f"`corpus_drift_report` (alpha {alphas.get('corpus_drift_report (fixed new batch)')}) is the lightest: "
         "ONE groupBy(token) over both sides with a side flag — no join "
         "between the corpora at all — then a scalar rollup.",
+        "",
+        "Decontamination twins against a FIXED eval slice: ngram mode "
+        f"(alpha {alphas.get('decontaminate ngram (broadcast eval grams)')}) explodes the train side into "
+        "distinct grams and broadcast-semi-joins them; bloom mode "
+        f"(alpha {alphas.get('decontaminate bloom (fixed bitmap)')}) replaces the explode+join with a "
+        "128 KiB bitmap predicate inside codegen — same scan-bound growth, "
+        "flatter constant, and (the real point, not visible on this axis) "
+        "O(1) memory in EVAL size where ngram's broadcast grows with every "
+        "benchmark added. `classifier_score` "
+        f"(alpha {alphas.get('classifier_score (map-side transform)')}) is the quality classifier's "
+        "corpus pass: tokenize -> hashed TF -> logistic, all JVM map-side — "
+        "scoring must stay scan-bound because it touches every document of "
+        "the crawl.",
         "",
         "Harness sensitivity check: with a suffix-only replica perturbation "
         "(cross-replica MinHash signatures collide, so ~(k-1)/k of the corpus "
