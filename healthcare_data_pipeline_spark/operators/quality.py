@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from healthcare_data_pipeline_spark.queries.text import STOPWORDS
+from healthcare_data_pipeline_spark.queries.text import GOPHER_STOPWORDS, STOPWORDS
 
 
 def quality_predicate(
@@ -58,6 +58,105 @@ def filter_corpus(
             max_avg_word_len=max_avg_word_len,
             min_stopword_ratio=min_stopword_ratio,
         )
+    )
+
+
+def gopher_quality_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al. 2021,
+    appendix A1.1) as per-document flags — the industry-standard heuristic
+    battery a crawl pipeline runs before any model-based scoring:
+
+    - ``flag_word_count``:   50 ≤ words ≤ 100,000
+    - ``flag_mean_word_len``: mean word length in [3, 10] chars
+    - ``flag_hash_ratio``:   '#'-to-word ratio ≤ 0.1
+    - ``flag_ellipsis_ratio``: '...'/'…'-to-word ratio ≤ 0.1
+    - ``flag_bullet_lines``: ≤ 90% of (non-empty) lines start with a bullet
+    - ``flag_ellipsis_lines``: ≤ 30% of lines end with an ellipsis
+    - ``flag_alpha_words``:  ≥ 80% of words contain an alphabetic char
+    - ``flag_stopwords``:    ≥ 2 distinct Gopher stopwords present
+    - ``gopher_pass``:       AND of all eight
+
+    Every threshold is evaluated in INTEGER arithmetic (``10*count ≤ n``
+    instead of ``count/n ≤ 0.1``), so the flags are bit-identical in any
+    engine — catalog t27 hash-verifies all eight against DuckDB.  One
+    projection, no shuffle, no UDF: the whole battery is a single codegen
+    stage over the scan.
+    """
+    prepared = docs.selectExpr(id_col, _gopher_counts_sql(text_col) + " AS g").selectExpr(
+        id_col, "g.*"
+    )
+    out = prepared.selectExpr(
+        id_col,
+        "n_words",
+        "n_lines",
+        *[f"({sql}) AS {name}" for name, sql in _GOPHER_FLAGS.items()],
+        f"({_GOPHER_PASS_SQL}) AS gopher_pass",
+    )
+    return out
+
+
+def _gopher_counts_sql(text_col: str) -> str:
+    """One struct-valued SQL expression with every count the flags need —
+    shared by the flag projection and the inline filter predicate."""
+    ws = "[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+"
+    toks = f"filter(split(lower({text_col}), '{ws}'), x -> x != '')"
+    lines = f"filter(split({text_col}, '\\n'), l -> l != '')"
+    stop_sum = " + ".join(
+        f"IF(array_contains({toks}, '{w}'), 1, 0)" for w in GOPHER_STOPWORDS
+    )
+    return f"""named_struct(
+      'n_words', size({toks}),
+      'n_lines', size({lines}),
+      'total_chars', aggregate({toks}, 0, (acc, x) -> acc + length(x)),
+      'hash_cnt', length({text_col}) - length(replace({text_col}, '#', '')),
+      'ellipsis_cnt', CAST((length({text_col}) - length(replace({text_col}, '...', ''))) DIV 3
+        + length({text_col}) - length(replace({text_col}, '…', '')) AS INT),
+      'bullet_lines', size(filter({lines}, l -> substring(l, 1, 1) = '•'
+        OR substring(l, 1, 2) = '- ' OR substring(l, 1, 2) = '* ')),
+      'ellipsis_lines', size(filter({lines}, l -> substring(l, length(l) - 2, 3) = '...'
+        OR substring(l, length(l), 1) = '…')),
+      'alpha_words', size(filter({toks}, x -> x rlike '[a-z]')),
+      'n_stopwords', {stop_sum}
+    )"""
+
+
+_GOPHER_FLAGS = {
+    "flag_word_count": "n_words BETWEEN 50 AND 100000",
+    "flag_mean_word_len": "3 * n_words <= total_chars AND total_chars <= 10 * n_words",
+    "flag_hash_ratio": "10 * hash_cnt <= n_words",
+    "flag_ellipsis_ratio": "10 * ellipsis_cnt <= n_words",
+    "flag_bullet_lines": "10 * bullet_lines <= 9 * n_lines",
+    "flag_ellipsis_lines": "10 * ellipsis_lines <= 3 * n_lines",
+    "flag_alpha_words": "5 * alpha_words >= 4 * n_words",
+    "flag_stopwords": "n_stopwords >= 2",
+}
+_GOPHER_PASS_SQL = " AND ".join(f"({sql})" for sql in _GOPHER_FLAGS.values())
+
+
+def gopher_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``docs`` minus Gopher-rule failures (all original columns kept) —
+    a stateless row predicate (streaming-safe, joins nothing, broadcasts
+    nothing): the counts struct is computed once per row, tested, dropped;
+    the whole battery stays one codegen stage over the scan."""
+    pass_sql = _GOPHER_PASS_SQL
+    for field in (
+        "n_words",
+        "n_lines",
+        "total_chars",
+        "hash_cnt",
+        "ellipsis_cnt",
+        "bullet_lines",
+        "ellipsis_lines",
+        "alpha_words",
+        "n_stopwords",
+    ):
+        pass_sql = pass_sql.replace(field, f"__g.{field}")
+    return (
+        docs.withColumn("__g", F.expr(_gopher_counts_sql(text_col)))
+        .filter(F.expr(pass_sql))
+        .drop("__g")
     )
 
 

@@ -17,6 +17,10 @@ from healthcare_data_pipeline_spark.queries import query
 # Stopword markers used by the quality / language heuristics (vocabulary-based;
 # deterministic and oracle-expressible).
 STOPWORDS = ("the", "a", "of", "and", "in", "to")
+# The Gopher paper's required-stopword list (Rae et al. 2021, A1.1) — lives
+# here beside STOPWORDS because operators.quality imports from this module
+# (same direction for both constants keeps the import graph acyclic).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _STOP_SQL = "('the', 'a', 'of', 'and', 'in', 'to')"
 
 
@@ -1059,3 +1063,81 @@ def t26_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_drift_report(
         d.filter(F.col("source") != "src19"), d.filter(F.col("source") == "src19")
     )
+
+
+def _gopher_oracle_sql() -> str:
+    """t27 oracle: the Gopher rule battery recomputed in DuckDB list
+    functions — every threshold in the same integer arithmetic as the Spark
+    expressions, so all eight flags hash-compare exactly."""
+    stop_sum = " + ".join(
+        f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+'),
+                         x -> len(x) > 0) AS toks,
+             list_filter(string_split(text, chr(10)), l -> len(l) > 0) AS lines,
+             len(text) - len(replace(text, '#', '')) AS hash_cnt,
+             CAST((len(text) - len(replace(text, '...', ''))) // 3
+               + len(text) - len(replace(text, '…', '')) AS BIGINT) AS ellipsis_cnt
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT)
+               AS total_chars,
+             hash_cnt, ellipsis_cnt,
+             CAST(len(list_filter(lines, l -> substr(l, 1, 1) = '•'
+               OR substr(l, 1, 2) = '- ' OR substr(l, 1, 2) = '* ')) AS BIGINT)
+               AS bullet_lines,
+             CAST(len(list_filter(lines, l -> substr(l, len(l) - 2, 3) = '...'
+               OR substr(l, len(l), 1) = '…')) AS BIGINT) AS ellipsis_lines,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
+               AS alpha_words,
+             ({stop_sum}) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id,
+           n_words,
+           n_lines,
+           (n_words BETWEEN 50 AND 100000) AS flag_word_count,
+           (3 * n_words <= total_chars AND total_chars <= 10 * n_words) AS flag_mean_word_len,
+           (10 * hash_cnt <= n_words) AS flag_hash_ratio,
+           (10 * ellipsis_cnt <= n_words) AS flag_ellipsis_ratio,
+           (10 * bullet_lines <= 9 * n_lines) AS flag_bullet_lines,
+           (10 * ellipsis_lines <= 3 * n_lines) AS flag_ellipsis_lines,
+           (5 * alpha_words >= 4 * n_words) AS flag_alpha_words,
+           (n_stopwords >= 2) AS flag_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+             AND (3 * n_words <= total_chars AND total_chars <= 10 * n_words)
+             AND (10 * hash_cnt <= n_words)
+             AND (10 * ellipsis_cnt <= n_words)
+             AND (10 * bullet_lines <= 9 * n_lines)
+             AND (10 * ellipsis_lines <= 3 * n_lines)
+             AND (5 * alpha_words >= 4 * n_words)
+             AND (n_stopwords >= 2)) AS gopher_pass
+    FROM c
+    """
+
+
+@query(
+    "t27_gopher_quality",
+    oracle=_gopher_oracle_sql(),
+    tags=("text", "EXT", "quality", "gopher"),
+    doc="The published Gopher document-quality rule battery (Rae et al. 2021 A1.1) as "
+    "per-document flags (operators.quality.gopher_quality_flags): word-count range, mean "
+    "word length, #/ellipsis symbol ratios, bullet/ellipsis line ratios, alphabetic-word "
+    "share, stopword presence — the industry-standard heuristic pre-filter before any "
+    "model-based scoring. Every threshold is integer arithmetic (10*count <= n, never "
+    "count/n <= 0.1), so all eight flags plus the AND hash-compare exactly cross-engine. "
+    "One projection over the scan, no shuffle, no UDF; gopher_filter applies the same "
+    "battery as a stateless streaming-safe predicate.",
+)
+def t27_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.quality import gopher_quality_flags
+
+    return gopher_quality_flags(table(spark, sf_dir, "documents"))

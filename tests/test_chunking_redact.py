@@ -528,3 +528,59 @@ def test_corpus_drift_report_modes(spark):
 
     with pytest.raises(ValueError):
         corpus_drift_report(a, c, mode="bogus")
+
+
+def test_gopher_flags_each_rule_fires_specifically(spark):
+    """One crafted violator per Gopher rule: exactly the targeted flag is
+    false (the base passing doc trips none)."""
+    from healthcare_data_pipeline_spark.operators.quality import gopher_quality_flags
+
+    # a clean doc: 60 natural-ish words incl. stopwords, short lines
+    base_words = ("the quick brown fox jumps over the lazy dog and that have with " * 5).split()
+    base = " ".join(base_words[:60])
+    rows = [
+        (0, base),
+        (1, "the of and short"),                                # word count < 50
+        (2, " ".join(["aa"] * 60)),                             # mean word len < 3 (also stopwords)
+        (3, base + " " + "#" * 40),                             # hash ratio (40 hashes vs ~61 words)
+        (4, base + " " + "... " * 20),                          # ellipsis ratio
+        (5, "\n".join(["- " + base] * 10)),                     # all lines bullets
+        (6, "\n".join([base + " ..."] * 10)),                   # all lines end ellipsis
+        (7, base + " " + " ".join(["123"] * 60)),               # alpha share < 80%
+        (8, " ".join(["zebra"] * 60)),                          # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert got[0]["gopher_pass"], got[0]
+    assert not got[1]["flag_word_count"]
+    assert not got[2]["flag_mean_word_len"]
+    assert not got[3]["flag_hash_ratio"] and got[3]["flag_word_count"]
+    assert not got[4]["flag_ellipsis_ratio"]
+    assert not got[5]["flag_bullet_lines"]
+    assert not got[6]["flag_ellipsis_lines"]
+    assert not got[7]["flag_alpha_words"]
+    assert not got[8]["flag_stopwords"]
+    for i in range(1, 9):
+        assert not got[i]["gopher_pass"]
+
+
+def test_gopher_filter_matches_flags_and_plan_is_scan_bound(spark):
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.quality import (
+        gopher_filter,
+        gopher_quality_flags,
+    )
+    from healthcare_data_pipeline_spark.plans import simple_plan
+    from tests.conftest import SF_DIR
+
+    docs = table(spark, SF_DIR, "documents")
+    kept = gopher_filter(docs)
+    assert kept.columns == docs.columns
+    want = {
+        r.doc_id
+        for r in gopher_quality_flags(docs).filter("gopher_pass").select("doc_id").collect()
+    }
+    got = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert got == want
+    plan = simple_plan(kept)
+    assert "Exchange" not in plan and "Join" not in plan
