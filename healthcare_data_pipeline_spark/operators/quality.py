@@ -242,6 +242,9 @@ def prep_corpus(
     id_col: str = "doc_id",
     min_stopword_ratio: float | None = 0.01,
     hasher: str = "portable",
+    use_gopher: bool = False,
+    classifier_model=None,
+    classifier_threshold: float = 0.5,
     max_rare_bigram_ratio: float | None = None,
     rare_df: int = 2,
     span_k: int | None = None,
@@ -262,6 +265,16 @@ def prep_corpus(
     documents that can actually ship.  The optional stages slot in where a
     training pipeline actually wants them:
 
+    - ``use_gopher`` adds the Gopher rule battery (``gopher_filter``, t27)
+      right after the base gates — another stateless predicate over the same
+      scan, so it costs no extra pass.
+    - ``classifier_model`` (from ``ml.quality_classifier``) adds the
+      model-based keep (``quality_prob >= classifier_threshold``) after the
+      heuristic gates — heuristics first is the published recipe: the
+      classifier is ~100× the per-doc cost of a predicate, so it should see
+      only documents the cheap rules could not reject.  Map-side JVM
+      transform; no shuffle.  (Not SQL-expressible, so the composed form is
+      pytest-verified; the catalog entries never pass a model.)
     - ``max_rare_bigram_ratio`` gates on ``rare_bigram_scores`` BETWEEN the
       per-doc filter and dedup — the bigram frequency table is computed over
       the quality-passing corpus (junk should not contribute "natural"
@@ -292,6 +305,16 @@ def prep_corpus(
     filtered = filter_corpus(
         docs, text_col=text_col, min_stopword_ratio=min_stopword_ratio
     )
+    if use_gopher:
+        filtered = gopher_filter(filtered, text_col=text_col)
+    if classifier_model is not None:
+        from healthcare_data_pipeline_spark.ml.quality_classifier import score_quality
+
+        filtered = (
+            score_quality(classifier_model, filtered, text_col=text_col)
+            .filter(F.col("quality_prob") >= float(classifier_threshold))
+            .drop("quality_prob")
+        )
     if max_rare_bigram_ratio is not None:
         keep = (
             rare_bigram_scores(filtered, rare_df=rare_df, id_col=id_col, text_col=text_col)

@@ -105,3 +105,44 @@ def test_scoring_plan_is_mapside_and_python_free(model_and_data):
     plan = simple_plan(score_quality(model, pos_held))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prep_corpus_composed_with_gopher_and_classifier(model_and_data, spark):
+    """The fully-composed front door: heuristic gates -> Gopher battery ->
+    classifier keep -> dedup; each optional stage only ever REMOVES docs,
+    and the classifier stage drops gibberish the heuristics admit."""
+    from healthcare_data_pipeline_spark.operators.quality import prep_corpus
+
+    model, _, _ = model_and_data
+    docs, gib = _corpora(spark)
+    # give gibberish plausible heuristic stats is hard (hex tokens are
+    # 8 chars, no stopwords) — so mix gibberish that PASSES the base gate:
+    # natural stopword scaffolding with hex filler (fools ratios, not the
+    # classifier's hashed-TF weights)
+    tricky = gib.select(
+        "doc_id",
+        F.expr(
+            "concat('the of a in to and that have with be ', text, "
+            "' the of a in to and that have with be')"
+        ).alias("text"),
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("gib")).withColumn(
+        "n_chars", F.length("text")
+    )
+    mixed = docs.select("doc_id", "text").withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("nat")
+    ).withColumn("n_chars", F.length("text")).unionByName(tricky)
+    base = prep_corpus(mixed)
+    with_cls = prep_corpus(mixed, classifier_model=model, classifier_threshold=0.5)
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+    cls_ids = {r.doc_id for r in with_cls.select("doc_id").collect()}
+    assert cls_ids <= base_ids
+    tricky_in_base = {i for i in base_ids if i >= 1_000_000}
+    tricky_in_cls = {i for i in cls_ids if i >= 1_000_000}
+    assert tricky_in_base, "scaffolded gibberish should pass the heuristic gates"
+    assert len(tricky_in_cls) < len(tricky_in_base) / 2, (
+        "classifier should drop most scaffolded gibberish the heuristics admit"
+    )
+    # gopher composes the same way (subset, same schema)
+    with_gopher = prep_corpus(mixed, use_gopher=True)
+    g_ids = {r.doc_id for r in with_gopher.select("doc_id").collect()}
+    assert g_ids <= base_ids and with_gopher.columns == base.columns
