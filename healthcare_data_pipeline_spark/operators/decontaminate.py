@@ -92,6 +92,21 @@ def _exploded_ngrams(df: DataFrame, n: int, id_col: str, text_col: str) -> DataF
     ).selectExpr(id_col, f"explode(array_distinct({word_ngrams_sql(n)})) AS g")
 
 
+def bloom_m_bits(n_grams: int, target_fpp: float = 1e-5) -> int:
+    """Bitmap size for an expected eval gram count and per-gram false-positive
+    target: the standard ``m = -n·ln(p)/ln(2)²`` sizing, rounded UP to a
+    multiple of 64 (whole words) with a 2^20 floor.  At k=3 hash functions the
+    realized FPP is within ~2× of ``target_fpp`` for the p range that matters
+    (1e-3..1e-7); size generously — bits are 8 bytes per 64 grams."""
+    import math
+
+    if n_grams < 0 or not (0.0 < target_fpp < 1.0):
+        raise ValueError(f"need n_grams >= 0 and 0 < target_fpp < 1, got {n_grams}, {target_fpp}")
+    m = int(math.ceil(-n_grams * math.log(target_fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    return max(m, BLOOM_M)
+
+
 def bloom_bitmap(
     eval_df: DataFrame,
     n: int = DEFAULT_NGRAM,

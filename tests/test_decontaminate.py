@@ -187,3 +187,25 @@ def test_flag_bloom_literal_matches_distributed_bitmap(spark):
     }
     df_ids = {r.doc_id for r in contaminated_ids(train, ev, mode="bloom", n=3).collect()}
     assert lit_ids == df_ids and lit_ids
+
+
+def test_bloom_m_bits_sizing():
+    """Pure-arithmetic sizing contract: word-aligned, floored at the 2^20
+    default, monotone in n and in -log(p)."""
+    from healthcare_data_pipeline_spark.operators.decontaminate import (
+        BLOOM_M,
+        bloom_m_bits,
+    )
+
+    assert bloom_m_bits(0) == BLOOM_M
+    assert bloom_m_bits(10_000) == BLOOM_M  # small suites stay at the floor
+    big = bloom_m_bits(100_000_000, 1e-5)
+    assert big % 64 == 0 and big > BLOOM_M
+    assert bloom_m_bits(200_000_000, 1e-5) > big
+    assert bloom_m_bits(100_000_000, 1e-7) > big
+    # the classic formula: 1e8 grams at 1e-5 needs ~2.4 GBits
+    assert 2.3e9 < big < 2.5e9
+    with pytest.raises(ValueError):
+        bloom_m_bits(-1)
+    with pytest.raises(ValueError):
+        bloom_m_bits(10, 1.5)
