@@ -433,6 +433,75 @@ def dedup_embeddings(en: DataFrame, threshold: float = 0.8) -> DataFrame:
     return en.join(removed, "vec_id", "left_anti")
 
 
+def cell_candidate_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Within-cell candidate pairs with exact cosine rescoring.
+
+    ``assigned`` carries (vec_id, iv, nrm2, cell); the join is cell-local
+    (one shuffle on ``cell``), so cost is sum over cells of |cell|² instead
+    of N² — the quantizer's cell count is the quadratic-term knob.  Output:
+    (d1, d2, cell, cosine_sim) for pairs at or above ``threshold``.
+    """
+    left = assigned.select(
+        F.col("vec_id").alias("d1"), F.col("iv").alias("a_iv"), F.col("nrm2").alias("a_n"), "cell"
+    )
+    right = assigned.select(
+        F.col("vec_id").alias("d2"), F.col("iv").alias("b_iv"), F.col("nrm2").alias("b_n"), "cell"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a_iv"), F.col("b_iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n")))
+    return (
+        left.join(right, "cell")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "cell", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semdedup(
+    en: DataFrame, threshold: float = 0.9, assigned: DataFrame | None = None, keep_flags: bool = False
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering the embedding space with the coarse quantizer, computing
+    pairwise cosine ONLY within each cluster, and dropping every
+    non-canonical member of each near-dup component (canonical = min
+    vec_id, deterministic on any partitioning).
+
+    The cluster-scoped pairwise join is what makes the recipe scale: with
+    cell count chosen so the largest cell fits one task (the paper's
+    sqrt(N)-clusters regime), per-cell work is bounded and the only shuffle
+    is on the cell key.  Against a PERSISTED index (ann_index_build) the
+    cells are already disk-partitioned, so each cell's pairs form from one
+    partition-pruned scan.  Contrast dedup_embeddings (sign-bit LSH
+    buckets): LSH recall is threshold-agnostic-cheap but bucket-boundary
+    misses are possible; SemDeDup guarantees every pair within a cluster is
+    scored, missing only cross-cluster twins (the published trade).
+
+    ``assigned`` lets callers reuse an existing (vec_id, iv, nrm2, cell)
+    assignment (e.g. a persisted index); default quantizes via
+    ``centroid_assign``.  Returns survivors (assigned columns, cell kept);
+    with ``keep_flags=True`` returns the full decision table
+    (vec_id, cell, kept) — one row per input vector, auditable.
+    """
+    from healthcare_data_pipeline_spark.operators.components import connected_components
+
+    if assigned is None:
+        assigned = centroid_assign(en)
+    pairs = cell_candidate_pairs(assigned, threshold)
+    comp = connected_components(pairs, "d1", "d2")
+    removed = comp.filter(F.col("component") < F.col("vertex")).select(
+        F.col("vertex").alias("vec_id")
+    )
+    if keep_flags:
+        return assigned.join(
+            removed.withColumn("__rm", F.lit(1)), "vec_id", "left"
+        ).select("vec_id", "cell", F.col("__rm").isNull().alias("kept"))
+    return assigned.join(removed, "vec_id", "left_anti")
+
+
 def label_centroids(en: DataFrame) -> DataFrame:
     """Per-label mean vectors — the coarse quantizer table (cent_id, cv)."""
     comp = (

@@ -1530,3 +1530,61 @@ def dd19_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(d, k=8).select(
         "doc_id", "text", "n_tokens", "n_removed", "n_dup_spans"
     )
+
+
+def _semdedup_oracle_sql(threshold: float) -> str:
+    """dd21 oracle: the s07 quantizer-assignment CTEs (integer component-sum
+    centroids + exact routing) -> within-cell pairwise cosine at or above
+    ``threshold`` -> recursive-CTE transitive closure -> per-vector decision
+    flag.  One row per corpus vector: (vec_id, cell, kept)."""
+    from healthcare_data_pipeline_spark.queries.similarity import _index_assign_ctes
+
+    return (
+        _index_assign_ctes("TRUE").replace("WITH", "WITH RECURSIVE", 1)
+        + f"""
+    , cp AS (
+      SELECT a1.vec_id AS d1, a2.vec_id AS d2
+      FROM assign a1
+      JOIN assign a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+      JOIN en e1 ON e1.vec_id = a1.vec_id
+      JOIN en e2 ON e2.vec_id = a2.vec_id
+      WHERE list_dot_product(e1.iv, e2.iv) / (sqrt(e1.nrm2) * sqrt(e2.nrm2))
+            >= {threshold}
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM cp
+      UNION
+      SELECT d2 AS a, d1 AS b FROM cp
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    removed AS (
+      SELECT a AS vec_id FROM reach GROUP BY a HAVING MIN(b) < a
+    )
+    SELECT a.vec_id, a.cell, (r.vec_id IS NULL) AS kept
+    FROM assign a LEFT JOIN removed r USING (vec_id)
+    """
+    )
+
+
+@query(
+    "dd21_semdedup",
+    oracle=_semdedup_oracle_sql(0.3),
+    tags=("dedup", "EXT", "embedding", "semdedup"),
+    doc="SemDeDup (operators.similarity.semdedup, Abbas et al. 2023): quantizer-cell "
+    "clustering -> pairwise cosine ONLY within each cell -> connected components -> drop "
+    "non-canonical members.  The cluster-scoped twin of dd10's LSH-bucket dedup: every "
+    "within-cluster pair is guaranteed scored (no bucket-boundary misses), and the cell "
+    "count bounds the quadratic term.  Emits the full per-vector decision table "
+    "(vec_id, cell, kept) so the hash verifies assignment, scoring, and the component "
+    "decision for every corpus vector; threshold 0.3 is set low to exercise removals on "
+    "the synthetic corpus (production default 0.9).",
+)
+def dd21_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import semdedup
+
+    en = quantized(spark, sf_dir)
+    return semdedup(en, threshold=0.3, keep_flags=True)

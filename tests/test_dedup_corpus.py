@@ -605,3 +605,55 @@ def test_prep_corpus_span_stage_collapses_templated_dups(spark):
     # the header tokens
     texts = [r.text for r in prep_corpus(docs2, span_k=11).select("doc_id", "text").collect() if r.doc_id == 1]
     assert texts and "terms" not in texts[0]
+
+
+def test_semdedup_exact_duplicates_collapse(spark):
+    """SemDeDup: cloned vectors (cosine exactly 1.0, same quantizer cell)
+    must collapse to the canonical (min vec_id) original; non-cloned vectors
+    all survive at a threshold above the corpus's natural max cosine."""
+    from healthcare_data_pipeline_spark.operators.similarity import semdedup
+
+    en = quantized(spark, SF_DIR)
+    clones = en.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "label", "iv", "nrm2"
+    )
+    both = en.unionByName(clones)
+    survivors = sorted(r.vec_id for r in semdedup(both, threshold=0.99).select("vec_id").collect())
+    originals = sorted(r.vec_id for r in en.select("vec_id").collect())
+    # every clone dropped (its original is the smaller id), nothing else is
+    assert survivors == originals
+
+
+def test_semdedup_flags_match_survivors(spark):
+    """keep_flags=True emits one decision row per input vector; its kept set
+    equals the survivor front door's output, and survivors == union-find over
+    the SAME within-cell thresholded pairs."""
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        cell_candidate_pairs,
+        centroid_assign,
+        semdedup,
+    )
+
+    en = quantized(spark, SF_DIR)
+    flags = semdedup(en, threshold=0.3, keep_flags=True).collect()
+    assert len(flags) == en.count()
+    kept = sorted(r.vec_id for r in flags if r.kept)
+    surv = sorted(r.vec_id for r in semdedup(en, threshold=0.3).select("vec_id").collect())
+    assert kept == surv
+    assigned = centroid_assign(en)
+    pairs = [(r.d1, r.d2) for r in cell_candidate_pairs(assigned, 0.3).collect()]
+    ids = sorted(r.vec_id for r in en.select("vec_id").collect())
+    assert kept == _union_find_survivors(ids, pairs)
+
+
+def test_semdedup_pair_join_is_cell_local(spark):
+    """The within-cell pairwise join must hash/merge on the cell key — no
+    BroadcastNestedLoop, no cartesian product.  (The quantizer routing's
+    fixed-size centroid broadcast is outside this subplan: ``assigned`` here
+    is a plain cell column, isolating the pair join itself.)"""
+    from healthcare_data_pipeline_spark.operators.similarity import cell_candidate_pairs
+
+    en = quantized(spark, SF_DIR).withColumn("cell", (F.col("vec_id") % 7).cast("int"))
+    plan = simple_plan(cell_candidate_pairs(en, 0.3))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
