@@ -124,6 +124,7 @@ def ops(spark, sf_dir: str):
     from healthcare_data_pipeline_spark.operators.similarity import (
         ann_index_build,
         ann_index_probe,
+        semdedup,
     )
     from healthcare_data_pipeline_spark.queries.similarity import quantized
 
@@ -136,6 +137,7 @@ def ops(spark, sf_dir: str):
         ),
     )
     en = quantized(spark, sf_dir)
+    n_emb = en.count()  # untimed; sizes the semdedup cell count
     index_dir = os.path.join(sf_dir, "ann_index")
     from healthcare_data_pipeline_spark.ml.quality_classifier import (
         score_quality,
@@ -237,6 +239,24 @@ def ops(spark, sf_dir: str):
         # shape — a map-side JVM transform of the whole corpus.
         "classifier_score (map-side transform)": lambda: sink(
             score_quality(model, docs)
+        ),
+        # SemDeDup in its published regime: cluster count grows with the
+        # corpus so cell size stays bounded (~50 vectors/cell — the paper's
+        # sqrt(N)-to-fixed-size range).  With a FIXED cell count the
+        # within-cell pairwise term is N²/n_cells by design (that knob is
+        # the operator's documented quadratic control, not a plan defect),
+        # so the honest scale row holds cell size constant via the
+        # ``assigned`` hook (hash cells — plan mechanics, not recall, are
+        # what this harness measures).  The untimed count sizes n_cells.
+        "semdedup (cells ~ N/50, bounded cell size)": lambda: sink(
+            semdedup(
+                en,
+                threshold=0.3,
+                assigned=en.withColumn(
+                    "cell",
+                    F.pmod(F.xxhash64("vec_id"), F.lit(max(1, n_emb // 50))).cast("int"),
+                ),
+            )
         ),
         "ann_index_probe (build once)": probe,
     }
