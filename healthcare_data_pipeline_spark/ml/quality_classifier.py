@@ -38,6 +38,8 @@ from pyspark.ml.functions import vector_to_array
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from healthcare_data_pipeline_spark.ml.util import strip_training_summary
+
 WS_PATTERN = "[ \\t\\n\\r\\f\\x0B]+"
 NUM_FEATURES = 1 << 18
 SEED = 42
@@ -73,12 +75,20 @@ def train_quality_classifier(
             LogisticRegression(maxIter=max_iter, regParam=reg_param, standardization=False),
         ]
     )
-    return pipe.fit(labeled)
+    # The retained LR training summary references the SparkSession; scoring
+    # closures that capture the model would then serialize the session —
+    # fatal once anything has used the Observation API (see ml/util.py).
+    return strip_training_summary(pipe.fit(labeled))
 
 
 def score_quality(model: PipelineModel, docs: DataFrame, text_col: str = "text") -> DataFrame:
     """``docs`` + ``quality_prob`` (P[reference-like]).  Map-side only: the
-    model broadcasts with the task closure; no shuffle of ``docs``."""
+    model broadcasts with the task closure; no shuffle of ``docs``.
+
+    Defensively strips any retained training summary from ``model`` (in
+    place) — a summary-bearing model cannot ride a task closure on sessions
+    that have used the Observation API (see ml/util.py)."""
+    strip_training_summary(model)
     scored = model.transform(docs.withColumn("__text", F.lower(F.col(text_col))))
     return scored.withColumn(
         "quality_prob", vector_to_array(F.col("probability")).getItem(1)

@@ -146,3 +146,23 @@ def test_prep_corpus_composed_with_gopher_and_classifier(model_and_data, spark):
     with_gopher = prep_corpus(mixed, use_gopher=True)
     g_ids = {r.doc_id for r in with_gopher.select("doc_id").collect()}
     assert g_ids <= base_ids and with_gopher.columns == base.columns
+
+
+def test_scoring_survives_observation_api_use(spark):
+    """Regression: pipeline.py's cleanse metrics ride a Dataset.observe —
+    after ANY observe on the session, a scoring plan that keeps the model
+    UDF (a filter on quality_prob; count() alone would prune it) used to die
+    in closure serialization (NotSerializableException: ObservationManager)
+    because the fresh LR model retained its training summary and with it a
+    session reference.  train/score now strip the summary (ml/util.py)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("probe")
+    spark.range(10).observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    assert obs.get == {"n": 10}  # the session's Observation registry is live
+
+    docs, gib = _corpora(spark)
+    model = train_quality_classifier(docs.limit(50), gib.limit(50), max_iter=5)
+    assert not model.stages[-1].hasSummary  # summary stripped at train time
+    out = classifier_quality_filter(docs.limit(50), model, threshold=0.0)
+    assert out.count() == 50  # plan with the model UDF executes
