@@ -111,6 +111,11 @@ def test_bench_waits_for_quiet_machine_then_stamps_honestly():
 
 
 def test_bench_quiet_machine_skips_the_wait():
-    proc, out = _run_bench({"SPARK_GRAFT_BENCH_FAKE_LOAD": "0.5"})
+    # Fake the probe too: this test isolates the loadavg wait-skip path, and
+    # the REAL calibration probe correctly stamps quiet=false when the test
+    # suite itself is loading the box (exactly the noise it exists to catch).
+    proc, out = _run_bench(
+        {"SPARK_GRAFT_BENCH_FAKE_LOAD": "0.5", "SPARK_GRAFT_BENCH_FAKE_PROBE": "0.46"}
+    )
     assert "waiting" not in proc.stderr
     assert out["quiet"] is True
