@@ -27,16 +27,27 @@ The bloom mode exists because at full eval-suite scale even the broadcast
 has a cost: hundreds of benchmarks × 13-grams is easily 10^8 distinct gram
 STRINGS (~10 GB as a broadcast hash relation — past Spark's 8 GB broadcast
 ceiling and most executors' comfort).  The Bloom bitmap is O(m_bits) — a
-fixed 128 KiB at the default 2^20 bits — REGARDLESS of eval gram count, and
-membership is a per-gram ``exists()`` entirely inside codegen: the train
-side needs no explode, no join, and no shuffle at all; its physical plan is
-scan → project → (1×1 bitmap broadcast) → filter.  Hashing is the portable
-md5-h32 + affine-LCG family (same construction as the dd06 MinHash
-permutations, distinct seed range), so the whole thing — bit positions,
-bitmap, false positives included — is bit-identical in any engine and the
-DuckDB oracle verifies it value-exactly: "all k bits set" is equivalent to
-"each position ∈ the set of positions written by some eval gram", which is
-plain relational SQL.
+fixed 128 KiB at the default 2^20 bits — REGARDLESS of eval gram count.
+The batch path (``_bloom_hit_ids``) is explode → scalar bit tests →
+distinct over the hit ids → broadcast anti-join: every per-gram expression
+is scalar, so the train pass stays inside whole-stage codegen and measures
+at ngram-mode speed (SCALE.md) while the train corpus never shuffles (the
+one exchange carries only the contaminated candidate ids).  The tempting
+alternative — a per-row ``exists()`` over the gram array, no explode at
+all — runs INTERPRETED (Spark evaluates higher-order functions outside
+codegen) at ~2-4x the cost; it survives as ``flag_bloom`` for streams,
+where a stateless row predicate needs no per-batch join or state store.
+
+Hashing is a two-speed family over the same affine-LCG construction (the
+dd04/dd06 twin pattern, distinct seed range): ``hasher="fast"`` (default)
+feeds xxhash64 per gram; ``hasher="portable"`` feeds the md5-derived h32,
+bit-identical in Spark and DuckDB, so bit positions, bitmap, and false
+positives included are all value-verified by dd20's oracle — "all k bits
+set" is equivalent to "each position ∈ the set of positions written by
+some eval gram", which is plain relational SQL.  Build and probe must use
+the same hasher (``decontaminate``/``contaminated_ids`` thread it through;
+``collect_bloom``/``flag_bloom`` pairs must be called with matching
+values).
 """
 
 from __future__ import annotations
@@ -63,10 +74,19 @@ BLOOM_M = 1 << 20
 BLOOM_A = [_pmh_const(5000 + j, 1, 1_000_000) * 2 + 1 for j in range(BLOOM_K)]
 BLOOM_B = [_pmh_const(6000 + j, 0, PMH_PRIME) for j in range(BLOOM_K)]
 
-# Portable 32-bit hash of a string SQL expression: first 8 hex chars of md5
-# as an integer — bit-identical in Spark and DuckDB (queries/dedup._SQL_H32
-# is the DuckDB spelling of the same value).
-def _h32_sql(col: str) -> str:
+# Per-gram hash feeding the affine family, two speeds (the dd04/dd06 twin
+# pattern): "fast" is xxhash64 masked to a nonnegative 31-bit value — one
+# cheap JVM hash per gram, the production default; "portable" is the first
+# 8 hex chars of md5 as an integer — bit-identical in Spark and DuckDB
+# (queries/dedup._SQL_H32 is the DuckDB spelling), which is what lets dd20
+# hash-verify even the false positives cross-engine.  md5 is ~5x the cost
+# of the whole ngram-mode anti-join at scale (SCALE.md), so portable is for
+# verification, fast for the 100 TB pass.
+def _h32_sql(col: str, hasher: str = "portable") -> str:
+    if hasher == "fast":
+        return f"(xxhash64({col}) & 2147483647)"
+    if hasher != "portable":
+        raise ValueError(f"hasher must be 'fast' or 'portable', got {hasher!r}")
     return f"CAST(conv(substring(md5({col}), 1, 8), 16, 10) AS BIGINT)"
 
 
@@ -113,6 +133,7 @@ def bloom_bitmap(
     m_bits: int = BLOOM_M,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hasher: str = "fast",
 ) -> DataFrame:
     """ONE-row DataFrame [``bm``: array<bigint>, length m_bits/64] — the
     packed Bloom bitmap of ``eval_df``'s distinct word n-grams.
@@ -129,7 +150,7 @@ def bloom_bitmap(
     ev = _exploded_ngrams(eval_df, n, id_col, text_col).select("g").distinct()
     positions = ", ".join(_bloom_pos_sql(j, "h32", m_bits) for j in range(BLOOM_K))
     pos = (
-        ev.selectExpr(f"{_h32_sql('g')} AS h32")
+        ev.selectExpr(f"{_h32_sql('g', hasher)} AS h32")
         .selectExpr(f"explode(array({positions})) AS p")
         .distinct()
     )
@@ -154,16 +175,17 @@ def bloom_bitmap(
     return dense
 
 
-def _bloom_hit_sql(grams_expr: str, m_bits: int, bm_col: str = "bm") -> str:
+def _bloom_hit_sql(grams_expr: str, m_bits: int, bm_col: str = "bm", hasher: str = "fast") -> str:
     """SQL predicate: any gram in ``grams_expr`` has all BLOOM_K bits set in
-    the ``bm_col`` bitmap column.  md5 runs once per gram (transform to h32
-    first), the k bit tests stay inside whole-stage codegen."""
+    the ``bm_col`` bitmap column.  The gram hash runs once per gram
+    (transform to h32 first), the k bit tests stay inside whole-stage
+    codegen.  ``hasher`` must match the one the bitmap was built with."""
     tests = " AND ".join(
         f"(element_at({bm_col}, CAST({_bloom_pos_sql(j, 'h', m_bits)} DIV 64 AS INT) + 1) & "
         f"shiftleft(CAST(1 AS BIGINT), CAST({_bloom_pos_sql(j, 'h', m_bits)} % 64 AS INT))) != 0"
         for j in range(BLOOM_K)
     )
-    return f"exists(transform({grams_expr}, g -> {_h32_sql('g')}), h -> {tests})"
+    return f"exists(transform({grams_expr}, g -> {_h32_sql('g', hasher)}), h -> {tests})"
 
 
 def collect_bloom(
@@ -172,6 +194,7 @@ def collect_bloom(
     m_bits: int = BLOOM_M,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hasher: str = "fast",
 ) -> list[int]:
     """The packed bitmap as a driver-side list of longs — m_bits/8 bytes
     (128 KiB at the default) REGARDLESS of eval gram count, the one thing
@@ -180,7 +203,7 @@ def collect_bloom(
     single array literal, so an unbounded stream gets decontamination as a
     STATELESS row predicate — no per-batch join, no state store."""
     return list(
-        bloom_bitmap(eval_df, n=n, m_bits=m_bits, id_col=id_col, text_col=text_col)
+        bloom_bitmap(eval_df, n=n, m_bits=m_bits, id_col=id_col, text_col=text_col, hasher=hasher)
         .first()["bm"]
     )
 
@@ -191,6 +214,7 @@ def flag_bloom(
     n: int = DEFAULT_NGRAM,
     text_col: str = "text",
     out_col: str = "__hit",
+    hasher: str = "fast",
 ) -> DataFrame:
     """``df`` + boolean ``out_col``: bloom says this row shares an n-gram
     with the eval suite ``bloom_words`` was built from (``collect_bloom``).
@@ -210,31 +234,49 @@ def flag_bloom(
         )
         .withColumn("__bm_grams", F.expr(word_ngrams_sql(n, toks="__bm_toks")))
         .crossJoin(F.broadcast(bm))
-        .withColumn(out_col, F.expr(_bloom_hit_sql("__bm_grams", m_bits, bm_col="__bm")))
+        .withColumn(out_col, F.expr(_bloom_hit_sql("__bm_grams", m_bits, bm_col="__bm", hasher=hasher)))
         .drop("__bm_toks", "__bm_grams", "__bm")
     )
 
 
-def _bloom_flagged(
+def _bloom_hit_ids(
     train: DataFrame,
     eval_df: DataFrame,
     n: int,
     m_bits: int,
     id_col: str,
     text_col: str,
+    hasher: str = "fast",
 ) -> DataFrame:
-    """``train`` + boolean ``__hit`` (bloom says: shares an n-gram with the
-    eval set).  The train side is scan → project → 1×1 bitmap broadcast →
-    predicate: no explode, no join relation, no shuffle."""
-    bm = bloom_bitmap(eval_df, n=n, m_bits=m_bits, id_col=id_col, text_col=text_col)
+    """Distinct ids of train docs where some n-gram has all k bloom bits set.
+
+    The batch form is explode → plain-expression bit tests → distinct over
+    the HIT ids only: every per-gram expression is scalar, so the whole
+    train pass stays inside whole-stage codegen — measured at ngram-mode
+    speed (SCALE.md), where the tempting exists()-over-grams-array predicate
+    runs interpreted (Spark evaluates higher-order functions outside
+    codegen) at ~2-4x the cost.  The train corpus itself never shuffles:
+    explode+filter are map-side; the one exchange carries only the
+    contaminated candidate ids (bounded by actual contamination — the same
+    assumption ngram mode's anti-join makes).  The per-ROW predicate form
+    survives as ``flag_bloom`` for streams, where a stateless filter beats
+    a per-batch join."""
+    bm = bloom_bitmap(eval_df, n=n, m_bits=m_bits, id_col=id_col, text_col=text_col, hasher=hasher)
+    tests = " AND ".join(
+        f"(element_at(bm, CAST({_bloom_pos_sql(j, 'h', m_bits)} DIV 64 AS INT) + 1) & "
+        f"shiftleft(CAST(1 AS BIGINT), CAST({_bloom_pos_sql(j, 'h', m_bits)} % 64 AS INT))) != 0"
+        for j in range(BLOOM_K)
+    )
     return (
-        train.withColumn(
-            "__toks", F.expr(f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+')")
+        train.selectExpr(
+            id_col, f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS __toks"
         )
-        .withColumn("__grams", F.expr(word_ngrams_sql(n, toks="__toks")))
+        .selectExpr(id_col, f"explode({word_ngrams_sql(n, toks='__toks')}) AS __g")
+        .selectExpr(id_col, f"{_h32_sql('__g', hasher)} AS h")
         .crossJoin(F.broadcast(bm))
-        .withColumn("__hit", F.expr(_bloom_hit_sql("__grams", m_bits)))
-        .drop("__toks", "__grams", "bm")
+        .where(tests)
+        .select(id_col)
+        .distinct()
     )
 
 
@@ -246,6 +288,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     m_bits: int = BLOOM_M,
+    hasher: str = "fast",
 ) -> DataFrame:
     """Training rows minus those colliding with ``eval_df`` (all original
     columns preserved).  ``mode="bloom"`` applies the same n-gram rule via a
@@ -253,8 +296,8 @@ def decontaminate(
     positives, zero train-side shuffle; the 100 TB form when the eval gram
     set outgrows a comfortable broadcast."""
     if mode == "bloom":
-        flagged = _bloom_flagged(train, eval_df, n, m_bits, id_col, text_col)
-        return flagged.filter(~F.col("__hit")).drop("__hit")
+        hits = _bloom_hit_ids(train, eval_df, n, m_bits, id_col, text_col, hasher)
+        return train.join(F.broadcast(hits), id_col, "left_anti")
     if mode == "exact":
         ev = eval_df.select(normalized_fingerprint(text_col).alias("__fp")).distinct()
         return (
@@ -276,17 +319,13 @@ def contaminated_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     m_bits: int = BLOOM_M,
+    hasher: str = "fast",
 ) -> DataFrame:
     """Ids of training docs colliding with the eval set — the small set both
     ``decontaminate`` (anti-join) and ``contamination_report`` (flag join)
     broadcast; bounded by the actual overlap, not by corpus size."""
     if mode == "bloom":
-        return (
-            _bloom_flagged(train, eval_df, n, m_bits, id_col, text_col)
-            .filter(F.col("__hit"))
-            .select(id_col)
-            .distinct()
-        )
+        return _bloom_hit_ids(train, eval_df, n, m_bits, id_col, text_col, hasher)
     if mode == "exact":
         ev = eval_df.select(normalized_fingerprint(text_col).alias("__fp")).distinct()
         return (

@@ -1239,8 +1239,10 @@ def _decontaminate_bloom_oracle_sql() -> str:
     "benchmarks) outgrows a comfortable broadcast. NO false negatives ever (a leaked "
     "benchmark is the failure that matters); false positives at a sized, DETERMINISTIC "
     "rate — the portable md5-h32 + affine-LCG hash family makes even the FPs bit-identical "
-    "across engines, so the oracle verifies them too. Train side: scan -> project -> 1x1 "
-    "bitmap broadcast -> codegen predicate; no explode, no join, no shuffle.",
+    "across engines, so the oracle verifies them too (hasher='portable'; the production "
+    "default is the xxhash64 'fast' twin — same family, ~5x cheaper per gram, SCALE.md). "
+    "Train side: scan -> project -> 1x1 bitmap broadcast -> codegen predicate; no explode, "
+    "no join, no shuffle.",
 )
 def dd20_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.decontaminate import decontaminate
@@ -1248,7 +1250,7 @@ def dd20_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     train = d.filter(F.col("source") != "src0")
     ev = d.filter(F.col("source") == "src0")
-    return decontaminate(train, ev, mode="bloom", n=3).select(
+    return decontaminate(train, ev, mode="bloom", n=3, hasher="portable").select(
         "doc_id", "lang", "source", "n_chars"
     )
 

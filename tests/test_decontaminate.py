@@ -131,11 +131,14 @@ def test_bloom_m_bits_validation(spark):
         bloom_bitmap(d, m_bits=100)
 
 
-def test_bloom_train_side_plan_is_joinless(spark):
-    """The 100 TB contract: the train side of the bloom path has NO join
-    relation and NO shuffle — just the 1x1 bitmap broadcast combine and a
-    codegen predicate.  All exchanges in the plan belong to the (small)
-    eval-side bitmap build."""
+def test_bloom_train_side_plan_never_shuffles_the_corpus(spark):
+    """The 100 TB contract: the train corpus is map-side throughout — no
+    SortMergeJoin anywhere; the only joins are the densify's range-left
+    broadcast (eval-side bitmap build), the 1-row bitmap nested-loop
+    broadcast (the documented scalar-combine pattern), and the broadcast
+    anti-join on the small contaminated-id set.  Everything per-gram is a
+    scalar expression, so the hit discovery stays inside codegen (the
+    exists()-over-array alternative runs interpreted at ~2-4x — SCALE.md)."""
     from healthcare_data_pipeline_spark.catalog import table
     from healthcare_data_pipeline_spark.plans import simple_plan
     from tests.conftest import SF_DIR
@@ -149,12 +152,8 @@ def test_bloom_train_side_plan_is_joinless(spark):
     )
     plan = simple_plan(out)
     assert "SortMergeJoin" not in plan
-    # exactly two joins, both eval/bitmap-side: the densify's range-left
-    # join (16K words vs the set-bit words) and the 1-row bitmap
-    # nested-loop broadcast (the documented scalar-combine pattern).  The
-    # train relation itself joins nothing.
-    assert plan.count("BroadcastHashJoin") == 1
-    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("BroadcastHashJoin") == 2  # densify range-left + id anti-join
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row bitmap combine
     # empty eval side -> all-zero bitmap -> nothing flagged, no error
     empty_ev = d.filter(F.lit(False))
     n_train = d.filter(F.col("source") != "src0").count()
@@ -209,3 +208,33 @@ def test_bloom_m_bits_sizing():
         bloom_m_bits(-1)
     with pytest.raises(ValueError):
         bloom_m_bits(10, 1.5)
+
+
+def test_bloom_hasher_twins_share_the_contract(spark):
+    """The xxhash64 'fast' hasher (production default) and the md5 'portable'
+    twin (dd20's oracle-verified form) must both satisfy never-misses; their
+    flag sets may differ only in false positives, which are negligible at the
+    default bitmap size — so on this corpus both agree with ngram mode.
+    An unknown hasher name must fail loudly, not fall back silently."""
+    import pytest as _pytest
+
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.decontaminate import contaminated_ids
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    train = d.filter(F.col("source") != "src0")
+    ev = d.filter(F.col("source") == "src0")
+    exact = {r.doc_id for r in contaminated_ids(train, ev, mode="ngram", n=3).collect()}
+    fast = {
+        r.doc_id
+        for r in contaminated_ids(train, ev, mode="bloom", n=3, hasher="fast").collect()
+    }
+    portable = {
+        r.doc_id
+        for r in contaminated_ids(train, ev, mode="bloom", n=3, hasher="portable").collect()
+    }
+    assert exact and exact <= fast and exact <= portable
+    assert fast == exact and portable == exact
+    with _pytest.raises(Exception, match="hasher"):
+        contaminated_ids(train, ev, mode="bloom", n=3, hasher="md5").collect()

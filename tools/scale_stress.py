@@ -398,15 +398,32 @@ def main() -> None:
         "Decontamination twins against a FIXED eval slice: ngram mode "
         f"(alpha {alphas.get('decontaminate ngram (broadcast eval grams)')}) explodes the train side into "
         "distinct grams and broadcast-semi-joins them; bloom mode "
-        f"(alpha {alphas.get('decontaminate bloom (fixed bitmap)')}) replaces the explode+join with a "
-        "128 KiB bitmap predicate inside codegen — same scan-bound growth, "
-        "flatter constant, and (the real point, not visible on this axis) "
-        "O(1) memory in EVAL size where ngram's broadcast grows with every "
-        "benchmark added. `classifier_score` "
+        f"(alpha {alphas.get('decontaminate bloom (fixed bitmap)')}) tests each exploded gram's k bits "
+        "against the 128 KiB bitmap as scalar codegen expressions and "
+        "anti-joins the tiny hit-id set — measured at ngram speed since the "
+        "r9 rewrite (the prior exists()-over-grams-array predicate ran "
+        "INTERPRETED — Spark evaluates higher-order functions outside "
+        "whole-stage codegen — at ~2-4x; that form survives only as the "
+        "streaming per-row gate).  Bloom's win is the memory axis: O(1) "
+        "executor memory in EVAL size where ngram's broadcast gram set "
+        "grows with every benchmark added — at 10^8 eval grams the ngram "
+        "broadcast is ~10 GB and stops fitting; the bitmap stays 128 KiB. "
+        "`classifier_score` "
         f"(alpha {alphas.get('classifier_score (map-side transform)')}) is the quality classifier's "
         "corpus pass: tokenize -> hashed TF -> logistic, all JVM map-side — "
         "scoring must stay scan-bound because it touches every document of "
         "the crawl.",
+        "",
+        "SemDeDup in its published regime: `semdedup` "
+        f"(alpha {alphas.get('semdedup (cells ~ N/50, bounded cell size)')}) holds cell size at ~50 "
+        "vectors while the cell COUNT grows with the corpus (the paper's "
+        "sqrt(N)-to-fixed-size clustering range), so the within-cell "
+        "pairwise term is linear in N: one shuffle on the cell key, "
+        "per-cell |cell|² work bounded by a constant, then components over "
+        "the (sparse) near-dup edges. With a FIXED cell count the pairwise "
+        "term is N²/n_cells by design — that knob is the operator's "
+        "documented quadratic control, which is why the row pins the "
+        "bounded-cell configuration.",
         "",
         "Harness sensitivity check: with a suffix-only replica perturbation "
         "(cross-replica MinHash signatures collide, so ~(k-1)/k of the corpus "
