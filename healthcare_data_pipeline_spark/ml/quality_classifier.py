@@ -86,8 +86,21 @@ def score_quality(model: PipelineModel, docs: DataFrame, text_col: str = "text")
     model broadcasts with the task closure; no shuffle of ``docs``.
 
     Defensively strips any retained training summary from ``model`` (in
-    place) — a summary-bearing model cannot ride a task closure on sessions
-    that have used the Observation API (see ml/util.py)."""
+    place, with a visible warning) — a summary-bearing model cannot ride a
+    task closure on sessions that have used the Observation API (see
+    ml/util.py).  Models from ``train_quality_classifier`` or loaded from
+    disk never carry one, so the warning only fires for externally-fitted
+    models whose ``.summary`` the caller might still expect to read."""
+    if any(getattr(s, "hasSummary", False) for s in getattr(model, "stages", [model])):
+        import warnings
+
+        warnings.warn(
+            "score_quality is stripping the model's retained training summary in "
+            "place (model.stages[-1].summary will no longer be readable); strip at "
+            "train time with ml.util.strip_training_summary to silence this",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     strip_training_summary(model)
     scored = model.transform(docs.withColumn("__text", F.lower(F.col(text_col))))
     return scored.withColumn(

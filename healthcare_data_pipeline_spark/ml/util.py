@@ -18,6 +18,8 @@ Models reloaded from disk never carry a summary (same end state).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.ml import PipelineModel
 from pyspark.sql import SparkSession
 
@@ -26,12 +28,16 @@ def strip_training_summary(model: PipelineModel) -> PipelineModel:
     """Drop retained training summaries from every fitted stage, in place.
 
     Uses the JVM-side ``setSummary(None)`` (package-private in Scala, public
-    in bytecode — stable across 3.x/4.x); if that call is unavailable the
-    model is left as-is, which only matters on sessions that later use the
-    Observation API.
+    in bytecode — stable across 3.x/4.x).  When the strip cannot run (no
+    active session) or the JVM call fails (future API drift), the summary is
+    left in place and a warning is emitted ONCE per process — silence here
+    would make the eventual ``NotSerializableException: ObservationManager``
+    (the crash this function exists to prevent) undiagnosable at user sites.
     """
     spark = SparkSession.getActiveSession()
     if spark is None:
+        if any(getattr(s, "hasSummary", False) for s in getattr(model, "stages", [model])):
+            _warn_strip_skipped("no active SparkSession")
         return model
     for stage in getattr(model, "stages", [model]):
         jobj = getattr(stage, "_java_obj", None)
@@ -39,8 +45,26 @@ def strip_training_summary(model: PipelineModel) -> PipelineModel:
             continue
         try:
             jobj.setSummary(spark.sparkContext._jvm.scala.Option.apply(None))
-        except Exception:
+        except Exception as exc:
             # API drift: leave the summary; scoring still works on sessions
-            # that never touch the Observation registry.
-            pass
+            # that never touch the Observation registry — but say so.
+            _warn_strip_skipped(f"JVM setSummary failed: {exc!r}")
     return model
+
+
+_strip_warned = False
+
+
+def _warn_strip_skipped(why: str) -> None:
+    global _strip_warned
+    if _strip_warned:
+        return
+    _strip_warned = True
+    warnings.warn(
+        f"strip_training_summary could not drop a retained training summary ({why}); "
+        "scoring plans that capture this model will fail with "
+        "NotSerializableException: ObservationManager on sessions that have used "
+        "the Observation API",
+        RuntimeWarning,
+        stacklevel=3,
+    )

@@ -63,6 +63,12 @@ from healthcare_data_pipeline_spark.operators.dedup_corpus import (
 
 DEFAULT_NGRAM = 13
 
+# THE default per-gram hasher, shared by every bloom entry point public or
+# private — a build/probe pair that disagrees on the hasher produces silent
+# FALSE NEGATIVES (leaked benchmarks), so the default must be a single
+# module-level fact, never re-stated per signature.
+DEFAULT_HASHER = "fast"
+
 # Bloom hash family: k affine transforms of the portable 32-bit md5 hash
 # (seed ranges 5000/6000 — disjoint from the MinHash 1000/2000 and fast
 # 3000/4000 families, so bloom positions never correlate with LSH buckets).
@@ -82,7 +88,7 @@ BLOOM_B = [_pmh_const(6000 + j, 0, PMH_PRIME) for j in range(BLOOM_K)]
 # hash-verify even the false positives cross-engine.  md5 is ~5x the cost
 # of the whole ngram-mode anti-join at scale (SCALE.md), so portable is for
 # verification, fast for the 100 TB pass.
-def _h32_sql(col: str, hasher: str = "portable") -> str:
+def _h32_sql(col: str, hasher: str = DEFAULT_HASHER) -> str:
     if hasher == "fast":
         return f"(xxhash64({col}) & 2147483647)"
     if hasher != "portable":
@@ -133,7 +139,7 @@ def bloom_bitmap(
     m_bits: int = BLOOM_M,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hasher: str = "fast",
+    hasher: str = DEFAULT_HASHER,
 ) -> DataFrame:
     """ONE-row DataFrame [``bm``: array<bigint>, length m_bits/64] — the
     packed Bloom bitmap of ``eval_df``'s distinct word n-grams.
@@ -175,7 +181,7 @@ def bloom_bitmap(
     return dense
 
 
-def _bloom_hit_sql(grams_expr: str, m_bits: int, bm_col: str = "bm", hasher: str = "fast") -> str:
+def _bloom_hit_sql(grams_expr: str, m_bits: int, bm_col: str = "bm", hasher: str = DEFAULT_HASHER) -> str:
     """SQL predicate: any gram in ``grams_expr`` has all BLOOM_K bits set in
     the ``bm_col`` bitmap column.  The gram hash runs once per gram
     (transform to h32 first), the k bit tests stay inside whole-stage
@@ -194,40 +200,91 @@ def collect_bloom(
     m_bits: int = BLOOM_M,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hasher: str = "fast",
+    hasher: str = DEFAULT_HASHER,
 ) -> list[int]:
     """The packed bitmap as a driver-side list of longs — m_bits/8 bytes
     (128 KiB at the default) REGARDLESS of eval gram count, the one thing
     about the eval suite small enough to embed in a task closure.  This is
     the form streaming gates take (``flag_bloom``): the bitmap becomes a
     single array literal, so an unbounded stream gets decontamination as a
-    STATELESS row predicate — no per-batch join, no state store."""
-    return list(
+    STATELESS row predicate — no per-batch join, no state store.
+
+    The returned list is a ``BloomWords`` — a plain ``list[int]`` that also
+    carries the ``hasher`` (and ``n``) it was built with, so probe sites can
+    DETECT a build/probe hasher mismatch instead of silently producing false
+    negatives (``flag_bloom`` validates the tag; untagged plain lists from
+    external persistence still work but skip the check)."""
+    words = list(
         bloom_bitmap(eval_df, n=n, m_bits=m_bits, id_col=id_col, text_col=text_col, hasher=hasher)
         .first()["bm"]
     )
+    return BloomWords(words, hasher=hasher, n=n)
+
+
+class BloomWords(list):
+    """``list[int]`` bitmap words tagged with the build-time ``hasher`` and
+    gram size ``n``.  Subclassing list keeps every existing consumer working
+    (iteration, len, json serialization of the values) while letting
+    ``flag_bloom`` refuse a mismatched probe — the failure mode that matters
+    here is SILENT (a wrong-hasher probe flags almost nothing, i.e. leaks
+    benchmarks), so the tag exists to turn it into a loud error."""
+
+    def __init__(self, words, hasher: str = DEFAULT_HASHER, n: int = DEFAULT_NGRAM):
+        super().__init__(words)
+        self.hasher = hasher
+        self.n = n
+
+
+def _resolve_probe_hasher(bloom_words, hasher: str | None) -> str:
+    """The hasher a probe must use for ``bloom_words``: the bitmap's own tag
+    when present (raising on an explicit contradiction), else the caller's
+    argument, else DEFAULT_HASHER."""
+    tag = getattr(bloom_words, "hasher", None)
+    if tag is not None:
+        if hasher is not None and hasher != tag:
+            raise ValueError(
+                f"bloom bitmap was built with hasher={tag!r} but the probe asked for "
+                f"{hasher!r}; a mismatched probe silently produces false negatives "
+                "(leaked benchmarks), so this is refused"
+            )
+        return tag
+    return hasher if hasher is not None else DEFAULT_HASHER
 
 
 def flag_bloom(
     df: DataFrame,
     bloom_words: list[int],
-    n: int = DEFAULT_NGRAM,
+    n: int | None = None,
     text_col: str = "text",
     out_col: str = "__hit",
-    hasher: str = "fast",
+    hasher: str | None = None,
 ) -> DataFrame:
     """``df`` + boolean ``out_col``: bloom says this row shares an n-gram
     with the eval suite ``bloom_words`` was built from (``collect_bloom``).
     Stateless per row — streaming-safe (stream-static broadcast of the one
     bitmap row), shuffle-free, no join relation.
 
+    ``hasher``/``n`` default to the bitmap's own build-time tag when
+    ``bloom_words`` is a ``collect_bloom`` result (``BloomWords``); passing
+    explicit values that contradict the tag raises — a wrong-hasher or
+    wrong-n probe flags almost nothing, silently leaking benchmarks.
+    Untagged plain lists fall back to DEFAULT_HASHER / DEFAULT_NGRAM.
+
     Delivery detail: the bitmap rides as a ONE-ROW static DataFrame through
     the standard 1×1 broadcast combine, NOT as an inline array literal — a
     16K-element ``F.lit(list)`` becomes a CreateArray expression that Spark
     re-evaluates per input row (measured ~17s over 5k docs vs ~1s for the
     broadcast row)."""
+    hasher = _resolve_probe_hasher(bloom_words, hasher)
+    tag_n = getattr(bloom_words, "n", None)
+    if tag_n is not None and n is not None and n != tag_n:
+        raise ValueError(
+            f"bloom bitmap was built over {tag_n}-grams but the probe asked for "
+            f"n={n}; a mismatched gram size silently produces false negatives"
+        )
+    n = n if n is not None else (tag_n if tag_n is not None else DEFAULT_NGRAM)
     m_bits = len(bloom_words) * 64
-    bm = df.sparkSession.createDataFrame([(bloom_words,)], "__bm array<bigint>")
+    bm = df.sparkSession.createDataFrame([(list(bloom_words),)], "__bm array<bigint>")
     return (
         df.withColumn(
             "__bm_toks", F.expr(f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+')")
@@ -246,7 +303,7 @@ def _bloom_hit_ids(
     m_bits: int,
     id_col: str,
     text_col: str,
-    hasher: str = "fast",
+    hasher: str = DEFAULT_HASHER,
 ) -> DataFrame:
     """Distinct ids of train docs where some n-gram has all k bloom bits set.
 
@@ -288,7 +345,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     m_bits: int = BLOOM_M,
-    hasher: str = "fast",
+    hasher: str = DEFAULT_HASHER,
 ) -> DataFrame:
     """Training rows minus those colliding with ``eval_df`` (all original
     columns preserved).  ``mode="bloom"`` applies the same n-gram rule via a
@@ -319,7 +376,7 @@ def contaminated_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     m_bits: int = BLOOM_M,
-    hasher: str = "fast",
+    hasher: str = DEFAULT_HASHER,
 ) -> DataFrame:
     """Ids of training docs colliding with the eval set — the small set both
     ``decontaminate`` (anti-join) and ``contamination_report`` (flag join)
@@ -356,6 +413,7 @@ def contamination_report(
     text_col: str = "text",
     group_col: str = "source",
     m_bits: int = BLOOM_M,
+    hasher: str = DEFAULT_HASHER,
 ) -> DataFrame:
     """Per-``group_col`` contamination statistics — the DIAGNOSTIC twin of
     ``decontaminate``: instead of dropping overlapping training docs, report
@@ -368,7 +426,8 @@ def contamination_report(
     for the flag join, and the group aggregation combines map-side.
     """
     bad = contaminated_ids(
-        train, eval_df, mode=mode, n=n, id_col=id_col, text_col=text_col, m_bits=m_bits
+        train, eval_df, mode=mode, n=n, id_col=id_col, text_col=text_col,
+        m_bits=m_bits, hasher=hasher,
     ).withColumn("__bad", F.lit(True))
     return (
         train.join(F.broadcast(bad), id_col, "left")

@@ -95,7 +95,8 @@ def prep_stream(
     min_stopword_ratio: float | None = 0.01,
     split_fractions: dict[str, float] | None = None,
     eval_bloom: list[int] | None = None,
-    bloom_ngram: int = 13,
+    bloom_ngram: int | None = None,
+    bloom_hasher: str | None = None,
 ) -> DataFrame:
     """The streaming corpus-prep gate: quality filter -> optional benchmark
     decontamination -> PII redaction -> optional mixture gate -> optional
@@ -112,7 +113,11 @@ def prep_stream(
     bitmap is a fixed-size array literal in the task closure, so even this
     normally join-shaped stage stays a stateless predicate — and it runs
     BEFORE redaction, which rewrites text and could otherwise mask a
-    benchmark collision."""
+    benchmark collision.  ``bloom_ngram``/``bloom_hasher`` default to the
+    bitmap's own build-time tag (``collect_bloom`` returns a tagged list);
+    explicit values that contradict the tag raise in ``flag_bloom`` — a
+    mismatched probe silently produces false negatives, the one failure
+    mode decontamination exists to prevent."""
     from healthcare_data_pipeline_spark.operators.decontaminate import flag_bloom
     from healthcare_data_pipeline_spark.operators.mixture import hash_split, mixture_sample
     from healthcare_data_pipeline_spark.operators.quality import quality_predicate
@@ -121,7 +126,7 @@ def prep_stream(
     out = docs.filter(quality_predicate(min_stopword_ratio=min_stopword_ratio))
     if eval_bloom is not None:
         out = (
-            flag_bloom(out, eval_bloom, n=bloom_ngram)
+            flag_bloom(out, eval_bloom, n=bloom_ngram, hasher=bloom_hasher)
             .filter(~F.col("__hit"))
             .drop("__hit")
         )

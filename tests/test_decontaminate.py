@@ -238,3 +238,85 @@ def test_bloom_hasher_twins_share_the_contract(spark):
     assert fast == exact and portable == exact
     with _pytest.raises(Exception, match="hasher"):
         contaminated_ids(train, ev, mode="bloom", n=3, hasher="md5").collect()
+
+
+def test_bloom_tag_detects_build_probe_mismatch(spark):
+    """collect_bloom tags the bitmap with its build-time hasher and n; a
+    probe that contradicts the tag must RAISE (a mismatched probe flags
+    almost nothing — silent benchmark leakage), while tag-consistent and
+    tag-defaulted probes agree exactly.  Untagged plain lists (external
+    persistence) keep working and fall back to the module defaults."""
+    from healthcare_data_pipeline_spark.operators.decontaminate import (
+        collect_bloom,
+        contaminated_ids,
+        flag_bloom,
+    )
+    from healthcare_data_pipeline_spark.catalog import table
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    train = d.filter(F.col("source") != "src0")
+    ev = d.filter(F.col("source") == "src0")
+    words = collect_bloom(ev, n=3, hasher="portable")
+    assert words.hasher == "portable" and words.n == 3
+
+    # tag-defaulted probe (no hasher/n args) uses the build-time values
+    tagged = {
+        r.doc_id
+        for r in flag_bloom(train, words).filter("__hit").select("doc_id").collect()
+    }
+    expected = {
+        r.doc_id
+        for r in contaminated_ids(train, ev, mode="bloom", n=3, hasher="portable").collect()
+    }
+    assert tagged == expected and tagged
+
+    # explicit agreement is fine; contradiction raises
+    flag_bloom(train, words, n=3, hasher="portable")
+    with pytest.raises(ValueError, match="hasher"):
+        flag_bloom(train, words, hasher="fast")
+    with pytest.raises(ValueError, match="gram"):
+        flag_bloom(train, words, n=13)
+
+    # untagged plain list: no tag to validate, module defaults apply
+    plain = list(collect_bloom(ev, n=3))  # built with DEFAULT_HASHER ('fast')
+    untagged = {
+        r.doc_id
+        for r in flag_bloom(train, plain, n=3).filter("__hit").select("doc_id").collect()
+    }
+    assert untagged == expected
+
+
+def test_prep_stream_threads_bloom_hasher(spark, tmp_path):
+    """The streaming prep gate must probe with the bitmap's build-time
+    hasher: a portable-built bitmap through prep_stream (which previously
+    always probed 'fast') must drop exactly the documents the batch
+    portable path drops — the ADVICE false-negative regression."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.decontaminate import (
+        collect_bloom,
+        contaminated_ids,
+    )
+    from healthcare_data_pipeline_spark.operators.quality import quality_predicate
+    from healthcare_data_pipeline_spark.streaming import events as stv
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    train = d.filter(F.col("source") != "src0")
+    ev = d.filter(F.col("source") == "src0")
+    words = collect_bloom(ev, n=3, hasher="portable")
+    stream = ing.prep_stream(
+        ing.read_documents_stream(spark, SF_DIR).filter(F.col("source") != "src0"),
+        eval_bloom=words,
+    )
+    stv.run_to_memory(stream.select("doc_id"), "bloom_hasher_prep_out", output_mode="append")
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM bloom_hasher_prep_out").collect()}
+    passing = train.filter(quality_predicate(min_stopword_ratio=0.01))
+    bad = {
+        r.doc_id
+        for r in contaminated_ids(passing, ev, mode="bloom", n=3, hasher="portable").collect()
+    }
+    expect = {r.doc_id for r in passing.collect()} - bad
+    assert bad, "synthetic corpus should exhibit contamination"
+    assert got == expect

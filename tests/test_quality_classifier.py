@@ -166,3 +166,40 @@ def test_scoring_survives_observation_api_use(spark):
     assert not model.stages[-1].hasSummary  # summary stripped at train time
     out = classifier_quality_filter(docs.limit(50), model, threshold=0.0)
     assert out.count() == 50  # plan with the model UDF executes
+
+
+def test_score_quality_warns_when_stripping_an_external_summary(spark):
+    """score_quality mutates its input (strips the retained training summary)
+    only as a defensive fallback — when it actually does, it must WARN so a
+    caller who later reads model.stages[-1].summary can diagnose the 'no
+    summary' failure; models from train_quality_classifier are pre-stripped
+    and must score silently."""
+    import warnings
+
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+
+    docs, gib = _corpora(spark)
+    labeled = (
+        docs.limit(50).selectExpr("lower(text) AS __text", "1.0 AS label")
+        .unionByName(gib.limit(50).selectExpr("lower(text) AS __text", "0.0 AS label"))
+    )
+    raw = Pipeline(
+        stages=[
+            RegexTokenizer(inputCol="__text", outputCol="__toks",
+                           pattern="[ \\t\\n\\r\\f\\x0B]+", toLowercase=False),
+            HashingTF(inputCol="__toks", outputCol="features", numFeatures=1 << 10),
+            LogisticRegression(maxIter=5, standardization=False),
+        ]
+    ).fit(labeled)  # externally fitted: summary retained
+    assert raw.stages[-1].hasSummary
+    with pytest.warns(RuntimeWarning, match="stripping"):
+        score_quality(raw, docs.limit(5))
+    assert not raw.stages[-1].hasSummary
+
+    # pre-stripped models (the train_quality_classifier contract) are silent
+    clean = train_quality_classifier(docs.limit(50), gib.limit(50), max_iter=5)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        score_quality(clean, docs.limit(5)).collect()
