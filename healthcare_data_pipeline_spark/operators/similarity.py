@@ -795,6 +795,234 @@ def ann_index_probe(
     return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+# --------------------------------------------------------------- SQ8 storage
+# Scalar 8-bit quantization of the stored vectors (the FAISS "SQ8" idea,
+# re-expressed relationally): per-dimension integer bounds frozen at build
+# time, each component stored as an 8-bit level, probes scan the small codes
+# and only the per-query shortlist is rescored against full-precision
+# vectors.  At 100 TB the probe cost is scan I/O of the probed cells
+# (s07 is I/O-bound), and codes are ~1 byte/component on disk vs 8 for the
+# fp64 array — a ~4-8x probe-scan reduction for a bounded, measured recall
+# cost (see tools/scale_stress.py row + tests' recall-parity contract).
+#
+# Integer-exact contract (what keeps the s10 oracle portable): with
+# per-dimension bounds lo/hi and span = hi-lo,
+#     code = floor((clamp(v, lo, hi) - lo) * 255 / max(span, 1))   in 0..255
+#     dq   = lo + floor((code * span + 127) / 255)                 (round-half-up)
+# Every quantity is a small BIGINT, both divisions act on nonnegative
+# operands (truncation == floor on both engines), so codes, dequantized
+# values, ADC scores, and hence the shortlist itself are bit-identical in
+# Spark and any SQL oracle.  Out-of-range appends CLAMP (the frozen-bounds
+# analogue of the frozen quantizer): a clamped vector still lands in the
+# nearest representable point, and the drift remedy is a rebuild — same
+# contract as ann_index_append.
+
+SQ8_LEVELS = 255
+
+
+def sq8_bounds(en: DataFrame) -> DataFrame:
+    """ONE-row DataFrame (lo: array<bigint>, hi: array<bigint>) — frozen
+    per-dimension bounds of the build corpus, position-aligned with ``iv``.
+    Built distributed (posexplode -> per-dim min/max -> ordered collect on
+    64 rows); rides as the standard 1-row broadcast combine."""
+    comp = (
+        en.select(F.posexplode("iv").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("v").cast("long")).alias("lo"),
+            F.max(F.col("v").cast("long")).alias("hi"),
+        )
+    )
+    return comp.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "lo", "hi"))).alias("plh")
+    ).select(
+        F.transform("plh", lambda x: x["lo"]).alias("lo"),
+        F.transform("plh", lambda x: x["hi"]).alias("hi"),
+    )
+
+
+_SQ8_CODE_SQL = (
+    "transform({iv}, (v, i) -> CAST("
+    "(least(greatest(CAST(v AS BIGINT), element_at({lo}, i + 1)), element_at({hi}, i + 1)) - element_at({lo}, i + 1)) "
+    f"* {SQ8_LEVELS} DIV greatest(element_at({{hi}}, i + 1) - element_at({{lo}}, i + 1), 1) AS INT))"
+)
+
+_SQ8_DQ_SQL = (
+    "transform({qc}, (c, i) -> CAST(element_at({lo}, i + 1) + "
+    f"(CAST(c AS BIGINT) * (element_at({{hi}}, i + 1) - element_at({{lo}}, i + 1)) + 127) DIV {SQ8_LEVELS} "
+    "AS DOUBLE))"
+)
+
+
+def sq8_encode(assigned: DataFrame, bounds: DataFrame) -> DataFrame:
+    """(vec_id, cell, qc: array<int>) — 8-bit codes of ``assigned``'s vectors
+    under the frozen ``bounds`` row (clamping out-of-range components)."""
+    return (
+        assigned.crossJoin(F.broadcast(bounds.select(F.col("lo").alias("__lo"), F.col("hi").alias("__hi"))))
+        .select(
+            "vec_id",
+            "cell",
+            F.expr(_SQ8_CODE_SQL.format(iv="iv", lo="__lo", hi="__hi")).alias("qc"),
+        )
+    )
+
+
+def ann_index_build_sq8(en: DataFrame, index_dir: str) -> None:
+    """Persist the SQ8-augmented IVF index: everything ``ann_index_build``
+    writes (full-precision ``vectors/`` + ``centroids/``) plus the 8-bit
+    ``vectors_sq8/`` (same cell partitioning — probes prune both scans at
+    the disk-partition level) and the frozen per-dimension ``sq8_bounds/``
+    row.  Quantizer, bounds, and both vector layouts are built from the same
+    corpus in one pass structure and must never drift apart."""
+    import os
+
+    ann_index_build(en, index_dir)
+    spark = en.sparkSession
+    assigned = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    bounds = sq8_bounds(en)
+    bounds.write.mode("overwrite").parquet(os.path.join(index_dir, "sq8_bounds"))
+    sq8_encode(assigned, bounds).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "vectors_sq8")
+    )
+
+
+def ann_index_append_sq8(spark, index_dir: str, new_en: DataFrame) -> None:
+    """Append to an SQ8-augmented index: assign against the FROZEN quantizer
+    (ann_index_append's contract) and encode against the FROZEN bounds —
+    out-of-range components clamp to the representable range, never error;
+    distribution drift is the caller's rebuild decision (``ann_index_report``
+    makes it observable)."""
+    import os
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    bounds = spark.read.parquet(os.path.join(index_dir, "sq8_bounds"))
+    assigned = _assign_against(new_en, cent)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+    sq8_encode(assigned, bounds).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "vectors_sq8")
+    )
+
+
+def ann_index_probe_sq8(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    shortlist: int = 20,
+) -> DataFrame:
+    """Probe the SQ8 layout: route queries against the centroid table, scan
+    ONLY the probed cells' 8-bit codes (the ~4-8x smaller scan — at 100 TB
+    the probe's dominant cost), rank candidates per query by the asymmetric
+    (exact-query x dequantized-candidate) cosine, keep a ``shortlist`` per
+    query, and EXACT-rescore only the shortlist against the full-precision
+    vectors (a partition-pruned, shortlist-sized fetch).  Output matches
+    ``ann_index_probe``: (query_id, neighbor_id, cosine_sim, rn) with
+    cosine_sim the EXACT similarity — SQ8 affects which candidates reach the
+    rescore, never the reported score.
+
+    Every arithmetic step (codes, dequantize, ADC dot, norms) is exact
+    integer math in IEEE double, so the shortlist — including its
+    tie-breaks — is bit-reproducible on any engine (the s10 oracle
+    recomputes it).  Recall vs the fp probe degrades only when a true
+    neighbor's quantized rank falls past ``shortlist`` (measured in
+    tests/test_similarity_ops.py and the SCALE harness)."""
+    import os
+
+    from pyspark.sql import Window
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    bounds = spark.read.parquet(os.path.join(index_dir, "sq8_bounds"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("iv").alias("q_iv"),
+        F.col("nrm2").alias("q_nrm2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    routed = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_iv",
+            "q_nrm2",
+            "cent_id",
+            _route_score(F.col("q_iv"), F.col("cs"), F.col("cnorm")).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_iv", "q_nrm2", F.col("cent_id").alias("cell"))
+    )
+    # bounded by n_cells (quantizer constant), never corpus-sized
+    cells = [r.cell for r in routed.select("cell").distinct().collect()]
+    codes = (
+        spark.read.parquet(os.path.join(index_dir, "vectors_sq8"))
+        .filter(F.col("cell").isin(cells))
+        .crossJoin(F.broadcast(bounds.select(F.col("lo").alias("__lo"), F.col("hi").alias("__hi"))))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.expr(_SQ8_DQ_SQL.format(qc="qc", lo="__lo", hi="__hi")).alias("dq"),
+        )
+        .withColumn(
+            "dq_nrm2",
+            F.aggregate(
+                F.zip_with(F.col("dq"), F.col("dq"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("q_iv"), F.col("dq"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wsl = Window.partitionBy("query_id").orderBy(F.desc("sq8_sim"), F.asc("neighbor_id"))
+    short = (
+        codes.join(F.broadcast(routed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            (adc / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("dq_nrm2")))).alias("sq8_sim"),
+        )
+        .withColumn("srn", F.row_number().over(wsl))
+        .filter(F.col("srn") <= shortlist)
+        .select("query_id", "neighbor_id", "cell")
+    )
+    # exact rescore: shortlist-sized fetch from the full-precision layout,
+    # still pruned to the probed cells' partitions
+    full = (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .filter(F.col("cell").isin(cells))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("iv").alias("c_iv"), F.col("nrm2").alias("c_nrm2"), "cell")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        full.join(F.broadcast(short), ["cell", "neighbor_id"])
+        .join(
+            F.broadcast(
+                routed.select("query_id", "q_iv", "q_nrm2").dropDuplicates(["query_id"])
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def ann_index_for(spark, sf_dir: str, en: DataFrame, variant: str = "full", builder=None) -> str:
     """Ensure a persisted IVF index exists for ``sf_dir``'s embeddings and
     return its directory — the build-once front door for catalog/bench paths.

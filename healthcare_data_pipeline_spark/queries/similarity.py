@@ -308,6 +308,103 @@ def s09_ann_index_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_index_report(spark, idx)
 
 
+_SQ8_PROBE_ORACLE = (
+    _index_assign_ctes("TRUE")
+    + """
+    , bounds AS (
+      SELECT i AS pos,
+             MIN(CAST(iv[i] AS BIGINT)) AS lo,
+             MAX(CAST(iv[i] AS BIGINT)) AS hi
+      FROM en, generate_series(1, 64) AS t(i)
+      GROUP BY i
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell
+      FROM ranked WHERE crn <= 2 AND vec_id < 20
+    ),
+    -- dequantized components of every vector in a probed cell:
+    -- code = floor((v - lo) * 255 / max(span, 1)); dq = lo + floor((code*span + 127)/255)
+    dq AS (
+      SELECT e.vec_id, b.pos,
+             b.lo + ((((CAST(e.iv[b.pos] AS BIGINT) - b.lo) * 255)
+                       // GREATEST(b.hi - b.lo, 1)) * (b.hi - b.lo) + 127) // 255 AS dqv
+      FROM en e
+      JOIN assign a ON a.vec_id = e.vec_id
+      JOIN (SELECT DISTINCT cell FROM probes) pc ON a.cell = pc.cell
+      CROSS JOIN bounds b
+    ),
+    dqn AS (SELECT vec_id, SUM(dqv * dqv) AS n2 FROM dq GROUP BY vec_id),
+    adc AS (
+      SELECT p.query_id, d.vec_id AS neighbor_id, SUM(CAST(q.iv[d.pos] AS BIGINT) * d.dqv) AS dot
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      JOIN dq d ON d.vec_id = a.vec_id
+      JOIN en q ON q.vec_id = p.query_id
+      GROUP BY p.query_id, d.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT adc.query_id, adc.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY adc.query_id
+                  ORDER BY CAST(adc.dot AS DOUBLE) / (sqrt(q.nrm2) * sqrt(n.n2)) DESC,
+                           adc.neighbor_id ASC) AS srn
+        FROM adc
+        JOIN en q ON q.vec_id = adc.query_id
+        JOIN dqn n ON n.vec_id = adc.neighbor_id
+      ) t
+      WHERE srn <= 20
+    ),
+    pairs AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_dot_product(q.iv, c.iv) / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cosine_sim
+      FROM short s
+      JOIN en q ON q.vec_id = s.query_id
+      JOIN en c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM pairs
+    ) t
+    WHERE rn <= 5
+    """
+)
+
+
+@query(
+    "s10_ann_index_probe_sq8",
+    oracle=_SQ8_PROBE_ORACLE,
+    tags=("similarity", "EXT", "ann", "ivf", "index", "quantization"),
+    doc="SQ8-quantized ANN probe (operators.similarity.ann_index_probe_sq8): the persisted "
+    "IVF index additionally stores each vector as 8-bit per-dimension codes under frozen "
+    "integer bounds (~4-8x smaller probe scan — at 100 TB the probe's dominant cost is "
+    "scan I/O of the probed cells, s07). The probe routes queries against the centroid "
+    "table, ranks candidates by the asymmetric exact-query x dequantized-candidate cosine "
+    "over the SMALL codes scan, keeps a 20-deep shortlist per query, and exact-rescores "
+    "only the shortlist against the full-precision layout — reported scores are exact; "
+    "quantization affects only which candidates reach the rescore. Codes, dequantization "
+    "(code = floor((v-lo)*255/span), dq = lo + round-half-up(code*span/255)), ADC scores "
+    "and tie-breaks are all small-integer arithmetic, bit-identical cross-engine, so the "
+    "oracle recomputes the index, the bounds, the shortlist, and the rescore from scratch "
+    "and the full result value-hashes.",
+)
+def s10_ann_index_probe_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_build_sq8,
+        ann_index_for,
+        ann_index_probe_sq8,
+    )
+
+    en = quantized(spark, sf_dir)
+    idx = ann_index_for(
+        spark, sf_dir, en, variant="sq8", builder=lambda d: ann_index_build_sq8(en, d)
+    )
+    qs = en.filter(F.col("vec_id") < 20).select("vec_id", "iv", "nrm2")
+    return ann_index_probe_sq8(spark, idx, qs, k=5, nprobe=2, shortlist=20)
+
+
 # Sign-bit-LSH bucketing CTEs (bits/buckets/enb) — shared between the s05
 # oracle and the dd10 embedding-dedup oracle; LCG constants mirror
 # operators.similarity.lcg_weight exactly.

@@ -1,0 +1,57 @@
+"""Dedup-effectiveness harness contracts (tools/dedup_quality.py).
+
+The harness measures what no oracle can — whether the dedup family CATCHES
+realistic planted near-dups — so its own invariants need pinning: hard
+contracts (exact-stage recall, zero false positives on a fixpoint-cleaned
+corpus) assert exactly; curve points (LSH recall at a family's Jaccard)
+assert loose brackets, because their exact values are the published
+band-structure trade the SCALE.md table exists to report, not constants.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def _rows(spark):
+    from tools.dedup_quality import measure_scale
+
+    rows = measure_scale(spark, SF_DIR, SF_DIR, 1)
+    return {(r["operator"], r["family"]): r for r in rows}
+
+
+def test_dedup_quality_harness_contracts(spark):
+    got = _rows(spark)
+
+    # exact-stage contract: whitespace rewraps are exact dups after
+    # normalization — anything below 1.0 is a fingerprint bug
+    assert got[("dedup_corpus", "ws_rewrap")]["recall"] == 1.0
+
+    # near the LSH design point: two appended tokens on ~54-token docs
+    assert got[("dedup_corpus", "suffix_2tok")]["recall"] >= 0.9
+
+    # curve points: 4-band/4-row theory predicts ~0.76 at J~0.74 and ~0.28
+    # at J~0.53 — bracket generously, the harness reports the precise value
+    assert 0.5 <= got[("dedup_corpus", "edit_5pct")]["recall"] <= 1.0
+    assert 0.05 <= got[("dedup_corpus", "edit_10pct")]["recall"] <= 0.7
+
+    # similarity column really measures family hardness (ordering)
+    assert (
+        got[("dedup_corpus", "suffix_2tok")]["similarity"]
+        > got[("dedup_corpus", "edit_5pct")]["similarity"]
+        > got[("dedup_corpus", "edit_10pct")]["similarity"]
+    )
+
+    # embedding families: a ~cos-1 nudge must be caught; borderline noise
+    # is the measured cell-boundary trade (any nonzero recall acceptable)
+    assert got[("semdedup", "emb_tiny")]["recall"] >= 0.9
+    assert got[("semdedup", "emb_noise")]["recall"] > 0.0
+
+    # planted boilerplate span: always excised
+    assert got[("span_dedup", "boilerplate_12tok")]["recall"] == 1.0
+
+    # fixpoint/differential false-positive accounting: a cleaned corpus
+    # re-run may remove ONLY planted material
+    for op in ("dedup_corpus", "semdedup", "span_dedup"):
+        assert got[(op, "(precision)")]["fp"] == 0, op
+        assert got[(op, "(precision)")]["precision"] == 1.0, op

@@ -359,3 +359,119 @@ def test_ann_index_report_flags_drifted_append_and_rebuild_restores_recall(spark
     rep2 = ann_index_report(spark, idx2).first()
     assert rep2.n_cells == 9 and abs(rep2.skew_ratio - 1.8) < 1e-12
     assert not rep2.rebuild_recommended
+
+
+def test_sq8_index_recall_parity_and_storage(spark, tmp_path):
+    """The SQ8 layout's contract, all four clauses:
+
+    1. RECALL PARITY: the sq8 probe's top-k loses at most a sliver vs the
+       fp probe on the same index (quantization only gates which candidates
+       reach the exact rescore);
+    2. EXACT SCORES: every (query, neighbor) pair both probes return carries
+       the IDENTICAL cosine — sq8 never changes a reported score;
+    3. DEQUANTIZE BOUND: |dq - v| <= one quantization level (span/255 + 1)
+       for every stored component;
+    4. STORAGE: the codes layout is materially smaller on disk than the
+       fp64 layout (the 100 TB probe-scan I/O claim).
+    """
+    import os
+
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_build_sq8,
+        ann_index_probe,
+        ann_index_probe_sq8,
+    )
+
+    en = quantized(spark, SF_DIR)
+    idx = str(tmp_path / "sq8_idx")
+    ann_index_build_sq8(en, idx)
+    qs = en.filter(F.col("vec_id") < 20).select("vec_id", "iv", "nrm2")
+    fp = ann_index_probe(spark, idx, qs, k=5, nprobe=2)
+    sq = ann_index_probe_sq8(spark, idx, qs, k=5, nprobe=2, shortlist=20)
+    fp_pairs = {(r.query_id, r.neighbor_id): r.cosine_sim for r in fp.collect()}
+    sq_pairs = {(r.query_id, r.neighbor_id): r.cosine_sim for r in sq.collect()}
+    common = set(fp_pairs) & set(sq_pairs)
+    recall = len(common) / len(fp_pairs)
+    assert recall >= 0.9, f"sq8 shortlist recall {recall} vs fp probe"
+    for key in common:
+        assert sq_pairs[key] == fp_pairs[key]  # bit-identical exact rescore
+
+    # dequantize error bound per stored component
+    bounds = spark.read.parquet(os.path.join(idx, "sq8_bounds"))
+    stored = spark.read.parquet(os.path.join(idx, "vectors")).select("vec_id", "iv")
+    codes = spark.read.parquet(os.path.join(idx, "vectors_sq8"))
+    from healthcare_data_pipeline_spark.operators.similarity import _SQ8_DQ_SQL
+
+    dq = codes.crossJoin(
+        F.broadcast(bounds.select(F.col("lo").alias("__lo"), F.col("hi").alias("__hi")))
+    ).select(
+        "vec_id",
+        F.expr(_SQ8_DQ_SQL.format(qc="qc", lo="__lo", hi="__hi")).alias("dq"),
+        F.expr("transform(__hi, (h, i) -> h - element_at(__lo, i + 1))").alias("span"),
+    )
+    worst = (
+        dq.join(stored, "vec_id")
+        .selectExpr(
+            "aggregate(zip_with(dq, iv, (a, b) -> abs(a - b)), CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> greatest(acc, x)) AS err",
+            "aggregate(span, CAST(0 AS BIGINT), (acc, x) -> greatest(acc, x)) AS max_span",
+        )
+        .agg(F.max("err").alias("err"), F.max("max_span").alias("span"))
+        .first()
+    )
+    assert worst.err <= worst.span / 255 + 1
+
+    def dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+        )
+
+    fp_bytes = dir_bytes(os.path.join(idx, "vectors"))
+    sq_bytes = dir_bytes(os.path.join(idx, "vectors_sq8"))
+    assert sq_bytes < fp_bytes / 2, f"sq8 {sq_bytes}B vs fp {fp_bytes}B"
+
+
+def test_sq8_append_clamps_out_of_range(spark, tmp_path):
+    """Appends under the FROZEN bounds clamp out-of-range components instead
+    of erroring or writing out-of-range codes: a 3x-scaled vector lands at
+    the representable extreme, stays probeable, and every stored code is in
+    0..255."""
+    import os
+
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_append_sq8,
+        ann_index_build_sq8,
+        ann_index_probe_sq8,
+    )
+
+    en = quantized(spark, SF_DIR)
+    idx = str(tmp_path / "sq8_clamp_idx")
+    ann_index_build_sq8(en.filter(F.col("vec_id") < 400), idx)
+    nrm2 = F.aggregate(
+        F.zip_with(F.col("iv"), F.col("iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wild = (
+        en.filter(F.col("vec_id") >= 400)
+        .select(
+            "vec_id",
+            "label",
+            F.expr("transform(iv, x -> x * 3.0)").alias("iv"),
+        )
+        .withColumn("nrm2", nrm2)
+    )
+    ann_index_append_sq8(spark, idx, wild)
+    codes = spark.read.parquet(os.path.join(idx, "vectors_sq8"))
+    bad = codes.filter(
+        F.expr("exists(qc, c -> c < 0 OR c > 255)")
+    ).count()
+    assert bad == 0
+    n_appended = wild.count()
+    assert codes.count() == 400 + n_appended
+    # probing still works over the mixed index
+    qs = en.filter(F.col("vec_id") < 5).select("vec_id", "iv", "nrm2")
+    out = ann_index_probe_sq8(spark, idx, qs, k=3, nprobe=2, shortlist=10)
+    assert out.count() > 0

@@ -1,0 +1,566 @@
+"""Dedup EFFECTIVENESS harness: precision/recall against planted near-dups.
+
+SCALE.md measures how fast the dedup family grows; the catalog oracles prove
+the plans compute what they claim.  Neither measures whether the operators
+actually CATCH realistic near-duplicates — the property a curation pipeline
+exists for.  This harness plants ground-truth near-dup families at known
+rates into an operator-cleaned corpus, re-runs the operator, and reports
+per-family recall plus operator-level precision, at 1x/16x/64x corpus
+replication — so recall regressions become visible the way bench
+regressions are (the numbers land in SCALE.md's quality section).
+
+Methodology (per operator):
+
+1. **Clean**: run the operator once on the base corpus and keep its output.
+   For ``dedup_corpus`` and ``semdedup`` the survivor set is a FIXPOINT
+   (survivors share no LSH band / no within-cell above-threshold pair, so a
+   re-run removes nothing) — any removal on the planted corpus is therefore
+   either a planted catch (TP) or a false positive (FP), never leftover
+   natural duplication.  ``remove_duplicate_spans`` is NOT a fixpoint
+   (deletion seams form new k-windows), so it is measured DIFFERENTIALLY:
+   operator(clean + plants) vs operator(clean) — non-planted docs that
+   differ between the two runs are the FPs.
+2. **Plant**: deterministic variant families at known rates (doc_id ranges,
+   hash-derived perturbations — reruns plant identically):
+   - ``ws_rewrap``  whitespace-only rewrap (doubled spaces + padding);
+     exact-dup after normalization — the exact stage's ground truth.
+   - ``suffix_2tok`` two appended unique tokens (~96% shingle Jaccard).
+   - ``edit_5pct`` / ``edit_10pct`` every 20th/10th token replaced with a
+     hash token (~0.8 / ~0.65 shingle Jaccard) — the MinHash-LSH band
+     structure's published recall trade, measured.
+   - ``emb_tiny`` / ``emb_noise`` one-component nudge (cos ~1) and
+     per-component jitter (cos ~0.97) on embeddings; ground truth is
+     restricted to pairs whose TRUE cosine clears the semdedup threshold
+     (the operator's own contract), computed exactly per pair.
+   - ``boilerplate_12tok`` a shared 12-token span appended to 2% of docs —
+     span dedup's ground truth (k=8: five full planted windows per doc).
+3. **Measure**: recall = caught planted variants / planted (a variant is
+   caught when the re-run removes it — originals always survive because the
+   canonical-keeper rule is min-id and variants get larger ids).  Each
+   family also reports its mean TRUE similarity (3-shingle Jaccard /
+   cosine), so recall is read against how hard the family actually is.
+   Precision = TP / (TP + FP) with FP = clean items the re-run removed
+   (incl. clean docs dragged into a component through a planted variant —
+   a real false-merge mode).
+
+Scale replication reuses tools/scale_stress.build_corpora for documents
+(per-replica token rewrite: duplicate structure preserved within a replica,
+no cross-replica collisions).  Embeddings are replicated with a per-replica
+cyclic component SHIFT (norms exactly preserved, replicas decorrelated —
+the parquet replicas copy vectors verbatim, which would collapse under
+semdedup's cosine-1 exact twins and measure nothing).  SemDeDup cells use a
+sign-bit partition sized to ~50 vectors/cell (the paper's bounded-cell
+regime; a pure function of the vector, so the clean/planted runs share the
+assignment and the fixpoint argument holds) — standing in for the k-means
+coarse quantizer, with the same boundary-miss failure mode the recall
+column exists to expose.
+
+Usage:  python tools/dedup_quality.py [--scales 1,16,64] [--base .../sf0.1]
+Writes: the DEDUP-QUALITY section of SCALE.md (marker-delimited; the scale
+harness preserves it) + one JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from healthcare_data_pipeline_spark.session import get_spark  # noqa: E402
+
+QUALITY_BEGIN = "<!-- DEDUP-QUALITY BEGIN -->"
+QUALITY_END = "<!-- DEDUP-QUALITY END -->"
+
+# Variant ids: orig + family offset.  Base doc/vec ids stay < 64 replicas *
+# 10M = 6.4e8, so 1e9 steps never collide with corpus ids or each other.
+FAM_OFFSET = 1_000_000_000
+
+SEM_THRESHOLD = 0.95
+SPAN_K = 8
+BP_TOKENS = " ".join(f"zbp{i}" for i in range(12))
+
+
+# ---------------------------------------------------------------- planting
+def _doc_variants(clean: DataFrame) -> DataFrame:
+    """Planted text-variant table (doc_id, text, source, family, orig_id):
+    one variant per clean doc in each family's 2% id slice."""
+    tok_edit = (
+        "array_join(transform(split(text, ' '), (t, i) -> "
+        "CASE WHEN i % {step} = {phase} THEN substring(md5(concat(t, '_e{fam}')), 1, 8) "
+        "ELSE t END), ' ')"
+    )
+    fams = [
+        ("ws_rewrap", 0, "concat('  ', replace(text, ' ', '  '), ' ')"),
+        ("suffix_2tok", 1, "concat(text, ' zsfx', CAST(doc_id AS STRING), ' zsfy', CAST(doc_id AS STRING))"),
+        ("edit_5pct", 2, tok_edit.format(step=20, phase=10, fam=5)),
+        ("edit_10pct", 3, tok_edit.format(step=10, phase=5, fam=10)),
+    ]
+    out = None
+    for name, fi, expr in fams:
+        v = clean.filter((F.col("doc_id") % 100) >= 2 * fi).filter(
+            (F.col("doc_id") % 100) < 2 * fi + 2
+        ).select(
+            (F.col("doc_id") + FAM_OFFSET * (fi + 1)).alias("doc_id"),
+            F.expr(expr).alias("text"),
+            "source",
+            F.lit(name).alias("family"),
+            F.col("doc_id").alias("orig_id"),
+        )
+        out = v if out is None else out.unionByName(v)
+    return out
+
+
+def _shingle_jaccard(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """TRUE 3-shingle Jaccard per (orig_id, doc_id) planted pair — what the
+    MinHash signatures estimate, computed exactly so recall can be read
+    against family hardness.  ``pairs``: (orig_id, doc_id); ``docs`` carries
+    both sides' text."""
+    sh = docs.selectExpr(
+        "doc_id AS sid", "split(lower(text), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks"
+    ).selectExpr(
+        "sid",
+        "explode(array_distinct(CASE WHEN size(toks) >= 3 THEN transform("
+        "sequence(1, size(toks) - 2), i -> concat(element_at(toks, i), ' ', "
+        "element_at(toks, i + 1), ' ', element_at(toks, i + 2))) ELSE array() END)) AS g",
+    )
+    sizes = sh.groupBy("sid").agg(F.count("*").alias("n"))
+    a = sh.join(F.broadcast(pairs), sh.sid == pairs.orig_id).select("orig_id", "doc_id", "g")
+    b = sh.select(F.col("sid").alias("doc_id"), "g")
+    inter = a.join(b, ["doc_id", "g"]).groupBy("orig_id", "doc_id").agg(F.count("*").alias("i"))
+    return (
+        pairs.join(inter, ["orig_id", "doc_id"], "left")
+        .join(sizes.withColumnRenamed("sid", "orig_id").withColumnRenamed("n", "na"), "orig_id")
+        .join(sizes.withColumnRenamed("sid", "doc_id").withColumnRenamed("n", "nb"), "doc_id")
+        .select(
+            "orig_id",
+            "doc_id",
+            (
+                F.coalesce("i", F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce("i", F.lit(0)))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def measure_doc_dedup(spark, docs: DataFrame) -> list[dict]:
+    """dedup_corpus (exact + MinHash-LSH front door) vs planted families."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import dedup_corpus
+
+    clean = dedup_corpus(docs, hasher="fast").select("doc_id", "text", "source")
+    clean.cache()
+    n_clean = clean.count()
+    variants = _doc_variants(clean)
+    planted = clean.unionByName(variants.select("doc_id", "text", "source"))
+    survivors = dedup_corpus(planted, hasher="fast").select("doc_id")
+    truth = variants.select("family", "orig_id", "doc_id")
+    jac = _shingle_jaccard(
+        truth.select("orig_id", "doc_id"),
+        planted.select("doc_id", "text"),
+    )
+    verdicts = (
+        truth.join(survivors.withColumn("__alive", F.lit(1)), "doc_id", "left")
+        .join(jac, ["orig_id", "doc_id"])
+        .groupBy("family")
+        .agg(
+            F.count("*").alias("planted"),
+            F.sum(F.when(F.col("__alive").isNull(), 1).otherwise(0)).alias("caught"),
+            F.avg("jaccard").alias("similarity"),
+        )
+        .collect()
+    )
+    # FP: clean (fixpoint) docs the planted run removed — incl. false merges
+    # through a variant bridge
+    fp = clean.select("doc_id").join(survivors, "doc_id", "left_anti").count()
+    clean.unpersist()
+    rows = [
+        {
+            "operator": "dedup_corpus",
+            "family": r.family,
+            "planted": r.planted,
+            "caught": int(r.caught),
+            "recall": round(r.caught / r.planted, 3) if r.planted else None,
+            "similarity": round(r.similarity, 3),
+        }
+        for r in verdicts
+    ]
+    tp = sum(r["caught"] for r in rows)
+    rows.append(
+        {
+            "operator": "dedup_corpus",
+            "family": "(precision)",
+            "planted": n_clean,
+            "caught": tp,
+            "fp": fp,
+            "precision": round(tp / (tp + fp), 4) if tp + fp else None,
+        }
+    )
+    return rows
+
+
+# ------------------------------------------------------------- embeddings
+def _scaled_embeddings(spark, base: str, k: int) -> DataFrame:
+    """Base quantized embeddings replicated k-fold with a per-replica cyclic
+    component shift: norms exactly preserved, replicas decorrelated (verbatim
+    copies would be cosine-1 twins and semdedup would collapse them before
+    any planted variant could be measured)."""
+    e = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    iv = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") * 1000000.0))
+    en = e.select("vec_id", "label", iv.alias("iv"))
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    shifted = en.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+        "label",
+        F.expr(
+            "CASE WHEN rep % 64 = 0 THEN iv ELSE concat("
+            "slice(iv, CAST(rep % 64 AS INT) + 1, 64 - CAST(rep % 64 AS INT)), "
+            "slice(iv, 1, CAST(rep % 64 AS INT))) END"
+        ).alias("iv"),
+    )
+    nrm2 = F.aggregate(
+        F.zip_with(F.col("iv"), F.col("iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return shifted.withColumn("nrm2", nrm2)
+
+
+def _sign_cells(en: DataFrame, n_planes: int) -> DataFrame:
+    """(vec_id, iv, nrm2, label, cell) via the sign-bit partition — a pure
+    function of the vector (clean and planted runs agree), sized by the
+    caller to ~50 vectors/cell."""
+    from healthcare_data_pipeline_spark.operators.similarity import lsh_bucket
+
+    return lsh_bucket(en, n_planes=n_planes).withColumnRenamed("bucket", "cell")
+
+
+def _emb_variants(clean: DataFrame) -> DataFrame:
+    """Planted embedding variants (vec_id, label, iv, family, orig_id):
+    emb_tiny nudges one component (+1000 of the 1e6 scale, cos ~1);
+    emb_noise jitters every component uniformly +-54000 (cos ~0.97 against
+    a ~1e6-norm vector) — hash-derived, reruns plant identically."""
+    tiny = clean.filter(F.col("vec_id") % 100 < 3).select(
+        (F.col("vec_id") + FAM_OFFSET).alias("vec_id"),
+        "label",
+        F.expr(
+            "transform(iv, (x, i) -> CASE WHEN i = 0 THEN x + 1000.0 ELSE x END)"
+        ).alias("iv"),
+        F.lit("emb_tiny").alias("family"),
+        F.col("vec_id").alias("orig_id"),
+    )
+    noise = clean.filter((F.col("vec_id") % 100 >= 3) & (F.col("vec_id") % 100 < 6)).select(
+        (F.col("vec_id") + 2 * FAM_OFFSET).alias("vec_id"),
+        "label",
+        F.expr(
+            "transform(iv, (x, i) -> x + CAST(pmod(xxhash64(concat(CAST(vec_id AS STRING), "
+            "'_', CAST(i AS STRING))), 108001) - 54000 AS DOUBLE))"
+        ).alias("iv"),
+        F.lit("emb_noise").alias("family"),
+        F.col("vec_id").alias("orig_id"),
+    )
+    nrm2 = F.aggregate(
+        F.zip_with(F.col("iv"), F.col("iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return tiny.unionByName(noise).withColumn("nrm2", nrm2)
+
+
+def measure_semdedup(spark, en: DataFrame) -> list[dict]:
+    """semdedup (cell-scoped pairwise cosine) vs planted embedding variants.
+    Ground truth restricted to pairs whose TRUE cosine clears the threshold
+    — below-threshold jitter realizations are not dups by the operator's
+    own contract and are excluded from both recall and FP accounting."""
+    from healthcare_data_pipeline_spark.operators.similarity import semdedup
+
+    n = en.count()
+    n_planes = max(4, math.ceil(math.log2(max(2, n / 50))))
+    clean = (
+        semdedup(en, threshold=SEM_THRESHOLD, assigned=_sign_cells(en, n_planes))
+        .select("vec_id", "label", "iv", "nrm2")
+    )
+    clean.cache()
+    n_clean = clean.count()
+    variants = _emb_variants(clean)
+    # exact planted-pair cosine (integer-valued doubles -> exact dots)
+    vdot = F.aggregate(
+        F.zip_with(F.col("iv"), F.col("o_iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    truth = (
+        variants.join(
+            clean.select(
+                F.col("vec_id").alias("orig_id"),
+                F.col("iv").alias("o_iv"),
+                F.col("nrm2").alias("o_nrm2"),
+            ),
+            "orig_id",
+        )
+        .select(
+            "family",
+            "orig_id",
+            "vec_id",
+            (vdot / (F.sqrt(F.col("nrm2")) * F.sqrt(F.col("o_nrm2")))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEM_THRESHOLD)
+    )
+    planted = clean.unionByName(variants.select("vec_id", "label", "iv", "nrm2"))
+    survivors = semdedup(
+        planted, threshold=SEM_THRESHOLD, assigned=_sign_cells(planted, n_planes)
+    ).select("vec_id")
+    verdicts = (
+        truth.join(survivors.withColumn("__alive", F.lit(1)), "vec_id", "left")
+        .groupBy("family")
+        .agg(
+            F.count("*").alias("planted"),
+            F.sum(F.when(F.col("__alive").isNull(), 1).otherwise(0)).alias("caught"),
+            F.avg("cosine").alias("similarity"),
+        )
+        .collect()
+    )
+    fp = clean.select("vec_id").join(survivors, "vec_id", "left_anti").count()
+    clean.unpersist()
+    rows = [
+        {
+            "operator": "semdedup",
+            "family": r.family,
+            "planted": r.planted,
+            "caught": int(r.caught),
+            "recall": round(r.caught / r.planted, 3) if r.planted else None,
+            "similarity": round(r.similarity, 4),
+        }
+        for r in verdicts
+    ]
+    tp = sum(r["caught"] for r in rows)
+    rows.append(
+        {
+            "operator": "semdedup",
+            "family": "(precision)",
+            "planted": n_clean,
+            "caught": tp,
+            "fp": fp,
+            "precision": round(tp / (tp + fp), 4) if tp + fp else None,
+        }
+    )
+    return rows
+
+
+# ------------------------------------------------------------- span dedup
+def measure_span_dedup(spark, docs: DataFrame) -> list[dict]:
+    """remove_duplicate_spans vs a planted cross-document boilerplate span.
+    Differential FP accounting: the operator is not a fixpoint (deletion
+    seams form new k-windows), so non-planted docs are compared between
+    operator(clean) and operator(clean + plants) — only differences CAUSED
+    by planting count as FPs."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        remove_duplicate_spans,
+    )
+
+    clean = remove_duplicate_spans(docs, k=SPAN_K, hash_spans=True).select(
+        "doc_id", "text", "source"
+    )
+    clean.cache()
+    n_clean = clean.count()
+    is_plant = (F.col("doc_id") % 100 >= 8) & (F.col("doc_id") % 100 < 10)
+    planted = clean.withColumn(
+        "text",
+        F.when(is_plant, F.concat(F.col("text"), F.lit(" " + BP_TOKENS))).otherwise(
+            F.col("text")
+        ),
+    )
+    ref = remove_duplicate_spans(clean, k=SPAN_K, hash_spans=True).select(
+        "doc_id", F.col("text").alias("ref_text")
+    )
+    out = remove_duplicate_spans(planted, k=SPAN_K, hash_spans=True).select(
+        "doc_id", "text", is_plant.alias("is_plant")
+    )
+    joined = out.join(ref, "doc_id")
+    agg = joined.agg(
+        F.sum(F.when(F.col("is_plant"), 1).otherwise(0)).alias("planted"),
+        F.sum(
+            F.when(F.col("is_plant") & ~F.col("text").contains("zbp"), 1).otherwise(0)
+        ).alias("caught"),
+        F.sum(
+            F.when(F.col("is_plant") & (F.col("text") == F.col("ref_text")), 1).otherwise(0)
+        ).alias("exact_repair"),
+        F.sum(
+            F.when(~F.col("is_plant") & (F.col("text") != F.col("ref_text")), 1).otherwise(0)
+        ).alias("fp"),
+    ).collect()[0]
+    clean.unpersist()
+    tp, fp = int(agg.caught), int(agg.fp)
+    return [
+        {
+            "operator": "span_dedup",
+            "family": "boilerplate_12tok",
+            "planted": int(agg.planted),
+            "caught": tp,
+            "recall": round(tp / agg.planted, 3) if agg.planted else None,
+            "similarity": round(int(agg.exact_repair) / agg.planted, 3)
+            if agg.planted
+            else None,  # exact-repair rate: span excised, nothing else touched
+        },
+        {
+            "operator": "span_dedup",
+            "family": "(precision)",
+            "planted": n_clean,
+            "caught": tp,
+            "fp": fp,
+            "precision": round(tp / (tp + fp), 4) if tp + fp else None,
+        },
+    ]
+
+
+def measure_scale(spark, docs_dir: str, base: str, k: int) -> list[dict]:
+    docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
+    en = _scaled_embeddings(spark, base, k)
+    rows = []
+    for part in (
+        measure_doc_dedup(spark, docs),
+        measure_semdedup(spark, en),
+        measure_span_dedup(spark, docs),
+    ):
+        for r in part:
+            r["scale"] = k
+        rows.extend(part)
+    return rows
+
+
+# ------------------------------------------------------------- reporting
+def quality_section(all_rows: list[dict], base: str) -> str:
+    fam_rows = [r for r in all_rows if r["family"] != "(precision)"]
+    prec_rows = [r for r in all_rows if r["family"] == "(precision)"]
+    lines = [
+        QUALITY_BEGIN,
+        "",
+        "## Dedup effectiveness — precision/recall vs planted near-dups "
+        "(tools/dedup_quality.py)",
+        "",
+        f"Ground-truth near-dup families planted at known rates into each "
+        f"operator's own cleaned corpus (base `{base}`; replication as above), "
+        "then the operator re-runs and we count catches.  `similarity` is the "
+        "family's measured TRUE mean similarity (3-shingle Jaccard for text, "
+        "cosine for embeddings; for span_dedup it is the exact-repair rate — "
+        "planted span excised with no other token touched), so recall reads "
+        "against how hard the family actually is.  Precision counts clean "
+        "items the re-run removed (false positives, including clean docs "
+        "dragged into a component through a planted variant).  Embedding "
+        "ground truth only counts pairs whose true cosine clears the "
+        "semdedup threshold (the operator's contract).",
+        "",
+        "| operator | family | " + " | ".join(
+            f"{k}x recall (n)" for k in sorted({r['scale'] for r in fam_rows})
+        ) + " | similarity |",
+    ]
+    scales = sorted({r["scale"] for r in fam_rows})
+    lines.append("|---|---|" + "---|" * (len(scales) + 1))
+    keys = sorted({(r["operator"], r["family"]) for r in fam_rows})
+    for op, fam in keys:
+        by_k = {r["scale"]: r for r in fam_rows if r["operator"] == op and r["family"] == fam}
+        sim = by_k[scales[-1]]["similarity"]
+        lines.append(
+            f"| {op} | {fam} | "
+            + " | ".join(
+                f"{by_k[k]['recall']:.3f} ({by_k[k]['planted']})" if k in by_k else "—"
+                for k in scales
+            )
+            + f" | {sim} |"
+        )
+    lines += [
+        "",
+        "| operator | " + " | ".join(f"{k}x precision (TP/FP)" for k in scales) + " |",
+        "|---|" + "---|" * len(scales),
+    ]
+    for op in sorted({r["operator"] for r in prec_rows}):
+        by_k = {r["scale"]: r for r in prec_rows if r["operator"] == op}
+        lines.append(
+            f"| {op} | "
+            + " | ".join(
+                f"{by_k[k]['precision']:.4f} ({by_k[k]['caught']}/{by_k[k]['fp']})"
+                if k in by_k
+                else "—"
+                for k in scales
+            )
+            + " |"
+        )
+    lines += [
+        "",
+        "Reading: `ws_rewrap` is the exact stage's contract (must be 1.0); "
+        "`suffix_2tok` sits near the LSH design point; `edit_5pct`/`edit_10pct` "
+        "measure the published 4-band/4-row MinHash recall curve at decreasing "
+        "Jaccard (theory: P = 1-(1-J^4)^4 → 0.99/0.76/0.28 at J 0.95/0.74/0.53 "
+        "— the measured columns sit on it) — the knob is band shape / "
+        "`min_shared_bands`, and a recall regression here is a "
+        "signature-pipeline bug even when the oracles still pass.  FLAT "
+        "text-dedup columns across 1x→64x are the scale claim: candidate "
+        "generation stays bucket-scoped, so effectiveness does not decay as "
+        "the corpus grows (caps or band-bucket saturation would show here "
+        "first).  `emb_tiny` (cos ~1) holds ~1.0 at every scale; `emb_noise` "
+        "(cos ~0.97 vs threshold 0.95 — deliberately borderline) DECAYS as "
+        "the bounded-cell regime grows the cell count with the corpus (more "
+        "cells = more boundary area = more cross-cell twins): the measured "
+        "SemDeDup cross-cluster trade the paper accepts.  When borderline "
+        "recall matters, the remedies are a threshold margin above the target "
+        "band or fewer/larger cells (pay the |cell|² term) — now a measured "
+        "decision instead of a guessed one.  span_dedup's exact-repair rate "
+        "is low at sf0.1 not from a bug but because the templated corpus "
+        "shares trailing token runs: seam windows straddling the planted "
+        "span's boundary duplicate across planted docs and excise a few "
+        "adjacent natural tokens (recall stays 1.0, non-planted docs "
+        "untouched).  Regenerate with `python tools/dedup_quality.py`.",
+        "",
+        QUALITY_END,
+    ]
+    return "\n".join(lines)
+
+
+def splice_into_scale_md(section: str, repo_root: str) -> None:
+    path = os.path.join(repo_root, "SCALE.md")
+    text = ""
+    if os.path.exists(path):
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
+    if QUALITY_BEGIN in text and QUALITY_END in text:
+        pre = text[: text.index(QUALITY_BEGIN)]
+        post = text[text.index(QUALITY_END) + len(QUALITY_END):]
+        text = pre + section + post
+    else:
+        text = text.rstrip("\n") + "\n\n" + section + "\n"
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(text)
+
+
+def main() -> None:
+    from tools.scale_stress import build_corpora
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,16,64")
+    ap.add_argument(
+        "--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    args = ap.parse_args()
+    scales = sorted(int(s) for s in args.scales.split(","))
+
+    spark = get_spark(app_name="hdp-dedup-quality")
+    dirs = build_corpora(spark, args.base, scales)
+    all_rows: list[dict] = []
+    for k in scales:
+        rows = measure_scale(spark, dirs[k], args.base, k)
+        all_rows.extend(rows)
+        for r in rows:
+            print(f"# {k}x {r}", file=sys.stderr)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    splice_into_scale_md(quality_section(all_rows, args.base), repo_root)
+    print(json.dumps({"rows": all_rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
