@@ -45,21 +45,110 @@ def sha256_hex(value: str) -> str:
     return hashlib.sha256(value.encode("utf-8")).hexdigest()
 
 
+# Reserved metadata key inside the mapping artifact.  It is not a column
+# name, so every mapping consumer (deanonymize's ``c not in df.columns``
+# guard, encrypt/decrypt's JSON round-trip) passes it through untouched.
+TRUNCATION_KEY = "__truncation__"
+
+
 def build_mapping(
     df: DataFrame, columns: list[str], cap: int = DEFAULT_MAPPING_CAP
 ) -> dict[str, dict[str, str]]:
-    """Bounded distinct-value mapping per column: {column: {hash: original}}."""
+    """Bounded distinct-value mapping per column: {column: {hash: original}}.
+
+    The cap replicates reference compat semantics (runnerfile.py:261), but is
+    never SILENT: the artifact carries a ``__truncation__`` entry recording,
+    per column, how many distinct values existed vs how many were mapped
+    (one extra bounded aggregation), and a RuntimeWarning fires when
+    anything was dropped — a >cap-cardinality PII column would otherwise
+    de-anonymize incompletely with no signal.  For lossless round-trips past
+    the cap, use the distributed form (``build_mapping_table`` +
+    ``deanonymize_with_table``) — the mapping stays a table and never
+    reaches the driver.
+    """
     mapping: dict[str, dict[str, str]] = {}
+    truncation: dict[str, dict[str, int]] = {}
     for c in columns:
-        values = (
+        col_vals = (
             df.select(F.col(c).cast("string").alias("v"))
             .where(F.col("v").isNotNull())
             .distinct()
-            .limit(cap)
-            .collect()
         )
+        values = col_vals.limit(cap).collect()
+        n_mapped = len(values)
+        # only pay the exact-count aggregation when the cap was actually hit
+        n_distinct = col_vals.count() if n_mapped == cap else n_mapped
         mapping[c] = {sha256_hex(r.v): r.v for r in values}
+        truncation[c] = {
+            "n_distinct": n_distinct,
+            "n_mapped": n_mapped,
+            "n_dropped": n_distinct - n_mapped,
+        }
+    dropped = {c: t["n_dropped"] for c, t in truncation.items() if t["n_dropped"]}
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"build_mapping hit the {cap}-value cap and dropped distinct PII values "
+            f"{dropped}; de-anonymization through this mapping will be INCOMPLETE for "
+            "those columns. Use build_mapping_table/deanonymize_with_table for a "
+            "lossless distributed mapping.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    mapping[TRUNCATION_KEY] = truncation  # type: ignore[assignment]
     return mapping
+
+
+def build_mapping_table(df: DataFrame, columns: list[str]) -> DataFrame:
+    """UNBOUNDED distributed mapping table (column, hash, original) — the
+    100 TB form of ``build_mapping``: one distinct per PII column, unioned;
+    nothing ever reaches the driver, so cardinality is irrelevant.  Persist
+    it as parquet next to the anonymized output and de-anonymize by join
+    (``deanonymize_with_table``)."""
+    parts = [
+        df.select(
+            F.lit(c).alias("column"),
+            F.sha2(F.col(c).cast("string"), 256).alias("hash"),
+            F.col(c).cast("string").alias("original"),
+        )
+        .where(F.col("original").isNotNull())
+        .distinct()
+        for c in columns
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def deanonymize_with_table(
+    df: DataFrame, mapping: DataFrame, broadcast_small: bool = False
+) -> DataFrame:
+    """Readable-report restoration via JOINS against a distributed mapping
+    table (``build_mapping_table`` output or its persisted parquet) — the
+    lossless path for >cap cardinalities.  Per mapped column: left join on
+    the hash, fall back to the hash when unmapped (the same ``m.get(x, x)``
+    semantics as ``deanonymize``).  ``broadcast_small=True`` hints the
+    mapping side when the caller knows it fits (otherwise Spark/AQE picks
+    the strategy — at 1B+ mapped values a sort-merge join is the right
+    plan, which is exactly why this path exists)."""
+    cols = [r.column for r in mapping.select("column").distinct().collect()]
+    out = df
+    for c in cols:
+        if c not in out.columns:
+            continue
+        m = mapping.filter(F.col("column") == c).select(
+            F.col("hash").alias(f"__hash_{c}"), F.col("original").alias(f"__orig_{c}")
+        )
+        if broadcast_small:
+            m = F.broadcast(m)
+        out = (
+            out.join(m, out[c] == m[f"__hash_{c}"], "left")
+            .withColumn(c, F.coalesce(F.col(f"__orig_{c}"), F.col(c)))
+            .drop(f"__hash_{c}", f"__orig_{c}")
+        )
+    return out
 
 
 def anonymize(df: DataFrame, columns: list[str]) -> DataFrame:

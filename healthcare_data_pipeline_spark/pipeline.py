@@ -125,8 +125,19 @@ def run(spark: SparkSession, cfg: PipelineConfig) -> dict[str, object]:
         blob = anon.encrypt_mapping(mapping, cfg.mapping_passphrase)
         with open(os.path.join(cfg.artifacts_dir, "pii_mapping.enc"), "wb") as fh:
             fh.write(blob)
-    manifest["stages"]["anonymize"] = {"mapped_columns": sorted(mapping)}
-    log(f"anonymize: {len(mapping)} mapped columns")
+    mapped_cols = sorted(k for k in mapping if anon.TRUNCATION_KEY not in k)
+    truncated = {
+        f"{k.rsplit('.', 1)[0]}.{c}": t["n_dropped"]
+        for k, per_col in mapping.items()
+        if anon.TRUNCATION_KEY in k
+        for c, t in per_col.items()  # type: ignore[union-attr]
+        if isinstance(t, dict) and t.get("n_dropped")
+    }
+    manifest["stages"]["anonymize"] = {
+        "mapped_columns": mapped_cols,
+        "truncated_columns": truncated,  # never silent (cf. build_mapping cap)
+    }
+    log(f"anonymize: {len(mapped_cols)} mapped columns, truncated={truncated or 'none'}")
 
     # Cleanse -> partitioned parquet.  Row metrics ride the write action via
     # the Observation API — zero extra scans (a separate count() would re-read

@@ -190,3 +190,64 @@ def test_mapping_encryption_fresh_keystream_per_call():
     forged = b2[:16] + b1[16:]
     with pytest.raises(ValueError):
         anon.decrypt_mapping(forged, "secret")
+
+
+def test_build_mapping_cap_is_never_silent(spark):
+    """A >cap-cardinality PII column must surface its truncation in the
+    mapping artifact (the __truncation__ entry) AND warn — the r9 verdict's
+    silent-cap finding.  Columns under the cap record zero drops and no
+    warning fires."""
+    import warnings
+
+    import pytest as _pytest
+
+    df = spark.range(200).selectExpr(
+        "concat('person_', CAST(id AS STRING)) AS presc_fullname"
+    )
+    with _pytest.warns(RuntimeWarning, match="cap"):
+        m = anon.build_mapping(df, ["presc_fullname"], cap=50)
+    t = m[anon.TRUNCATION_KEY]["presc_fullname"]
+    assert t == {"n_distinct": 200, "n_mapped": 50, "n_dropped": 150}
+    assert len(m["presc_fullname"]) == 50
+    # artifact round-trips with the metadata intact
+    blob = anon.encrypt_mapping(m, "secret")
+    assert anon.decrypt_mapping(blob, "secret") == m
+    # deanonymize skips the metadata entry (it is not a column)
+    out = anon.deanonymize(spark, anon.anonymize(df, ["presc_fullname"]), m)
+    n_restored = out.filter("presc_fullname LIKE 'person_%'").count()
+    assert n_restored == 50  # compat mode: incomplete past the cap, by contract
+
+    # under the cap: exact counts, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        m2 = anon.build_mapping(df.limit(10), ["presc_fullname"], cap=50)
+    assert m2[anon.TRUNCATION_KEY]["presc_fullname"]["n_dropped"] == 0
+
+
+def test_distributed_mapping_roundtrip_past_the_cap(spark, tmp_path):
+    """The 100 TB mapping path: build_mapping_table keeps the mapping a
+    DataFrame (no driver materialization, no cap), persists as parquet, and
+    deanonymize_with_table restores a >cap-cardinality column LOSSLESSLY —
+    the remedy the compat-mode truncation warning points at."""
+    df = spark.range(200).selectExpr(
+        "concat('person_', CAST(id AS STRING)) AS presc_fullname",
+        "concat('+1-555-', CAST(id % 7 AS STRING)) AS phone",
+        "CAST(id AS STRING) AS payload",
+    )
+    mt = anon.build_mapping_table(df, ["presc_fullname", "phone"])
+    path = str(tmp_path / "pii_mapping_parquet")
+    mt.write.parquet(path)
+    hashed = anon.anonymize(df, ["presc_fullname", "phone"])
+    restored = anon.deanonymize_with_table(
+        hashed, spark.read.parquet(path), broadcast_small=True
+    )
+    orig = {(r.presc_fullname, r.phone, r.payload) for r in df.collect()}
+    back = {(r.presc_fullname, r.phone, r.payload) for r in restored.collect()}
+    assert back == orig  # lossless at any cardinality
+    # unmapped hashes fall back to themselves (m.get(x, x) semantics)
+    partial = anon.deanonymize_with_table(
+        hashed, spark.read.parquet(path).filter("column = 'phone'")
+    )
+    rows = partial.collect()
+    assert all(len(r.presc_fullname) == 64 for r in rows)  # still hashed
+    assert all(r.phone.startswith("+1-555-") for r in rows)  # restored
