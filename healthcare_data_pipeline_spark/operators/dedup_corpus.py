@@ -576,6 +576,77 @@ def probe_band_index(batch_bands: DataFrame, corpus_bands: DataFrame) -> DataFra
     )
 
 
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """LINE-level boilerplate removal — the RefinedWeb/CCNet curation stage
+    (Penedo et al. 2023 §"line-wise filtering"; CCNet's per-line dedup):
+    delete every line whose trimmed form occurs in at least ``min_docs``
+    DISTINCT documents, keep the rest of each document in order.  Nav bars,
+    cookie banners, footers and license blocks repeat verbatim across pages
+    at far higher rates than full documents do, so document-level dedup
+    (dd01/dd09) never sees them and span dedup (``remove_duplicate_spans``)
+    only catches them when they happen to align into k-token windows — the
+    line is the natural unit the published pipelines use.
+
+    Semantics mirror the span stage one rung up: within-document repetition
+    alone does NOT trigger removal (``min_docs`` counts distinct docs);
+    whitespace-only lines are structure, not boilerplate — they are never
+    counted and never removed; matching is on the TRIMMED line (indentation
+    does not protect a banner) while the surviving text keeps its original
+    lines verbatim, rejoined with ``line_sep``.  Audit columns ``n_lines``
+    and ``n_removed_lines`` make the deletion accountable per document.
+
+    Scale shape (dd19's, at line granularity, strictly cheaper): one line
+    explode (~n_lines rows — lines are ~10x rarer than token spans), one
+    groupBy(trimmed line) with map-side combine for the distinct-doc count,
+    one left-semi join of line occurrences back against the duplicated set,
+    one per-doc groupBy collecting removed positions (bounded by doc
+    length), one join back to the docs table; the per-line keep test is a
+    scalar ``array_contains`` — codegen, no second explode, no shuffle.
+
+    ``line_sep`` is used as the split REGEX and the rejoin literal; the
+    default newline is both.  Catalog dd22 value-hash-verifies the full
+    rebuilt text + audit counts against a relational DuckDB oracle.
+    """
+    base = docs.withColumn("__lines", F.split(F.col(text_col), line_sep))
+    lines = (
+        base.select(F.col(id_col).alias("__did"), F.posexplode("__lines").alias("__p0", "__line"))
+        .select("__did", (F.col("__p0") + 1).alias("__lpos"), F.trim(F.col("__line")).alias("__key"))
+        .filter(F.col("__key") != "")
+    )
+    dup = (
+        lines.groupBy("__key")
+        .agg(F.count_distinct("__did").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__key")
+    )
+    removed = (
+        lines.join(dup, "__key", "left_semi")
+        .groupBy("__did")
+        .agg(F.sort_array(F.collect_set("__lpos")).alias("__rm"))
+    )
+    joined = (
+        base.join(removed, F.col(id_col) == F.col("__did"), "left")
+        .drop("__did")
+        .withColumn("__rmp", F.coalesce(F.col("__rm"), F.array().cast("array<int>")))
+        .withColumn(
+            "__kept",
+            F.expr("filter(__lines, (x, i) -> NOT array_contains(__rmp, i + 1))"),
+        )
+    )
+    return (
+        joined.withColumn("n_lines", F.size("__lines"))
+        .withColumn("n_removed_lines", F.size("__rmp"))
+        .withColumn(text_col, F.array_join("__kept", line_sep))
+        .drop("__lines", "__rm", "__rmp", "__kept")
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     k: int = 8,

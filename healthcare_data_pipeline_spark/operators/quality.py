@@ -249,6 +249,7 @@ def prep_corpus(
     rare_df: int = 2,
     span_k: int | None = None,
     span_min_docs: int = 2,
+    line_min_docs: int | None = None,
     token_budget: int | None = None,
     token_budgets: dict[str, int] | None = None,
     budget_group_col: str = "source",
@@ -287,6 +288,13 @@ def prep_corpus(
       it and the boilerplate would have kept them distinct.  It rewrites
       ``text_col`` (whitespace-normalized surviving tokens), which is what
       every downstream stage should consume anyway.
+    - ``line_min_docs`` applies ``remove_boilerplate_lines`` (dd22's
+      RefinedWeb/CCNet line-wise stage) in the same pre-fingerprint slot,
+      BEFORE ``span_k``'s token-window pass: lines are the natural unit for
+      nav/footer/license boilerplate when the corpus has newlines, and
+      stripping whole lines first means the span stage only has to catch
+      the non-line-aligned residue.  No-op (zero removals) on newline-free
+      corpora — opt-in for that reason.
     - ``token_budget`` (+ per-group ``token_budgets``, grouped by
       ``budget_group_col``) applies ``token_budget_sample`` AFTER dedup —
       a budget must buy unique tokens, not duplicates.  ``budget_method``
@@ -322,6 +330,14 @@ def prep_corpus(
             .select(F.col("doc_id").alias(id_col))
         )
         filtered = filtered.join(keep, id_col, "left_semi")
+    if line_min_docs is not None:
+        from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+            remove_boilerplate_lines,
+        )
+
+        filtered = remove_boilerplate_lines(
+            filtered, min_docs=line_min_docs, id_col=id_col, text_col=text_col
+        ).drop("n_lines", "n_removed_lines")
     if span_k is not None:
         from healthcare_data_pipeline_spark.operators.dedup_corpus import (
             remove_duplicate_spans,

@@ -1475,6 +1475,67 @@ def dd08_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd22_line_dedup",
+    oracle="""
+    WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    ln AS (
+      SELECT doc_id, i AS lpos,
+             array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ') AS line
+      FROM t0, UNNEST(generate_series(1, CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS g(i)
+    ),
+    dup AS (
+      SELECT trim(line) AS k FROM ln WHERE trim(line) != ''
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rm AS (SELECT DISTINCT doc_id, lpos FROM ln JOIN dup ON trim(ln.line) = dup.k),
+    kept AS (
+      SELECT l.doc_id, l.lpos, l.line
+      FROM ln l LEFT JOIN rm ON l.doc_id = rm.doc_id AND l.lpos = rm.lpos
+      WHERE rm.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY lpos) AS text, COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    nl AS (SELECT doc_id, COUNT(*) AS n_lines FROM ln GROUP BY doc_id)
+    SELECT t0.doc_id,
+           COALESCE(a.text, '') AS text,
+           CAST(nl.n_lines AS INT) AS n_lines,
+           CAST(nl.n_lines - COALESCE(a.n_kept, 0) AS INT) AS n_removed_lines
+    FROM t0 JOIN nl USING (doc_id) LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("dedup", "EXT", "lines"),
+    doc="LINE-level boilerplate removal (operators.dedup_corpus.remove_boilerplate_lines, "
+    "the RefinedWeb/CCNet line-wise curation stage): delete every line occurring "
+    "verbatim (trimmed) in >=2 distinct documents, keep the rest of each document in "
+    "order — the unit between span dedup (dd19, aligned k-token windows) and document "
+    "dedup (dd01/dd09). The synthetic corpus has no newlines, so the entry first "
+    "re-lines each document deterministically (a line break every 8 tokens — both "
+    "engines compute the identical re-lining), which makes the stage observably "
+    "non-vacuous here (~150 duplicated lines across ~90 docs at sf0.01); real corpora "
+    "supply their own newlines. Oracle recomputes line explode -> distinct-doc "
+    "frequency -> removed positions -> order-preserving rebuild, and the full rebuilt "
+    "text plus audit counts value-hash.",
+)
+def dd22_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        remove_boilerplate_lines,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    relined = d.withColumn(
+        "text",
+        F.expr(
+            "array_join(transform(sequence(1, CAST(ceil(size(split(text, ' ')) / 8.0) AS INT)), "
+            "i -> array_join(slice(split(text, ' '), (i - 1) * 8 + 1, 8), ' ')), '\\n')"
+        ),
+    )
+    return remove_boilerplate_lines(relined, min_docs=2).select(
+        "doc_id", "text", "n_lines", "n_removed_lines"
+    )
+
+
+@query(
     "dd19_span_dedup",
     oracle="""
     WITH t AS (

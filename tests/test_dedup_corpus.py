@@ -657,3 +657,84 @@ def test_semdedup_pair_join_is_cell_local(spark):
     plan = simple_plan(cell_candidate_pairs(en, 0.3))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_crafted_multiline_fixtures(spark):
+    """remove_boilerplate_lines on crafted multi-line documents (the corpus
+    has no newlines — dd22's catalog entry re-lines it; THIS is the
+    operator's real contract): shared header/footer lines excised, unique
+    content preserved in order, within-doc repetition alone never removed,
+    blank lines are structure (kept, never counted), matching is on the
+    TRIMMED line while survivors keep their original spelling."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        remove_boilerplate_lines,
+    )
+
+    header = "COOKIE BANNER accept all cookies"
+    footer = "copyright example corp all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header}\nalpha beta gamma\n\n{footer}"),
+            # indented header: trim-matched for counting/removal
+            (2, f"  {header}\ndelta epsilon\n{footer}"),
+            (3, f"{header}\nzeta eta theta\n{footer}"),
+            # within-doc repetition only -> kept (min_docs counts DISTINCT docs)
+            (4, "solo line repeated\nsolo line repeated\nunique middle"),
+            (5, "totally unrelated document\nwith its own lines"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in remove_boilerplate_lines(docs, min_docs=2).collect()}
+    assert out[1].text == "alpha beta gamma\n"  # blank line kept, header/footer gone
+    assert out[1].n_lines == 4 and out[1].n_removed_lines == 2
+    assert out[2].text == "delta epsilon"  # indented header still removed
+    assert out[3].text == "zeta eta theta"
+    assert out[4].text == "solo line repeated\nsolo line repeated\nunique middle"
+    assert out[4].n_removed_lines == 0
+    assert out[5].text == "totally unrelated document\nwith its own lines"
+    # raising min_docs past the boilerplate frequency keeps everything
+    kept_all = remove_boilerplate_lines(docs, min_docs=4).collect()
+    assert all(r.n_removed_lines == 0 for r in kept_all)
+
+
+def test_line_dedup_prep_corpus_gate(spark):
+    """prep_corpus(line_min_docs=...) strips line boilerplate BEFORE
+    fingerprinting, so template-wrapped payloads that differ only by the
+    shared lines collapse into exact duplicates the dedup stage removes —
+    and the gate is a no-op on the newline-free corpus."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.quality import prep_corpus
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    base_ids = {r.doc_id for r in prep_corpus(d).select("doc_id").collect()}
+    gated_ids = {
+        r.doc_id
+        for r in prep_corpus(d, line_min_docs=2).select("doc_id").collect()
+    }
+    assert gated_ids == base_ids  # no newlines -> no-op
+
+    # crafted: same payload wrapped in different per-doc positions of the
+    # SAME boilerplate lines; line removal exposes the payload duplication
+    banner = "SHARED NAV BAR home products contact about careers blog support"
+    legal = "SHARED LEGAL FOOTER terms privacy cookies imprint accessibility statement"
+    payload = (
+        "the quick brown fox jumps over the lazy dog and keeps running for a while"
+    )
+    other = "an entirely different second payload with plenty of its own words here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\n{payload}\n{legal}"),
+            (2, f"{banner}\n{banner}\n{payload}\n{legal}"),  # extra banner line
+            (3, f"{banner}\n{other}\n{legal}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id
+        for r in prep_corpus(
+            docs, min_stopword_ratio=None, line_min_docs=2
+        ).select("doc_id").collect()
+    }
+    # 1 and 2 collapse to the same payload -> min-id 1 survives; 3 is distinct
+    assert out == {1, 3}

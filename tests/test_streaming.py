@@ -1060,3 +1060,69 @@ def test_stream_bloom_decontamination_gate_equals_batch(spark):
     # in the synthetic corpus)
     n_without = passing.count()
     assert len({g[0] for g in got}) < n_without
+
+
+def test_session_window_state_is_bounded_by_watermark_eviction(spark, tmp_path):
+    """The state-store GROWTH contract (r9 verdict task 6): value-equality
+    tests can't see a state leak — a session-window query that never evicts
+    still emits correct rows, it just OOMs at 100 TB.  Replay the events
+    table as 10 time-ordered micro-batches (30 days of event time, so the
+    watermark advances ~3 days per batch) and assert from the per-batch
+    StreamingQueryProgress that closed sessions actually LEAVE the store:
+
+    - eviction happens repeatedly (>= 3 batches report numRowsRemoved > 0);
+    - the store never holds session history: peak numRowsTotal stays well
+      under the total session count the query emits (bounded by the
+      watermark horizon, not by stream length);
+    - the watermark advances across batches (the eviction driver).
+    """
+    import time as _time
+
+    from healthcare_data_pipeline_spark.streaming.metrics import record_progress
+
+    split_dir = stv.split_events_for_microbatches(
+        spark, SF_DIR, str(tmp_path / "ev_split_state"), n_files=10
+    )
+    stream = stv.session_agg(
+        stv.read_events_stream_microbatched(spark, split_dir),
+        gap="30 minutes",
+        watermark="10 minutes",
+    )
+    with record_progress(spark) as rec:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("session_state_bound")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        for _ in range(100):
+            if rec.terminated:
+                break
+            _time.sleep(0.1)
+
+    n_sessions = spark.sql("SELECT COUNT(*) AS n FROM session_state_bound").collect()[0]["n"]
+    assert n_sessions > 100  # the corpus sessionizes richly (q26's shadow)
+
+    state = [
+        (p.get("eventTime", {}).get("watermark"), p["stateOperators"][0])
+        for p in rec.progress
+        if p.get("stateOperators") and p.get("numInputRows", 0) > 0
+    ]
+    assert len(state) >= 5  # genuinely multi-batch
+    watermarks = [w for w, _ in state if w]
+    assert sorted(watermarks) == watermarks and len(set(watermarks)) >= 3
+
+    eviction_batches = sum(1 for _, s in state if int(s.get("numRowsRemoved", 0)) > 0)
+    assert eviction_batches >= 3, f"eviction cycles: {eviction_batches}"
+    total_removed = sum(int(s.get("numRowsRemoved", 0)) for _, s in state)
+    assert total_removed > 0.5 * n_sessions  # most sessions were evicted, not retained
+
+    peak = max(int(s.get("numRowsTotal", 0)) for _, s in state)
+    assert 0 < peak < 0.6 * n_sessions, (
+        f"peak state rows {peak} vs {n_sessions} sessions — state must be bounded "
+        "by the watermark horizon, not accumulate the stream's history"
+    )

@@ -106,6 +106,7 @@ def ops(spark, sf_dir: str):
         containment_pairs,
         dedup_corpus,
         minhash_pairs,
+        remove_boilerplate_lines,
         remove_duplicate_spans,
     )
     from healthcare_data_pipeline_spark.operators.mixture import (
@@ -277,6 +278,22 @@ def ops(spark, sf_dir: str):
         # join between the corpora), new batch fixed the same way.
         "span_dedup (xxhash64 spans, k=8)": lambda: sink(
             remove_duplicate_spans(docs, k=8, hash_spans=True)
+        ),
+        # dd22 at line granularity: the corpus has no newlines, so the row
+        # re-lines every doc (a break each 8 tokens — the dd22 catalog
+        # transform) and measures the line explode + distinct-doc frequency
+        # + position semi-join shape on genuinely multi-line documents;
+        # ~8x fewer exploded rows than the span stage, same linear plan.
+        "line_dedup (8-token re-lined)": lambda: sink(
+            remove_boilerplate_lines(
+                docs.withColumn(
+                    "text",
+                    F.expr(
+                        "array_join(transform(sequence(1, CAST(ceil(size(split(text, ' ')) / 8.0) AS INT)), "
+                        "i -> array_join(slice(split(text, ' '), (i - 1) * 8 + 1, 8), ' ')), '\\n')"
+                    ),
+                )
+            )
         ),
         "dsir_scores (fixed target slice)": lambda: sink(
             dsir_scores(docs, docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 10_000_000)))
@@ -502,7 +519,12 @@ def main() -> None:
         "documented quadratic control, which is why the row pins the "
         "bounded-cell configuration.",
         "",
-        "r10 newcomers: `ann_index_probe_sq8` "
+        "r10 newcomers: `line_dedup` "
+        f"(alpha {alphas.get('line_dedup (8-token re-lined)')}) is dd19's shape one rung up "
+        "(line explode -> distinct-doc frequency -> position semi-join -> "
+        "order-preserving rebuild) with ~8x fewer exploded rows than the "
+        "8-token span stage — the RefinedWeb/CCNet line-wise boilerplate "
+        "stage, measured on re-lined documents. `ann_index_probe_sq8` "
         f"(alpha {alphas.get('ann_index_probe_sq8 (build once)')}) probes the 8-bit-quantized "
         "vector layout (s10) — same routing and partition pruning as the fp "
         "probe, plus a shortlist-bounded exact rescore; the codes scan is "
