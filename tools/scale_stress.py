@@ -356,6 +356,60 @@ def ops(spark, sf_dir: str):
     }
 
 
+def hot_join_imbalance(spark, sf_dir: str, n_salts: int = 32) -> tuple[tuple, tuple]:
+    """UNTIMED partition-balance probe for the hot-join trio: (max-partition
+    row share, n_partitions) for the plain and the salted join, with AQE
+    partition coalescing disabled so the post-shuffle layout is observable.
+    Local wall-clock cannot exhibit skew at these sizes (a 300k-row hot
+    partition sorts in <1s on one thread), so the structural claim is pinned
+    on the thing that actually degrades at 100 TB: one task owning ~90% of
+    the stage's rows."""
+    from healthcare_data_pipeline_spark.operators.skew import salted_join
+
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        big = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.concat(F.lit("cold"), (F.col("doc_id") % 1000).cast("string")))
+            .alias("key"),
+            "text",
+        )
+        small = spark.range(1001).select(
+            F.when(F.col("id") == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("cold"), ((F.col("id") - 1) % 1000).cast("string")))
+            .alias("key"),
+            F.md5(F.col("id").cast("string")).alias("dim_payload"),
+        )
+
+        def share(df):
+            parts = df.groupBy(F.spark_partition_id().alias("p")).count().collect()
+            tot = sum(r["count"] for r in parts)
+            return max(r["count"] for r in parts) / tot, len(parts)
+
+        return (
+            share(big.join(small, "key")),
+            share(salted_join(big, small, on="key", n_salts=n_salts, salt_from="doc_id")),
+        )
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,4,16")
@@ -398,6 +452,7 @@ def main() -> None:
             print(f"# {k}x {name}: {results[name][k]:.3f}s", file=sys.stderr)
 
     k_lo, k_hi = scales[-2], scales[-1]
+    imb_plain, imb_salted = hot_join_imbalance(spark, dirs[k_hi])
     lines = [
         "# SCALE — measured operator growth (tools/scale_stress.py)",
         "",
@@ -530,21 +585,24 @@ def main() -> None:
         "probe, plus a shortlist-bounded exact rescore; the codes scan is "
         "~4-8x smaller on disk, which is the 100 TB lever (the probe is "
         "scan-I/O-bound), and this row pins that the extra rescore stage "
-        "costs ~nothing at local sizes. The hot-join trio measures skew "
+        "costs little at local sizes. The hot-join trio measures skew "
         "remediation on a 90%-hot key against a pinned-non-broadcastable "
-        "dimension: plain with AQE's skew-split disabled "
-        f"(alpha {alphas.get('hot_join plain (no-bcast, AQE skew off)')}, "
-        f"{results.get('hot_join plain (no-bcast, AQE skew off)', {}).get(k_hi)}s at {k_hi}x) funnels 90% of the "
-        "shuffle through ONE reducer — the structural failure; "
-        f"`salted_join` under the same handicap (alpha {alphas.get('hot_join salted (no-bcast, AQE skew off)')}, "
-        f"{results.get('hot_join salted (no-bcast, AQE skew off)', {}).get(k_hi)}s) spreads the hot key over 32 "
-        "salts and restores shuffle balance; plain with AQE skew-split ON "
-        f"(alpha {alphas.get('hot_join plain (no-bcast, AQE skew on)')}, "
-        f"{results.get('hot_join plain (no-bcast, AQE skew on)', {}).get(k_hi)}s) shows the engine's runtime "
-        "split fixing the sort-merge case on its own — reach for "
-        "`salted_join` when the shape is one AQE cannot split "
-        "(storage-partitioned/bucketed joins, skewed wide aggregations) or "
-        "AQE is unavailable.",
+        "dimension — HONEST reading: at these local sizes the wall-clock "
+        "times are near-identical (plain "
+        f"{results.get('hot_join plain (no-bcast, AQE skew off)', {}).get(k_hi)}s vs salted "
+        f"{results.get('hot_join salted (no-bcast, AQE skew off)', {}).get(k_hi)}s at {k_hi}x — salting costs a "
+        "small constant; a 300k-row hot partition sorts in well under a "
+        "second on one thread, so skew cannot show up as time here), and "
+        "the structural failure is in the PARTITION BALANCE, measured by "
+        f"the untimed probe below: the plain join lands {imb_plain[0]:.1%} of all "
+        f"output rows in ONE of {imb_plain[1]} shuffle partitions — at 100 TB that "
+        "task is ~90 TB and the stage is as slow as that one straggler — "
+        f"while `salted_join` (32 salts) caps the max partition at {imb_salted[0]:.1%}. "
+        "Plain with AQE skew-split ON "
+        f"(alpha {alphas.get('hot_join plain (no-bcast, AQE skew on)')}) is the engine's runtime remedy for "
+        "sort-merge shapes; reach for `salted_join` when the shape is one "
+        "AQE cannot split (storage-partitioned/bucketed joins, skewed wide "
+        "aggregations) or AQE is unavailable.",
         "",
         "Harness sensitivity check: with a suffix-only replica perturbation "
         "(cross-replica MinHash signatures collide, so ~(k-1)/k of the corpus "
@@ -571,7 +629,16 @@ def main() -> None:
         fh.write("\n".join(lines))
         if quality_block:
             fh.write("\n" + quality_block + "\n")
-    print(json.dumps({"sizes": sizes, "results": results, "alpha": alphas}))
+    print(
+        json.dumps(
+            {
+                "sizes": sizes,
+                "results": results,
+                "alpha": alphas,
+                "hot_join_imbalance": {"plain": imb_plain, "salted": imb_salted},
+            }
+        )
+    )
     spark.stop()
 
 
