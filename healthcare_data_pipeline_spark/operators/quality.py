@@ -369,6 +369,8 @@ def rare_bigram_scores(
     rare_df: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    join_side: str = "all",
+    broadcast_common: bool = False,
 ) -> DataFrame:
     """CORPUS-ADAPTIVE gibberish scoring: per-document rare-bigram ratio.
 
@@ -388,9 +390,20 @@ def rare_bigram_scores(
     with map-side combine for the frequency table, one shuffle join of the
     exploded bigrams back against it (both sides already clustered by
     bigram), one per-doc aggregation.  Everything is linear in corpus token
-    count; the frequency table is never collected or broadcast (at 100 TB
-    it is itself huge — and the RARE side is most of it, so no small-side
-    broadcast exists by construction).
+    count; the full frequency table is never collected or broadcast (at
+    100 TB it is itself huge — and the RARE side is most of it, so no
+    small-side broadcast exists by construction with ``join_side="all"``).
+
+    ``join_side="common"`` is the EXACT join-side reduction for when this
+    score is a default prep gate (the r9 review's watch item): only the
+    COMMON bigrams (df > ``rare_df`` — the head, typically a small fraction
+    of the distinct-bigram tail) form the join relation, and a bigram with
+    no match counts as rare.  Identical output values — rarity is the
+    complement of commonness — with the join side shrunk from |all distinct
+    bigrams| to |head bigrams|; ``broadcast_common=True`` additionally
+    broadcast-hints the head when the caller knows it fits executor memory
+    (a language's frequent-bigram head saturates far below corpus scale,
+    unlike the tail, which grows with every crawl).
 
     Output: (doc_id, n_bigrams, n_rare, rare_ratio) for every doc with at
     least one bigram (>= 2 tokens).
@@ -407,21 +420,34 @@ def rare_bigram_scores(
         .selectExpr("doc_id", f"explode({bigrams_sql}) AS bg")
     )
     counts = bg.groupBy("bg").agg(F.count("*").alias("df_bg"))
-    return (
-        bg.join(counts, "bg")
-        .groupBy("doc_id")
-        .agg(
+    if join_side == "common":
+        common = counts.filter(F.col("df_bg") > rare_df).select("bg").withColumn(
+            "__common", F.lit(1)
+        )
+        if broadcast_common:
+            common = F.broadcast(common)
+        scored = bg.join(common, "bg", "left").groupBy("doc_id").agg(
             F.count("*").alias("n_bigrams"),
-            F.sum(F.when(F.col("df_bg") <= rare_df, 1).otherwise(0)).alias("n_rare"),
+            F.sum(F.when(F.col("__common").isNull(), 1).otherwise(0)).alias("n_rare"),
         )
-        .select(
-            "doc_id",
-            "n_bigrams",
-            "n_rare",
-            (F.col("n_rare").cast("double") / F.col("n_bigrams").cast("double")).alias(
-                "rare_ratio"
-            ),
+    elif join_side == "all":
+        scored = (
+            bg.join(counts, "bg")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_bigrams"),
+                F.sum(F.when(F.col("df_bg") <= rare_df, 1).otherwise(0)).alias("n_rare"),
+            )
         )
+    else:
+        raise ValueError(f"join_side must be 'all' or 'common', got {join_side!r}")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "n_rare",
+        (F.col("n_rare").cast("double") / F.col("n_bigrams").cast("double")).alias(
+            "rare_ratio"
+        ),
     )
 
 

@@ -584,3 +584,38 @@ def test_gopher_filter_matches_flags_and_plan_is_scan_bound(spark):
     assert got == want
     plan = simple_plan(kept)
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_rare_bigram_common_side_is_exact_and_broadcastable(spark):
+    """join_side='common' (the join-side reduction for gate duty) must be
+    VALUE-IDENTICAL to the default all-bigrams join — rarity is the exact
+    complement of commonness — and broadcast_common must land the head as a
+    broadcast-hash relation in the plan."""
+    from healthcare_data_pipeline_spark.catalog import table
+    from healthcare_data_pipeline_spark.operators.quality import rare_bigram_scores
+    from healthcare_data_pipeline_spark.plans import simple_plan
+    from tests.conftest import SF_DIR
+
+    d = table(spark, SF_DIR, "documents")
+    base = {r.doc_id: r for r in rare_bigram_scores(d, rare_df=2).collect()}
+    common = {
+        r.doc_id: r
+        for r in rare_bigram_scores(d, rare_df=2, join_side="common").collect()
+    }
+    assert base.keys() == common.keys()
+    for k in base:
+        assert (base[k].n_bigrams, base[k].n_rare, base[k].rare_ratio) == (
+            common[k].n_bigrams,
+            common[k].n_rare,
+            common[k].rare_ratio,
+        )
+    bcast = rare_bigram_scores(d, rare_df=2, join_side="common", broadcast_common=True)
+    plan = simple_plan(bcast)
+    assert "BroadcastHashJoin" in plan
+    got = {r.doc_id: (r.n_bigrams, r.n_rare) for r in bcast.collect()}
+    assert got == {k: (v.n_bigrams, v.n_rare) for k, v in base.items()}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="join_side"):
+        rare_bigram_scores(d, join_side="head")

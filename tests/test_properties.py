@@ -239,3 +239,77 @@ def test_connected_components_hybrid_matches_union_find(spark, edges):
     }
     assert got_driver == want
     assert got_dist == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-1_000_000, 1_000_000), min_size=4, max_size=4),
+        min_size=2,
+        max_size=12,
+    ),
+    probe=st.lists(st.integers(-3_000_000, 3_000_000), min_size=4, max_size=4),
+)
+@_SETTINGS
+def test_sq8_codes_and_dequantize_integer_contract(spark, vecs, probe):
+    """The SQ8 storage contract for ANY integer vectors (dim=4 keeps the
+    Spark jobs small; the arithmetic is per-dimension so dimension count is
+    irrelevant): against bounds frozen over the build set,
+
+    - every code is an integer level in 0..255, computed by the documented
+      floor rule — a pure-Python mirror must agree bit-for-bit (the property
+      the DuckDB oracle generalizes);
+    - dequantization lands within one level width of the (clamped) input:
+      |dq - clamp(v)| <= span/255 + 1;
+    - encoding is monotone per dimension (a larger component never gets a
+      smaller code) — the property that makes ADC ranking meaningful;
+    - out-of-range probes CLAMP to the representable extremes.
+    """
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        _SQ8_CODE_SQL,
+        _SQ8_DQ_SQL,
+        sq8_bounds,
+    )
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    en = spark.createDataFrame(rows, "vec_id long, iv array<double>")
+    b = sq8_bounds(en).collect()[0]
+    lo, hi = list(b.lo), list(b.hi)
+
+    def py_code(v, d):
+        span = max(hi[d] - lo[d], 1)
+        cl = min(max(int(v), lo[d]), hi[d])
+        return ((cl - lo[d]) * 255) // span
+
+    def py_dq(c, d):
+        span = hi[d] - lo[d]
+        return lo[d] + (c * span + 127) // 255
+
+    # encode the build vectors plus one arbitrary probe (exercises clamping)
+    probe_row = [(len(vecs), [float(x) for x in probe])]
+    allv = spark.createDataFrame(rows + probe_row, "vec_id long, iv array<double>")
+    coded = allv.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(lo, hi)], "__lo array<bigint>, __hi array<bigint>")
+        )
+    ).selectExpr(
+        "vec_id",
+        "iv",
+        _SQ8_CODE_SQL.format(iv="iv", lo="__lo", hi="__hi") + " AS qc",
+        _SQ8_DQ_SQL.format(qc=_SQ8_CODE_SQL.format(iv="iv", lo="__lo", hi="__hi"), lo="__lo", hi="__hi")
+        + " AS dq",
+    )
+    for r in coded.collect():
+        for d in range(4):
+            v = r.iv[d]
+            assert 0 <= r.qc[d] <= 255
+            assert r.qc[d] == py_code(v, d)  # bit-exact vs the Python mirror
+            assert r.dq[d] == py_dq(r.qc[d], d)
+            clamped = min(max(v, lo[d]), hi[d])
+            span = hi[d] - lo[d]
+            assert abs(r.dq[d] - clamped) <= span / 255 + 1
+        # monotone per dimension across all encoded vectors
+    rows_by_dim = coded.collect()
+    for d in range(4):
+        pairs = sorted((r.iv[d], r.qc[d]) for r in rows_by_dim)
+        for (v1, c1), (v2, c2) in zip(pairs, pairs[1:]):
+            assert c1 <= c2, f"dim {d}: code not monotone ({v1}->{c1}, {v2}->{c2})"
