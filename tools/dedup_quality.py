@@ -468,7 +468,9 @@ def quality_section(all_rows: list[dict], base: str) -> str:
         lines.append(
             f"| {op} | {fam} | "
             + " | ".join(
-                f"{by_k[k]['recall']:.3f} ({by_k[k]['planted']})" if k in by_k else "—"
+                f"{by_k[k]['recall']:.3f} ({by_k[k]['planted']})"
+                if k in by_k and by_k[k]["recall"] is not None
+                else "—"
                 for k in scales
             )
             + f" | {sim} |"
@@ -484,7 +486,7 @@ def quality_section(all_rows: list[dict], base: str) -> str:
             f"| {op} | "
             + " | ".join(
                 f"{by_k[k]['precision']:.4f} ({by_k[k]['caught']}/{by_k[k]['fp']})"
-                if k in by_k
+                if k in by_k and by_k[k]["precision"] is not None
                 else "—"
                 for k in scales
             )
