@@ -118,17 +118,27 @@ def _exploded_ngrams(df: DataFrame, n: int, id_col: str, text_col: str) -> DataF
     ).selectExpr(id_col, f"explode(array_distinct({word_ngrams_sql(n)})) AS g")
 
 
-def bloom_m_bits(n_grams: int, target_fpp: float = 1e-5) -> int:
+def bloom_m_bits(n_grams: int, target_fpp: float = 1e-4, k: int = BLOOM_K) -> int:
     """Bitmap size for an expected eval gram count and per-gram false-positive
-    target: the standard ``m = -n·ln(p)/ln(2)²`` sizing, rounded UP to a
-    multiple of 64 (whole words) with a 2^20 floor.  At k=3 hash functions the
-    realized FPP is within ~2× of ``target_fpp`` for the p range that matters
-    (1e-3..1e-7); size generously — bits are 8 bytes per 64 grams."""
+    target, rounded UP to a multiple of 64 (whole words) with a 2^20 floor.
+
+    Sized for the module's FIXED ``k`` hash functions, NOT the textbook
+    ``m = -n·ln(p)/ln(2)²`` — that formula assumes the OPTIMAL k ≈
+    (m/n)·ln2 (~13 hashes at p=1e-4), and with only k=3 probes it
+    under-sizes ~3×: realized per-gram FPP is ``(1-e^{-kn/m})^k``, measured
+    at ~30× a 1e-4 target under textbook sizing (the dedup-quality harness
+    caught this).  Solving the realized formula for m gives
+    ``m = k·n / -ln(1 - p^(1/k))`` — ~63 bits/gram at k=3, p=1e-4.
+    Per-DOC false-positive rate compounds over a doc's novel grams
+    (≈ g·p for g grams), so pick ``target_fpp`` with the corpus's typical
+    doc length in mind; bits are cheap (8 bytes per 64 grams)."""
     import math
 
-    if n_grams < 0 or not (0.0 < target_fpp < 1.0):
-        raise ValueError(f"need n_grams >= 0 and 0 < target_fpp < 1, got {n_grams}, {target_fpp}")
-    m = int(math.ceil(-n_grams * math.log(target_fpp) / (math.log(2) ** 2)))
+    if n_grams < 0 or not (0.0 < target_fpp < 1.0) or k < 1:
+        raise ValueError(
+            f"need n_grams >= 0, 0 < target_fpp < 1, k >= 1, got {n_grams}, {target_fpp}, {k}"
+        )
+    m = int(math.ceil(k * n_grams / -math.log(1.0 - target_fpp ** (1.0 / k))))
     m = ((m + 63) // 64) * 64
     return max(m, BLOOM_M)
 

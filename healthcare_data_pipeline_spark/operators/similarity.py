@@ -596,6 +596,116 @@ def _assign_against(en: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def _kmeans_ord_sql(vec_col: str, k: int) -> str:
+    """Scalar SQL: the min ORDINAL ``dist_sq * k + j`` of ``vec_col`` against
+    the broadcast centroid array column ``__carr`` (array of structs (j, c)).
+    Encoding distance and cluster id in ONE integer-valued double makes the
+    argmin a plain ``array_min`` — no groupBy, no window: assignment is a
+    zero-shuffle scan.  Exact while ``dist_sq * k + j < 2^53`` (quantized
+    components ≤ ~6e5 ⇒ dist_sq ≤ 64·(1.2e6)² ≈ 9e13; fine to k ~ 100)."""
+    dist = (
+        f"aggregate(zip_with({vec_col}, s.c, (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, d) -> acc + d)"
+    )
+    return f"array_min(transform(__carr, s -> {dist} * {k} + CAST(s.j AS DOUBLE)))"
+
+
+def _trunc_div_sql(num: str, den: str) -> str:
+    """Integer division TRUNCATED TOWARD ZERO, spelled so any engine agrees:
+    Spark's ``DIV`` truncates while DuckDB's ``//`` floors, so the sign is
+    peeled off and the division always runs on non-negatives (where the two
+    semantics coincide)."""
+    return (
+        f"CASE WHEN {num} >= 0 THEN {num} DIV {den} "
+        f"ELSE -((-({num})) DIV {den}) END"
+    )
+
+
+def kmeans_assign(
+    en: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "iv",
+) -> DataFrame:
+    """Deterministic k-means over quantized vectors — the from-scratch coarse
+    quantizer for IVF/SemDeDup when no label partition exists (Lloyd 1982;
+    SemDeDup's §2 clustering stage).  Output: ``(id_col, cluster_id,
+    dist_sq)`` — each vector's final cluster and its EXACT squared L2
+    distance to that centroid.
+
+    Reproducibility contract (integer-Lloyd): float k-means is famously
+    non-deterministic (random init, order-dependent float sums); every
+    source of drift is removed so the assignment is bit-identical on any
+    engine / partitioning / parallelism:
+
+    - **init**: the ``k`` smallest-``id_col`` vectors are the seeds,
+      cluster ids 0..k-1 in id order (no RNG);
+    - **centroids**: TRUNCATED integer means — component sums are exact
+      BIGINTs, divided toward zero (``_trunc_div_sql`` pins the semantics
+      across engines), so centroids stay integer-valued and distances stay
+      exact integer arithmetic in doubles ≪ 2^53;
+    - **ties**: the min-ordinal encoding ``dist_sq·k + j`` breaks distance
+      ties toward the LOWEST cluster id;
+    - **empty cells**: a cluster that loses all members simply drops out
+      (no re-seeding), mirrored trivially by any relational recompute.
+
+    Scale shape (the reason this is not MLlib KMeans, whose float
+    accumulation is partition-order-dependent): per iteration, assignment
+    is a ZERO-shuffle scan — the k centroids ride a broadcast 1-row array
+    (the repo's standard 1×1 scalar-combine crossJoin) and the argmin runs
+    as one scalar expression per row; the update is one groupBy over
+    (cluster, component) = k·dim keys with map-side combine.  ``iters``
+    full passes + one final assignment pass; nothing is ever collected.
+
+    Catalog s11 hash-verifies assignments + distances against a DuckDB
+    oracle with the iterations unrolled as CTE stages.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got k={k}, iters={iters}")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(id_col)
+    cents = (
+        en.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .select((F.row_number().over(w) - 1).alias("j"), F.col(vec_col).alias("c"))
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        carr = cent.agg(F.array_sort(F.collect_list(F.struct("j", "c"))).alias("__carr"))
+        return (
+            en.select(id_col, vec_col)
+            .crossJoin(F.broadcast(carr))
+            .selectExpr(id_col, vec_col, f"{_kmeans_ord_sql(vec_col, k)} AS __ord")
+            .selectExpr(
+                id_col,
+                vec_col,
+                f"CAST(__ord % {k} AS INT) AS cluster_id",
+                f"CAST((__ord - (__ord % {k})) / {k} AS BIGINT) AS dist_sq",
+            )
+        )
+
+    for _ in range(iters):
+        asg = assign(cents)
+        comp = (
+            asg.select("cluster_id", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum(F.col("v").cast("long")).alias("s"), F.count("*").alias("n"))
+        )
+        cents = (
+            comp.withColumn("cv", F.expr(f"CAST({_trunc_div_sql('s', 'n')} AS DOUBLE)"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+            .select(
+                F.col("cluster_id").alias("j"),
+                F.transform("pc", lambda x: x["cv"]).alias("c"),
+            )
+        )
+    return assign(cents).select(id_col, "cluster_id", "dist_sq")
+
+
 def centroid_assign(en: DataFrame) -> DataFrame:
     """Compute coarse centroids from the existing label partition and
     re-assign each vector to its nearest centroid (one Lloyd step) — the

@@ -554,3 +554,79 @@ def s03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n_vecs") * F.max("n_vecs")).cast("double")
         ).alias("centroid_sq_norm"),
     )
+
+
+def _s11_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB oracle for s11: the integer-Lloyd iterations UNROLLED as CTE
+    stages (a1/s1/c1, a2/s2/c2, ...) — a fully relational recompute of
+    operators.similarity.kmeans_assign.  Exactness mirrors: distances via
+    integer dot products; truncated-mean centroids via sign-peeled ``//``
+    (DuckDB floors, Spark DIV truncates — on non-negatives they agree);
+    the ``dist_sq*k + j`` min-ordinal tie-break."""
+
+    def assign(name: str, cent: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT en.vec_id,
+             MIN((list_dot_product(en.iv, en.iv) - 2 * list_dot_product(en.iv, c.c)
+                  + list_dot_product(c.c, c.c)) * {k} + c.j) AS o
+      FROM en CROSS JOIN {cent} c
+      GROUP BY en.vec_id
+    )"""
+
+    def update(a: str, s: str, c: str) -> str:
+        return f"""
+    {s} AS (
+      SELECT CAST(CAST(a.o AS BIGINT) % {k} AS INT) AS cl, t.i AS pos,
+             SUM(CAST(en.iv[t.i] AS BIGINT)) AS s, COUNT(*) AS n
+      FROM en JOIN {a} a USING (vec_id), generate_series(1, {dim}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    {c} AS (
+      SELECT cl AS j,
+             list_transform(list_sort(list(struct_pack(pos := pos,
+               cv := CAST(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS DOUBLE)))),
+               x -> x.cv) AS c
+      FROM {s} GROUP BY cl
+    )"""
+
+    parts = [
+        f"""
+    , c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, iv AS c
+      FROM en ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append("," + assign(f"a{it}", prev))
+        parts.append("," + update(f"a{it}", f"s{it}", f"c{it}"))
+        prev = f"c{it}"
+    parts.append("," + assign("af", prev))
+    parts.append(f"""
+    SELECT vec_id,
+           CAST(CAST(o AS BIGINT) % {k} AS INT) AS cluster_id,
+           (CAST(o AS BIGINT) - (CAST(o AS BIGINT) % {k})) // {k} AS dist_sq
+    FROM af
+    """)
+    return _QUANT_SQL + "".join(parts)
+
+
+@query(
+    "s11_kmeans",
+    oracle=_s11_oracle_sql(),
+    tags=("similarity", "EXT", "clustering", "iterative"),
+    doc="Deterministic k-means clustering (operators.similarity.kmeans_assign): the "
+    "from-scratch coarse quantizer for IVF/SemDeDup when no label partition exists — "
+    "integer-Lloyd with smallest-id seeds, truncated integer-mean centroids, exact "
+    "integer distances and a dist*k+j min-ordinal tie-break, so the ITERATIVE float "
+    "algorithm (famously engine/order-dependent) value-hashes against a relational "
+    "oracle with the iterations unrolled as CTE stages. Per iteration: assignment is a "
+    "ZERO-shuffle scan (k centroids ride a broadcast 1-row array; argmin is one scalar "
+    "expression), the update one k*dim-key groupBy with map-side combine — nothing is "
+    "collected, iters+1 passes total.",
+)
+def s11_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import kmeans_assign
+
+    return kmeans_assign(quantized(spark, sf_dir), k=8, iters=2)

@@ -202,12 +202,22 @@ def test_bloom_m_bits_sizing():
     assert big % 64 == 0 and big > BLOOM_M
     assert bloom_m_bits(200_000_000, 1e-5) > big
     assert bloom_m_bits(100_000_000, 1e-7) > big
-    # the classic formula: 1e8 grams at 1e-5 needs ~2.4 GBits
-    assert 2.3e9 < big < 2.5e9
+    # k-aware sizing: with the module's FIXED k=3 probes, 1e8 grams at 1e-5
+    # needs ~13.8 GBits (~138 bits/gram — m = k·n / -ln(1 - p^(1/k))).  The
+    # textbook optimal-k formula would say 2.4 GBits and realize ~30x the
+    # target FPP at k=3 — the harness-measured trap this sizing fixes.
+    assert 1.3e10 < big < 1.4e10
+    # realized-FPP contract: fill = 1-exp(-k·n/m) ⇒ fill^k <= target
+    import math
+
+    fill = 1.0 - math.exp(-3 * 100_000_000 / big)
+    assert fill**3 <= 1e-5
     with pytest.raises(ValueError):
         bloom_m_bits(-1)
     with pytest.raises(ValueError):
         bloom_m_bits(10, 1.5)
+    with pytest.raises(ValueError):
+        bloom_m_bits(10, 1e-4, k=0)
 
 
 def test_bloom_hasher_twins_share_the_contract(spark):

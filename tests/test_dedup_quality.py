@@ -50,8 +50,42 @@ def test_dedup_quality_harness_contracts(spark):
     # planted boilerplate span: always excised
     assert got[("span_dedup", "boilerplate_12tok")]["recall"] == 1.0
 
+    # line-level boilerplate: exact-line contract from both sides — high-df
+    # banner, the df=2 pair exactly at min_docs, and indentation-only
+    # variants (trim matching) are hard catches; a line with ONE
+    # doc-specific token is a hard MISS by design (df=1 per distinct line —
+    # that's where the span stage takes over)
+    assert got[("line_dedup", "banner_5pct")]["recall"] == 1.0
+    assert got[("line_dedup", "banner_df2")]["recall"] == 1.0
+    assert got[("line_dedup", "banner_indent")]["recall"] == 1.0
+    assert got[("line_dedup", "banner_fuzz")]["recall"] == 0.0
+
+    # decontamination: verbatim leaks and a single shared 13-gram (the
+    # any-shared-gram contract at its minimum) are hard catches in BOTH
+    # modes — bloom must have NO false negatives; every-8th-token
+    # paraphrase (longest clean run 7 < n=13) is a hard miss by contract
+    for op in ("decon_ngram", "decon_bloom"):
+        assert got[(op, "verbatim_leak")]["recall"] == 1.0, op
+        assert got[(op, "quote_13tok")]["recall"] == 1.0, op
+        assert got[(op, "paraphrase")]["recall"] == 0.0, op
+
+    # similarity column orders decon hardness: verbatim ~1 > quote ~1/grams > 0
+    assert (
+        got[("decon_ngram", "verbatim_leak")]["similarity"]
+        > got[("decon_ngram", "quote_13tok")]["similarity"]
+        > got[("decon_ngram", "paraphrase")]["similarity"]
+    )
+
     # fixpoint/differential false-positive accounting: a cleaned corpus
-    # re-run may remove ONLY planted material
-    for op in ("dedup_corpus", "semdedup", "span_dedup"):
+    # re-run may remove ONLY planted material.  decon_ngram's zero is a
+    # HARD contract (the clean set shares no gram with eval); decon_bloom's
+    # FPs are measured hash collisions — bounded separately below.
+    for op in ("dedup_corpus", "semdedup", "span_dedup", "line_dedup", "decon_ngram"):
         assert got[(op, "(precision)")]["fp"] == 0, op
         assert got[(op, "(precision)")]["precision"] == 1.0, op
+
+    # bloom collisions at a bloom_m_bits(·, 1e-4)-sized bitmap: per-doc FP
+    # rate must sit within ~100x of the per-gram target (each doc probes
+    # ~40 grams) — saturation or a sizing regression blows far past this
+    prec = got[("decon_bloom", "(precision)")]
+    assert prec["fp"] <= max(5, 0.05 * prec["planted"]), prec

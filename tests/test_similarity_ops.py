@@ -475,3 +475,65 @@ def test_sq8_append_clamps_out_of_range(spark, tmp_path):
     qs = en.filter(F.col("vec_id") < 5).select("vec_id", "iv", "nrm2")
     out = ann_index_probe_sq8(spark, idx, qs, k=3, nprobe=2, shortlist=10)
     assert out.count() > 0
+
+
+def test_kmeans_assign_contracts(spark):
+    """Deterministic integer-Lloyd: partitioning-invariant assignments, exact
+    distances, argmin correctness against the final centroids, and the
+    degenerate iters=0 / k>n edges."""
+    from healthcare_data_pipeline_spark.operators.similarity import kmeans_assign
+
+    en = quantized(spark, SF_DIR)
+    out = kmeans_assign(en, k=8, iters=2)
+    rows = {r.vec_id: (r.cluster_id, r.dist_sq) for r in out.collect()}
+    assert len(rows) == en.count()
+    assert set(c for c, _ in rows.values()) <= set(range(8))
+
+    # partitioning invariance: identical bit-for-bit under a hostile layout
+    out2 = kmeans_assign(en.repartition(7, "label"), k=8, iters=2)
+    assert {r.vec_id: (r.cluster_id, r.dist_sq) for r in out2.collect()} == rows
+
+    # dist_sq is the EXACT squared L2 distance to the assigned centroid, and
+    # no other final centroid is strictly closer (argmin correctness) —
+    # recompute centroids from the iters=2 assignment path in python
+    import collections
+
+    vecs = {r.vec_id: [int(x) for x in r.iv] for r in en.select("vec_id", "iv").collect()}
+    seeds = sorted(vecs)[:8]
+    cents = {j: vecs[v] for j, v in enumerate(seeds)}
+
+    def assign_once(cents):
+        a = {}
+        for vid, iv in vecs.items():
+            best = min(
+                (sum((x - y) * (x - y) for x, y in zip(iv, c)) * 8 + j)
+                for j, c in cents.items()
+            )
+            a[vid] = (int(best % 8), (int(best) - int(best % 8)) // 8)
+        return a
+
+    def update(a):
+        sums, ns = collections.defaultdict(lambda: [0] * 64), collections.Counter()
+        for vid, (j, _) in a.items():
+            ns[j] += 1
+            for i, x in enumerate(vecs[vid]):
+                sums[j][i] += x
+        def tdiv(s, n):
+            return -((-s) // n) if s < 0 else s // n
+        return {j: [float(tdiv(s, ns[j])) for s in sums[j]] for j in sums}
+
+    for _ in range(2):
+        cents = update(assign_once(cents))
+    assert assign_once(cents) == rows
+
+    # iters=0 assigns directly against the smallest-id seeds: each seed is
+    # its own cluster at distance 0
+    z = {r.vec_id: (r.cluster_id, r.dist_sq) for r in kmeans_assign(en, k=8, iters=0).collect()}
+    for j, v in enumerate(seeds):
+        assert z[v] == (j, 0)
+
+    # k > n degenerates to n singleton seeds, never errors
+    small = en.filter(F.col("vec_id") < 3)
+    zs = kmeans_assign(small, k=8, iters=1)
+    assert zs.count() == 3
+    assert zs.filter(F.col("dist_sq") != 0).count() == 0

@@ -418,6 +418,288 @@ def measure_span_dedup(spark, docs: DataFrame) -> list[dict]:
     ]
 
 
+# ------------------------------------------------------------- line dedup
+# Planted boilerplate LINES (family marker tokens are globally unique, so a
+# per-doc "caught" test is a marker-containment check, never a position diff).
+LINE_BANNER = "zlna cookie consent accept all cookies to continue zlna"
+LINE_PAIR = "zlnb shared footer navigation links block"
+LINE_FUZZ = "zlnc subscribe newsletter banner item {tok} unsubscribe anytime zlnc"
+LINE_INDENT = "zlnd copyright footer all rights reserved zlnd"
+
+RELINE_SQL = (
+    "array_join(transform(sequence(1, CAST(ceil(size(split(text, ' ')) / 8.0) AS INT)), "
+    "i -> array_join(slice(split(text, ' '), (i - 1) * 8 + 1, 8), ' ')), '\\n')"
+)
+
+
+def _line_jaccard(a: str, b: str) -> float:
+    """Token Jaccard between two planted lines — the family's TRUE hardness
+    (computed from the actual constructed strings, not asserted)."""
+    sa, sb = set(a.split()), set(b.split())
+    return len(sa & sb) / len(sa | sb)
+
+
+def measure_line_dedup(spark, docs: DataFrame) -> list[dict]:
+    """remove_boilerplate_lines vs planted cross-document boilerplate lines.
+
+    The corpus has no newlines, so docs are re-lined first (a break every 8
+    tokens — the dd22 catalog transform), then cleaned once.  The clean set
+    is a FIXPOINT (every surviving trimmed line lives in <min_docs distinct
+    docs; planted lines all carry zln* markers so they never collide with a
+    natural line), so any natural-line removal in the planted run is a false
+    positive.  Families probe the operator's exact-match contract from both
+    sides: high-df banner and threshold-exact df=2 pair (must catch),
+    indentation-only variants (trim matching must catch), and a line with
+    ONE doc-specific token (df=1 each — exact line matching CANNOT catch it
+    by design; the documented miss that marks where the span stage takes
+    over)."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        remove_boilerplate_lines,
+    )
+
+    relined = docs.withColumn("text", F.expr(RELINE_SQL))
+    clean = remove_boilerplate_lines(relined).select("doc_id", "text", "source")
+    clean.cache()
+    n_clean = clean.count()
+
+    m = F.col("doc_id") % 100
+    fuzz_line = F.concat_ws(
+        "",
+        F.lit(LINE_FUZZ.split("{tok}")[0]),
+        F.expr("substring(md5(CAST(doc_id AS STRING)), 1, 6)"),
+        F.lit(LINE_FUZZ.split("{tok}")[1]),
+    )
+    pair_line = F.concat_ws(
+        " ", F.lit(LINE_PAIR), F.expr("CAST(doc_id DIV 100 AS STRING)"), F.lit("zlnb")
+    )
+    indent_line = F.when(F.col("doc_id") % 2 == 0, F.lit("  " + LINE_INDENT)).otherwise(
+        F.lit("\t" + LINE_INDENT)
+    )
+    # df=2 pairs: %100 == 6 paired with %100 == 7 of the same hundred — plant
+    # only COMPLETE pairs, so every planted pair-line has distinct-doc count
+    # exactly min_docs (the threshold boundary).
+    hundred = (F.col("doc_id") - m).alias("h")
+    h6 = clean.filter(m == 6).select(hundred)
+    h7 = clean.filter(m == 7).select(hundred)
+    full_pairs = h6.join(h7, "h")
+    planted_line = (
+        F.when(m < 5, F.lit(LINE_BANNER))
+        .when((m == 6) | (m == 7), pair_line)
+        .when((m >= 8) & (m < 10), fuzz_line)
+        .when((m >= 10) & (m < 12), indent_line)
+    )
+    fam = (
+        F.when(m < 5, F.lit("banner_5pct"))
+        .when((m == 6) | (m == 7), F.lit("banner_df2"))
+        .when((m >= 8) & (m < 10), F.lit("banner_fuzz"))
+        .when((m >= 10) & (m < 12), F.lit("banner_indent"))
+    )
+    base = clean.join(F.broadcast(full_pairs), (F.col("doc_id") - m) == F.col("h"), "left")
+    planted = base.select(
+        "doc_id",
+        F.when(
+            planted_line.isNotNull() & (((m != 6) & (m != 7)) | F.col("h").isNotNull()),
+            F.concat(F.col("text"), F.lit("\n"), planted_line),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+        F.when(((m != 6) & (m != 7)) | F.col("h").isNotNull(), fam).alias("family"),
+    )
+    out = remove_boilerplate_lines(planted).select("doc_id", "text", "family")
+    marker = (
+        F.when(F.col("family") == "banner_5pct", F.lit("zlna"))
+        .when(F.col("family") == "banner_df2", F.lit("zlnb"))
+        .when(F.col("family") == "banner_fuzz", F.lit("zlnc"))
+        .when(F.col("family") == "banner_indent", F.lit("zlnd"))
+    )
+    nat_cnt = "size(filter(split(text, '\\n'), l -> NOT l LIKE '%zln%'))"
+    verdicts = (
+        out.filter(F.col("family").isNotNull())
+        .groupBy("family")
+        .agg(
+            F.count("*").alias("planted"),
+            F.sum(F.when(~F.col("text").contains(marker), 1).otherwise(0)).alias("caught"),
+        )
+        .collect()
+    )
+    # FP: natural-line deficit vs the fixpoint clean set (the operator never
+    # adds lines, so a per-doc count drop == a removed natural line)
+    fp = (
+        out.selectExpr("doc_id", f"{nat_cnt} AS nc")
+        .join(clean.selectExpr("doc_id", f"{nat_cnt} AS cc"), "doc_id")
+        .agg(F.sum(F.expr("greatest(cc - nc, 0)")).alias("fp"))
+        .collect()[0][0]
+    )
+    clean.unpersist()
+    sims = {
+        "banner_5pct": 1.0,
+        "banner_df2": 1.0,
+        "banner_indent": 1.0,
+        "banner_fuzz": _line_jaccard(
+            LINE_FUZZ.replace("{tok}", "aaaaaa"), LINE_FUZZ.replace("{tok}", "bbbbbb")
+        ),
+    }
+    rows = [
+        {
+            "operator": "line_dedup",
+            "family": r.family,
+            "planted": r.planted,
+            "caught": int(r.caught),
+            "recall": round(r.caught / r.planted, 3) if r.planted else None,
+            "similarity": round(sims[r.family], 3),
+        }
+        for r in verdicts
+    ]
+    tp = sum(r["caught"] for r in rows)
+    rows.append(
+        {
+            "operator": "line_dedup",
+            "family": "(precision)",
+            "planted": n_clean,
+            "caught": tp,
+            "fp": int(fp or 0),
+            "precision": round(tp / (tp + fp), 4) if tp + fp else None,
+        }
+    )
+    return rows
+
+
+# -------------------------------------------------------- decontamination
+def measure_decontamination(spark, docs: DataFrame) -> list[dict]:
+    """decontaminate (ngram + bloom) vs planted eval-set leaks.
+
+    Split: eval = doc_id%100 < 5, train = rest; clean = ngram-decontaminated
+    train (a FIXPOINT — no surviving train doc shares a 13-gram with eval,
+    so ngram-mode FPs on the planted run must be zero, and every bloom-mode
+    removal of a clean doc is a measured Bloom hash collision).  Families:
+
+    - ``verbatim_leak``  eval docs copied into train verbatim (restricted to
+      eval docs with >= n tokens — shorter docs have ZERO n-grams and are
+      contract-negative for any n-gram rule).  Must be 1.0 in both modes.
+    - ``quote_13tok``    a clean train doc + the first 13 tokens of its
+      paired eval doc appended — exactly one shared gram.  Must be 1.0:
+      the any-shared-gram contract at its minimum.
+    - ``paraphrase``     eval text with every 8th token rewritten: the
+      longest clean run is 7 < n=13, so ZERO shared grams survive — the
+      documented n-gram-decontamination miss (catching it needs fuzzy /
+      embedding machinery, not a bigger bitmap).
+
+    The bloom bitmap is sized by the module's own ``bloom_m_bits`` helper at
+    target_fpp=1e-4 from the measured eval gram count (the fixed 2^20
+    default SATURATES at 64x — ~2M set-bit demands on 1M bits would flag
+    nearly everything; sizing-by-count is the documented practice this
+    harness exercises).  ``similarity`` is the measured fraction of the
+    planted doc's grams present in the eval gram set (hardness: ~1.0
+    verbatim, ~1/doc_grams quote, 0.0 paraphrase)."""
+    from healthcare_data_pipeline_spark.operators.decontaminate import (
+        DEFAULT_NGRAM,
+        _exploded_ngrams,
+        bloom_m_bits,
+        decontaminate,
+    )
+
+    m = F.col("doc_id") % 100
+    eval_df = docs.filter(m < 5).select("doc_id", "text", "source")
+    train0 = docs.filter(m >= 5).select("doc_id", "text", "source")
+    clean = decontaminate(train0, eval_df, mode="ngram")
+    clean.cache()
+    n_clean = clean.count()
+    eval_grams = _exploded_ngrams(eval_df, DEFAULT_NGRAM, "doc_id", "text").select("g").distinct()
+    eval_grams.cache()
+    n_eval_grams = eval_grams.count()
+    m_bits = bloom_m_bits(n_eval_grams, target_fpp=1e-4)
+
+    n_toks = F.size(F.split(F.col("text"), " "))
+    verbatim = eval_df.filter(n_toks >= DEFAULT_NGRAM).select(
+        (F.col("doc_id") + 5 * FAM_OFFSET).alias("doc_id"),
+        "text",
+        "source",
+        F.lit("verbatim_leak").alias("family"),
+    )
+    quote_src = eval_df.filter((F.col("doc_id") % 100 == 0) & (n_toks >= DEFAULT_NGRAM)).select(
+        F.col("doc_id").alias("__h"),
+        F.expr(f"array_join(slice(split(text, ' '), 1, {DEFAULT_NGRAM}), ' ')").alias("__q"),
+    )
+    quote = (
+        clean.filter((m >= 5) & (m < 7))
+        .join(F.broadcast(quote_src), (F.col("doc_id") - m) == F.col("__h"))
+        .select(
+            (F.col("doc_id") + 6 * FAM_OFFSET).alias("doc_id"),
+            F.concat_ws(" ", "text", "__q").alias("text"),
+            "source",
+            F.lit("quote_13tok").alias("family"),
+        )
+    )
+    paraphrase = eval_df.select(
+        (F.col("doc_id") + 7 * FAM_OFFSET).alias("doc_id"),
+        F.expr(
+            "array_join(transform(split(text, ' '), (t, i) -> CASE WHEN i % 8 = 3 "
+            "THEN substring(md5(concat(t, '_pp')), 1, 8) ELSE t END), ' ')"
+        ).alias("text"),
+        "source",
+        F.lit("paraphrase").alias("family"),
+    )
+    plants = verbatim.unionByName(quote).unionByName(paraphrase)
+    plants.cache()
+    planted = clean.unionByName(plants.drop("family"))
+
+    # measured hardness: fraction of each planted doc's grams in the eval set
+    pg = _exploded_ngrams(plants, DEFAULT_NGRAM, "doc_id", "text")
+    hit = pg.join(eval_grams.withColumn("__in", F.lit(1)), "g", "left")
+    frac = (
+        hit.groupBy("doc_id")
+        .agg((F.sum(F.coalesce("__in", F.lit(0))) / F.count("*")).alias("frac"))
+        .join(plants.select("doc_id", "family"), "doc_id", "right")
+        .groupBy("family")
+        .agg(F.avg(F.coalesce("frac", F.lit(0.0))).alias("similarity"))
+    )
+    sims = {r.family: r.similarity for r in frac.collect()}
+
+    rows: list[dict] = []
+    for mode, op in (("ngram", "decon_ngram"), ("bloom", "decon_bloom")):
+        out = decontaminate(planted, eval_df, mode=mode, m_bits=m_bits).select("doc_id")
+        verdicts = (
+            plants.join(out.withColumn("__alive", F.lit(1)), "doc_id", "left")
+            .groupBy("family")
+            .agg(
+                F.count("*").alias("planted"),
+                F.sum(F.when(F.col("__alive").isNull(), 1).otherwise(0)).alias("caught"),
+            )
+            .collect()
+        )
+        fp = clean.select("doc_id").join(out, "doc_id", "left_anti").count()
+        part = [
+            {
+                "operator": op,
+                "family": r.family,
+                "planted": r.planted,
+                "caught": int(r.caught),
+                "recall": round(r.caught / r.planted, 3) if r.planted else None,
+                "similarity": round(sims.get(r.family, 0.0), 4),
+            }
+            for r in verdicts
+        ]
+        tp = sum(r["caught"] for r in part)
+        part.append(
+            {
+                "operator": op,
+                "family": "(precision)",
+                "planted": n_clean,
+                "caught": tp,
+                "fp": fp,
+                "precision": round(tp / (tp + fp), 4) if tp + fp else None,
+                "m_bits": m_bits if mode == "bloom" else None,
+                "eval_grams": n_eval_grams if mode == "bloom" else None,
+            }
+        )
+        rows.extend(part)
+    plants.unpersist()
+    eval_grams.unpersist()
+    clean.unpersist()
+    return rows
+
+
 def measure_scale(spark, docs_dir: str, base: str, k: int) -> list[dict]:
     docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
     en = _scaled_embeddings(spark, base, k)
@@ -426,6 +708,8 @@ def measure_scale(spark, docs_dir: str, base: str, k: int) -> list[dict]:
         measure_doc_dedup(spark, docs),
         measure_semdedup(spark, en),
         measure_span_dedup(spark, docs),
+        measure_line_dedup(spark, docs),
+        measure_decontamination(spark, docs),
     ):
         for r in part:
             r["scale"] = k
@@ -516,7 +800,25 @@ def quality_section(all_rows: list[dict], base: str) -> str:
         "shares trailing token runs: seam windows straddling the planted "
         "span's boundary duplicate across planted docs and excise a few "
         "adjacent natural tokens (recall stays 1.0, non-planted docs "
-        "untouched).  Regenerate with `python tools/dedup_quality.py`.",
+        "untouched).  `line_dedup` probes the exact-line contract from both "
+        "sides: the high-df banner, the df=2 pair (exactly at `min_docs` — "
+        "the threshold boundary), and indentation-only variants (trim "
+        "matching) must all be 1.000, while `banner_fuzz` (ONE doc-specific "
+        "token inside the line, df=1 each) must be 0.000 BY DESIGN — exact "
+        "line matching cannot catch near-dup lines; that row marks where "
+        "the span stage (k-token windows) takes over.  The decontamination "
+        "rows measure the n-gram leak contract: `verbatim_leak` and "
+        "`quote_13tok` (exactly ONE shared 13-gram — the contract at its "
+        "minimum) must be 1.000 in BOTH modes (Bloom has no false "
+        "negatives), `paraphrase` (every 8th token rewritten → longest "
+        "clean run 7 < 13) is 0.000 by construction — the published miss "
+        "mode of n-gram decontamination, which no bitmap size fixes.  "
+        "decon_bloom's FP column is the measured Bloom collision count "
+        "against a bitmap sized by `bloom_m_bits(eval_grams, 1e-4)` — the "
+        "fixed 2^20 default would SATURATE at 64x (~2M set-bit demands on "
+        "1M bits flags nearly everything), so sizing-from-the-measured-gram-"
+        "count is the practice this harness exercises and the table "
+        "verifies.  Regenerate with `python tools/dedup_quality.py`.",
         "",
         QUALITY_END,
     ]
