@@ -818,7 +818,16 @@ def quality_section(all_rows: list[dict], base: str) -> str:
         "fixed 2^20 default would SATURATE at 64x (~2M set-bit demands on "
         "1M bits flags nearly everything), so sizing-from-the-measured-gram-"
         "count is the practice this harness exercises and the table "
-        "verifies.  Regenerate with `python tools/dedup_quality.py`.",
+        "verifies.  Two collision effects to read correctly: decon_bloom's "
+        "nonzero `paraphrase` numbers are NOT recall — they are the same "
+        "hash collisions landing on planted docs (the ngram rows are the "
+        "true 0.000); and the 64x FP rate sits above the per-gram 1e-4 "
+        "target's per-doc compound because all k bit positions derive from "
+        "ONE 32-bit gram hash — an h32 collision with any eval gram "
+        "(~n_eval/2^32 ≈ 1.6e-4 per gram at 64x) hits all k bits at once, "
+        "a floor no bitmap size removes; past ~10M eval grams the fix is a "
+        "64-bit gram hash, not more bits.  Regenerate with "
+        "`python tools/dedup_quality.py`.",
         "",
         QUALITY_END,
     ]
