@@ -658,8 +658,13 @@ def kmeans_assign(
     (cluster, component) = k·dim keys with map-side combine.  ``iters``
     full passes + one final assignment pass; nothing is ever collected.
 
-    Catalog s11 hash-verifies assignments + distances against a DuckDB
-    oracle with the iterations unrolled as CTE stages.
+    Honest k bound: the per-row argmin does k·dim interpreted array ops, so
+    this shape is for the COARSE-quantizer regime (k up to ~1000 — 8·64
+    ops/row at the default is negligible, 1000·64 is ~the cost of a few
+    string ops).  At SemDeDup's sqrt(N)-clusters extreme (k ~ 10^5 at 10^10
+    docs) assignment should instead shard the centroid table and take the
+    min-of-mins across shard passes — same contract, bounded per-row work;
+    the sign-bit quantizer (lsh_bucket) remains the cheap-k alternative.
     """
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0, got k={k}, iters={iters}")
@@ -674,17 +679,15 @@ def kmeans_assign(
     )
 
     def assign(cent: DataFrame) -> DataFrame:
+        # all input columns ride through, so compositions (kmeans_cells ->
+        # semdedup / index builds) get the assignment without a re-join
         carr = cent.agg(F.array_sort(F.collect_list(F.struct("j", "c"))).alias("__carr"))
         return (
-            en.select(id_col, vec_col)
-            .crossJoin(F.broadcast(carr))
-            .selectExpr(id_col, vec_col, f"{_kmeans_ord_sql(vec_col, k)} AS __ord")
-            .selectExpr(
-                id_col,
-                vec_col,
-                f"CAST(__ord % {k} AS INT) AS cluster_id",
-                f"CAST((__ord - (__ord % {k})) / {k} AS BIGINT) AS dist_sq",
-            )
+            en.crossJoin(F.broadcast(carr))
+            .withColumn("__ord", F.expr(_kmeans_ord_sql(vec_col, k)))
+            .withColumn("cluster_id", F.expr(f"CAST(__ord % {k} AS INT)"))
+            .withColumn("dist_sq", F.expr(f"CAST((__ord - (__ord % {k})) / {k} AS BIGINT)"))
+            .drop("__carr", "__ord")
         )
 
     for _ in range(iters):
@@ -703,7 +706,23 @@ def kmeans_assign(
                 F.transform("pc", lambda x: x["cv"]).alias("c"),
             )
         )
-    return assign(cents).select(id_col, "cluster_id", "dist_sq")
+    return assign(cents)
+
+
+def kmeans_cells(en: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """``en`` + ``cell`` via deterministic k-means — the paper-true SemDeDup
+    clustering stage (Abbas et al. 2023 §2 runs k-means over the embeddings
+    and dedups within each cluster), drop-in for ``semdedup(assigned=)`` and
+    anywhere a ``(…, cell)`` assignment is expected.  Unlike the label
+    quantizer (requires labels) or sign-bit LSH (fixed hyperplanes, cells
+    can't adapt to the data), the cells follow the embedding distribution —
+    and the integer-Lloyd contract keeps the whole composition
+    hash-verifiable (catalog dd23)."""
+    return (
+        kmeans_assign(en, k=k, iters=iters)
+        .withColumnRenamed("cluster_id", "cell")
+        .drop("dist_sq")
+    )
 
 
 def centroid_assign(en: DataFrame) -> DataFrame:

@@ -1651,3 +1651,68 @@ def dd21_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     en = quantized(spark, sf_dir)
     return semdedup(en, threshold=0.3, keep_flags=True)
+
+
+def _semdedup_kmeans_oracle_sql(threshold: float, k: int = 8, iters: int = 2) -> str:
+    """dd23 oracle: the s11 integer-Lloyd CTEs (iterations unrolled) supply
+    the cell assignment, then dd21's within-cell pairwise cosine +
+    recursive-CTE transitive closure + per-vector decision flag."""
+    from healthcare_data_pipeline_spark.queries.similarity import _kmeans_ctes
+
+    return (
+        _kmeans_ctes(k=k, iters=iters).replace("WITH", "WITH RECURSIVE", 1)
+        + f"""
+    , assign AS (
+      SELECT vec_id, CAST(CAST(o AS BIGINT) % {k} AS INT) AS cell FROM af
+    ),
+    cp AS (
+      SELECT a1.vec_id AS d1, a2.vec_id AS d2
+      FROM assign a1
+      JOIN assign a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+      JOIN en e1 ON e1.vec_id = a1.vec_id
+      JOIN en e2 ON e2.vec_id = a2.vec_id
+      WHERE list_dot_product(e1.iv, e2.iv) / (sqrt(e1.nrm2) * sqrt(e2.nrm2))
+            >= {threshold}
+    ),
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM cp
+      UNION
+      SELECT d2 AS a, d1 AS b FROM cp
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    removed AS (
+      SELECT a AS vec_id FROM reach GROUP BY a HAVING MIN(b) < a
+    )
+    SELECT a.vec_id, a.cell, (r.vec_id IS NULL) AS kept
+    FROM assign a LEFT JOIN removed r USING (vec_id)
+    """
+    )
+
+
+@query(
+    "dd23_semdedup_kmeans",
+    oracle=_semdedup_kmeans_oracle_sql(0.3),
+    tags=("dedup", "EXT", "embedding", "semdedup", "clustering"),
+    doc="SemDeDup over DATA-DRIVEN k-means cells (operators.similarity.semdedup with "
+    "assigned=kmeans_cells) — the paper-true form of dd21: Abbas et al. 2023 SS2 runs "
+    "k-means over the embedding space and dedups within each cluster; dd21's label "
+    "quantizer needs labels and sign-bit LSH cells can't follow the data.  The "
+    "integer-Lloyd contract (s11) keeps the ITERATIVE clustering stage plus the "
+    "within-cell cosine scoring plus the component decision hash-verifiable end to end "
+    "— the oracle unrolls the Lloyd iterations as CTE stages and feeds the resulting "
+    "cells into the dd21 closure recompute.  Same scale shape as dd21 (the quadratic "
+    "term is bounded per cell; k is the knob) with assignment itself a zero-shuffle "
+    "scan per iteration.",
+)
+def dd23_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        kmeans_cells,
+        semdedup,
+    )
+
+    en = quantized(spark, sf_dir)
+    return semdedup(en, threshold=0.3, assigned=kmeans_cells(en, k=8, iters=2), keep_flags=True)

@@ -556,13 +556,14 @@ def s03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _s11_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """DuckDB oracle for s11: the integer-Lloyd iterations UNROLLED as CTE
-    stages (a1/s1/c1, a2/s2/c2, ...) — a fully relational recompute of
-    operators.similarity.kmeans_assign.  Exactness mirrors: distances via
-    integer dot products; truncated-mean centroids via sign-peeled ``//``
-    (DuckDB floors, Spark DIV truncates — on non-negatives they agree);
-    the ``dist_sq*k + j`` min-ordinal tie-break."""
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """The integer-Lloyd iterations UNROLLED as CTE stages (a1/s1/c1,
+    a2/s2/c2, ..., final assignment ``af``) — a fully relational recompute
+    of operators.similarity.kmeans_assign, shared by the s11 oracle and the
+    dd23 composition oracle.  Exactness mirrors: distances via integer dot
+    products; truncated-mean centroids via sign-peeled ``//`` (DuckDB
+    floors, Spark DIV truncates — on non-negatives they agree); the
+    ``dist_sq*k + j`` min-ordinal tie-break."""
 
     def assign(name: str, cent: str) -> str:
         return f"""
@@ -603,13 +604,21 @@ def _s11_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
         parts.append("," + update(f"a{it}", f"s{it}", f"c{it}"))
         prev = f"c{it}"
     parts.append("," + assign("af", prev))
-    parts.append(f"""
+    return _QUANT_SQL + "".join(parts)
+
+
+def _s11_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """s11 oracle: the shared k-means CTEs + the final per-vector decode of
+    the min-ordinal into (cluster_id, dist_sq)."""
+    return (
+        _kmeans_ctes(k, iters, dim)
+        + f"""
     SELECT vec_id,
            CAST(CAST(o AS BIGINT) % {k} AS INT) AS cluster_id,
            (CAST(o AS BIGINT) - (CAST(o AS BIGINT) % {k})) // {k} AS dist_sq
     FROM af
-    """)
-    return _QUANT_SQL + "".join(parts)
+    """
+    )
 
 
 @query(
@@ -629,4 +638,6 @@ def _s11_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
 def s11_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.similarity import kmeans_assign
 
-    return kmeans_assign(quantized(spark, sf_dir), k=8, iters=2)
+    return kmeans_assign(quantized(spark, sf_dir), k=8, iters=2).select(
+        "vec_id", "cluster_id", "dist_sq"
+    )
