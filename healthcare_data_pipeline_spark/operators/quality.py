@@ -243,6 +243,7 @@ def prep_corpus(
     min_stopword_ratio: float | None = 0.01,
     hasher: str = "portable",
     use_gopher: bool = False,
+    use_repetition: bool = False,
     classifier_model=None,
     classifier_threshold: float = 0.5,
     max_rare_bigram_ratio: float | None = None,
@@ -269,6 +270,13 @@ def prep_corpus(
     - ``use_gopher`` adds the Gopher rule battery (``gopher_filter``, t27)
       right after the base gates — another stateless predicate over the same
       scan, so it costs no extra pass.
+    - ``use_repetition`` adds the A1.2 repetition battery
+      (``repetition_filter``, t28) right after A1.1 and BEFORE the
+      corpus-adaptive gate: loops repeated enough manufacture
+      corpus-common bigram transitions, so they must be gone before the
+      rare-bigram frequency table is built (the gate-matrix harness
+      measures that exact slip-through).  Unlike the stateless gates this
+      one costs a doc-scoped gram aggregation + semi-join (linear).
     - ``classifier_model`` (from ``ml.quality_classifier``) adds the
       model-based keep (``quality_prob >= classifier_threshold``) after the
       heuristic gates — heuristics first is the published recipe: the
@@ -315,6 +323,13 @@ def prep_corpus(
     )
     if use_gopher:
         filtered = gopher_filter(filtered, text_col=text_col)
+    if use_repetition:
+        # A1.2 sits right after A1.1, BEFORE the corpus-adaptive and
+        # model-based stages: loops must not contribute "natural" bigram
+        # transitions to the rare-bigram frequency table (a within-doc loop
+        # repeated enough literally manufactures corpus-common transitions
+        # — the gate-matrix harness measures exactly that slip-through).
+        filtered = repetition_filter(filtered, id_col=id_col, text_col=text_col)
     if classifier_model is not None:
         from healthcare_data_pipeline_spark.ml.quality_classifier import score_quality
 
@@ -548,3 +563,171 @@ def corpus_drift_report(
             )
         ).alias("tvd"),
     )
+
+
+# Gopher A1.2 repetition thresholds as exact rationals (numerator, denominator):
+# fraction <= num/den evaluated as den*chars <= num*total in BIGINT.
+REP_THRESHOLDS = {
+    "top2": (1, 5),     # top 2-gram char fraction <= 0.20
+    "top3": (9, 50),    # top 3-gram char fraction <= 0.18
+    "top4": (4, 25),    # top 4-gram char fraction <= 0.16
+    "dup5": (3, 20),    # duplicated 5-gram char fraction <= 0.15
+    "dup10": (1, 10),   # duplicated 10-gram char fraction <= 0.10
+    "dup_lines": (3, 10),       # duplicate line (count) fraction <= 0.30
+    "dup_line_chars": (1, 5),   # duplicate line char fraction <= 0.20
+}
+
+
+def repetition_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """The Gopher REPETITION rule battery (Rae et al. 2021, appendix A1.2
+    "repetitious text") — the second half of the published quality recipe,
+    complementing ``gopher_quality_flags`` (A1.1): loops and boilerplate
+    slip every A1.1 gate BY CONSTRUCTION (same words, same lengths, same
+    stopwords), and a within-doc loop also slips the corpus-adaptive
+    rare-bigram gate (its transitions recur corpus-wide once the doc is in
+    the corpus).  The quality-gate effectiveness harness measures exactly
+    that gap; this battery closes it.  Signals per document:
+
+    - ``top{2,3,4}_chars``: characters of the MOST FREQUENT word n-gram
+      (occurrence count x the gram's token characters) — fraction of
+      ``total_chars`` capped at 0.20 / 0.18 / 0.16;
+    - ``dup{5,10}_chars``: characters COVERED by any n-gram occurring >= 2
+      times within the doc (position coverage, overlaps counted once — the
+      dd19 span-coverage construction, per doc) — capped at 0.15 / 0.10;
+    - ``dup_lines`` / ``dup_line_chars``: occurrences beyond the first of
+      repeated (trimmed, non-empty) lines, by count and by characters —
+      capped at 0.30 / 0.20 of ``n_lines`` / line characters;
+    - ``rep_pass``: AND of all seven flags.
+
+    Characters count token characters (whitespace excluded), so every
+    fraction is a ratio of exact BIGINTs and each threshold evaluates in
+    integer arithmetic (``den*c <= num*total``) — bit-identical on any
+    engine; catalog t28 hash-verifies all counts and flags.
+
+    Scale shape: one token explode (positions + lengths), one gram explode
+    per (doc, position, n) for the five n in {2,3,4,5,10} tagged in a
+    single union (~5x token volume, the dd19 shape), one (n, doc, gram)
+    groupBy with map-side combine, a per-doc max for the top-n terms and a
+    coverage semi-join + distinct-position sum for the dup-n terms — all
+    linear in token count, keys doc-scoped (skew-safe), no UDF, nothing
+    collected.  ``hash_grams=True`` keys the gram shuffle on 8-byte
+    xxhash64 values instead of gram strings (the dd19 ``hash_spans``
+    trade: flat shuffle bytes in n, astronomically-unlikely in-doc
+    collisions; the catalog-verified path keeps strings).
+    """
+    toks = f"filter(split({text_col}, '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+'), x -> x != '')"
+    base = docs.selectExpr(f"{id_col} AS __did", f"{toks} AS __toks", f"{text_col} AS __text")
+    base = base.withColumn("__lens", F.expr("transform(__toks, t -> length(t))")).withColumn(
+        "__total", F.expr("aggregate(__lens, 0L, (a, x) -> a + x)")
+    )
+
+    # one tagged gram relation: (did, n, spos, gram-hash, glen = token chars)
+    gram_n = []
+    for n in (2, 3, 4, 5, 10):
+        joined = ", ".join(f"element_at(__toks, i + {j})" for j in range(n))
+        key = f"concat_ws(' ', {joined})"
+        if hash_grams:
+            key = f"xxhash64({key})"
+        lens = " + ".join(f"element_at(__lens, i + {j})" for j in range(n))
+        gram_n.append(
+            f"CASE WHEN size(__toks) >= {n} THEN transform(sequence(1, size(__toks) - {n - 1}), "
+            f"i -> named_struct('n', {n}, 'spos', i, 'g', {key}, "
+            f"'glen', {lens})) ELSE array() END"
+        )
+    grams = base.selectExpr(
+        "__did", "concat(" + ", ".join(gram_n) + ") AS __gs"
+    ).select("__did", F.explode("__gs").alias("__s")).selectExpr(
+        "__did", "__s.n AS __n", "__s.spos AS __spos", "__s.g AS __g", "__s.glen AS __glen"
+    )
+    counts = grams.groupBy("__did", "__n", "__g").agg(
+        F.count("*").alias("__c"), F.max("__glen").alias("__glen")
+    )
+    top = (
+        counts.filter(F.col("__n").isin(2, 3, 4))
+        .groupBy("__did", "__n")
+        .agg(F.max(F.col("__c") * F.col("__glen")).alias("__chars"))
+    )
+    dup_pos = (
+        grams.filter(F.col("__n").isin(5, 10))
+        .join(
+            counts.filter(F.col("__c") >= 2).select("__did", "__n", "__g"),
+            ["__did", "__n", "__g"],
+            "left_semi",
+        )
+        .selectExpr("__did", "__n", "explode(sequence(__spos, __spos + __n - 1)) AS __p")
+        .distinct()
+    )
+    pos_lens = base.select(
+        "__did", F.posexplode("__lens").alias("__p0", "__l")
+    ).selectExpr("__did", "__p0 + 1 AS __p", "__l")
+    dup = dup_pos.join(pos_lens, ["__did", "__p"]).groupBy("__did", "__n").agg(
+        F.sum("__l").cast("long").alias("__chars")
+    )
+    per_n = top.unionByName(dup)
+    wide = per_n.groupBy("__did").pivot("__n", [2, 3, 4, 5, 10]).agg(F.max("__chars"))
+
+    # line stats: occurrences beyond the first of repeated trimmed lines
+    lines = base.selectExpr(
+        "__did", f"explode(filter(transform(split(__text, '\\n'), l -> trim(l)), l -> l != '')) AS __ln"
+    )
+    lc = lines.groupBy("__did", "__ln").agg(F.count("*").alias("__c"))
+    lstats = lc.groupBy("__did").agg(
+        F.sum("__c").cast("long").alias("n_lines"),
+        F.sum(F.expr("length(__ln) * __c")).cast("long").alias("line_chars"),
+        F.sum(F.expr("CASE WHEN __c >= 2 THEN __c - 1 ELSE 0 END")).cast("long").alias("dup_lines"),
+        F.sum(F.expr("CASE WHEN __c >= 2 THEN length(__ln) * (__c - 1) ELSE 0 END"))
+        .cast("long")
+        .alias("dup_line_chars"),
+    )
+
+    out = (
+        base.select("__did", F.col("__total").alias("total_chars"))
+        .join(wide, "__did", "left")
+        .join(lstats, "__did", "left")
+        .selectExpr(
+            f"__did AS {id_col}",
+            "total_chars",
+            "coalesce(`2`, 0L) AS top2_chars",
+            "coalesce(`3`, 0L) AS top3_chars",
+            "coalesce(`4`, 0L) AS top4_chars",
+            "coalesce(`5`, 0L) AS dup5_chars",
+            "coalesce(`10`, 0L) AS dup10_chars",
+            "coalesce(n_lines, 0L) AS n_lines",
+            "coalesce(dup_lines, 0L) AS dup_lines",
+            "coalesce(dup_line_chars, 0L) AS dup_line_chars",
+            "coalesce(line_chars, 0L) AS line_chars",
+        )
+    )
+    flags = {
+        "flag_top2": ("top2_chars", "total_chars", REP_THRESHOLDS["top2"]),
+        "flag_top3": ("top3_chars", "total_chars", REP_THRESHOLDS["top3"]),
+        "flag_top4": ("top4_chars", "total_chars", REP_THRESHOLDS["top4"]),
+        "flag_dup5": ("dup5_chars", "total_chars", REP_THRESHOLDS["dup5"]),
+        "flag_dup10": ("dup10_chars", "total_chars", REP_THRESHOLDS["dup10"]),
+        "flag_dup_lines": ("dup_lines", "n_lines", REP_THRESHOLDS["dup_lines"]),
+        "flag_dup_line_chars": ("dup_line_chars", "line_chars", REP_THRESHOLDS["dup_line_chars"]),
+    }
+    exprs = [
+        f"({den} * {c} <= {num} * {t}) AS {name}"
+        for name, (c, t, (num, den)) in flags.items()
+    ]
+    out = out.selectExpr("*", *exprs)
+    return out.withColumn(
+        "rep_pass", F.expr(" AND ".join(f"({f})" for f in flags))
+    )
+
+
+def repetition_filter(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``docs`` minus A1.2 repetition failures (all original columns kept) —
+    the companion gate to ``gopher_filter``; unlike that stateless
+    predicate this one joins the per-doc repetition aggregate back (a
+    doc-keyed semi-join, linear and skew-safe)."""
+    keep = repetition_flags(docs, id_col=id_col, text_col=text_col).filter(
+        F.col("rep_pass")
+    ).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

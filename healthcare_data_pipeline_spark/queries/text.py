@@ -1141,3 +1141,123 @@ def t27_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.quality import gopher_quality_flags
 
     return gopher_quality_flags(table(spark, sf_dir, "documents"))
+
+
+_T28_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    tl AS (
+      SELECT doc_id, toks,
+             list_transform(toks, x -> CAST(length(x) AS BIGINT)) AS lens
+      FROM t
+    ),
+    g AS (
+      SELECT tl.doc_id, nn.n, s.i AS spos,
+             array_to_string(toks[s.i:s.i+nn.n-1], ' ') AS g,
+             CAST(list_sum(lens[s.i:s.i+nn.n-1]) AS BIGINT) AS glen
+      FROM tl,
+           (VALUES (2), (3), (4), (5), (10)) AS nn(n),
+           UNNEST(generate_series(1, greatest(len(toks) - nn.n + 1, 0))) AS s(i)
+    ),
+    c AS (
+      SELECT doc_id, n, g, COUNT(*) AS c, MAX(glen) AS glen
+      FROM g GROUP BY 1, 2, 3
+    ),
+    top AS (
+      SELECT doc_id, n, MAX(c * glen) AS chars
+      FROM c WHERE n IN (2, 3, 4) GROUP BY 1, 2
+    ),
+    dpos AS (
+      SELECT DISTINCT g.doc_id, g.n, g.spos + u.d AS p
+      FROM g
+      JOIN c ON g.doc_id = c.doc_id AND g.n = c.n AND g.g = c.g,
+           UNNEST(generate_series(0, g.n - 1)) AS u(d)
+      WHERE c.c >= 2 AND g.n IN (5, 10)
+    ),
+    pl AS (
+      SELECT doc_id, s.i AS p, lens[s.i] AS l
+      FROM tl, UNNEST(generate_series(1, len(lens))) AS s(i)
+    ),
+    dup AS (
+      SELECT dpos.doc_id, dpos.n, CAST(SUM(pl.l) AS BIGINT) AS chars
+      FROM dpos JOIN pl ON dpos.doc_id = pl.doc_id AND dpos.p = pl.p
+      GROUP BY 1, 2
+    ),
+    pern AS (
+      SELECT doc_id, n, chars FROM top UNION ALL SELECT doc_id, n, chars FROM dup
+    ),
+    wide AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 2 THEN chars END) AS top2_chars,
+             MAX(CASE WHEN n = 3 THEN chars END) AS top3_chars,
+             MAX(CASE WHEN n = 4 THEN chars END) AS top4_chars,
+             MAX(CASE WHEN n = 5 THEN chars END) AS dup5_chars,
+             MAX(CASE WHEN n = 10 THEN chars END) AS dup10_chars
+      FROM pern GROUP BY doc_id
+    ),
+    ln AS (
+      SELECT t.doc_id, u.l
+      FROM t, UNNEST(list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                                 x -> x != '')) AS u(l)
+    ),
+    lc AS (SELECT doc_id, l, COUNT(*) AS c FROM ln GROUP BY 1, 2),
+    lstats AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_lines,
+             CAST(SUM(length(l) * c) AS BIGINT) AS line_chars,
+             CAST(SUM(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END) AS BIGINT) AS dup_lines,
+             CAST(SUM(CASE WHEN c >= 2 THEN length(l) * (c - 1) ELSE 0 END) AS BIGINT)
+               AS dup_line_chars
+      FROM lc GROUP BY doc_id
+    ),
+    base AS (
+      SELECT tl.doc_id,
+             COALESCE(CAST(list_sum(lens) AS BIGINT), 0) AS total_chars,
+             COALESCE(w.top2_chars, 0) AS top2_chars,
+             COALESCE(w.top3_chars, 0) AS top3_chars,
+             COALESCE(w.top4_chars, 0) AS top4_chars,
+             COALESCE(w.dup5_chars, 0) AS dup5_chars,
+             COALESCE(w.dup10_chars, 0) AS dup10_chars,
+             COALESCE(ls.n_lines, 0) AS n_lines,
+             COALESCE(ls.dup_lines, 0) AS dup_lines,
+             COALESCE(ls.dup_line_chars, 0) AS dup_line_chars,
+             COALESCE(ls.line_chars, 0) AS line_chars
+      FROM tl LEFT JOIN wide w USING (doc_id) LEFT JOIN lstats ls USING (doc_id)
+    )
+    SELECT *,
+           (5 * top2_chars <= 1 * total_chars) AS flag_top2,
+           (50 * top3_chars <= 9 * total_chars) AS flag_top3,
+           (25 * top4_chars <= 4 * total_chars) AS flag_top4,
+           (20 * dup5_chars <= 3 * total_chars) AS flag_dup5,
+           (10 * dup10_chars <= 1 * total_chars) AS flag_dup10,
+           (10 * dup_lines <= 3 * n_lines) AS flag_dup_lines,
+           (5 * dup_line_chars <= 1 * line_chars) AS flag_dup_line_chars,
+           ((5 * top2_chars <= 1 * total_chars) AND (50 * top3_chars <= 9 * total_chars)
+            AND (25 * top4_chars <= 4 * total_chars) AND (20 * dup5_chars <= 3 * total_chars)
+            AND (10 * dup10_chars <= 1 * total_chars) AND (10 * dup_lines <= 3 * n_lines)
+            AND (5 * dup_line_chars <= 1 * line_chars)) AS rep_pass
+    FROM base
+"""
+
+
+@query(
+    "t28_repetition_flags",
+    oracle=_T28_ORACLE,
+    tags=("text", "EXT", "quality", "repetition", "gopher"),
+    doc="The Gopher REPETITION rule battery (operators.quality.repetition_flags; Rae et "
+    "al. 2021 A1.2) — top-{2,3,4}-gram char fractions, duplicated-{5,10}-gram char "
+    "COVERAGE (dd19's position-coverage construction per doc), duplicate-line count/char "
+    "fractions, each capped at the published threshold in exact integer arithmetic.  "
+    "Closes the measured gate gap: a within-doc loop passes every A1.1 gate (same words, "
+    "lengths, stopwords) AND the corpus-adaptive rare-bigram gate (its transitions recur "
+    "once the doc is in the corpus) — only repetition structure catches it.  One tagged "
+    "gram explode (5 sizes in one union), doc-scoped groupBys, a coverage semi-join — "
+    "all linear, no UDF.",
+)
+def t28_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.quality import repetition_flags
+
+    return repetition_flags(table(spark, sf_dir, "documents"))

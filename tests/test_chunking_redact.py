@@ -619,3 +619,85 @@ def test_rare_bigram_common_side_is_exact_and_broadcastable(spark):
 
     with _pytest.raises(ValueError, match="join_side"):
         rare_bigram_scores(d, join_side="head")
+
+
+def test_repetition_flags_each_rule_fires_specifically(spark):
+    """Gopher A1.2 battery (t28): crafted violators trip exactly their rule;
+    a healthy long doc passes everything; counts are the documented exact
+    integers."""
+    from healthcare_data_pipeline_spark.operators.quality import repetition_flags
+
+    healthy = " ".join(f"tok{i:03d} word{i % 7}x" for i in range(60))
+    loop = ("alpha beta " * 30).strip()                      # top-2gram ~100%
+    dup_span = (
+        " ".join(f"u{i}" for i in range(20))
+        + " one two three four five six seven eight nine ten "
+        + " ".join(f"v{i}" for i in range(20))
+        + " one two three four five six seven eight nine ten "
+        + " ".join(f"w{i}" for i in range(20))
+    )                                                        # dup 10-gram coverage
+    lines = "\n".join(["cookie banner text here"] * 5 + [f"body line {i} unique" for i in range(5)])
+    d = spark.createDataFrame(
+        [(1, healthy), (2, loop), (3, dup_span), (4, lines)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.asDict() for r in repetition_flags(d).collect()}
+
+    assert got[1]["rep_pass"] is True
+
+    assert got[2]["flag_top2"] is False and got[2]["rep_pass"] is False
+    # 'alpha beta' occurs 30 times, 9 chars of tokens each; total 30*9
+    assert got[2]["top2_chars"] == 30 * 9 and got[2]["total_chars"] == 270
+
+    # the repeated 10-token run covers 2x10 positions (overlap counted once)
+    assert got[3]["flag_dup10"] is False
+    assert got[3]["dup10_chars"] == 2 * len("onetwothreefourfivesixseveneightnineten")
+
+    # 5 duplicate lines of 10 total: 4 beyond-first occurrences -> 0.4 > 0.3
+    assert got[4]["n_lines"] == 10 and got[4]["dup_lines"] == 4
+    assert got[4]["flag_dup_lines"] is False
+
+    # hash-keyed gram shuffle (the dd19 hash_spans trade) is value-identical
+    h = {r.doc_id: r.asDict() for r in repetition_flags(d, hash_grams=True).collect()}
+    assert h == got
+
+
+def test_repetition_filter_matches_flags(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_data_pipeline_spark.operators.quality import (
+        repetition_filter,
+        repetition_flags,
+    )
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    kept = {r.doc_id for r in repetition_filter(d).select("doc_id").collect()}
+    flags = repetition_flags(d)
+    expected = {r.doc_id for r in flags.filter(F.col("rep_pass")).collect()}
+    assert kept == expected
+    # original columns survive the gate
+    assert set(repetition_filter(d).columns) == set(d.columns)
+
+
+def test_prep_corpus_repetition_gate_composes(spark):
+    """use_repetition drops a stopword-scaffolded loop that every other
+    heuristic gate admits — the gate-matrix slip-through, closed in the
+    front door."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_pipeline_spark.operators.quality import prep_corpus
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    loop = spark.createDataFrame(
+        [(9_900_001, ("the data and the pipeline runs " * 35).strip(), "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = d.unionByName(loop)
+    base = prep_corpus(docs)
+    gated = prep_corpus(docs, use_repetition=True)
+    assert base.filter(F.col("doc_id") == 9_900_001).count() == 1  # admitted
+    assert gated.filter(F.col("doc_id") == 9_900_001).count() == 0  # closed
+    # the gate only removes docs (subset-monotone)
+    assert gated.count() <= base.count()

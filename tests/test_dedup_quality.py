@@ -89,3 +89,24 @@ def test_dedup_quality_harness_contracts(spark):
     # ~40 grams) — saturation or a sizing regression blows far past this
     prec = got[("decon_bloom", "(precision)")]
     assert prec["fp"] <= max(5, 0.05 * prec["planted"]), prec
+
+    # quality-gate coverage matrix: the DIAGONAL is the claim — each junk
+    # family is visible only to its intended gate
+    assert got[("gate_rare_bigram", "word_salad")]["recall"] == 1.0
+    assert got[("gate_repetition", "token_loop")]["recall"] == 1.0
+    assert got[("gate_basic", "short_frag")]["recall"] == 1.0
+    assert got[("gate_gopher", "short_frag")]["recall"] == 1.0
+    assert got[("gate_gopher", "symbol_spam")]["recall"] == 1.0
+    # ...and the off-diagonal zeros that make each row meaningful: the loop
+    # slips A1.1 (same words/lengths) AND the corpus-adaptive gate (its
+    # transitions recur corpus-wide) — the measured gap t28 exists to close
+    assert got[("gate_basic", "word_salad")]["recall"] == 0.0
+    assert got[("gate_gopher", "token_loop")]["recall"] == 0.0
+    assert got[("gate_rare_bigram", "token_loop")]["recall"] == 0.0
+    assert got[("gate_repetition", "symbol_spam")]["recall"] == 0.0
+    assert got[("gate_rare_bigram", "symbol_spam")]["recall"] == 0.0
+
+    # gate precision: stateless per-doc gates cannot flip a clean doc, and
+    # plants only add bigram occurrences (corpus-adaptive gate gets safer)
+    for op in ("gate_basic", "gate_gopher", "gate_repetition", "gate_rare_bigram"):
+        assert got[(op, "(precision)")]["fp"] == 0, op

@@ -120,11 +120,13 @@ def ops(spark, sf_dir: str):
         corpus_drift_report,
         filter_corpus,
         rare_bigram_scores,
+        repetition_flags,
     )
     from healthcare_data_pipeline_spark.operators.shuffle import shuffle_corpus
     from healthcare_data_pipeline_spark.operators.similarity import (
         ann_index_build,
         ann_index_probe,
+        kmeans_assign,
         semdedup,
     )
     from healthcare_data_pipeline_spark.queries.similarity import quantized
@@ -335,6 +337,18 @@ def ops(spark, sf_dir: str):
                     F.pmod(F.xxhash64("vec_id"), F.lit(max(1, n_emb // 50))).cast("int"),
                 ),
             )
+        ),
+        # s11: fixed k (the coarse-quantizer regime) — per iteration one
+        # zero-shuffle assignment scan + one k*dim-key groupBy, 3 passes
+        # total at iters=2, so alpha ~1 is the claim being measured.
+        "kmeans_assign (k=8, iters=2)": lambda: sink(
+            kmeans_assign(en, k=8, iters=2)
+        ),
+        # t28: five tagged gram sizes in ONE union explode (~5x token rows,
+        # the dd19 shape), doc-scoped groupBys + a coverage semi-join —
+        # hash_grams keys the shuffle on 8 bytes (the measured form).
+        "repetition_flags (5 gram sizes, hashed)": lambda: sink(
+            repetition_flags(docs, hash_grams=True)
         ),
         "ann_index_probe (build once)": probe,
         # SQ8 layout (s10): identical probe semantics, but the probed-cell
@@ -573,6 +587,21 @@ def main() -> None:
         "term is N²/n_cells by design — that knob is the operator's "
         "documented quadratic control, which is why the row pins the "
         "bounded-cell configuration.",
+        "",
+        "`repetition_flags` "
+        f"(alpha {alphas.get('repetition_flags (5 gram sizes, hashed)')}) is the Gopher A1.2 "
+        "battery (t28): one tagged explode carrying all five gram sizes "
+        "(~5x token volume — the per-token cost ceiling of the prep path's "
+        "heuristic gates), doc-scoped groupBys with map-side combine and a "
+        "coverage semi-join, everything keyed per doc so skew cannot "
+        "concentrate. `kmeans_assign` "
+        f"(alpha {alphas.get('kmeans_assign (k=8, iters=2)')}) is the deterministic "
+        "coarse-quantizer builder at FIXED k: three data passes (two "
+        "Lloyd rounds + final assignment), each a zero-shuffle scan "
+        "against a broadcast centroid array plus one k·dim-key groupBy — "
+        "alpha ~1 by construction; k itself is the per-row work knob "
+        "(k·dim interpreted ops), which is why the sqrt(N)-clusters "
+        "SemDeDup extreme uses the hash/sign-bit cells above instead.",
         "",
         "r10 newcomers: `line_dedup` "
         f"(alpha {alphas.get('line_dedup (8-token re-lined)')}) is dd19's shape one rung up "
