@@ -609,65 +609,85 @@ def repetition_flags(
     integer arithmetic (``den*c <= num*total``) — bit-identical on any
     engine; catalog t28 hash-verifies all counts and flags.
 
-    Scale shape: one token explode (positions + lengths), one gram explode
-    per (doc, position, n) for the five n in {2,3,4,5,10} tagged in a
-    single union (~5x token volume, the dd19 shape), one (n, doc, gram)
-    groupBy with map-side combine, a per-doc max for the top-n terms and a
-    coverage semi-join + distinct-position sum for the dup-n terms — all
+    Scale shape: one token posexplode (positions + lengths), grams built
+    from WINDOW ``lead`` columns over (doc, position) — every gram string,
+    length and the 5-way tagged struct array stay inside whole-stage
+    codegen (the first cut built grams with per-element ``transform``
+    lambdas, which run INTERPRETED and allocate per element; at 64x the
+    measured cost was minutes per pass — the classic UDF-adjacent trap this
+    repo's own policy exists to avoid).  The exploded tagged relation
+    (~5x token volume, the dd19 shape) is cached for its two consumers
+    (top-n max and dup-n coverage), one (n, doc, gram) groupBy with
+    map-side combine, a coverage semi-join + distinct-position sum — all
     linear in token count, keys doc-scoped (skew-safe), no UDF, nothing
     collected.  ``hash_grams=True`` keys the gram shuffle on 8-byte
     xxhash64 values instead of gram strings (the dd19 ``hash_spans``
     trade: flat shuffle bytes in n, astronomically-unlikely in-doc
     collisions; the catalog-verified path keeps strings).
     """
+    from pyspark.sql import Window
     toks = f"filter(split({text_col}, '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+'), x -> x != '')"
     base = docs.selectExpr(f"{id_col} AS __did", f"{toks} AS __toks", f"{text_col} AS __text")
     base = base.withColumn("__lens", F.expr("transform(__toks, t -> length(t))")).withColumn(
         "__total", F.expr("aggregate(__lens, 0L, (a, x) -> a + x)")
     )
 
-    # one tagged gram relation: (did, n, spos, gram-hash, glen = token chars)
-    gram_n = []
-    for n in (2, 3, 4, 5, 10):
-        joined = ", ".join(f"element_at(__toks, i + {j})" for j in range(n))
-        key = f"concat_ws(' ', {joined})"
-        if hash_grams:
-            key = f"xxhash64({key})"
-        lens = " + ".join(f"element_at(__lens, i + {j})" for j in range(n))
-        gram_n.append(
-            f"CASE WHEN size(__toks) >= {n} THEN transform(sequence(1, size(__toks) - {n - 1}), "
-            f"i -> named_struct('n', {n}, 'spos', i, 'g', {key}, "
-            f"'glen', {lens})) ELSE array() END"
+    # token relation with positions + lengths (codegen posexplode), then
+    # grams as window-lead columns — all codegen, no interpreted lambdas;
+    # each consumer branch builds only the gram sizes it needs (the top-n
+    # branch reads 3 leads, the coverage branch 9)
+    tok = base.select(
+        "__did", F.posexplode("__toks").alias("__p0", "__t")
+    ).select("__did", (F.col("__p0") + 1).alias("__p"), "__t", F.length("__t").alias("__l"))
+    w = Window.partitionBy("__did").orderBy("__p")
+
+    def grams_for(sizes: tuple[int, ...]) -> DataFrame:
+        max_j = max(sizes)
+        lead_cols = []
+        for j in range(1, max_j):
+            lead_cols.append(F.lead("__t", j).over(w).alias(f"__t{j}"))
+            lead_cols.append(F.lead("__l", j).over(w).alias(f"__l{j}"))
+        led = tok.select("__did", "__p", "__t", "__l", *lead_cols)
+        gram_n = []
+        for n in sizes:
+            toks_n = ", ".join(["__t"] + [f"__t{j}" for j in range(1, n)])
+            key = f"concat_ws(' ', {toks_n})"
+            if hash_grams:
+                key = f"xxhash64({key})"
+            lens_n = " + ".join(["__l"] + [f"__l{j}" for j in range(1, n)])
+            gram_n.append(
+                f"named_struct('n', {n}, 'g', IF(__t{n - 1} IS NULL, NULL, {key}), "
+                f"'glen', CAST({lens_n} AS BIGINT))"
+            )
+        return (
+            led.selectExpr("__did", "__p AS __spos", f"array({', '.join(gram_n)}) AS __gs")
+            .select("__did", "__spos", F.explode("__gs").alias("__s"))
+            .filter(F.col("__s.g").isNotNull())
+            .selectExpr("__did", "__s.n AS __n", "__spos", "__s.g AS __g", "__s.glen AS __glen")
         )
-    grams = base.selectExpr(
-        "__did", "concat(" + ", ".join(gram_n) + ") AS __gs"
-    ).select("__did", F.explode("__gs").alias("__s")).selectExpr(
-        "__did", "__s.n AS __n", "__s.spos AS __spos", "__s.g AS __g", "__s.glen AS __glen"
-    )
-    counts = grams.groupBy("__did", "__n", "__g").agg(
-        F.count("*").alias("__c"), F.max("__glen").alias("__glen")
-    )
+
+    top_grams = grams_for((2, 3, 4))
     top = (
-        counts.filter(F.col("__n").isin(2, 3, 4))
+        top_grams.groupBy("__did", "__n", "__g")
+        .agg(F.count("*").alias("__c"), F.max("__glen").alias("__glen"))
         .groupBy("__did", "__n")
         .agg(F.max(F.col("__c") * F.col("__glen")).alias("__chars"))
     )
+    dup_grams = grams_for((5, 10))
+    dup_keys = (
+        dup_grams.groupBy("__did", "__n", "__g")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("__did", "__n", "__g")
+    )
     dup_pos = (
-        grams.filter(F.col("__n").isin(5, 10))
-        .join(
-            counts.filter(F.col("__c") >= 2).select("__did", "__n", "__g"),
-            ["__did", "__n", "__g"],
-            "left_semi",
-        )
+        dup_grams.join(dup_keys, ["__did", "__n", "__g"], "left_semi")
         .selectExpr("__did", "__n", "explode(sequence(__spos, __spos + __n - 1)) AS __p")
         .distinct()
     )
-    pos_lens = base.select(
-        "__did", F.posexplode("__lens").alias("__p0", "__l")
-    ).selectExpr("__did", "__p0 + 1 AS __p", "__l")
-    dup = dup_pos.join(pos_lens, ["__did", "__p"]).groupBy("__did", "__n").agg(
-        F.sum("__l").cast("long").alias("__chars")
-    )
+    dup = dup_pos.join(tok.select("__did", "__p", "__l"), ["__did", "__p"]).groupBy(
+        "__did", "__n"
+    ).agg(F.sum("__l").cast("long").alias("__chars"))
     per_n = top.unionByName(dup)
     wide = per_n.groupBy("__did").pivot("__n", [2, 3, 4, 5, 10]).agg(F.max("__chars"))
 

@@ -313,3 +313,56 @@ def test_sq8_codes_and_dequantize_integer_contract(spark, vecs, probe):
         pairs = sorted((r.iv[d], r.qc[d]) for r in rows_by_dim)
         for (v1, c1), (v2, c2) in zip(pairs, pairs[1:]):
             assert c1 <= c2, f"dim {d}: code not monotone ({v1}->{c1}, {v2}->{c2})"
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=-1000, max_value=1000), min_size=4, max_size=4),
+        min_size=1,
+        max_size=24,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+    iters=st.integers(min_value=0, max_value=3),
+)
+def test_kmeans_assign_matches_python_lloyd(spark, vecs, k, iters):
+    """kmeans_assign == a literal python integer-Lloyd for ANY vector set,
+    any k, any iteration count — including duplicate vectors, ties (broken
+    toward the lowest cluster id), empty cells, and k > n."""
+    from healthcare_data_pipeline_spark.operators.similarity import kmeans_assign
+
+    dim = 4
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    en = spark.createDataFrame(rows, "vec_id long, iv array<double>").repartition(3)
+    got = {
+        r.vec_id: (r.cluster_id, r.dist_sq)
+        for r in kmeans_assign(en, k=k, iters=iters).collect()
+    }
+
+    ids = sorted(i for i, _ in rows)
+    vm = {i: [int(x) for x in v] for i, v in rows}
+    cents = {j: [float(x) for x in vm[i]] for j, i in enumerate(ids[:k])}
+
+    def assign(cents):
+        out = {}
+        for i in ids:
+            best = min(
+                sum((x - y) * (x - y) for x, y in zip(vm[i], c)) * k + j
+                for j, c in cents.items()
+            )
+            out[i] = (int(best % k), (int(best) - int(best % k)) // k)
+        return out
+
+    def tdiv(s, n):
+        return -((-s) // n) if s < 0 else s // n
+
+    for _ in range(iters):
+        a = assign(cents)
+        sums, ns = {}, {}
+        for i, (j, _) in a.items():
+            ns[j] = ns.get(j, 0) + 1
+            acc = sums.setdefault(j, [0] * dim)
+            for p, x in enumerate(vm[i]):
+                acc[p] += x
+        cents = {j: [float(tdiv(s, ns[j])) for s in sums[j]] for j in sums}
+    assert got == assign(cents)

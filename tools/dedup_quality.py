@@ -868,15 +868,16 @@ def measure_quality_gates(spark, docs: DataFrame) -> list[dict]:
 def measure_scale(spark, docs_dir: str, base: str, k: int) -> list[dict]:
     docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
     en = _scaled_embeddings(spark, base, k)
-    rows = []
-    for part in (
+    parts = [
         measure_doc_dedup(spark, docs),
         measure_semdedup(spark, en),
         measure_span_dedup(spark, docs),
         measure_line_dedup(spark, docs),
         measure_decontamination(spark, docs),
         measure_quality_gates(spark, docs),
-    ):
+    ]
+    rows = []
+    for part in parts:
         for r in part:
             r["scale"] = k
         rows.extend(part)
