@@ -710,7 +710,11 @@ def measure_quality_gates(spark, docs: DataFrame) -> list[dict]:
     """The quality-gate family vs planted junk — which GATE catches which
     failure mode.  Clean = docs passing ALL four gates (basic C4-style
     filter, Gopher A1.1, Gopher A1.2 repetition, corpus-adaptive
-    rare-bigram at ratio > 0.5); each planted family is crafted to slip
+    rare-bigram at ratio > 0.5; the basic gate runs WITHOUT its stopword
+    floor and the Gopher gate without its required-stopword rule — the
+    scale corpora's per-replica token rewrite appends the replica id to
+    every token, destroying natural stopwords: a corpus artifact, not an
+    operator deviation); each planted family is crafted to slip
     every gate except its intended catcher, so the table reads as a
     coverage MATRIX and a family caught by nothing is a measured gap (that
     is how the ``token_loop`` gap that motivated ``repetition_flags`` was
@@ -765,7 +769,12 @@ def measure_quality_gates(spark, docs: DataFrame) -> list[dict]:
         return df.join(bad, "doc_id", "left_anti")
 
     gates = {
-        "gate_basic": lambda df: filter_corpus(df, min_stopword_ratio=0.01),
+        # no stopword floor: the scale corpora's per-replica token rewrite
+        # appends the replica id to EVERY token (the dedup-honesty
+        # construction), which destroys natural stopwords at every scale —
+        # the word-count band and word-length cap remain (same adaptation
+        # class as gopher_nostop below; production keeps the floor)
+        "gate_basic": lambda df: filter_corpus(df, min_stopword_ratio=None),
         "gate_gopher": gopher_nostop,
         "gate_repetition": repetition_filter,
         "gate_rare_bigram": rare_gate,
@@ -1008,9 +1017,12 @@ def quality_section(all_rows: list[dict], base: str) -> str:
         "characters; the published battery runs after the length gates, "
         "which is the composition `prep_corpus` uses).  gate_gopher gates "
         "on A1.1 MINUS the required-stopword rule: the synthetic vocab "
-        "contains no Gopher stopwords, so the full AND-gate would empty "
-        "the corpus (a corpus artifact, stated here, not an operator "
-        "deviation).  Gate precision 1.0 is a hard contract: per-doc "
+        "contains no Gopher stopwords (and the scale replicas' per-token "
+        "rewrite would destroy them anyway), so the full AND-gate would "
+        "empty the corpus — the basic gate likewise runs without its "
+        "stopword floor (a corpus artifact, stated here, not an operator "
+        "deviation; production keeps both).  Gate precision 1.0 is a hard "
+        "contract: per-doc "
         "gates are stateless, and plants only ADD bigram occurrences, so "
         "the corpus-adaptive gate can only get safer.  Regenerate with "
         "`python tools/dedup_quality.py`.",
