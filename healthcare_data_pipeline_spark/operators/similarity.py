@@ -670,6 +670,8 @@ def kmeans_assign(
         raise ValueError(f"need k >= 1 and iters >= 0, got k={k}, iters={iters}")
     from pyspark.sql import Window
 
+    # global window over the k seed rows ONLY (post-limit) — Spark's
+    # "No Partition Defined" warning is expected and bounded at k rows
     w = Window.orderBy(id_col)
     cents = (
         en.select(id_col, vec_col)
