@@ -566,12 +566,17 @@ def corpus_drift_report(
 
 
 # Gopher A1.2 repetition thresholds as exact rationals (numerator, denominator):
-# fraction <= num/den evaluated as den*chars <= num*total in BIGINT.
+# fraction <= num/den evaluated as den*chars <= num*total in BIGINT.  The full
+# published battery: top-{2,3,4}-gram caps and duplicated-{5..10}-gram caps.
 REP_THRESHOLDS = {
     "top2": (1, 5),     # top 2-gram char fraction <= 0.20
     "top3": (9, 50),    # top 3-gram char fraction <= 0.18
     "top4": (4, 25),    # top 4-gram char fraction <= 0.16
     "dup5": (3, 20),    # duplicated 5-gram char fraction <= 0.15
+    "dup6": (7, 50),    # duplicated 6-gram char fraction <= 0.14
+    "dup7": (13, 100),  # duplicated 7-gram char fraction <= 0.13
+    "dup8": (3, 25),    # duplicated 8-gram char fraction <= 0.12
+    "dup9": (11, 100),  # duplicated 9-gram char fraction <= 0.11
     "dup10": (1, 10),   # duplicated 10-gram char fraction <= 0.10
     "dup_lines": (3, 10),       # duplicate line (count) fraction <= 0.30
     "dup_line_chars": (1, 5),   # duplicate line char fraction <= 0.20
@@ -593,61 +598,87 @@ def repetition_flags(
     the corpus).  The quality-gate effectiveness harness measures exactly
     that gap; this battery closes it.  Signals per document:
 
-    - ``top{2,3,4}_chars``: characters of the MOST FREQUENT word n-gram
-      (occurrence count x the gram's token characters) — fraction of
-      ``total_chars`` capped at 0.20 / 0.18 / 0.16;
-    - ``dup{5,10}_chars``: characters COVERED by any n-gram occurring >= 2
+    - ``top{2,3,4}_chars``: characters of the MOST FREQUENT word n-gram —
+      its occurrence count x its token characters, the gram chosen by max
+      count with a deterministic (count, gram-chars) tie-break — fraction
+      of ``total_chars`` capped at 0.20 / 0.18 / 0.16;
+    - ``dup{5..10}_chars``: characters COVERED by any n-gram occurring >= 2
       times within the doc (position coverage, overlaps counted once — the
-      dd19 span-coverage construction, per doc) — capped at 0.15 / 0.10;
+      dd19 span-coverage construction, per doc) — capped at the published
+      ladder 0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10;
     - ``dup_lines`` / ``dup_line_chars``: occurrences beyond the first of
       repeated (trimmed, non-empty) lines, by count and by characters —
       capped at 0.30 / 0.20 of ``n_lines`` / line characters;
-    - ``rep_pass``: AND of all seven flags.
+    - ``rep_pass``: AND of all eleven flags.
 
     Characters count token characters (whitespace excluded), so every
     fraction is a ratio of exact BIGINTs and each threshold evaluates in
     integer arithmetic (``den*c <= num*total``) — bit-identical on any
-    engine; catalog t28 hash-verifies all counts and flags.
+    engine; catalog t28 hash-verifies all counts and flags.  NULL text
+    coalesces to an empty doc (total 0, every flag true) — the oracle's
+    COALESCE semantics, so a NULL-text row is never silently dropped.
 
-    Scale shape: one token posexplode (positions + lengths), grams built
-    from WINDOW ``lead`` columns over (doc, position) — every gram string,
-    length and the 5-way tagged struct array stay inside whole-stage
-    codegen (the first cut built grams with per-element ``transform``
-    lambdas, which run INTERPRETED and allocate per element; at 64x the
-    measured cost was minutes per pass — the classic UDF-adjacent trap this
-    repo's own policy exists to avoid).  The exploded tagged relation
-    (~5x token volume, the dd19 shape) is cached for its two consumers
-    (top-n max and dup-n coverage), one (n, doc, gram) groupBy with
-    map-side combine, a coverage semi-join + distinct-position sum — all
-    linear in token count, keys doc-scoped (skew-safe), no UDF, nothing
-    collected.  ``hash_grams=True`` keys the gram shuffle on 8-byte
-    xxhash64 values instead of gram strings (the dd19 ``hash_spans``
-    trade: flat shuffle bytes in n, astronomically-unlikely in-doc
-    collisions; the catalog-verified path keeps strings).
+    Scale shape — two INDEPENDENT single-pass pipelines, nothing cached,
+    nothing recomputed, no joins:
+
+    - tokens posexplode once per branch (positions + lengths), grams built
+      from WINDOW ``lead`` columns over (doc, position) — every gram
+      string, length and the tagged struct array stay inside whole-stage
+      codegen (the first cut built grams with per-element ``transform``
+      lambdas, which run INTERPRETED and allocate per element; at 64x the
+      measured cost was minutes per pass);
+    - the top-n branch: one (doc, n, gram) groupBy with map-side combine,
+      then a per-(doc, n) arg-max struct;
+    - the coverage branch replaces the old groupBy + semi-join +
+      position-explode + distinct + length-join chain (which blew rows up
+      n-fold and re-shuffled them three times — the measured alpha-1.17
+      super-linearity at 64x) with CHAR-SPACE INTERVAL UNION: each gram
+      occurrence carries [cum_chars_before, cum_chars_before + gram_chars)
+      from a running-sum window, occurrence counts come from a count
+      window over (doc, n, gram) so every occurrence row survives, and
+      duplicated occurrences union per (doc, n) via the classic
+      sorted-interval sweep (running max of interval end).  A gram's char
+      interval is exactly the union of its positions' char ranges, so the
+      union length equals the covered-position char sum — same exact
+      semantics, one pass, zero row blow-up.
+
+    All keys are doc-scoped (skew-safe), no UDF, nothing collected.
+    ``hash_grams=True`` keys the gram shuffle on 8-byte xxhash64 values
+    instead of gram strings (the dd19 ``hash_spans`` trade: flat shuffle
+    bytes in n, astronomically-unlikely in-doc collisions; the
+    catalog-verified path keeps strings).
     """
     from pyspark.sql import Window
     toks = f"filter(split({text_col}, '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+'), x -> x != '')"
     base = docs.selectExpr(f"{id_col} AS __did", f"{toks} AS __toks", f"{text_col} AS __text")
     base = base.withColumn("__lens", F.expr("transform(__toks, t -> length(t))")).withColumn(
-        "__total", F.expr("aggregate(__lens, 0L, (a, x) -> a + x)")
+        "__total", F.expr("coalesce(aggregate(__lens, 0L, (a, x) -> a + x), 0L)")
     )
 
     # token relation with positions + lengths (codegen posexplode), then
     # grams as window-lead columns — all codegen, no interpreted lambdas;
-    # each consumer branch builds only the gram sizes it needs (the top-n
-    # branch reads 3 leads, the coverage branch 9)
+    # each consumer branch builds only the gram sizes it needs and runs as
+    # its own single-pass pipeline (the branches share no relation, so
+    # there is nothing to cache and nothing recomputed within a branch)
     tok = base.select(
         "__did", F.posexplode("__toks").alias("__p0", "__t")
     ).select("__did", (F.col("__p0") + 1).alias("__p"), "__t", F.length("__t").alias("__l"))
     w = Window.partitionBy("__did").orderBy("__p")
 
-    def grams_for(sizes: tuple[int, ...]) -> DataFrame:
+    def grams_for(sizes: tuple[int, ...], with_cum: bool) -> DataFrame:
         max_j = max(sizes)
-        lead_cols = []
+        win_cols = []
+        if with_cum:
+            win_cols.append(
+                F.coalesce(
+                    F.sum("__l").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0),
+                ).cast("long").alias("__cumb")
+            )
         for j in range(1, max_j):
-            lead_cols.append(F.lead("__t", j).over(w).alias(f"__t{j}"))
-            lead_cols.append(F.lead("__l", j).over(w).alias(f"__l{j}"))
-        led = tok.select("__did", "__p", "__t", "__l", *lead_cols)
+            win_cols.append(F.lead("__t", j).over(w).alias(f"__t{j}"))
+            win_cols.append(F.lead("__l", j).over(w).alias(f"__l{j}"))
+        led = tok.select("__did", "__p", "__t", "__l", *win_cols)
         gram_n = []
         for n in sizes:
             toks_n = ", ".join(["__t"] + [f"__t{j}" for j in range(1, n)])
@@ -659,37 +690,63 @@ def repetition_flags(
                 f"named_struct('n', {n}, 'g', IF(__t{n - 1} IS NULL, NULL, {key}), "
                 f"'glen', CAST({lens_n} AS BIGINT))"
             )
+        extra = ["__cumb"] if with_cum else []
         return (
-            led.selectExpr("__did", "__p AS __spos", f"array({', '.join(gram_n)}) AS __gs")
-            .select("__did", "__spos", F.explode("__gs").alias("__s"))
+            led.selectExpr("__did", *extra, f"array({', '.join(gram_n)}) AS __gs")
+            .select("__did", *extra, F.explode("__gs").alias("__s"))
             .filter(F.col("__s.g").isNotNull())
-            .selectExpr("__did", "__s.n AS __n", "__spos", "__s.g AS __g", "__s.glen AS __glen")
+            .selectExpr("__did", "__s.n AS __n", "__s.g AS __g", "__s.glen AS __glen", *extra)
         )
 
-    top_grams = grams_for((2, 3, 4))
+    # top-n branch: per-(doc, n, gram) count, then the MOST FREQUENT gram's
+    # count*chars — arg-max by (count, gram-chars), a deterministic struct
+    # max (ties beyond that have identical products)
     top = (
-        top_grams.groupBy("__did", "__n", "__g")
+        grams_for((2, 3, 4), with_cum=False)
+        .groupBy("__did", "__n", "__g")
         .agg(F.count("*").alias("__c"), F.max("__glen").alias("__glen"))
         .groupBy("__did", "__n")
-        .agg(F.max(F.col("__c") * F.col("__glen")).alias("__chars"))
+        .agg(F.max(F.struct("__c", "__glen")).alias("__m"))
+        .select(
+            "__did", "__n", (F.col("__m.__c") * F.col("__m.__glen")).alias("__chars")
+        )
     )
-    dup_grams = grams_for((5, 10))
-    dup_keys = (
-        dup_grams.groupBy("__did", "__n", "__g")
-        .agg(F.count("*").alias("__c"))
+
+    # coverage branch: every occurrence carries its char-space interval;
+    # a count window (not groupBy) keeps occurrence rows alive; duplicated
+    # intervals union per (doc, n) by the sorted sweep.  Start offsets are
+    # strictly increasing within a doc (tokens are non-empty), so the sweep
+    # order is total and deterministic.
+    dup_sizes = (5, 6, 7, 8, 9, 10)
+    occ = grams_for(dup_sizes, with_cum=True).select(
+        "__did", "__n", "__g",
+        F.col("__cumb").alias("__s0"),
+        (F.col("__cumb") + F.col("__glen")).alias("__e0"),
+    )
+    w_cnt = Window.partitionBy("__did", "__n", "__g")
+    w_sweep = Window.partitionBy("__did", "__n").orderBy("__s0")
+    dup = (
+        occ.withColumn("__c", F.count("*").over(w_cnt))
         .filter(F.col("__c") >= 2)
-        .select("__did", "__n", "__g")
+        .withColumn(
+            "__pmax",
+            F.max("__e0").over(w_sweep.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .select(
+            "__did", "__n",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("__e0")
+                - F.greatest(F.col("__s0"), F.coalesce(F.col("__pmax"), F.lit(0).cast("long"))),
+            ).alias("__new"),
+        )
+        .groupBy("__did", "__n")
+        .agg(F.sum("__new").cast("long").alias("__chars"))
     )
-    dup_pos = (
-        dup_grams.join(dup_keys, ["__did", "__n", "__g"], "left_semi")
-        .selectExpr("__did", "__n", "explode(sequence(__spos, __spos + __n - 1)) AS __p")
-        .distinct()
-    )
-    dup = dup_pos.join(tok.select("__did", "__p", "__l"), ["__did", "__p"]).groupBy(
-        "__did", "__n"
-    ).agg(F.sum("__l").cast("long").alias("__chars"))
     per_n = top.unionByName(dup)
-    wide = per_n.groupBy("__did").pivot("__n", [2, 3, 4, 5, 10]).agg(F.max("__chars"))
+    wide = per_n.groupBy("__did").pivot("__n", [2, 3, 4, 5, 6, 7, 8, 9, 10]).agg(
+        F.max("__chars")
+    )
 
     # line stats: occurrences beyond the first of repeated trimmed lines
     lines = base.selectExpr(
@@ -716,6 +773,10 @@ def repetition_flags(
             "coalesce(`3`, 0L) AS top3_chars",
             "coalesce(`4`, 0L) AS top4_chars",
             "coalesce(`5`, 0L) AS dup5_chars",
+            "coalesce(`6`, 0L) AS dup6_chars",
+            "coalesce(`7`, 0L) AS dup7_chars",
+            "coalesce(`8`, 0L) AS dup8_chars",
+            "coalesce(`9`, 0L) AS dup9_chars",
             "coalesce(`10`, 0L) AS dup10_chars",
             "coalesce(n_lines, 0L) AS n_lines",
             "coalesce(dup_lines, 0L) AS dup_lines",
@@ -728,6 +789,10 @@ def repetition_flags(
         "flag_top3": ("top3_chars", "total_chars", REP_THRESHOLDS["top3"]),
         "flag_top4": ("top4_chars", "total_chars", REP_THRESHOLDS["top4"]),
         "flag_dup5": ("dup5_chars", "total_chars", REP_THRESHOLDS["dup5"]),
+        "flag_dup6": ("dup6_chars", "total_chars", REP_THRESHOLDS["dup6"]),
+        "flag_dup7": ("dup7_chars", "total_chars", REP_THRESHOLDS["dup7"]),
+        "flag_dup8": ("dup8_chars", "total_chars", REP_THRESHOLDS["dup8"]),
+        "flag_dup9": ("dup9_chars", "total_chars", REP_THRESHOLDS["dup9"]),
         "flag_dup10": ("dup10_chars", "total_chars", REP_THRESHOLDS["dup10"]),
         "flag_dup_lines": ("dup_lines", "n_lines", REP_THRESHOLDS["dup_lines"]),
         "flag_dup_line_chars": ("dup_line_chars", "line_chars", REP_THRESHOLDS["dup_line_chars"]),

@@ -596,18 +596,21 @@ def _assign_against(en: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_ord_sql(vec_col: str, k: int) -> str:
+def _kmeans_ord_sql(vec_col: str, k: int, arr: str = "__carr") -> str:
     """Scalar SQL: the min ORDINAL ``dist_sq * k + j`` of ``vec_col`` against
-    the broadcast centroid array column ``__carr`` (array of structs (j, c)).
+    the broadcast centroid array column ``arr`` (array of structs (j, c)).
     Encoding distance and cluster id in ONE integer-valued double makes the
     argmin a plain ``array_min`` — no groupBy, no window: assignment is a
-    zero-shuffle scan.  Exact while ``dist_sq * k + j < 2^53`` (quantized
-    components ≤ ~6e5 ⇒ dist_sq ≤ 64·(1.2e6)² ≈ 9e13; fine to k ~ 100)."""
+    zero-shuffle scan.  Exact while ``dist_sq * k + j < 2^53``; ``j`` is the
+    GLOBAL cluster id and ``k`` the GLOBAL cluster count even when ``arr``
+    holds only a shard of the centroids, so a LEAST() over per-shard
+    ordinals is exactly the global argmin (``kmeans_assign`` enforces the
+    2^53 bound from the documented component range before planning this)."""
     dist = (
         f"aggregate(zip_with({vec_col}, s.c, (x, y) -> (x - y) * (x - y)), "
         "0D, (acc, d) -> acc + d)"
     )
-    return f"array_min(transform(__carr, s -> {dist} * {k} + CAST(s.j AS DOUBLE)))"
+    return f"array_min(transform({arr}, s -> {dist} * {k} + CAST(s.j AS DOUBLE)))"
 
 
 def _trunc_div_sql(num: str, den: str) -> str:
@@ -627,6 +630,8 @@ def kmeans_assign(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "iv",
+    centroid_shards: int = 1,
+    max_component: float = 600_000.0,
 ) -> DataFrame:
     """Deterministic k-means over quantized vectors — the from-scratch coarse
     quantizer for IVF/SemDeDup when no label partition exists (Lloyd 1982;
@@ -658,16 +663,44 @@ def kmeans_assign(
     (cluster, component) = k·dim keys with map-side combine.  ``iters``
     full passes + one final assignment pass; nothing is ever collected.
 
-    Honest k bound: the per-row argmin does k·dim interpreted array ops, so
-    this shape is for the COARSE-quantizer regime (k up to ~1000 — 8·64
-    ops/row at the default is negligible, 1000·64 is ~the cost of a few
-    string ops).  At SemDeDup's sqrt(N)-clusters extreme (k ~ 10^5 at 10^10
-    docs) assignment should instead shard the centroid table and take the
-    min-of-mins across shard passes — same contract, bounded per-row work;
-    the sign-bit quantizer (lsh_bucket) remains the cheap-k alternative.
+    Exactness guard: the min-ordinal encoding is exact only while
+    ``dist_sq·k + j < 2^53`` (one double holds both).  ``max_component``
+    documents the input's component-magnitude contract (default 6e5 — the
+    repo's ``round(x·1e6)`` quantization of unit-ish vectors; truncated
+    integer means keep centroids inside the same range, so the worst
+    per-component diff is ``2·max_component``).  The guard derives the
+    worst-case ``dist_sq = dim·(2·max_component)²`` from the actual vector
+    width and RAISES before planning anything when ``k`` would overflow the
+    2^53 budget — silent loss of bit-exactness is never possible; pass a
+    tighter ``max_component`` (or fewer clusters) to proceed.
+
+    Large k: the per-row argmin does k·dim array ops inside ONE scalar
+    expression; at SemDeDup's sqrt(N)-clusters extreme (k ~ 10^4..10^5)
+    a single k-struct broadcast array is a per-row allocation hazard.
+    ``centroid_shards=S`` splits the centroid array into S broadcast
+    shards (j % S) and takes ``LEAST()`` of the per-shard min-ordinals —
+    ordinals encode the GLOBAL (k, j), so min-of-mins IS the global argmin,
+    bit-identically (property-tested sharded ≡ unsharded); per-expression
+    array size drops to ~k/S while total per-row work stays k·dim.
+    The sign-bit quantizer (lsh_bucket) remains the cheap-k alternative.
     """
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0, got k={k}, iters={iters}")
+    if centroid_shards < 1:
+        raise ValueError(f"need centroid_shards >= 1, got {centroid_shards}")
+    shards = min(centroid_shards, k)
+    head = en.select(F.size(F.col(vec_col)).alias("d")).head()
+    if head is not None and head.d is not None:
+        worst_ord = float(head.d) * (2.0 * max_component) ** 2 * k + (k - 1)
+        if worst_ord >= 2.0**53:
+            raise ValueError(
+                f"kmeans_assign exactness overflow: dim={head.d}, "
+                f"max_component={max_component}, k={k} gives worst-case "
+                f"min-ordinal {worst_ord:.3g} >= 2^53 — the double encoding "
+                "would round and the deterministic-assignment contract "
+                "breaks. Reduce k, or pass the input's true (smaller) "
+                "max_component."
+            )
     from pyspark.sql import Window
 
     # global window over the k seed rows ONLY (post-limit) — Spark's
@@ -682,14 +715,36 @@ def kmeans_assign(
 
     def assign(cent: DataFrame) -> DataFrame:
         # all input columns ride through, so compositions (kmeans_cells ->
-        # semdedup / index builds) get the assignment without a re-join
-        carr = cent.agg(F.array_sort(F.collect_list(F.struct("j", "c"))).alias("__carr"))
+        # semdedup / index builds) get the assignment without a re-join.
+        # With shards > 1 the ONE broadcast row carries S struct arrays
+        # (centroid j rides in shard j % S) and the row ordinal is LEAST()
+        # of the per-shard min-ordinals — exactly the global argmin, since
+        # every ordinal encodes the global (k, j); least() skips the NULL
+        # an empty shard's array_min yields.
+        arr_cols = [
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("j") % shards == s, F.struct("j", "c"))
+                )
+            ).alias(f"__carr{s}")
+            for s in range(shards)
+        ]
+        carr = cent.agg(*arr_cols)
+        ord_sql = (
+            _kmeans_ord_sql(vec_col, k, arr="__carr0")
+            if shards == 1
+            else "LEAST("
+            + ", ".join(
+                _kmeans_ord_sql(vec_col, k, arr=f"__carr{s}") for s in range(shards)
+            )
+            + ")"
+        )
         return (
             en.crossJoin(F.broadcast(carr))
-            .withColumn("__ord", F.expr(_kmeans_ord_sql(vec_col, k)))
+            .withColumn("__ord", F.expr(ord_sql))
             .withColumn("cluster_id", F.expr(f"CAST(__ord % {k} AS INT)"))
             .withColumn("dist_sq", F.expr(f"CAST((__ord - (__ord % {k})) / {k} AS BIGINT)"))
-            .drop("__carr", "__ord")
+            .drop("__ord", *[f"__carr{s}" for s in range(shards)])
         )
 
     for _ in range(iters):

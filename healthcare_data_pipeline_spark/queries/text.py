@@ -1159,7 +1159,7 @@ _T28_ORACLE = """
              array_to_string(toks[s.i:s.i+nn.n-1], ' ') AS g,
              CAST(list_sum(lens[s.i:s.i+nn.n-1]) AS BIGINT) AS glen
       FROM tl,
-           (VALUES (2), (3), (4), (5), (10)) AS nn(n),
+           (VALUES (2), (3), (4), (5), (6), (7), (8), (9), (10)) AS nn(n),
            UNNEST(generate_series(1, greatest(len(toks) - nn.n + 1, 0))) AS s(i)
     ),
     c AS (
@@ -1167,15 +1167,19 @@ _T28_ORACLE = """
       FROM g GROUP BY 1, 2, 3
     ),
     top AS (
-      SELECT doc_id, n, MAX(c * glen) AS chars
-      FROM c WHERE n IN (2, 3, 4) GROUP BY 1, 2
+      SELECT doc_id, n, c * glen AS chars
+      FROM (SELECT doc_id, n, c, glen,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                      ORDER BY c DESC, glen DESC) AS rn
+            FROM c WHERE n IN (2, 3, 4))
+      WHERE rn = 1
     ),
     dpos AS (
       SELECT DISTINCT g.doc_id, g.n, g.spos + u.d AS p
       FROM g
       JOIN c ON g.doc_id = c.doc_id AND g.n = c.n AND g.g = c.g,
            UNNEST(generate_series(0, g.n - 1)) AS u(d)
-      WHERE c.c >= 2 AND g.n IN (5, 10)
+      WHERE c.c >= 2 AND g.n IN (5, 6, 7, 8, 9, 10)
     ),
     pl AS (
       SELECT doc_id, s.i AS p, lens[s.i] AS l
@@ -1195,6 +1199,10 @@ _T28_ORACLE = """
              MAX(CASE WHEN n = 3 THEN chars END) AS top3_chars,
              MAX(CASE WHEN n = 4 THEN chars END) AS top4_chars,
              MAX(CASE WHEN n = 5 THEN chars END) AS dup5_chars,
+             MAX(CASE WHEN n = 6 THEN chars END) AS dup6_chars,
+             MAX(CASE WHEN n = 7 THEN chars END) AS dup7_chars,
+             MAX(CASE WHEN n = 8 THEN chars END) AS dup8_chars,
+             MAX(CASE WHEN n = 9 THEN chars END) AS dup9_chars,
              MAX(CASE WHEN n = 10 THEN chars END) AS dup10_chars
       FROM pern GROUP BY doc_id
     ),
@@ -1220,6 +1228,10 @@ _T28_ORACLE = """
              COALESCE(w.top3_chars, 0) AS top3_chars,
              COALESCE(w.top4_chars, 0) AS top4_chars,
              COALESCE(w.dup5_chars, 0) AS dup5_chars,
+             COALESCE(w.dup6_chars, 0) AS dup6_chars,
+             COALESCE(w.dup7_chars, 0) AS dup7_chars,
+             COALESCE(w.dup8_chars, 0) AS dup8_chars,
+             COALESCE(w.dup9_chars, 0) AS dup9_chars,
              COALESCE(w.dup10_chars, 0) AS dup10_chars,
              COALESCE(ls.n_lines, 0) AS n_lines,
              COALESCE(ls.dup_lines, 0) AS dup_lines,
@@ -1232,11 +1244,17 @@ _T28_ORACLE = """
            (50 * top3_chars <= 9 * total_chars) AS flag_top3,
            (25 * top4_chars <= 4 * total_chars) AS flag_top4,
            (20 * dup5_chars <= 3 * total_chars) AS flag_dup5,
+           (50 * dup6_chars <= 7 * total_chars) AS flag_dup6,
+           (100 * dup7_chars <= 13 * total_chars) AS flag_dup7,
+           (25 * dup8_chars <= 3 * total_chars) AS flag_dup8,
+           (100 * dup9_chars <= 11 * total_chars) AS flag_dup9,
            (10 * dup10_chars <= 1 * total_chars) AS flag_dup10,
            (10 * dup_lines <= 3 * n_lines) AS flag_dup_lines,
            (5 * dup_line_chars <= 1 * line_chars) AS flag_dup_line_chars,
            ((5 * top2_chars <= 1 * total_chars) AND (50 * top3_chars <= 9 * total_chars)
             AND (25 * top4_chars <= 4 * total_chars) AND (20 * dup5_chars <= 3 * total_chars)
+            AND (50 * dup6_chars <= 7 * total_chars) AND (100 * dup7_chars <= 13 * total_chars)
+            AND (25 * dup8_chars <= 3 * total_chars) AND (100 * dup9_chars <= 11 * total_chars)
             AND (10 * dup10_chars <= 1 * total_chars) AND (10 * dup_lines <= 3 * n_lines)
             AND (5 * dup_line_chars <= 1 * line_chars)) AS rep_pass
     FROM base
@@ -1247,15 +1265,17 @@ _T28_ORACLE = """
     "t28_repetition_flags",
     oracle=_T28_ORACLE,
     tags=("text", "EXT", "quality", "repetition", "gopher"),
-    doc="The Gopher REPETITION rule battery (operators.quality.repetition_flags; Rae et "
-    "al. 2021 A1.2) — top-{2,3,4}-gram char fractions, duplicated-{5,10}-gram char "
-    "COVERAGE (dd19's position-coverage construction per doc), duplicate-line count/char "
-    "fractions, each capped at the published threshold in exact integer arithmetic.  "
-    "Closes the measured gate gap: a within-doc loop passes every A1.1 gate (same words, "
-    "lengths, stopwords) AND the corpus-adaptive rare-bigram gate (its transitions recur "
-    "once the doc is in the corpus) — only repetition structure catches it.  One tagged "
-    "gram explode (5 sizes in one union), doc-scoped groupBys, a coverage semi-join — "
-    "all linear, no UDF.",
+    doc="The FULL Gopher REPETITION rule battery (operators.quality.repetition_flags; "
+    "Rae et al. 2021 A1.2) — most-frequent-{2,3,4}-gram char fractions, "
+    "duplicated-{5..10}-gram char COVERAGE (position coverage, overlaps counted once), "
+    "duplicate-line count/char fractions, each capped at the published threshold in "
+    "exact integer arithmetic.  Closes the measured gate gap: a within-doc loop passes "
+    "every A1.1 gate (same words, lengths, stopwords) AND the corpus-adaptive "
+    "rare-bigram gate (its transitions recur once the doc is in the corpus) — only "
+    "repetition structure catches it.  Two independent single-pass pipelines: an "
+    "arg-max groupBy for top-n, and a char-space interval-union sweep (count window + "
+    "sorted running-max-end window) for coverage — linear, zero row blow-up, no joins, "
+    "no UDF.",
 )
 def t28_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.quality import repetition_flags

@@ -662,6 +662,61 @@ def test_repetition_flags_each_rule_fires_specifically(spark):
     assert h == got
 
 
+def test_repetition_top_gram_is_most_frequent(spark):
+    """A1.2 top-n semantics: the MOST FREQUENT gram's count*chars, not the
+    max product over grams — a longer-but-rarer gram must not win."""
+    from healthcare_data_pipeline_spark.operators.quality import repetition_flags
+
+    # 'aa bb' x3 (glen 4, product 12) vs 'longword1 longword2' x2 (glen 18,
+    # product 36): most-frequent picks the first.
+    text = (
+        "aa bb aa bb aa bb longword1 longword2 longword1 longword2 "
+        + " ".join(f"fil{i:02d}" for i in range(40))
+    )
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = repetition_flags(d).collect()[0]
+    assert row.top2_chars == 3 * 4
+
+
+def test_repetition_full_dup_ladder_mid_size_loop(spark):
+    """The published n=5..10 ladder: a repeated 7-token run sized so its
+    coverage fraction (~0.135) sits under the dup5 (0.15) and dup6 (0.14)
+    caps but over the dup7 cap (0.13) — the mid-size slip the two-size
+    subset missed."""
+    from healthcare_data_pipeline_spark.operators.quality import repetition_flags
+
+    run = " ".join(f"rn{i:02d}" for i in range(7))  # 7 tokens x 4 chars
+    fillers = [f"qa{i:02d}" for i in range(90)]     # 90 unique x 4 chars
+    text = " ".join(fillers[:45]) + f" {run} " + " ".join(fillers[45:]) + f" {run}"
+    d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = repetition_flags(d).collect()[0]
+    assert row.total_chars == 90 * 4 + 2 * 7 * 4 == 416
+    # both occurrences covered, overlaps once, for every n in 5..7
+    for col in ("dup5_chars", "dup6_chars", "dup7_chars"):
+        assert row[col] == 56, col
+    assert row.dup8_chars == 0 and row.dup9_chars == 0 and row.dup10_chars == 0
+    assert row.flag_dup5 is True and row.flag_dup6 is True
+    assert row.flag_dup7 is False          # 100*56 > 13*416
+    assert row.rep_pass is False
+
+
+def test_repetition_null_text_passes_not_dropped(spark):
+    """NULL text coalesces to an empty doc (total 0, all flags true) in
+    both flags and filter — never a NULL rep_pass, never a silent drop."""
+    from healthcare_data_pipeline_spark.operators.quality import (
+        repetition_filter,
+        repetition_flags,
+    )
+
+    d = spark.createDataFrame(
+        [(1, None), (2, "ok " * 40)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.asDict() for r in repetition_flags(d).collect()}
+    assert got[1]["total_chars"] == 0 and got[1]["rep_pass"] is True
+    kept = {r.doc_id for r in repetition_filter(d).select("doc_id").collect()}
+    assert 1 in kept
+
+
 def test_repetition_filter_matches_flags(spark):
     from pyspark.sql import functions as F
 

@@ -537,3 +537,41 @@ def test_kmeans_assign_contracts(spark):
     zs = kmeans_assign(small, k=8, iters=1)
     assert zs.count() == 3
     assert zs.filter(F.col("dist_sq") != 0).count() == 0
+
+
+def test_kmeans_assign_sharded_is_bit_identical(spark):
+    """centroid_shards: min-of-mins over per-shard ordinals == the unsharded
+    global argmin, bit-for-bit — including shard counts that don't divide k,
+    exceed k, and the degenerate 1."""
+    from healthcare_data_pipeline_spark.operators.similarity import kmeans_assign
+
+    en = quantized(spark, SF_DIR)
+    base = {
+        r.vec_id: (r.cluster_id, r.dist_sq)
+        for r in kmeans_assign(en, k=7, iters=2).collect()
+    }
+    for shards in (1, 2, 3, 7, 50):
+        got = {
+            r.vec_id: (r.cluster_id, r.dist_sq)
+            for r in kmeans_assign(en, k=7, iters=2, centroid_shards=shards).collect()
+        }
+        assert got == base, f"shards={shards}"
+
+
+def test_kmeans_assign_overflow_guard(spark):
+    """The 2^53 exactness contract is ENFORCED, not just documented: a
+    (dim, max_component, k) combination whose worst-case min-ordinal
+    overflows the double mantissa raises before any job runs."""
+    import pytest
+
+    from healthcare_data_pipeline_spark.operators.similarity import kmeans_assign
+
+    en = quantized(spark, SF_DIR)  # dim 64, components <= 6e5
+    # dim 64 * (1.2e6)^2 * k: overflows 2^53 just past k ~ 97
+    with pytest.raises(ValueError, match="exactness overflow"):
+        kmeans_assign(en, k=128, iters=0)
+    # the same k is fine when the caller attests a tighter component range
+    out = kmeans_assign(en, k=128, iters=0, max_component=1_000.0)
+    assert out.count() == en.count()
+    with pytest.raises(ValueError, match="centroid_shards"):
+        kmeans_assign(en, k=8, centroid_shards=0)

@@ -344,10 +344,12 @@ def ops(spark, sf_dir: str):
         "kmeans_assign (k=8, iters=2)": lambda: sink(
             kmeans_assign(en, k=8, iters=2)
         ),
-        # t28: five tagged gram sizes in ONE union explode (~5x token rows,
-        # the dd19 shape), doc-scoped groupBys + a coverage semi-join —
+        # t28: the FULL A1.2 battery (top-2/3/4 + dup-5..10 = 9 gram sizes)
+        # as two independent single-pass pipelines — arg-max groupBy for
+        # top-n, char-space interval-union sweep for coverage (count window
+        # + running-max-end window; no semi-join, no position explode) —
         # hash_grams keys the shuffle on 8 bytes (the measured form).
-        "repetition_flags (5 gram sizes, hashed)": lambda: sink(
+        "repetition_flags (full A1.2, hashed)": lambda: sink(
             repetition_flags(docs, hash_grams=True)
         ),
         "ann_index_probe (build once)": probe,
@@ -429,6 +431,12 @@ def main() -> None:
     ap.add_argument("--scales", default="1,4,16")
     ap.add_argument("--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="substring filter on op names (iterate on one op without "
+        "re-measuring the whole battery; SCALE.md is NOT written in this mode)",
+    )
     args = ap.parse_args()
     scales = sorted(int(s) for s in args.scales.split(","))
 
@@ -450,6 +458,8 @@ def main() -> None:
         spark.stop()
         spark = get_spark(app_name=f"hdp-scale-stress-{k}x")
         for name, fn in ops(spark, dirs[k]).items():
+            if args.only and args.only not in name:
+                continue
             fn()  # warm: codegen + (for the probe) the one-time index build
             spark.catalog.clearCache()
             best = math.inf
@@ -466,7 +476,11 @@ def main() -> None:
             print(f"# {k}x {name}: {results[name][k]:.3f}s", file=sys.stderr)
 
     k_lo, k_hi = scales[-2], scales[-1]
-    imb_plain, imb_salted = hot_join_imbalance(spark, dirs[k_hi])
+    imb_plain, imb_salted = (
+        ((float("nan"), 0), (float("nan"), 0))
+        if args.only
+        else hot_join_imbalance(spark, dirs[k_hi])
+    )
     lines = [
         "# SCALE — measured operator growth (tools/scale_stress.py)",
         "",
@@ -589,12 +603,16 @@ def main() -> None:
         "bounded-cell configuration.",
         "",
         "`repetition_flags` "
-        f"(alpha {alphas.get('repetition_flags (5 gram sizes, hashed)')}) is the Gopher A1.2 "
-        "battery (t28): one tagged explode carrying all five gram sizes "
-        "(~5x token volume — the per-token cost ceiling of the prep path's "
-        "heuristic gates), doc-scoped groupBys with map-side combine and a "
-        "coverage semi-join, everything keyed per doc so skew cannot "
-        "concentrate. `kmeans_assign` "
+        f"(alpha {alphas.get('repetition_flags (full A1.2, hashed)')}) is the FULL Gopher A1.2 "
+        "battery (t28): nine tagged gram sizes (top-2/3/4 + dup-5..10, ~9x "
+        "token volume — the per-token cost ceiling of the prep path's "
+        "heuristic gates) in two independent single-pass pipelines: an "
+        "arg-max groupBy for top-n and a char-space interval-union sweep "
+        "for dup coverage (count window + running-max-end window — the "
+        "round-10 semi-join + position-explode + distinct chain, which blew "
+        "rows up n-fold and re-shuffled them three times, measured alpha "
+        "1.17 at 64x; this form removes the blow-up entirely), everything "
+        "keyed per doc so skew cannot concentrate. `kmeans_assign` "
         f"(alpha {alphas.get('kmeans_assign (k=8, iters=2)')}) is the deterministic "
         "coarse-quantizer builder at FIXED k: three data passes (two "
         "Lloyd rounds + final assignment), each a zero-shuffle scan "
@@ -654,10 +672,11 @@ def main() -> None:
             quality_block = old[
                 old.index(QUALITY_BEGIN): old.index(QUALITY_END) + len(QUALITY_END)
             ]
-    with open(scale_path, "w") as fh:
-        fh.write("\n".join(lines))
-        if quality_block:
-            fh.write("\n" + quality_block + "\n")
+    if not args.only:
+        with open(scale_path, "w") as fh:
+            fh.write("\n".join(lines))
+            if quality_block:
+                fh.write("\n" + quality_block + "\n")
     print(
         json.dumps(
             {
