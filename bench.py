@@ -300,6 +300,20 @@ def main() -> None:
         },
         "quiet": quiet,
     }
+    # Probe-relative normalization: the calibration probe is fixed work, so
+    # probe_time/ref IS the host slowdown factor during this run.  Dividing
+    # the raw timings by the mean-of-(before, after) ratio makes a genuine
+    # regression separable from a slower sandbox MECHANICALLY (the r9->r10
+    # +32% episode needed a human to cross-read the probe).  Raw fields stay
+    # frozen for cross-round comparability; normalized fields are additive,
+    # and only emitted when the committed reference transfers to this host.
+    if probe_gated:
+        probe_ratio = round(((probe_before + probe_after) / 2.0) / probe_ref, 4)
+        out["probe"]["ratio"] = probe_ratio
+        out["value_probe_normalized"] = round(total / probe_ratio, 3)
+        out["queries_probe_normalized"] = {
+            k: round(v / probe_ratio, 3) for k, v in timings.items()
+        }
     if ann_recall:
         out["ann_recall"] = ann_recall
     if errors:

@@ -596,21 +596,25 @@ def _assign_against(en: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans_ord_sql(vec_col: str, k: int, arr: str = "__carr") -> str:
-    """Scalar SQL: the min ORDINAL ``dist_sq * k + j`` of ``vec_col`` against
-    the broadcast centroid array column ``arr`` (array of structs (j, c)).
-    Encoding distance and cluster id in ONE integer-valued double makes the
-    argmin a plain ``array_min`` — no groupBy, no window: assignment is a
-    zero-shuffle scan.  Exact while ``dist_sq * k + j < 2^53``; ``j`` is the
-    GLOBAL cluster id and ``k`` the GLOBAL cluster count even when ``arr``
-    holds only a shard of the centroids, so a LEAST() over per-shard
-    ordinals is exactly the global argmin (``kmeans_assign`` enforces the
-    2^53 bound from the documented component range before planning this)."""
+def _kmeans_min_sql(vec_col: str, arr: str = "__carr") -> str:
+    """Scalar SQL: the min ``struct(dist_sq, j)`` of ``vec_col`` against the
+    broadcast centroid array column ``arr`` (array of structs (j, c)).
+    Struct ordering makes the argmin a plain ``array_min`` — no groupBy, no
+    window: assignment is a zero-shuffle scan — and breaks distance ties
+    toward the LOWEST cluster id, deterministically.  Exact while
+    ``dist_sq < 2^53`` alone (k-FREE: the earlier ``dist_sq*k + j``
+    single-double encoding capped k at ~97 for the repo's 6e5-component
+    64-dim contract; the struct encoding is exact at ANY k — identical
+    outputs wherever both are exact, which ``kmeans_assign``'s guard
+    enforces from the documented component range before planning).  ``j``
+    is the GLOBAL cluster id even when ``arr`` holds only a shard of the
+    centroids, so a LEAST() over per-shard minima is exactly the global
+    argmin."""
     dist = (
         f"aggregate(zip_with({vec_col}, s.c, (x, y) -> (x - y) * (x - y)), "
         "0D, (acc, d) -> acc + d)"
     )
-    return f"array_min(transform({arr}, s -> {dist} * {k} + CAST(s.j AS DOUBLE)))"
+    return f"array_min(transform({arr}, s -> struct({dist} AS d, s.j AS j)))"
 
 
 def _trunc_div_sql(num: str, den: str) -> str:
@@ -650,8 +654,8 @@ def kmeans_assign(
       BIGINTs, divided toward zero (``_trunc_div_sql`` pins the semantics
       across engines), so centroids stay integer-valued and distances stay
       exact integer arithmetic in doubles ≪ 2^53;
-    - **ties**: the min-ordinal encoding ``dist_sq·k + j`` breaks distance
-      ties toward the LOWEST cluster id;
+    - **ties**: the ``struct(dist_sq, j)`` argmin breaks distance ties
+      toward the LOWEST cluster id;
     - **empty cells**: a cluster that loses all members simply drops out
       (no re-seeding), mirrored trivially by any relational recompute.
 
@@ -663,23 +667,24 @@ def kmeans_assign(
     (cluster, component) = k·dim keys with map-side combine.  ``iters``
     full passes + one final assignment pass; nothing is ever collected.
 
-    Exactness guard: the min-ordinal encoding is exact only while
-    ``dist_sq·k + j < 2^53`` (one double holds both).  ``max_component``
-    documents the input's component-magnitude contract (default 6e5 — the
-    repo's ``round(x·1e6)`` quantization of unit-ish vectors; truncated
-    integer means keep centroids inside the same range, so the worst
-    per-component diff is ``2·max_component``).  The guard derives the
-    worst-case ``dist_sq = dim·(2·max_component)²`` from the actual vector
-    width and RAISES before planning anything when ``k`` would overflow the
-    2^53 budget — silent loss of bit-exactness is never possible; pass a
-    tighter ``max_component`` (or fewer clusters) to proceed.
+    Exactness guard: the argmin is exact only while ``dist_sq < 2^53``
+    (the struct encoding is k-FREE — the earlier ``dist_sq·k + j``
+    single-double form capped k at ~97 for this repo's own quantization).
+    ``max_component`` documents the input's component-magnitude contract
+    (default 6e5 — the repo's ``round(x·1e6)`` quantization of unit-ish
+    vectors; truncated integer means keep centroids inside the same range,
+    so the worst per-component diff is ``2·max_component``).  The guard
+    derives the worst-case ``dist_sq = dim·(2·max_component)²`` from the
+    actual vector width and RAISES before planning anything on overflow —
+    silent loss of bit-exactness is never possible; quantize tighter (and
+    pass the true ``max_component``) to proceed.
 
     Large k: the per-row argmin does k·dim array ops inside ONE scalar
     expression; at SemDeDup's sqrt(N)-clusters extreme (k ~ 10^4..10^5)
     a single k-struct broadcast array is a per-row allocation hazard.
     ``centroid_shards=S`` splits the centroid array into S broadcast
-    shards (j % S) and takes ``LEAST()`` of the per-shard min-ordinals —
-    ordinals encode the GLOBAL (k, j), so min-of-mins IS the global argmin,
+    shards (j % S) and takes ``LEAST()`` of the per-shard struct minima —
+    each carries the GLOBAL cluster id j, so min-of-mins IS the global argmin,
     bit-identically (property-tested sharded ≡ unsharded); per-expression
     array size drops to ~k/S while total per-row work stays k·dim.
     The sign-bit quantizer (lsh_bucket) remains the cheap-k alternative.
@@ -691,15 +696,15 @@ def kmeans_assign(
     shards = min(centroid_shards, k)
     head = en.select(F.size(F.col(vec_col)).alias("d")).head()
     if head is not None and head.d is not None:
-        worst_ord = float(head.d) * (2.0 * max_component) ** 2 * k + (k - 1)
-        if worst_ord >= 2.0**53:
+        worst_dist = float(head.d) * (2.0 * max_component) ** 2
+        if worst_dist >= 2.0**53:
             raise ValueError(
-                f"kmeans_assign exactness overflow: dim={head.d}, "
-                f"max_component={max_component}, k={k} gives worst-case "
-                f"min-ordinal {worst_ord:.3g} >= 2^53 — the double encoding "
-                "would round and the deterministic-assignment contract "
-                "breaks. Reduce k, or pass the input's true (smaller) "
-                "max_component."
+                f"kmeans_assign exactness overflow: dim={head.d} with "
+                f"max_component={max_component} gives worst-case dist_sq "
+                f"{worst_dist:.3g} >= 2^53 — the double distance would round "
+                "and the deterministic-assignment contract breaks. Quantize "
+                "the vectors to a smaller component range (and pass the "
+                "true max_component)."
             )
     from pyspark.sql import Window
 
@@ -718,8 +723,8 @@ def kmeans_assign(
         # semdedup / index builds) get the assignment without a re-join.
         # With shards > 1 the ONE broadcast row carries S struct arrays
         # (centroid j rides in shard j % S) and the row ordinal is LEAST()
-        # of the per-shard min-ordinals — exactly the global argmin, since
-        # every ordinal encodes the global (k, j); least() skips the NULL
+        # of the per-shard struct minima — exactly the global argmin, since
+        # every struct carries the global cluster id; least() skips the NULL
         # an empty shard's array_min yields.
         arr_cols = [
             F.array_sort(
@@ -730,21 +735,21 @@ def kmeans_assign(
             for s in range(shards)
         ]
         carr = cent.agg(*arr_cols)
-        ord_sql = (
-            _kmeans_ord_sql(vec_col, k, arr="__carr0")
+        min_sql = (
+            _kmeans_min_sql(vec_col, arr="__carr0")
             if shards == 1
             else "LEAST("
             + ", ".join(
-                _kmeans_ord_sql(vec_col, k, arr=f"__carr{s}") for s in range(shards)
+                _kmeans_min_sql(vec_col, arr=f"__carr{s}") for s in range(shards)
             )
             + ")"
         )
         return (
             en.crossJoin(F.broadcast(carr))
-            .withColumn("__ord", F.expr(ord_sql))
-            .withColumn("cluster_id", F.expr(f"CAST(__ord % {k} AS INT)"))
-            .withColumn("dist_sq", F.expr(f"CAST((__ord - (__ord % {k})) / {k} AS BIGINT)"))
-            .drop("__ord", *[f"__carr{s}" for s in range(shards)])
+            .withColumn("__m", F.expr(min_sql))
+            .withColumn("cluster_id", F.expr("CAST(__m.j AS INT)"))
+            .withColumn("dist_sq", F.expr("CAST(__m.d AS BIGINT)"))
+            .drop("__m", *[f"__carr{s}" for s in range(shards)])
         )
 
     for _ in range(iters):

@@ -562,8 +562,10 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     of operators.similarity.kmeans_assign, shared by the s11 oracle and the
     dd23 composition oracle.  Exactness mirrors: distances via integer dot
     products; truncated-mean centroids via sign-peeled ``//`` (DuckDB
-    floors, Spark DIV truncates — on non-negatives they agree); the
-    ``dist_sq*k + j`` min-ordinal tie-break."""
+    floors, Spark DIV truncates — on non-negatives they agree); ties break
+    toward the lowest cluster id.  The oracle encodes argmin as the
+    ``dist_sq*k + j`` min-ordinal (exact at its fixed k=8, where it is
+    value-identical to the operator's k-free struct argmin)."""
 
     def assign(name: str, cent: str) -> str:
         return f"""
@@ -628,7 +630,7 @@ def _s11_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     doc="Deterministic k-means clustering (operators.similarity.kmeans_assign): the "
     "from-scratch coarse quantizer for IVF/SemDeDup when no label partition exists — "
     "integer-Lloyd with smallest-id seeds, truncated integer-mean centroids, exact "
-    "integer distances and a dist*k+j min-ordinal tie-break, so the ITERATIVE float "
+    "integer distances and a (dist_sq, j) struct-argmin tie-break, so the ITERATIVE float "
     "algorithm (famously engine/order-dependent) value-hashes against a relational "
     "oracle with the iterations unrolled as CTE stages. Per iteration: assignment is a "
     "ZERO-shuffle scan (k centroids ride a broadcast 1-row array; argmin is one scalar "

@@ -53,6 +53,19 @@ def test_bench_emits_complete_json():
     # calibration probe ran before AND after and is self-describing
     assert out["probe"]["before_sec"] > 0 and out["probe"]["after_sec"] > 0
     assert out["probe"]["ref_sec"] > 0 and isinstance(out["probe"]["gated"], bool)
+    # probe-normalized twins (r10 verdict task 6): raw fields frozen, the
+    # normalized ones divide out the measured host slowdown so a regression
+    # is separable from a slow sandbox mechanically
+    if out["probe"]["gated"]:
+        ratio = out["probe"]["ratio"]
+        expect = (out["probe"]["before_sec"] + out["probe"]["after_sec"]) / 2 / out[
+            "probe"
+        ]["ref_sec"]
+        assert abs(ratio - expect) < 1e-3
+        assert set(out["queries_probe_normalized"]) == set(out["queries"])
+        for name, t in out["queries"].items():
+            assert abs(out["queries_probe_normalized"][name] - t / ratio) < 0.01
+        assert abs(out["value_probe_normalized"] - out["value"] / ratio) < 0.05
 
 
 def test_bench_probe_overrides_clean_loadavg():

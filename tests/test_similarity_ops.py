@@ -560,18 +560,21 @@ def test_kmeans_assign_sharded_is_bit_identical(spark):
 
 def test_kmeans_assign_overflow_guard(spark):
     """The 2^53 exactness contract is ENFORCED, not just documented: a
-    (dim, max_component, k) combination whose worst-case min-ordinal
-    overflows the double mantissa raises before any job runs."""
+    (dim, max_component) combination whose worst-case dist_sq overflows the
+    double mantissa raises before any job runs — and the struct-argmin
+    encoding is k-free, so large k alone never trips it."""
     import pytest
 
     from healthcare_data_pipeline_spark.operators.similarity import kmeans_assign
 
     en = quantized(spark, SF_DIR)  # dim 64, components <= 6e5
-    # dim 64 * (1.2e6)^2 * k: overflows 2^53 just past k ~ 97
+    # dim 64 * (2e7)^2 = 2.6e16 > 2^53: a coarser quantization contract
+    # than the data's would silently round distances — refused up front
     with pytest.raises(ValueError, match="exactness overflow"):
-        kmeans_assign(en, k=128, iters=0)
-    # the same k is fine when the caller attests a tighter component range
-    out = kmeans_assign(en, k=128, iters=0, max_component=1_000.0)
+        kmeans_assign(en, k=8, iters=0, max_component=1e7)
+    # large k under the honest default contract is FINE (the old
+    # dist_sq*k+j encoding would have overflowed past k ~ 97)
+    out = kmeans_assign(en, k=128, iters=0)
     assert out.count() == en.count()
     with pytest.raises(ValueError, match="centroid_shards"):
         kmeans_assign(en, k=8, centroid_shards=0)

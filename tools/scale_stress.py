@@ -344,6 +344,15 @@ def ops(spark, sf_dir: str):
         "kmeans_assign (k=8, iters=2)": lambda: sink(
             kmeans_assign(en, k=8, iters=2)
         ),
+        # s11 at the SemDeDup sqrt(N)-clusters regime: k=1024 centroids in
+        # 32 broadcast shards (LEAST of per-shard struct minima == global
+        # argmin, bit-exact).  Assignment stays a zero-shuffle scan; per-row
+        # work is k*dim regardless of N, so alpha ~1 is the claim — k is the
+        # cost knob, N the scaling axis.  iters=0 isolates the assignment
+        # pass (the update groupBy is k*dim keys, size-independent).
+        "kmeans_assign (k=1024, iters=0, 32 shards)": lambda: sink(
+            kmeans_assign(en, k=1024, iters=0, centroid_shards=32)
+        ),
         # t28: the FULL A1.2 battery (top-2/3/4 + dup-5..10 = 9 gram sizes)
         # as two independent single-pass pipelines — arg-max groupBy for
         # top-n, char-space interval-union sweep for coverage (count window
