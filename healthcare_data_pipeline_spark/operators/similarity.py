@@ -918,6 +918,70 @@ def ann_index_report(
     )
 
 
+def ann_index_rebuild(
+    spark,
+    index_dir: str,
+    variant: str = "full",
+    if_recommended: bool = False,
+    flag_factor: float = 4.0,
+) -> bool:
+    """Re-quantize a persisted IVF index IN PLACE — the action that closes
+    the drift loop ``ann_index_report`` opens: append freezes the quantizer
+    (the O(batch) maintenance contract), the report makes the resulting
+    occupancy skew observable, and this operator pays the one full
+    re-quantization pass that restores the recall the frozen quantizer
+    silently lost (measured in tests: boundary-straddling appended cluster
+    at recall@5 ~0.55 under the stale quantizer, 1.0 after rebuild).
+
+    Contract:
+
+    - reads every vector from the CURRENT ``vectors/`` layout (append
+      duplicates, if any, are preserved as-is — rebuild changes the
+      quantizer, never the corpus), derives fresh centroids from it, and
+      builds a complete new index in a ``<index_dir>.staged`` sibling;
+    - ``variant="sq8"`` rebuilds the SQ8-augmented layout (fresh bounds +
+      codes) via ``ann_index_build_sq8``; ``"full"`` the fp layout;
+    - the swap is the segment log's rename-aside pattern
+      (``streaming/ingest.py``): current -> ``.aside``, staged -> live, then
+      the aside is deleted — no crash point leaves a half-visible index
+      (a crash between the two renames leaves the index ABSENT but the
+      aside complete and recoverable by hand — the same recovery story as
+      the log swap; probes racing the swap may need one retry);
+    - ``if_recommended=True`` consults ``ann_index_report(flag_factor)``
+      first and only rebuilds when ``rebuild_recommended`` fires — the
+      after-every-append-batch composition (see the foreachBatch test);
+      returns whether a rebuild happened.
+
+    Cost at 100 TB: one full corpus read + re-quantized write — exactly
+    what ``ann_index_build`` costs, amortized over however many O(batch)
+    appends the report let through.  The rebuild runs OFFLINE relative to
+    appends (single-writer contract, same as append itself).
+    """
+    import os
+    import shutil
+
+    if variant not in ("full", "sq8"):
+        raise ValueError(f"variant must be 'full' or 'sq8', got {variant!r}")
+    if if_recommended:
+        rep = ann_index_report(spark, index_dir, flag_factor=flag_factor).first()
+        if rep is None or not rep.rebuild_recommended:
+            return False
+    en = spark.read.parquet(os.path.join(index_dir, "vectors")).drop("cell")
+    staged = index_dir.rstrip("/") + ".staged"
+    aside = index_dir.rstrip("/") + ".aside"
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(aside, ignore_errors=True)
+    builder = ann_index_build_sq8 if variant == "sq8" else ann_index_build
+    builder(en, staged)
+    # Barrier before the swap: the staged build's jobs are fully done when
+    # the write returns (Spark actions are synchronous), so two plain
+    # renames publish it atomically; the aside survives until both succeed.
+    os.rename(index_dir, aside)
+    os.rename(staged, index_dir)
+    shutil.rmtree(aside)
+    return True
+
+
 def ann_index_probe(
     spark, index_dir: str, queries: DataFrame, k: int = 5, nprobe: int = 1
 ) -> DataFrame:

@@ -345,20 +345,101 @@ def test_ann_index_report_flags_drifted_append_and_rebuild_restores_recall(spark
 
     union = en.unionByName(dr)
     appended_recall = recall(idx, union)
-    idx2 = str(tmp_path / "idx2")
-    ann_index_build(union, idx2)
-    rebuilt_recall = recall(idx2, union)
     # the drifted cluster's neighbors alternate cells under the frozen
-    # quantizer: nprobe=1 recall collapses; the rebuild restores it
+    # quantizer: nprobe=1 recall collapses
     assert appended_recall < 0.7, appended_recall
+
+    # close the loop IN PLACE: report fires -> ann_index_rebuild
+    # re-quantizes the same index_dir (atomic rename-aside swap) -> recall
+    # restored; the gated form refuses when occupancy is already healthy
+    from healthcare_data_pipeline_spark.operators.similarity import ann_index_rebuild
+
+    assert ann_index_rebuild(spark, idx, if_recommended=True, flag_factor=1.5) is True
+    rebuilt_recall = recall(idx, union)
     assert rebuilt_recall == 1.0, rebuilt_recall
+    import os
+
+    assert not os.path.exists(idx + ".staged") and not os.path.exists(idx + ".aside")
     # the rebuilt index has its own (20-vector) drift cell — mild, expected
     # occupancy variance (skew 1.8 vs 10-vector label cells), under the
     # DEFAULT 4.0 flag; only the boundary-crowding of the frozen-quantizer
     # append was drift signal
-    rep2 = ann_index_report(spark, idx2).first()
+    rep2 = ann_index_report(spark, idx).first()
     assert rep2.n_cells == 9 and abs(rep2.skew_ratio - 1.8) < 1e-12
     assert not rep2.rebuild_recommended
+    # gated rebuild declines on the healthy index
+    assert ann_index_rebuild(spark, idx, if_recommended=True) is False
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="variant"):
+        ann_index_rebuild(spark, idx, variant="fp16")
+
+
+def test_ann_index_rebuild_sq8_refreshes_all_layouts(spark, tmp_path):
+    """variant='sq8' re-quantizes ALL four artifacts in place — fresh
+    centroids (drifted cluster gets its own cell), fresh bounds covering the
+    appended components, re-encoded codes for every vector — and the sq8
+    probe is exact again at nprobe=1."""
+    import os
+
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_append_sq8,
+        ann_index_build_sq8,
+        ann_index_probe_sq8,
+        ann_index_rebuild,
+        brute_topk,
+    )
+
+    D = 8
+
+    def to_en(rows):
+        df = spark.createDataFrame(rows, "vec_id long, label string, iv array<double>")
+        nrm2 = F.aggregate(
+            F.zip_with("iv", "iv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        return df.withColumn("nrm2", nrm2)
+
+    base = []
+    for j in range(8):
+        for i in range(10):
+            iv = [0.0] * D
+            iv[j] = 1000.0 + i
+            base.append((j * 100 + i, f"lab{j}", iv))
+    drift = []
+    for i in range(20):
+        s = 1.0 if i % 2 == 0 else -1.0
+        iv = [0.0] * D
+        iv[0], iv[1], iv[2] = 1000.0 + s, 1000.0 - s, float(i)
+        drift.append((10_000 + i, "drift", iv))
+    en, dr = to_en(base), to_en(drift)
+
+    idx = str(tmp_path / "idx")
+    ann_index_build_sq8(en, idx)
+    ann_index_append_sq8(spark, idx, dr)
+
+    assert ann_index_rebuild(spark, idx, variant="sq8", if_recommended=True,
+                             flag_factor=1.5) is True
+    cents = {
+        r.cent_id for r in spark.read.parquet(os.path.join(idx, "centroids")).collect()
+    }
+    assert "drift" in cents
+    codes = spark.read.parquet(os.path.join(idx, "vectors_sq8"))
+    assert codes.count() == 100
+    # fresh bounds include the drifted third component (base dim-2 range was
+    # 0..1009 one-hot; drift pushes nothing ABOVE, but dim 0/1 now co-occur —
+    # the decisive check is the probe, exact again at nprobe=1)
+    union = en.unionByName(dr)
+    qs = dr.select("vec_id", "iv", "nrm2")
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_index_probe_sq8(spark, idx, qs, k=5, nprobe=1).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_topk(union, F.col("vec_id") >= 10_000, k=5).collect()
+    }
+    assert got == exact
 
 
 def test_sq8_index_recall_parity_and_storage(spark, tmp_path):

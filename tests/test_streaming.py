@@ -961,6 +961,96 @@ def test_streaming_vector_ingest_maintains_ann_index(spark, tmp_path):
     assert full == brute
 
 
+def test_streaming_append_with_gated_rebuild_closes_drift_loop(spark, tmp_path):
+    """The full drift loop as ONE streaming composition: foreachBatch appends
+    each vector micro-batch against the frozen quantizer, then calls
+    ann_index_rebuild(if_recommended=True) — healthy batches leave the
+    quantizer frozen (appends stay O(batch)), a drifted batch trips the
+    report's occupancy gate and re-quantizes in place; by drain time the
+    drifted cluster owns its own cell and nprobe=1 recall is exact."""
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_build,
+        ann_index_append,
+        ann_index_probe,
+        ann_index_rebuild,
+        brute_topk,
+    )
+
+    D = 8
+
+    def to_en(rows):
+        df = spark.createDataFrame(rows, "vec_id long, label string, iv array<double>")
+        nrm2 = F.aggregate(
+            F.zip_with("iv", "iv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        return df.withColumn("nrm2", nrm2)
+
+    base = []
+    for j in range(8):
+        for i in range(10):
+            iv = [0.0] * D
+            iv[j] = 1000.0 + i
+            base.append((j * 100 + i, f"lab{j}", iv))
+    healthy = []
+    for j in range(8):
+        iv = [0.0] * D
+        iv[j] = 1020.0
+        healthy.append((2000 + j, f"lab{j}", iv))
+    drift = []
+    for i in range(20):
+        s = 1.0 if i % 2 == 0 else -1.0
+        iv = [0.0] * D
+        iv[0], iv[1], iv[2] = 1000.0 + s, 1000.0 - s, float(i)
+        drift.append((10_000 + i, "drift", iv))
+
+    en = to_en(base)
+    idx = str(tmp_path / "idx")
+    ann_index_build(en, idx)
+
+    src = str(tmp_path / "vec_src")
+    os.makedirs(src)
+    to_en(healthy).write.parquet(os.path.join(src, "b1"))
+    to_en(drift).write.parquet(os.path.join(src, "b2"))
+
+    def sink(batch_df, batch_id):
+        ann_index_append(spark, idx, batch_df)
+        ann_index_rebuild(spark, idx, if_recommended=True, flag_factor=1.5)
+
+    stream = (
+        spark.readStream.schema(to_en(healthy).schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # the rebuild (and only a rebuild — append never touches centroids)
+    # gave the drifted cluster its own quantizer cell
+    cents = {
+        r.cent_id for r in spark.read.parquet(os.path.join(idx, "centroids")).collect()
+    }
+    assert "drift" in cents and len(cents) == 9
+
+    union = en.unionByName(to_en(healthy)).unionByName(to_en(drift))
+    qs = to_en(drift).select("vec_id", "iv", "nrm2")
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_index_probe(spark, idx, qs, k=5, nprobe=1).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_topk(union, F.col("vec_id") >= 10_000, k=5).collect()
+    }
+    assert got == exact
+
+
 def test_streaming_ingest_maintains_zordered_layout(spark, tmp_path):
     """append_zordered composes with Structured Streaming the same way the
     ANN index does: a foreachBatch sink keys each micro-batch against the
