@@ -1,0 +1,298 @@
+"""[EXT] Exact BPE tokenization as a relational plan — tokenizer-TRUE token
+counts for the budgets that denominate everything downstream (t22/t24
+mixture sampling, corpus_composition, shard manifests), replacing the t06
+pieces/chars-4 ESTIMATE where exactness matters.
+
+No reference counterpart (the reference has no tokenizer); charter-mandated
+LLM-data-pipeline surface.
+
+The two ideas that make exact BPE a *plan* instead of a UDF:
+
+1. **Greedy-leftmost pair merge IS string ``replace``.**  Each symbol
+   rides as its own ``\\x1f s \\x1f`` unit and a word is the units
+   concatenated; merging pair (x, y) into xy is ``replace(state,
+   '\\x1fx\\x1f\\x1fy\\x1f', '\\x1fxy\\x1f')``.  Units share no
+   characters, so adjacent occurrences in SYMBOL space are adjacent —
+   never overlapping — in string space, and SQL replace's left-to-right
+   non-overlapping substitution is exactly BPE's merge-all-occurrences
+   greedy-leftmost step (``a a a a`` + (a,a) -> ``aa aa``; the
+   single-delimiter encoding, where neighbors share the middle delimiter,
+   provably skips every other occurrence in runs — caught by the
+   cross-check against a canonical python BPE in tests).  Identical replace
+   semantics in Spark and DuckDB.
+
+2. **A VALID merges list applies in sequential rank order.**  Canonical BPE
+   repeatedly merges the lowest-ranked pair PRESENT; that loop is
+   data-dependent and unbounded.  But in any merges list produced by BPE
+   training, rule j's two constituent symbols are single characters or
+   outputs of rules < j, and merging rule k's pair (C, D) -> CD can only
+   create new adjacencies INVOLVING CD (…A C D B… -> …A CD B…: the new
+   pairs are (A, CD) and (CD, B)) — i.e. only pairs of rules whose rank is
+   > k by the validity property.  So a lower-ranked pair never (re)appears
+   after a higher-ranked merge, and one sequential pass over the rules in
+   rank order — ``aggregate(merges, state, (s, m) -> replace(s, m.f, m.t))``
+   — produces exactly the canonical result.  That collapses the whole
+   tokenizer into ONE fold expression: no driver loop, no UDF, no shuffle.
+
+Pre-tokenization reuses t06's GPT-2-style, RE2-safe alternation (letter
+runs / digit runs / punctuation runs over lowercased text, optional leading
+space), with the leading space mapped to the public GPT-2 marker ``Ġ`` so
+merges files in the standard ``merges.txt`` format ("#version" header,
+one "left right" pair per line, rank = line order) load as-is.  Deviation
+from GPT-2 proper, stated: initial symbols are CHARACTERS, not
+byte-to-unicode-mapped bytes — identical for ASCII text, approximate for
+multi-byte codepoints (exactness of the *merge semantics* is unaffected).
+
+Scale shapes:
+
+- ``mode='doc'``: the fold runs once per document over the whole-document
+  block string (piece blocks are joined with the ``\\x1e`` boundary char,
+  which appears in no merge pattern, so merges never span piece
+  boundaries).  One narrow projection — scan-bound, zero shuffle,
+  streaming-safe; per-doc cost O(R * doc_chars).
+- ``mode='vocab'``: the 100 TB path for large merges tables — tokenize each
+  DISTINCT piece once (BPE(piece) depends only on the piece), then join the
+  per-piece token count back and sum per document.  The R-fold work runs on
+  the piece vocabulary (sub-linear in corpus size); the corpus side is one
+  groupBy + one join on the piece key.  Identical results by construction
+  (property-tested).
+
+Delimiters ``\\x1f``/``Ġ`` are stripped from input text up front (they are
+encoding machinery, not data — the one input constraint, stated here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+BOUND = "\x1e"  # piece boundary — appears in no merge pattern, blocks cross-piece merges
+SPACE_MARK = "Ġ"
+
+# t06's pre-tokenizer (queries/text.py): GPT-2-style, RE2-safe alternation.
+BPE_PRETOKEN_PAT = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 \t\n\r\f\x0B]+"
+
+# A small committed merges list in learned order (every rule's constituents
+# are single characters or outputs of EARLIER rules — the validity property
+# the sequential fold relies on), over common lowercase-English sequences.
+# Used by the t29 catalog entry and tests; production swaps in a real
+# merges.txt via load_merges().
+DEMO_MERGES: list[tuple[str, str]] = [
+    (SPACE_MARK, "t"),
+    (SPACE_MARK, "a"),
+    ("h", "e"),
+    ("i", "n"),
+    ("r", "e"),
+    ("o", "n"),
+    (SPACE_MARK + "t", "he"),
+    ("e", "r"),
+    (SPACE_MARK, "s"),
+    ("a", "t"),
+    ("e", "n"),
+    (SPACE_MARK, "o"),
+    ("a", "n"),
+    ("o", "r"),
+    ("in", "g"),
+    ("an", "d"),
+    ("t", "i"),
+    ("ti", "on"),
+    ("e", "d"),
+    ("i", "s"),
+    (SPACE_MARK, "w"),
+    ("o", "u"),
+    ("er", "s"),
+    ("l", "l"),
+]
+
+
+def parse_merges_text(text: str) -> list[tuple[str, str]]:
+    """Parse the public GPT-2 ``merges.txt`` format: an optional
+    ``#version`` header line, then one ``left right`` pair per line, rank =
+    line order.  Blank lines are skipped; malformed lines raise."""
+    pairs: list[tuple[str, str]] = []
+    for i, line in enumerate(text.splitlines()):
+        if i == 0 and line.startswith("#"):
+            continue
+        if not line.strip():
+            continue
+        parts = line.split(" ")
+        if len(parts) != 2 or not parts[0] or not parts[1]:
+            raise ValueError(f"malformed merges line {i}: {line!r}")
+        pairs.append((parts[0], parts[1]))
+    return pairs
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Read a ``merges.txt`` file (driver-side: a merges table is tokenizer
+    CONFIG — a few hundred KB even at GPT-2's 50k rules — not data)."""
+    with open(path, encoding="utf-8") as fh:
+        return parse_merges_text(fh.read())
+
+
+def validate_merges(pairs: list[tuple[str, str]]) -> None:
+    """Enforce the validity property the sequential fold relies on: every
+    rule's constituents are single characters or outputs of earlier rules.
+    Any merges list produced by BPE training satisfies this by construction;
+    a hand-edited one that doesn't would silently diverge from canonical
+    BPE, so it is refused instead."""
+    built: set[str] = set()
+    for i, (left, right) in enumerate(pairs):
+        for side in (left, right):
+            if len(side) > 1 and side not in built:
+                raise ValueError(
+                    f"merges rule {i} ({left!r}, {right!r}) uses multi-char "
+                    f"symbol {side!r} not produced by any earlier rule — not "
+                    "a valid BPE training order; the sequential fold would "
+                    "diverge from canonical BPE"
+                )
+        built.add(left + right)
+
+
+def _merges_row(spark, pairs: list[tuple[str, str]]) -> DataFrame:
+    """ONE-row DataFrame carrying the rank-ordered (f, t) replace patterns —
+    rides as the repo's standard broadcast 1x1 scalar combine."""
+    mdf = spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(pairs)],
+        "rank long, left string, right string",
+    )
+    return mdf.select(
+        F.struct(
+            "rank",
+            F.concat(
+                F.lit(SEP), "left", F.lit(SEP + SEP), "right", F.lit(SEP)
+            ).alias("f"),
+            F.concat(F.lit(SEP), "left", "right", F.lit(SEP)).alias("t"),
+        ).alias("m")
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list("m")), lambda x: F.struct(x["f"].alias("f"), x["t"].alias("t"))
+        ).alias("__merges")
+    )
+
+
+# NOTE: Spark SQL string literals do NOT interpret \xHH escapes, so the
+# actual U+001F/U+001E control characters are embedded in these fragments
+# via f-strings (regex contexts would accept either form; plain string
+# literals only the real character).
+_PIECES_SQL = (
+    f"regexp_extract_all(regexp_replace(lower({{text}}), '[{SEP}{BOUND}{SPACE_MARK}]', ''), "
+    f"'{BPE_PRETOKEN_PAT}', 0)"
+)
+# per-piece block: map the leading space to Ġ, then one '|c|' unit per char
+_BLOCK_SQL = (
+    f"transform({{pieces}}, p -> "
+    f"regexp_replace(regexp_replace(p, '^ ', '{SPACE_MARK}'), '(.)', '{SEP}$1{SEP}'))"
+)
+_FOLD_SQL = "aggregate(__merges, {state}, (s, m) -> replace(s, m.f, m.t))"
+
+
+def _n_tokens_sql(state_final: str) -> str:
+    # every symbol is a '|s|' unit carrying exactly 2 separators, and each
+    # merge turns '|x||y|' (4 separators) into '|xy|' (2) while removing one
+    # symbol — so n_separators == 2 * n_symbols before and after the fold
+    return (
+        f"CAST((length({state_final}) - length(replace({state_final}, '{SEP}', ''))) "
+        "DIV 2 AS BIGINT)"
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    pairs: list[tuple[str, str]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "doc",
+) -> DataFrame:
+    """(id_col, n_pieces, n_tokens_bpe) — EXACT BPE token counts under the
+    given merges list (default ``DEMO_MERGES``).  See the module docstring
+    for the two constructions; ``mode='doc'`` is the scan-bound zero-shuffle
+    form (catalog t29), ``mode='vocab'`` the distinct-piece form for large
+    merges tables.  NULL text counts zero pieces and zero tokens (never
+    dropped)."""
+    if mode not in ("doc", "vocab"):
+        raise ValueError(f"mode must be 'doc' or 'vocab', got {mode!r}")
+    pairs = DEMO_MERGES if pairs is None else pairs
+    validate_merges(pairs)
+    merges = _merges_row(docs.sparkSession, pairs)
+    pieces = _PIECES_SQL.format(text=text_col)
+    base = docs.selectExpr(
+        f"{id_col}", f"coalesce({pieces}, CAST(array() AS ARRAY<STRING>)) AS __pieces"
+    ).crossJoin(F.broadcast(merges))
+    if mode == "doc":
+        # piece blocks joined with the \x1e boundary char, which appears in
+        # no merge pattern — merges can never span piece boundaries
+        state0 = f"array_join({_BLOCK_SQL.format(pieces='__pieces')}, '{BOUND}')"
+        final = _FOLD_SQL.format(state=state0)
+        return base.selectExpr(
+            id_col,
+            "CAST(size(__pieces) AS BIGINT) AS n_pieces",
+            f"({_n_tokens_sql(final)}) AS n_tokens_bpe",
+        )
+    # vocab mode: fold once per DISTINCT piece, join counts back
+    pp = base.select(id_col, F.explode("__pieces").alias("__p")).groupBy(
+        id_col, "__p"
+    ).agg(F.count("*").alias("__c"))
+    vocab = (
+        pp.select("__p")
+        .distinct()
+        .crossJoin(F.broadcast(merges))
+        .selectExpr(
+            "__p",
+            f"({_n_tokens_sql(_FOLD_SQL.format(state=_piece_state0('__p')))}) AS __nt",
+        )
+    )
+    agg = (
+        pp.join(vocab.select("__p", "__nt"), "__p")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_pieces"),
+            F.sum(F.col("__c") * F.col("__nt")).cast("long").alias("n_tokens_bpe"),
+        )
+    )
+    # left join so empty/NULL-text docs keep (0, 0) like doc mode
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_pieces", F.lit(0).cast("long")).alias("n_pieces"),
+            F.coalesce("n_tokens_bpe", F.lit(0).cast("long")).alias("n_tokens_bpe"),
+        )
+    )
+
+
+def _piece_state0(piece_col: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({piece_col}, '^ ', "
+        f"'{SPACE_MARK}'), '(.)', '{SEP}$1{SEP}')"
+    )
+
+
+def bpe_token_count_col(
+    pairs: list[tuple[str, str]], text_col: str = "text"
+) -> Column:
+    """The doc-mode token count as a plain COLUMN (merges inlined as a
+    literal array) — for call sites that need a per-row expression without a
+    crossJoin, e.g. ``token_budget_sample(tokenizer=)``.  Plan size grows
+    with the merges list; prefer ``bpe_token_counts`` past a few thousand
+    rules."""
+    validate_merges(pairs)
+    merges = F.array(
+        *[
+            F.struct(
+                F.lit(f"{SEP}{l}{SEP}{SEP}{r}{SEP}").alias("f"),
+                F.lit(f"{SEP}{l}{r}{SEP}").alias("t"),
+            )
+            for l, r in pairs
+        ]
+    )
+    blocks = F.expr(
+        _BLOCK_SQL.format(
+            pieces=f"coalesce({_PIECES_SQL.format(text=text_col)}, CAST(array() AS ARRAY<STRING>))"
+        )
+    )
+    state0 = F.array_join(blocks, BOUND)
+    final = F.aggregate(merges, state0, lambda s, m: F.replace(s, m["f"], m["t"]))
+    seps = F.length(final) - F.length(F.replace(final, F.lit(SEP), F.lit("")))
+    return (seps / 2).cast("long").alias("n_tokens_bpe")

@@ -292,9 +292,18 @@ def token_budget_sample(
     text_col: str = "text",
     salt: str = "budget",
     method: str = "exact",
+    tokenizer: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """TOKEN-budget mixture sampling: from each group, keep documents in
     salted-hash order until the group's token budget is spent.
+
+    ``tokenizer``: a BPE merges list (``operators.bpe`` — e.g.
+    ``DEMO_MERGES`` or ``load_merges('merges.txt')``).  When given,
+    ``n_tokens`` is the EXACT BPE token count under that tokenizer instead
+    of the whitespace estimate — budgets are denominated in real tokens,
+    the currency mixture recipes are actually written in.  Same plan shape
+    (the count is one scan-bound fold column); the estimate stays the
+    default because it is tokenizer-independent.
 
     Mixture recipes are written in tokens ("200B tokens of web, 30B of
     code"), but ``mixture_sample``/``group_sample`` select by DOCUMENT,
@@ -326,7 +335,12 @@ def token_budget_sample(
     if method not in ("exact", "approx"):
         raise ValueError(f"unknown method {method!r}: expected 'exact' or 'approx'")
     per_group = dict(budgets or {})
-    ntok = F.size(F.split(F.col(text_col), r"[ \t\n\r\f\x0B]+")).cast("long")
+    if tokenizer is not None:
+        from healthcare_data_pipeline_spark.operators.bpe import bpe_token_count_col
+
+        ntok = bpe_token_count_col(tokenizer, text_col=text_col).cast("long")
+    else:
+        ntok = F.size(F.split(F.col(text_col), r"[ \t\n\r\f\x0B]+")).cast("long")
     d = df.filter(F.col(text_col).isNotNull()).withColumn("n_tokens", ntok)
     budget_col = F.lit(int(budget)).cast("long")
     for g, b in sorted(per_group.items()):

@@ -1281,3 +1281,76 @@ def t28_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.quality import repetition_flags
 
     return repetition_flags(table(spark, sf_dir, "documents"))
+
+
+def _t29_oracle_sql() -> str:
+    """t29 oracle: the SAME two constructions in DuckDB — per-symbol
+    ``\\x1f``-unit state string, one ``list_reduce`` fold over the merge
+    rules applying ``replace`` per rule (split_part unpacks the
+    ``from\\x1dto`` pattern pair).  DuckDB strings are standard-SQL (no
+    backslash escapes), so the control characters are embedded verbatim and
+    the regex replacement backref is a single-backslash ``\\1``."""
+    from healthcare_data_pipeline_spark.operators.bpe import (
+        BOUND,
+        BPE_PRETOKEN_PAT,
+        DEMO_MERGES,
+        SEP,
+        SPACE_MARK,
+    )
+
+    msep = "\x1d"
+    melems = ", ".join(
+        f"'{SEP}{l}{SEP}{SEP}{r}{SEP}{msep}{SEP}{l}{r}{SEP}'" for l, r in DEMO_MERGES
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             COALESCE(regexp_extract_all(
+               regexp_replace(lower(text), '[{SEP}{BOUND}{SPACE_MARK}]', '', 'g'),
+               '{BPE_PRETOKEN_PAT}'), []) AS pieces
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(pieces) AS n_pieces,
+             COALESCE(array_to_string(
+               list_transform(pieces, x ->
+                 regexp_replace(regexp_replace(x, '^ ', '{SPACE_MARK}'),
+                                '(.)', '{SEP}\\1{SEP}', 'g')),
+               '{BOUND}'), '') AS state0
+      FROM p
+    ),
+    f AS (
+      SELECT doc_id, n_pieces,
+             list_reduce(list_prepend(state0, [{melems}]),
+               (acc, m) -> replace(acc, split_part(m, chr(29), 1),
+                                   split_part(m, chr(29), 2))) AS fin
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST((length(fin) - length(replace(fin, chr(31), ''))) // 2 AS BIGINT)
+             AS n_tokens_bpe
+    FROM f
+    """
+
+
+@query(
+    "t29_bpe_tokenize",
+    oracle=_t29_oracle_sql(),
+    tags=("text", "EXT", "tokens", "bpe"),
+    doc="EXACT BPE token counts (operators.bpe.bpe_token_counts, doc mode) under a "
+    "committed merges list in the public GPT-2 merges format — the tokenizer-TRUE "
+    "upgrade of t06's pieces/chars-4 estimate, for the token budgets that denominate "
+    "mixture sampling and shard manifests. Two constructions collapse the canonical "
+    "merge loop into ONE fold expression: each symbol rides as a '\\x1f s \\x1f' unit "
+    "so SQL replace IS the greedy-leftmost merge-all-occurrences step, and a "
+    "training-ordered merges list applies exactly in sequential rank order (rule j's "
+    "constituents predate it, and merging rule k only creates pairs of LATER rules). "
+    "Scan-bound, zero shuffle, no UDF, no driver loop; cross-checked against a "
+    "canonical python BPE in tests; vocab mode (fold per DISTINCT piece + join) is "
+    "the large-merges-table path.",
+)
+def t29_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.bpe import bpe_token_counts
+
+    return bpe_token_counts(table(spark, sf_dir, "documents"))

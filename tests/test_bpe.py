@@ -1,0 +1,142 @@
+"""Exact BPE tokenizer (operators/bpe.py, catalog t29): the fold-over-merges
+construction cross-checked against a CANONICAL python BPE (lowest-rank-pair
+loop with greedy-leftmost merge-all-occurrences), mode equivalence on real
+data, merges-format round-trip, and the validity guard."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark.operators.bpe import (
+    BPE_PRETOKEN_PAT,
+    DEMO_MERGES,
+    SPACE_MARK,
+    bpe_token_count_col,
+    bpe_token_counts,
+    parse_merges_text,
+    validate_merges,
+)
+from tests.conftest import SF_DIR
+
+
+def canonical_bpe_count(text, pairs):
+    """Reference implementation of CANONICAL BPE: repeatedly merge the
+    lowest-ranked pair present (all occurrences, greedy leftmost) — the
+    data-dependent loop the relational fold must reproduce exactly."""
+    if text is None:
+        return (0, 0)
+    text = (
+        text.lower().replace("\x1f", "").replace("\x1e", "").replace(SPACE_MARK, "")
+    )
+    pieces = re.findall(BPE_PRETOKEN_PAT.replace("\\x0B", "\x0b"), text)
+    ranks = {p: i for i, p in enumerate(pairs)}
+    total = 0
+    for pc in pieces:
+        pc = re.sub(r"^ ", SPACE_MARK, pc)
+        syms = list(pc)
+        while True:
+            best = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            x, y = pairs[best]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        total += len(syms)
+    return (len(pieces), total)
+
+
+ADVERSARIAL = [
+    # run-of-self-pair cases: the single-delimiter encoding provably skips
+    # every other occurrence here (caught by this very test during build)
+    (1, "aaaa llll lllll llllll"),
+    (2, "xyxyxy thththth athe athe"),
+    (3, "The thermometer reading and the patient isolation wing"),
+    (4, "inns running 1234 it-is, the then there!!  and sand band"),
+    (5, None),
+    (6, ""),
+    (7, "tion station nation anders ties ingesting"),
+    (8, "\x1f\x1e" + SPACE_MARK + " stripped-chars only"),
+]
+
+
+def test_bpe_matches_canonical_python(spark):
+    d = spark.createDataFrame(ADVERSARIAL, "doc_id long, text string")
+    exp = {i: canonical_bpe_count(t, DEMO_MERGES) for i, t in ADVERSARIAL}
+    got = {
+        r.doc_id: (r.n_pieces, r.n_tokens_bpe) for r in bpe_token_counts(d).collect()
+    }
+    assert got == exp
+
+
+def test_bpe_modes_identical_on_corpus(spark):
+    """doc fold == vocab (distinct-piece) fold == literal-array column, on
+    the real documents table — the mode-equivalence contract."""
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    doc = {
+        r.doc_id: (r.n_pieces, r.n_tokens_bpe)
+        for r in bpe_token_counts(d).collect()
+    }
+    voc = {
+        r.doc_id: (r.n_pieces, r.n_tokens_bpe)
+        for r in bpe_token_counts(d, mode="vocab").collect()
+    }
+    assert doc == voc and len(doc) == d.count()
+    col = {
+        r.doc_id: r.n
+        for r in d.select(
+            "doc_id", bpe_token_count_col(DEMO_MERGES).alias("n")
+        ).collect()
+    }
+    assert col == {k: v[1] for k, v in doc.items()}
+    # tokens never exceed characters, never undercut piece count
+    assert all(v[1] >= v[0] for v in doc.values())
+
+
+def test_merges_format_roundtrip_and_validity():
+    text = "#version: 0.2\n" + "\n".join(f"{l} {r}" for l, r in DEMO_MERGES)
+    assert parse_merges_text(text) == DEMO_MERGES
+    with pytest.raises(ValueError, match="malformed"):
+        parse_merges_text("a b c")
+    # rule using a multi-char symbol no earlier rule built -> refused
+    with pytest.raises(ValueError, match="valid BPE training order"):
+        validate_merges([("a", "b"), ("xy", "ab")])
+    validate_merges([("a", "b"), ("ab", "c")])  # proper order passes
+
+
+def test_bpe_mode_rejects_unknown():
+    with pytest.raises(ValueError, match="mode"):
+        bpe_token_counts(None, mode="word")
+
+
+def test_token_budget_sample_tokenizer_mode(spark):
+    """tokenizer= denominates budgets in exact BPE tokens: same selection
+    discipline, n_tokens column equals bpe_token_counts, and budgets bind
+    on the BPE totals (which differ from the whitespace estimate)."""
+    from healthcare_data_pipeline_spark.operators.mixture import token_budget_sample
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = token_budget_sample(d, budget=2_000, tokenizer=DEMO_MERGES)
+    rows = out.select("doc_id", "n_tokens", "cum_tokens", "source").collect()
+    exact = {
+        r.doc_id: r.n_tokens_bpe for r in bpe_token_counts(d).collect()
+    }
+    assert rows and all(r.n_tokens == exact[r.doc_id] for r in rows)
+    # inclusive running total respects the budget per group
+    assert all(r.cum_tokens <= 2_000 for r in rows)
+    # the BPE denomination selects a different (smaller-count) doc set than
+    # the whitespace estimate at the same numeric budget, because BPE counts
+    # run higher than whitespace counts on the same text
+    ws = token_budget_sample(d, budget=2_000)
+    assert out.count() < ws.count()

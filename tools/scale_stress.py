@@ -109,6 +109,7 @@ def ops(spark, sf_dir: str):
         remove_boilerplate_lines,
         remove_duplicate_spans,
     )
+    from healthcare_data_pipeline_spark.operators.bpe import bpe_token_counts
     from healthcare_data_pipeline_spark.operators.mixture import (
         dsir_scores,
         exact_stratified_split,
@@ -235,6 +236,10 @@ def ops(spark, sf_dir: str):
         "dedup_corpus (LSH front door)": lambda: sink(dedup_corpus(docs, hasher="fast")),
         "band_skew_report": lambda: sink(band_skew_report(docs)),
         "quality_filter": lambda: sink(filter_corpus(docs)),
+        # t29: exact BPE token counts — ONE fold expression per doc (every
+        # merge rule a string replace over the unit-encoded state), zero
+        # shuffle, so the row must scale with scan: alpha ~1.
+        "bpe_token_counts (doc fold, 24 rules)": lambda: sink(bpe_token_counts(docs)),
         "containment_pairs (DF-capped)": lambda: sink(containment_pairs(docs)),
         # The scoped form (r7 verdict task 5): same containment measure but
         # only over LSH candidate pairs — work linear in the candidate count.
@@ -381,6 +386,27 @@ def ops(spark, sf_dir: str):
     }
 
 
+def bpe_estimate_drift(spark, sf_dir: str) -> tuple[int, int]:
+    """UNTIMED estimate-vs-exact probe at the largest scale: corpus token
+    totals under the t06 estimate (pieces floored by chars/4) vs the exact
+    BPE fold (t29) — the measured drift between the cheap budget currency
+    and the tokenizer-true one."""
+    from healthcare_data_pipeline_spark.operators.bpe import bpe_token_counts
+    from healthcare_data_pipeline_spark.queries.text import _BPE_PAT
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    exact = bpe_token_counts(docs).agg(F.sum("n_tokens_bpe")).first()[0]
+    n_pieces = F.regexp_count(F.lower("text"), F.lit(_BPE_PAT)).cast("long")
+    est = (
+        docs.select(
+            F.greatest(n_pieces, F.ceil(F.length("text") / 4.0).cast("long")).alias("e")
+        )
+        .agg(F.sum("e"))
+        .first()[0]
+    )
+    return int(est or 0), int(exact or 0)
+
+
 def hot_join_imbalance(spark, sf_dir: str, n_salts: int = 32) -> tuple[tuple, tuple]:
     """UNTIMED partition-balance probe for the hot-join trio: (max-partition
     row share, n_partitions) for the plain and the salted join, with AQE
@@ -489,6 +515,9 @@ def main() -> None:
         ((float("nan"), 0), (float("nan"), 0))
         if args.only
         else hot_join_imbalance(spark, dirs[k_hi])
+    )
+    bpe_est, bpe_exact = (
+        (0, 0) if args.only else bpe_estimate_drift(spark, dirs[k_hi])
     )
     lines = [
         "# SCALE — measured operator growth (tools/scale_stress.py)",
@@ -611,6 +640,17 @@ def main() -> None:
         "documented quadratic control, which is why the row pins the "
         "bounded-cell configuration.",
         "",
+        "`bpe_token_counts` "
+        f"(alpha {alphas.get('bpe_token_counts (doc fold, 24 rules)')}) is the exact BPE "
+        "tokenizer (t29) as one fold expression per document — zero "
+        "shuffle, so its growth is the scan's.  Estimate-vs-exact drift, "
+        f"measured at {k_hi}x: the t06 estimate counts {bpe_est:,} corpus "
+        f"tokens where the exact fold counts {bpe_exact:,} "
+        f"(ratio {bpe_est / max(bpe_exact, 1):.3f}) — the constant-factor "
+        "bias a token-denominated budget carries when it is priced in the "
+        "estimate; `token_budget_sample(tokenizer=)` switches the budget "
+        "currency to the exact count.",
+        "",
         "`repetition_flags` "
         f"(alpha {alphas.get('repetition_flags (full A1.2, hashed)')}) is the FULL Gopher A1.2 "
         "battery (t28): nine tagged gram sizes (top-2/3/4 + dup-5..10, ~9x "
@@ -693,6 +733,7 @@ def main() -> None:
                 "results": results,
                 "alpha": alphas,
                 "hot_join_imbalance": {"plain": imb_plain, "salted": imb_salted},
+                "bpe_estimate_drift": {"est": bpe_est, "exact": bpe_exact},
             }
         )
     )
