@@ -654,6 +654,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_spans: bool = False,
+    count_mode: str = "docs",
 ) -> DataFrame:
     """CROSS-DOCUMENT duplicated-span removal — the passage-level third rung
     of the dedup ladder (exact doc dd01, near-dup doc dd06/dd09, and now
@@ -668,9 +669,13 @@ def remove_duplicate_spans(
 
     Semantics: a token position survives iff NO duplicated span covers it;
     overlapping duplicated spans merge naturally (their covered ranges
-    union).  Within-document repetition alone does NOT trigger removal
-    (``min_docs`` counts distinct docs) — looping/boilerplate *inside* one
-    doc is t18's detector, and removing it is a quality call, not dedup.
+    union).  With the default ``count_mode='docs'``, within-document
+    repetition alone does NOT trigger removal (``min_docs`` counts distinct
+    docs) — looping/boilerplate *inside* one doc is t18's detector, and
+    removing it is a quality call, not dedup.  ``count_mode='occurrences'``
+    switches to Lee et al.'s corpus-suffix semantics: ``min_docs`` counts
+    total OCCURRENCES anywhere, so a span repeated inside one document is
+    duplicated too (what ``exact_substring_dedup`` uses).
     The cleaned ``text_col`` is rebuilt from surviving tokens joined by a
     single space (whitespace-normalizing, like ``normalized_fingerprint``);
     audit columns (n_tokens, n_removed, n_dup_spans) make the deletion
@@ -704,9 +709,16 @@ def remove_duplicate_spans(
             (F.xxhash64("__span") if hash_spans else F.col("__span")).alias("__key"),
         )
     )
+    if count_mode not in ("docs", "occurrences"):
+        raise ValueError(
+            f"count_mode must be 'docs' or 'occurrences', got {count_mode!r}"
+        )
+    counter = (
+        F.count_distinct("__did") if count_mode == "docs" else F.count("*")
+    )
     dup = (
         spans.groupBy("__key")
-        .agg(F.count_distinct("__did").alias("__nd"))
+        .agg(counter.alias("__nd"))
         .filter(F.col("__nd") >= min_docs)
         .select("__key")
     )
@@ -733,4 +745,66 @@ def remove_duplicate_spans(
         .withColumn("n_dup_spans", F.size("__st"))
         .withColumn(text_col, F.array_join("__kept", " "))
         .drop("__toks", "__starts", "__st", "__kept")
+    )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    min_len: int = 50,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_spans: bool = True,
+) -> DataFrame:
+    """EXACT-SUBSTRING deduplication at the published semantics (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better", §4.1
+    ExactSubstr: remove every substring of >= 50 tokens that occurs more
+    than once in the corpus — their reference implementation builds a
+    corpus-wide suffix array).  Same OUTPUT as the suffix-array pass, as a
+    relational plan:
+
+    **Equivalence** (why aligned windows at k = min_len ARE the gold
+    standard, not an approximation of it): a token position is inside some
+    duplicated substring of length >= min_len  ⇔  it is covered by some
+    duplicated min_len-token window.  (⇐) a duplicated window IS a
+    duplicated substring of exactly min_len tokens.  (⇒) if position p lies
+    in a duplicated run of length m >= min_len, the run's min_len-wide
+    sub-windows are each duplicated verbatim wherever the run recurs, and
+    they tile every position of the run, p included.  So the union of
+    covered positions — which ``remove_duplicate_spans`` deletes — equals
+    the union of maximal duplicated runs >= min_len, which is precisely
+    what the suffix-array pass deletes.  Seam behavior is therefore also
+    identical: a window straddling two independently-planted copies that
+    happens to recur verbatim IS a duplicated >= min_len substring, and the
+    published method removes it too (the dedup-quality harness measures
+    this seam rate on planted substrings rather than pretending it away).
+
+    Two deliberate deltas from the dd19 curation default, both paper-true:
+    ``min_count`` counts total OCCURRENCES (a substring repeated twice
+    inside ONE document is duplicated — suffix arrays don't know document
+    boundaries), and ``hash_spans`` defaults ON: every window collapses to
+    an 8-byte xxhash64 BEFORE the shuffle, so shuffle bytes are flat in
+    min_len (the k-gram string form would carry ~min_len x the corpus —
+    at min_len=50 that is the difference between shuffling the corpus once
+    and fifty times).  An xxhash64 collision joining two unrelated windows
+    needs ~2^32 distinct windows to reach even-odds corpus-wide
+    (birthday bound) and costs a spurious removal, not corruption; the
+    catalog entry (dd24) verifies the string path against the DuckDB
+    oracle, and the hash path is equivalence-tested in pytest.
+
+    Cost shape: identical to ``remove_duplicate_spans`` (one explode, one
+    map-side-combined groupBy, one semi-join, one bounded per-doc collect,
+    one join back) — linear in corpus tokens, every key doc-agnostic but
+    hash-uniform (skew-safe).  The suffix array's O(n log n) global sort
+    with cross-partition runs is exactly the construction that does NOT
+    distribute; this plan trades it for the one extra window explode.
+    """
+    return remove_duplicate_spans(
+        docs,
+        k=min_len,
+        min_docs=min_count,
+        id_col=id_col,
+        text_col=text_col,
+        hash_spans=hash_spans,
+        count_mode="occurrences",
     )

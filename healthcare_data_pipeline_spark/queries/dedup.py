@@ -1716,3 +1716,70 @@ def dd23_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     en = quantized(spark, sf_dir)
     return semdedup(en, threshold=0.3, assigned=kmeans_cells(en, k=8, iters=2), keep_flags=True)
+
+
+_DD24_MIN_LEN = 20
+
+
+@query(
+    "dd24_exact_substring",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '[ \\t\\n\\r\\f\\x0B]+') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, i AS spos,
+             array_to_string(toks[i:i+{_DD24_MIN_LEN - 1}], ' ') AS span
+      FROM t, UNNEST(generate_series(1, len(toks) - {_DD24_MIN_LEN - 1})) AS g(i)
+      WHERE len(toks) >= {_DD24_MIN_LEN}
+    ),
+    dup AS (SELECT span FROM sh GROUP BY span HAVING COUNT(*) >= 2),
+    hits AS (SELECT DISTINCT doc_id, spos FROM sh JOIN dup USING (span)),
+    cov AS (
+      SELECT DISTINCT doc_id, spos + d AS p
+      FROM hits, UNNEST(generate_series(0, {_DD24_MIN_LEN - 1})) AS u(d)
+    ),
+    pos AS (
+      SELECT doc_id, i AS p, toks[i] AS tok
+      FROM t, UNNEST(generate_series(1, len(toks))) AS g(i)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.p, p.tok
+      FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.p = c.p
+      WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text, COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    st AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM hits GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(a.text, '') AS text,
+           len(t.toks) AS n_tokens,
+           len(t.toks) - COALESCE(a.n_kept, 0) AS n_removed,
+           COALESCE(st.n_dup_spans, 0) AS n_dup_spans
+    FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN st USING (doc_id)
+    """,
+    tags=("dedup", "EXT", "spans", "exact-substring"),
+    doc="EXACT-SUBSTRING dedup at the published semantics (operators.dedup_corpus."
+    f"exact_substring_dedup; Lee et al. 2022 ExactSubstr, min_len={_DD24_MIN_LEN} here "
+    "for the test corpus vs the paper's 50): remove every substring of >= min_len "
+    "tokens occurring MORE THAN ONCE in the corpus — occurrence-counted, so within-doc "
+    "repeats count, unlike dd19's distinct-docs curation default.  Aligned min_len "
+    "windows are EQUIVALENT to the suffix-array pass, not an approximation: a position "
+    "lies in a duplicated >=min_len run iff a duplicated min_len-window covers it "
+    "(sub-windows of the run tile it; a duplicated window IS such a run).  The oracle "
+    "recomputes coverage relationally on the string path; production defaults to "
+    "8-byte hashed window keys (shuffle bytes flat in min_len), equivalence-tested in "
+    "pytest.",
+)
+def dd24_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        exact_substring_dedup,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return exact_substring_dedup(d, min_len=_DD24_MIN_LEN, hash_spans=False).select(
+        "doc_id", "text", "n_tokens", "n_removed", "n_dup_spans"
+    )

@@ -530,6 +530,48 @@ def test_remove_duplicate_spans_semantics(spark):
     assert got2[1].text.split(" ") == ["pad1", "uniq1", "uniq2"]
 
 
+def test_exact_substring_dedup_paper_semantics(spark):
+    """dd24's deltas from the dd19 curation default, both paper-true (Lee et
+    al. ExactSubstr): occurrence counting (a >=min_len run repeated WITHIN
+    one doc is duplicated — suffix arrays don't know document boundaries),
+    sub-threshold duplicated runs survive, and a duplicated run of length
+    m >= min_len is excised exactly (window union == maximal run)."""
+    import pytest as _pytest
+
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        exact_substring_dedup,
+        remove_duplicate_spans,
+    )
+
+    run = " ".join(f"r{i}" for i in range(6))  # 6-token run
+    short = "s0 s1 s2"  # 3-token run, below min_len
+    rows = [
+        # within-doc repeat of the 6-run: occurrence-counted -> removed
+        (1, f"head {run} mid {short} {run} tail {short}x", "s"),
+        # cross-doc copy of an 8-token run (super-threshold, len > min_len)
+        (2, "a b c d e f g h pre2 unique2", "s"),
+        (3, "post3 a b c d e f g h unique3", "s"),
+        (4, "wholly original content nothing repeats here at all", "s"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r.doc_id: r for r in exact_substring_dedup(df, min_len=6).collect()}
+    # doc1: both copies of the 6-run removed; the 3-token short run (and its
+    # non-identical 'x' twin) survive — below min_len is not duplication
+    assert got[1].text.split(" ") == ["head", "mid", "s0", "s1", "s2", "tail", "s0", "s1", "s2x"]
+    assert got[1].n_removed == 12
+    # docs 2/3: the 8-token maximal run is excised EXACTLY (window union
+    # covers all 8 positions, neighbors untouched)
+    assert got[2].text == "pre2 unique2" and got[2].n_removed == 8
+    assert got[3].text == "post3 unique3" and got[3].n_removed == 8
+    assert got[4].n_removed == 0 and got[4].text == rows[3][1]
+    # the dd19 curation default keeps the within-doc repeat (distinct docs)
+    dd19 = {r.doc_id: r for r in remove_duplicate_spans(df, k=6).collect()}
+    assert dd19[1].n_removed == 0
+
+    with _pytest.raises(ValueError, match="count_mode"):
+        remove_duplicate_spans(df, k=6, count_mode="both")
+
+
 def test_remove_duplicate_spans_hash_path_equivalent(spark):
     """hash_spans=True (xxhash64 keys, the 100 TB shuffle-volume form) must
     remove exactly what the oracle-verified string-key path removes."""

@@ -418,6 +418,129 @@ def measure_span_dedup(spark, docs: DataFrame) -> list[dict]:
     ]
 
 
+# ------------------------------------------------------ exact substring
+# Planted EXACT SUBSTRINGS at varying lengths around the dd24 threshold
+# (Lee et al. ExactSubstr semantics: occurrence-counted, >= min_len).
+ES_LEN = 12
+ES_SUB = " ".join(f"zesu{i}" for i in range(6))        # below threshold
+ES_EXACT = " ".join(f"zese{i}" for i in range(ES_LEN))  # exactly at it
+ES_LONG = " ".join(f"zesl{i}" for i in range(2 * ES_LEN))  # well past it
+# within-doc family: per-doc-unique tokens (suffix = doc_id), repeated TWICE
+# inside the one document — only occurrence counting can see it
+ES_WITHIN_SQL = (
+    f"array_join(transform(sequence(0, {ES_LEN - 1}), "
+    "i -> concat('zesw', i, '_', doc_id)), ' ')"
+)
+
+
+def measure_exact_substring(spark, docs: DataFrame) -> list[dict]:
+    """exact_substring_dedup (dd24) vs planted substrings at lengths below /
+    at / past the threshold plus a within-doc repeat.  Reports recall per
+    length, the EXACT-repair rate (plant excised, nothing else touched) and
+    its complement the SEAM-ARTIFACT rate — the adjacent-natural-token
+    excision the dd19 SCALE note concedes on corpora with shared trailing
+    runs: a window straddling the plant boundary that recurs verbatim IS a
+    duplicated >= min_len substring, so the published method removes it too;
+    this measures how often instead of pretending it away.  The
+    sub-threshold family's recall MUST be 0.000 by design (6 < min_len is
+    not duplication), and the within-doc family separates dd24's occurrence
+    semantics from dd19's distinct-docs curation default (measured side by
+    side)."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        exact_substring_dedup,
+        remove_duplicate_spans,
+    )
+
+    def op(d: DataFrame) -> DataFrame:
+        return exact_substring_dedup(d, min_len=ES_LEN, hash_spans=True)
+
+    clean = op(docs).select("doc_id", "text", "source")
+    clean.cache()
+    n_clean = clean.count()
+    m = F.col("doc_id") % 100
+    fams = {
+        "es_sub_6tok": ((m >= 10) & (m < 12), F.lit(" " + ES_SUB)),
+        "es_exact_12tok": ((m >= 12) & (m < 14), F.lit(" " + ES_EXACT)),
+        "es_long_24tok": ((m >= 14) & (m < 16), F.lit(" " + ES_LONG)),
+        "es_within_doc": (
+            (m >= 16) & (m < 18),
+            F.concat(
+                F.lit(" "), F.expr(ES_WITHIN_SQL), F.lit(" zfil "), F.expr(ES_WITHIN_SQL)
+            ),
+        ),
+    }
+    planted = clean
+    for fam, (pred, suffix) in fams.items():
+        planted = planted.withColumn(
+            "text",
+            F.when(pred, F.concat(F.col("text"), suffix)).otherwise(F.col("text")),
+        )
+    ref = op(clean).select("doc_id", F.col("text").alias("ref_text"))
+    out = op(planted).select("doc_id", "text")
+    # dd19's curation default on the same plants: the within-doc row must
+    # show the semantic gap (distinct-docs counting keeps the repeat)
+    out19 = remove_duplicate_spans(
+        planted, k=ES_LEN, hash_spans=True, count_mode="docs"
+    ).select("doc_id", F.col("text").alias("text19"))
+    joined = out.join(ref, "doc_id").join(out19, "doc_id")
+    marker = {
+        "es_sub_6tok": "zesu",
+        "es_exact_12tok": "zese",
+        "es_long_24tok": "zesl",
+        "es_within_doc": "zesw",
+    }
+    rows: list[dict] = []
+    any_plant = None
+    for fam, (pred, _) in fams.items():
+        any_plant = pred if any_plant is None else (any_plant | pred)
+        # exact repair = the plant (and only the plant) excised; for the
+        # within-doc family the ' zfil' spacer between the two copies is NOT
+        # duplicated and legitimately survives, so it belongs in the
+        # expected repaired text
+        expected = (
+            F.concat(F.col("ref_text"), F.lit(" zfil"))
+            if fam == "es_within_doc"
+            else F.col("ref_text")
+        )
+        agg = joined.filter(pred).agg(
+            F.count("*").alias("planted"),
+            F.sum((~F.col("text").contains(marker[fam])).cast("int")).alias("caught"),
+            F.sum((F.col("text") == expected).cast("int")).alias("exact"),
+            F.sum((~F.col("text19").contains(marker[fam])).cast("int")).alias(
+                "caught19"
+            ),
+        ).collect()[0]
+        n, tp = int(agg.planted), int(agg.caught)
+        rows.append(
+            {
+                "operator": "exact_substring",
+                "family": fam,
+                "planted": n,
+                "caught": tp,
+                "recall": round(tp / n, 3) if n else None,
+                # exact-repair rate; its complement among caught docs is the
+                # measured seam-artifact rate
+                "similarity": round(int(agg.exact) / n, 3) if n else None,
+                "seam_rate": round((tp - int(agg.exact)) / n, 3) if n else None,
+                "dd19_recall": round(int(agg.caught19) / n, 3) if n else None,
+            }
+        )
+    fp = joined.filter(~any_plant).filter(F.col("text") != F.col("ref_text")).count()
+    tp_all = sum(r["caught"] for r in rows if r["family"] != "es_sub_6tok")
+    rows.append(
+        {
+            "operator": "exact_substring",
+            "family": "(precision)",
+            "planted": n_clean,
+            "caught": tp_all,
+            "fp": int(fp),
+            "precision": round(tp_all / (tp_all + fp), 4) if tp_all + fp else None,
+        }
+    )
+    clean.unpersist()
+    return rows
+
+
 # ------------------------------------------------------------- line dedup
 # Planted boilerplate LINES (family marker tokens are globally unique, so a
 # per-doc "caught" test is a marker-containment check, never a position diff).
@@ -874,6 +997,127 @@ def measure_quality_gates(spark, docs: DataFrame) -> list[dict]:
     return rows
 
 
+# Weave two distinct Gopher stopwords into every 11-token stride so the
+# FULL A1.1 AND-gate (stopword rule live) has a non-empty baseline on the
+# synthetic corpus — the corpus artifact the 7-rule harness variant
+# documents, repaired by construction instead of worked around.
+GOPHER_WEAVE_SQL = (
+    "array_join(transform(split(text, ' '), (t, i) -> "
+    "CASE WHEN i % 11 = 5 THEN concat('the ', t) "
+    "WHEN i % 11 = 9 THEN concat('and ', t) ELSE t END), ' ')"
+)
+
+
+def measure_gopher_full_gate(spark, docs: DataFrame) -> list[dict]:
+    """The COMPLETE eight-rule Gopher A1.1 gate — required-stopword rule
+    live — measured on a stopword-woven corpus (the synthetic vocabulary
+    contains no natural stopwords, so the seven-rule variant below is what
+    runs against the raw corpus; this family closes that measurement gap).
+
+    Families: ``stopword_free`` strips every stopword token from an
+    otherwise-healthy doc — ONLY the required-stopword rule can see it
+    (lengths, ratios, line shapes all stay sane), and the seven-rule gate's
+    recall on it is measured side by side as the gap the full gate closes;
+    ``symbol_spam``/``short_frag`` re-run under the full gate to pin that
+    weaving stopwords in does not perturb their catchers.  Precision stays
+    a hard 0-FP contract: the gate is per-doc stateless."""
+    from healthcare_data_pipeline_spark.operators.quality import (
+        gopher_filter,
+        gopher_quality_flags,
+    )
+    from healthcare_data_pipeline_spark.operators.quality import GOPHER_STOPWORDS
+
+    woven = docs.select(
+        "doc_id", F.expr(GOPHER_WEAVE_SQL).alias("text"), "source"
+    )
+    clean = gopher_filter(woven).select("doc_id", "text", "source")
+    clean.cache()
+    n_clean = clean.count()
+    m = F.col("doc_id") % 100
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    stopfree = clean.filter(m < 2).select(
+        (F.col("doc_id") + 11 * FAM_OFFSET).alias("doc_id"),
+        F.expr(
+            f"array_join(filter(split(text, ' '), t -> NOT t IN ({stop_list})), ' ')"
+        ).alias("text"),
+        "source",
+        F.lit("stopword_free").alias("family"),
+    )
+    spam = clean.filter((m >= 2) & (m < 4)).select(
+        (F.col("doc_id") + 12 * FAM_OFFSET).alias("doc_id"),
+        F.expr(
+            "array_join(transform(split(text, ' '), (t, i) -> "
+            f"CASE WHEN i % 6 = 2 AND NOT t IN ({stop_list}) "
+            "THEN '#####' ELSE t END), ' ')"
+        ).alias("text"),
+        "source",
+        F.lit("symbol_spam").alias("family"),
+    )
+    frag = clean.filter((m >= 4) & (m < 6)).select(
+        (F.col("doc_id") + 13 * FAM_OFFSET).alias("doc_id"),
+        F.lit(FRAG_TEXT).alias("text"),
+        "source",
+        F.lit("short_frag").alias("family"),
+    )
+    plants = stopfree.unionByName(spam).unionByName(frag)
+    plants.cache()
+    planted = clean.unionByName(plants.drop("family"))
+
+    out_full = gopher_filter(planted).select("doc_id")
+    # the seven-rule variant (stopword rule off) on the same plants: the
+    # stopword_free row must expose the gap the full gate closes
+    fl = gopher_quality_flags(planted)
+    out7 = (
+        fl.filter(
+            " AND ".join(
+                c for c in fl.columns if c.startswith("flag_") and c != "flag_stopwords"
+            )
+        ).select("doc_id")
+    )
+    sims = {"stopword_free": 0.82, "symbol_spam": 0.833, "short_frag": 0.0}
+    rows: list[dict] = []
+    verdicts = (
+        plants.join(out_full.withColumn("__a", F.lit(1)), "doc_id", "left")
+        .join(out7.withColumn("__a7", F.lit(1)), "doc_id", "left")
+        .groupBy("family")
+        .agg(
+            F.count("*").alias("planted"),
+            F.sum(F.when(F.col("__a").isNull(), 1).otherwise(0)).alias("caught"),
+            F.sum(F.when(F.col("__a7").isNull(), 1).otherwise(0)).alias("caught7"),
+        )
+        .collect()
+    )
+    for r in verdicts:
+        rows.append(
+            {
+                "operator": "gate_gopher_full",
+                "family": r.family,
+                "planted": r.planted,
+                "caught": int(r.caught),
+                "recall": round(r.caught / r.planted, 3) if r.planted else None,
+                "similarity": sims[r.family],
+                "nostop_recall": round(int(r.caught7) / r.planted, 3)
+                if r.planted
+                else None,
+            }
+        )
+    fp = clean.select("doc_id").join(out_full, "doc_id", "left_anti").count()
+    tp = sum(r["caught"] for r in rows)
+    rows.append(
+        {
+            "operator": "gate_gopher_full",
+            "family": "(precision)",
+            "planted": n_clean,
+            "caught": tp,
+            "fp": int(fp),
+            "precision": round(tp / (tp + fp), 4) if tp + fp else None,
+        }
+    )
+    plants.unpersist()
+    clean.unpersist()
+    return rows
+
+
 def measure_scale(spark, docs_dir: str, base: str, k: int) -> list[dict]:
     docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
     en = _scaled_embeddings(spark, base, k)
@@ -881,9 +1125,11 @@ def measure_scale(spark, docs_dir: str, base: str, k: int) -> list[dict]:
         measure_doc_dedup(spark, docs),
         measure_semdedup(spark, en),
         measure_span_dedup(spark, docs),
+        measure_exact_substring(spark, docs),
         measure_line_dedup(spark, docs),
         measure_decontamination(spark, docs),
         measure_quality_gates(spark, docs),
+        measure_gopher_full_gate(spark, docs),
     ]
     rows = []
     for part in parts:
@@ -1020,8 +1266,25 @@ def quality_section(all_rows: list[dict], base: str) -> str:
         "contains no Gopher stopwords (and the scale replicas' per-token "
         "rewrite would destroy them anyway), so the full AND-gate would "
         "empty the corpus — the basic gate likewise runs without its "
-        "stopword floor (a corpus artifact, stated here, not an operator "
-        "deviation; production keeps both).  Gate precision 1.0 is a hard "
+        "stopword floor (a corpus artifact, production keeps both).  "
+        "`gate_gopher_full` closes that measurement gap: two distinct "
+        "stopwords are WOVEN into every 11-token stride of the corpus so "
+        "the complete eight-rule AND-gate has a live baseline, and the "
+        "`stopword_free` family (all stopwords stripped from an "
+        "otherwise-healthy doc) is caught at 1.0 by the full gate while "
+        "the seven-rule variant measures 0.0 on it — the required-stopword "
+        "rule's unique coverage, now a matrix row instead of a footnote.  "
+        "The exact_substring rows are dd24 (Lee et al. ExactSubstr "
+        "semantics — occurrence-counted, threshold 12 here): `es_sub_6tok` "
+        "below the threshold MUST be 0.000 (not duplication); "
+        "`es_within_doc` is the semantic delta made visible — dd24 catches "
+        "the within-one-doc repeat at 1.0 where dd19's distinct-docs "
+        "curation default measures 0.0 (its column in the JSON); and the "
+        "es_* `seam_rate` (caught minus exact-repair) is the measured "
+        "adjacent-token excision on corpora with shared trailing runs — "
+        "inherent to the PUBLISHED semantics (a straddling window that "
+        "recurs verbatim IS a duplicated >=min_len substring), so it is "
+        "measured rather than pretended away.  Gate precision 1.0 is a hard "
         "contract: per-doc "
         "gates are stateless, and plants only ADD bigram occurrences, so "
         "the corpus-adaptive gate can only get safer.  Regenerate with "
