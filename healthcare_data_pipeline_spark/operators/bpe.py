@@ -296,3 +296,135 @@ def bpe_token_count_col(
     final = F.aggregate(merges, state0, lambda s, m: F.replace(s, m["f"], m["t"]))
     seps = F.length(final) - F.length(F.replace(final, F.lit(SEP), F.lit("")))
     return (seps / 2).cast("long").alias("n_tokens_bpe")
+
+
+def bpe_tokens(
+    docs: DataFrame,
+    pairs: list[tuple[str, str]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, pos, token) — the exact BPE SEGMENTATION, one row per token
+    in document order (pos is 1-based).  Same doc-mode fold as
+    ``bpe_token_counts``; the final state splits back into tokens on the
+    unit delimiter (empty fragments and the piece-boundary char drop out).
+    The relation downstream vocabulary/frequency reports (t30) and OOV
+    analyses consume."""
+    pairs = DEMO_MERGES if pairs is None else pairs
+    validate_merges(pairs)
+    merges = _merges_row(docs.sparkSession, pairs)
+    pieces = _PIECES_SQL.format(text=text_col)
+    base = docs.selectExpr(
+        f"{id_col}", f"coalesce({pieces}, CAST(array() AS ARRAY<STRING>)) AS __pieces"
+    ).crossJoin(F.broadcast(merges))
+    state0 = f"array_join({_BLOCK_SQL.format(pieces='__pieces')}, '{BOUND}')"
+    final = _FOLD_SQL.format(state=state0)
+    toks = (
+        f"filter(split({final}, '{SEP}'), x -> x != '' AND x != '{BOUND}')"
+    )
+    return base.selectExpr(id_col, f"{toks} AS __bt").select(
+        id_col, F.posexplode("__bt").alias("__p0", "token")
+    ).select(id_col, (F.col("__p0") + 1).alias("pos"), "token")
+
+
+def bpe_vocab_report(
+    docs: DataFrame,
+    pairs: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, n_occurrences, n_docs) — the corpus token-frequency table
+    under the given tokenizer, descending by count (token tie-break).  The
+    standard vocabulary diagnostic a tokenizer swap is judged by: coverage,
+    tail mass, and which raw strings stay unmerged.  One tokenize pass +
+    one map-side-combined groupBy."""
+    t = bpe_tokens(docs, pairs=pairs, text_col=text_col)
+    return (
+        t.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+    )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 100,
+    text_col: str = "text",
+    max_vocab_rows: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """TRAIN a BPE merges list on the corpus (Sennrich et al. 2016): greedily
+    merge the most frequent adjacent symbol pair ``n_merges`` times.  Returns
+    pairs in learned order — a valid training order by construction, so the
+    sequential-fold tokenizer consumes it directly (learn -> tokenize ->
+    budget, tokenizer-true end to end with no external merges file).
+
+    Scale shape: training statistics live on the PIECE-FREQUENCY table, not
+    the corpus — the standard trainer construction (HF tokenizers does the
+    same): one distributed pass builds (piece, count) with a groupBy
+    (map-side combined; the vocabulary is sub-linear in corpus size), and
+    the merge loop then runs DRIVER-SIDE over that bounded table — the same
+    size-gate budget class as the dedup components' union-find (one Arrow
+    collect of at most ``max_vocab_rows``; raises, never silently samples,
+    when the vocabulary exceeds it — cap pieces upstream or raise the gate
+    deliberately).  A 100 TB corpus has a few million distinct pieces; the
+    loop is pure python over that table, exact and deterministic
+    (ties break lexicographically on the pair).
+    """
+    pieces_sql = _PIECES_SQL.format(text=text_col)
+    vocab_df = (
+        docs.selectExpr(f"explode(coalesce({pieces_sql}, CAST(array() AS ARRAY<STRING>))) AS __p")
+        .selectExpr(f"{_gpiece_sql('__p')} AS __p")
+        .groupBy("__p")
+        .agg(F.count("*").alias("__c"))
+        .limit(max_vocab_rows + 1)
+    )
+    rows = vocab_df.toPandas()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"piece vocabulary exceeds max_vocab_rows={max_vocab_rows}; "
+            "the driver-side trainer gate refuses rather than silently "
+            "sampling — pre-filter pieces or raise the gate deliberately"
+        )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(p): int(c) for p, c in zip(rows["__p"], rows["__c"])
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + c
+        if not counts:
+            break
+        # deterministic argmax: max count, then lexicographically smallest
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        x, y = best
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                    out.append(x + y)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def _gpiece_sql(piece_col: str) -> str:
+    """Ġ-mapped piece split into its initial character symbols."""
+    return (
+        f"filter(split(regexp_replace({piece_col}, '^ ', '{SPACE_MARK}'), ''), "
+        "x -> x != '')"
+    )

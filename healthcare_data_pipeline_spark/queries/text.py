@@ -1354,3 +1354,75 @@ def t29_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.bpe import bpe_token_counts
 
     return bpe_token_counts(table(spark, sf_dir, "documents"))
+
+
+def _t30_oracle_sql() -> str:
+    """t30 oracle: t29's fold, then the final state splits back into tokens
+    (empty fragments and the piece-boundary char drop out) and aggregates
+    into the corpus vocabulary table."""
+    from healthcare_data_pipeline_spark.operators.bpe import (
+        BOUND,
+        BPE_PRETOKEN_PAT,
+        DEMO_MERGES,
+        SEP,
+        SPACE_MARK,
+    )
+
+    msep = "\x1d"
+    melems = ", ".join(
+        f"'{SEP}{l}{SEP}{SEP}{r}{SEP}{msep}{SEP}{l}{r}{SEP}'" for l, r in DEMO_MERGES
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             COALESCE(regexp_extract_all(
+               regexp_replace(lower(text), '[{SEP}{BOUND}{SPACE_MARK}]', '', 'g'),
+               '{BPE_PRETOKEN_PAT}'), []) AS pieces
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             COALESCE(array_to_string(
+               list_transform(pieces, x ->
+                 regexp_replace(regexp_replace(x, '^ ', '{SPACE_MARK}'),
+                                '(.)', '{SEP}\\1{SEP}', 'g')),
+               '{BOUND}'), '') AS state0
+      FROM p
+    ),
+    f AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(state0, [{melems}]),
+               (acc, m) -> replace(acc, split_part(m, chr(29), 1),
+                                   split_part(m, chr(29), 2))) AS fin
+      FROM s
+    ),
+    tok AS (
+      SELECT doc_id, u.t AS token
+      FROM f, UNNEST(list_filter(string_split(fin, chr(31)),
+                                 x -> x != '' AND x != chr(30))) AS u(t)
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tok GROUP BY token
+    """
+
+
+@query(
+    "t30_bpe_vocab",
+    oracle=_t30_oracle_sql(),
+    tags=("text", "EXT", "tokens", "bpe", "vocab"),
+    doc="Corpus token-frequency table under the exact BPE tokenizer "
+    "(operators.bpe.bpe_vocab_report over bpe_tokens): one tokenize pass (the t29 "
+    "fold), the final state split back into tokens, one map-side-combined groupBy — "
+    "(token, n_occurrences, n_docs), the vocabulary diagnostic a tokenizer swap is "
+    "judged by (coverage, tail mass, which raw strings stay unmerged).  Pairs with "
+    "learn_bpe_merges (Sennrich et al. 2016): BPE TRAINING on the piece-frequency "
+    "table — distributed piece counting, size-gated driver merge loop (the dedup "
+    "components' budget class; raises past the gate, never silently samples) — so "
+    "learn -> tokenize -> budget runs end to end with no external merges file.",
+)
+def t30_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.bpe import bpe_vocab_report
+
+    return bpe_vocab_report(table(spark, sf_dir, "documents"))

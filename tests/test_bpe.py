@@ -140,3 +140,65 @@ def test_token_budget_sample_tokenizer_mode(spark):
     # run higher than whitespace counts on the same text
     ws = token_budget_sample(d, budget=2_000)
     assert out.count() < ws.count()
+
+
+def test_bpe_tokens_segmentation_and_vocab(spark):
+    """bpe_tokens returns the exact segmentation in document order; the
+    vocab report aggregates it (hand-computed expectation under
+    DEMO_MERGES)."""
+    from healthcare_data_pipeline_spark.operators.bpe import (
+        bpe_tokens,
+        bpe_vocab_report,
+    )
+
+    d = spark.createDataFrame([(1, "The the cat")], "doc_id long, text string")
+    toks = [(r.pos, r.token) for r in bpe_tokens(d).orderBy("pos").collect()]
+    assert toks == [
+        (1, "t"),
+        (2, "he"),
+        (3, SPACE_MARK + "the"),
+        (4, SPACE_MARK),
+        (5, "c"),
+        (6, "at"),
+    ]
+    counts = {r.token: (r.n_occurrences, r.n_docs) for r in bpe_vocab_report(d).collect()}
+    assert counts["t"] == (1, 1) and counts[SPACE_MARK + "the"] == (1, 1)
+    # token count surfaces agree
+    n = bpe_token_counts(d).collect()[0].n_tokens_bpe
+    assert n == len(toks) == 6
+
+
+def test_learn_bpe_merges_trains_a_valid_consumable_tokenizer(spark):
+    """The trainer's output is (a) a valid training order the fold consumes
+    directly, (b) deterministic, (c) canonical: tokenizing the training
+    corpus with the learned merges matches the canonical python BPE under
+    the same list — learn -> tokenize -> budget works end to end with no
+    external merges file."""
+    from healthcare_data_pipeline_spark.operators.bpe import (
+        learn_bpe_merges,
+        validate_merges,
+    )
+
+    texts = [
+        (i, "the patient record shows the reading and the wing "
+            f"isolation running note {i % 3}")
+        for i in range(30)
+    ]
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = learn_bpe_merges(d, n_merges=25)
+    assert len(merges) == 25
+    validate_merges(merges)  # training order valid by construction
+    assert merges == learn_bpe_merges(d, n_merges=25)  # deterministic
+    got = {
+        r.doc_id: (r.n_pieces, r.n_tokens_bpe)
+        for r in bpe_token_counts(d, pairs=merges).collect()
+    }
+    exp = {i: canonical_bpe_count(t, merges) for i, t in texts}
+    assert got == exp
+    # learned merges compress: fewer tokens than characters-as-symbols
+    assert all(got[i][1] < len(t.replace(" ", "")) + got[i][0] for i, t in texts)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_vocab_rows"):
+        learn_bpe_merges(d, n_merges=5, max_vocab_rows=3)
