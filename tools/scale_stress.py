@@ -646,10 +646,13 @@ def main() -> None:
         "shuffle, so its growth is the scan's.  Estimate-vs-exact drift, "
         f"measured at {k_hi}x: the t06 estimate counts {bpe_est:,} corpus "
         f"tokens where the exact fold counts {bpe_exact:,} "
-        f"(ratio {bpe_est / max(bpe_exact, 1):.3f}) — the constant-factor "
-        "bias a token-denominated budget carries when it is priced in the "
-        "estimate; `token_budget_sample(tokenizer=)` switches the budget "
-        "currency to the exact count.",
+        f"(ratio {bpe_est / max(bpe_exact, 1):.3f}) — the bias a "
+        "token-denominated budget carries when priced in the estimate, "
+        "MEASURED PER TOKENIZER rather than assumed (here the 24-rule demo "
+        "list barely compresses the synthetic vocabulary, so exact counts "
+        "run near character counts; a production merges list closes most "
+        "of that gap); `token_budget_sample(tokenizer=)` switches the "
+        "budget currency to the exact count.",
         "",
         "`repetition_flags` "
         f"(alpha {alphas.get('repetition_flags (full A1.2, hashed)')}) is the FULL Gopher A1.2 "
