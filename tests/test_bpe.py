@@ -202,3 +202,26 @@ def test_learn_bpe_merges_trains_a_valid_consumable_tokenizer(spark):
 
     with _pytest.raises(ValueError, match="max_vocab_rows"):
         learn_bpe_merges(d, n_merges=5, max_vocab_rows=3)
+
+
+def test_bpe_plan_shapes(spark):
+    """Scale-shape pins for the tokenizer plans: the doc-mode fold is
+    scan-bound (its only exchange is the tiny merges-row aggregation — no
+    corpus shuffle, no sort-merge join); vocab mode adds only the piece
+    groupBys + joins, and no plan anywhere contains a row-at-a-time python
+    UDF."""
+    from healthcare_data_pipeline_spark.plans import (
+        count_exchanges,
+        formatted_plan,
+        has_sort_merge_join,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    doc = bpe_token_counts(d)
+    # one exchange total: the 24-row merges table's collect_list agg; the
+    # corpus side is a mapped scan
+    assert count_exchanges(doc) <= 1
+    assert not has_sort_merge_join(doc)
+    assert "BatchEvalPython" not in formatted_plan(doc)
+    voc = bpe_token_counts(d, mode="vocab")
+    assert "BatchEvalPython" not in formatted_plan(voc)

@@ -780,3 +780,20 @@ def test_line_dedup_prep_corpus_gate(spark):
     }
     # 1 and 2 collapse to the same payload -> min-id 1 survives; 3 is distinct
     assert out == {1, 3}
+
+
+def test_exact_substring_plan_shape(spark):
+    """dd24's plan stays the dd19 shape: no BroadcastNestedLoopJoin, no
+    cartesian product — the window groupBy/semi-join pipeline, linear in
+    corpus tokens even at min_len=50 (hashed keys keep shuffle bytes flat
+    in min_len)."""
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        exact_substring_dedup,
+    )
+    from healthcare_data_pipeline_spark.plans import formatted_plan
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = formatted_plan(exact_substring_dedup(d, min_len=50))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
