@@ -38,10 +38,12 @@ Pre-tokenization reuses t06's GPT-2-style, RE2-safe alternation (letter
 runs / digit runs / punctuation runs over lowercased text, optional leading
 space), with the leading space mapped to the public GPT-2 marker ``Ġ`` so
 merges files in the standard ``merges.txt`` format ("#version" header,
-one "left right" pair per line, rank = line order) load as-is.  Deviation
-from GPT-2 proper, stated: initial symbols are CHARACTERS, not
-byte-to-unicode-mapped bytes — identical for ASCII text, approximate for
-multi-byte codepoints (exactness of the *merge semantics* is unaffected).
+one "left right" pair per line, rank = line order) load as-is.  The
+char-level default approximates GPT-2 for multi-byte codepoints (initial
+symbols are characters); ``bpe_token_counts_byte_level`` (t31) closes
+that: initial symbols are byte-unicode-mapped UTF-8 BYTES via the public
+256-entry table, so a real merges.txt reproduces real GPT-2 segment
+boundaries for arbitrary unicode.
 
 Scale shapes:
 
@@ -427,4 +429,89 @@ def _gpiece_sql(piece_col: str) -> str:
     return (
         f"filter(split(regexp_replace({piece_col}, '^ ', '{SPACE_MARK}'), ''), "
         "x -> x != '')"
+    )
+
+
+def gpt2_byte_unicode_map() -> dict[str, str]:
+    """The public GPT-2 byte-to-unicode table (Radford et al. 2019,
+    encoder.py's ``bytes_to_unicode``: printable latin-1 bytes map to
+    themselves, every other byte to ``chr(256 + n)`` in order), keyed by
+    UPPERCASE hex byte — the form both Spark's and DuckDB's ``hex()`` emit.
+    Space (0x20) lands on ``Ġ`` = chr(288), which is exactly why ``Ġ`` is
+    the merges-file space marker; newline lands on ``Ċ``.  256 distinct
+    single-char values by construction."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), 256))
+    )
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {f"{b:02X}": chr(c) for b, c in zip(bs, cs)}
+
+
+def _bmap_sql_literal() -> str:
+    """The byte map as a Spark ``map()`` literal (512 constant args — folded
+    by Catalyst; the plan carries it once per stage).  Spark string literals
+    interpret backslash escapes (non-standard SQL), so ``\\`` and ``'``
+    are backslash-escaped."""
+    m = gpt2_byte_unicode_map()
+
+    def esc(v: str) -> str:
+        return v.replace("\\", "\\\\").replace("'", "\\'")
+
+    args = ", ".join(f"'{k}', '{esc(v)}'" for k, v in m.items())
+    return f"map({args})"
+
+
+def _byte_block_sql(pieces: str) -> str:
+    """Byte-level per-piece block: UTF-8 bytes -> hex pairs -> mapped
+    byte-unicode chars, one '|s|' unit per BYTE.  The leading space needs no
+    special-casing — 0x20 maps to Ġ through the table, which is the actual
+    GPT-2 construction the char-level path approximates."""
+    bmap = _bmap_sql_literal()
+    return (
+        f"transform({pieces}, p -> array_join(transform("
+        f"regexp_extract_all(hex(encode(p, 'UTF-8')), '..', 0), "
+        f"h -> concat('{SEP}', element_at({bmap}, h), '{SEP}')), ''))"
+    )
+
+
+def bpe_token_counts_byte_level(
+    docs: DataFrame,
+    pairs: list[tuple[str, str]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, n_pieces, n_tokens_bpe) under GPT-2 BYTE-LEVEL semantics —
+    initial symbols are byte-unicode-mapped BYTES of each (lowercased)
+    piece, closing the char-level path's stated deviation: a real GPT-2
+    ``merges.txt`` applied here reproduces real GPT-2 segment boundaries
+    for arbitrary unicode (multi-byte codepoints split into byte symbols
+    exactly as the reference encoder does; cross-checked against a
+    canonical byte-level python BPE in tests).  No input stripping is
+    needed: every raw byte maps to a symbol char distinct from the ``\\x1f``
+    / ``\\x1e`` delimiters by construction.  Same fold, same cost shape as
+    the char-level doc mode (catalog t31 hash-verifies the byte plumbing —
+    hex + 256-entry map — against DuckDB)."""
+    pairs = DEMO_MERGES if pairs is None else pairs
+    validate_merges(pairs)
+    merges = _merges_row(docs.sparkSession, pairs)
+    pieces = (
+        f"regexp_extract_all(lower({text_col}), '{BPE_PRETOKEN_PAT}', 0)"
+    )
+    base = docs.selectExpr(
+        f"{id_col}", f"coalesce({pieces}, CAST(array() AS ARRAY<STRING>)) AS __pieces"
+    ).crossJoin(F.broadcast(merges))
+    state0 = f"array_join({_byte_block_sql('__pieces')}, '{BOUND}')"
+    final = _FOLD_SQL.format(state=state0)
+    return base.selectExpr(
+        id_col,
+        "CAST(size(__pieces) AS BIGINT) AS n_pieces",
+        f"({_n_tokens_sql(final)}) AS n_tokens_bpe",
     )

@@ -1426,3 +1426,78 @@ def t30_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.bpe import bpe_vocab_report
 
     return bpe_vocab_report(table(spark, sf_dir, "documents"))
+
+
+def _t31_oracle_sql() -> str:
+    """t31 oracle: the byte-level construction in DuckDB — UTF-8 bytes via
+    hex(encode()) (uppercase pairs in both engines), the public GPT-2
+    byte-to-unicode table as a MAP literal (standard-SQL escaping: quotes
+    doubled, backslash literal), then the same fold/count as t29."""
+    from healthcare_data_pipeline_spark.operators.bpe import (
+        BOUND,
+        BPE_PRETOKEN_PAT,
+        DEMO_MERGES,
+        SEP,
+        gpt2_byte_unicode_map,
+    )
+
+    m = gpt2_byte_unicode_map()
+    keys = ", ".join(f"'{k}'" for k in m)
+    vals = ", ".join("'" + v.replace("'", "''") + "'" for v in m.values())
+    msep = "\x1d"
+    melems = ", ".join(
+        f"'{SEP}{l}{SEP}{SEP}{r}{SEP}{msep}{SEP}{l}{r}{SEP}'" for l, r in DEMO_MERGES
+    )
+    return f"""
+    WITH p AS (
+      SELECT doc_id,
+             COALESCE(regexp_extract_all(lower(text), '{BPE_PRETOKEN_PAT}'), [])
+               AS pieces
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(pieces) AS n_pieces,
+             COALESCE(array_to_string(
+               list_transform(pieces, x ->
+                 array_to_string(
+                   list_transform(regexp_extract_all(hex(encode(x)), '..'),
+                     h -> chr(31) || (MAP([{keys}], [{vals}]))[h][1] || chr(31)),
+                   '')),
+               '{BOUND}'), '') AS state0
+      FROM p
+    ),
+    f AS (
+      SELECT doc_id, n_pieces,
+             list_reduce(list_prepend(state0, [{melems}]),
+               (acc, m) -> replace(acc, split_part(m, chr(29), 1),
+                                   split_part(m, chr(29), 2))) AS fin
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST((length(fin) - length(replace(fin, chr(31), ''))) // 2 AS BIGINT)
+             AS n_tokens_bpe
+    FROM f
+    """
+
+
+@query(
+    "t31_bpe_byte_level",
+    oracle=_t31_oracle_sql(),
+    tags=("text", "EXT", "tokens", "bpe", "byte-level"),
+    doc="GPT-2 BYTE-LEVEL exact BPE token counts (operators.bpe."
+    "bpe_token_counts_byte_level): initial symbols are byte-unicode-mapped UTF-8 "
+    "BYTES of each piece via the public 256-entry table (space lands on Ġ through "
+    "the table itself — the actual GPT-2 construction the char-level t29 "
+    "approximates), so a real merges.txt reproduces real GPT-2 segment boundaries "
+    "for arbitrary unicode.  Same single-fold plan as t29 plus hex(encode()) and one "
+    "map literal; the oracle rebuilds the byte plumbing independently in DuckDB.  "
+    "Unicode fidelity is pinned in pytest against a canonical byte-level python BPE "
+    "(multi-byte codepoints, control chars, backslash/quote bytes).",
+)
+def t31_bpe_byte_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.bpe import (
+        bpe_token_counts_byte_level,
+    )
+
+    return bpe_token_counts_byte_level(table(spark, sf_dir, "documents"))

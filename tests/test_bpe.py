@@ -225,3 +225,67 @@ def test_bpe_plan_shapes(spark):
     assert "BatchEvalPython" not in formatted_plan(doc)
     voc = bpe_token_counts(d, mode="vocab")
     assert "BatchEvalPython" not in formatted_plan(voc)
+
+
+def test_bpe_byte_level_matches_canonical(spark):
+    """Byte-level mode == canonical GPT-2 byte-level BPE: UTF-8 bytes mapped
+    through the public 256-entry table (space -> Ġ via the table, multi-byte
+    codepoints split into byte symbols), verified on unicode, control-char,
+    backslash and quote bytes — the char-level path's stated deviation,
+    closed."""
+    from healthcare_data_pipeline_spark.operators.bpe import (
+        bpe_token_counts_byte_level,
+        gpt2_byte_unicode_map,
+    )
+
+    M = gpt2_byte_unicode_map()
+    assert len(set(M.values())) == 256 and M["20"] == SPACE_MARK and M["0A"] == "Ċ"
+
+    def ref(text, pairs):
+        if text is None:
+            return (0, 0)
+        pieces = re.findall(BPE_PRETOKEN_PAT.replace("\\x0B", "\x0b"), text.lower())
+        ranks = {p: i for i, p in enumerate(pairs)}
+        total = 0
+        for pc in pieces:
+            syms = [M[f"{b:02X}"] for b in pc.encode("utf-8")]
+            while True:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                x, y = pairs[best]
+                out, i = [], 0
+                while i < len(syms):
+                    if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            total += len(syms)
+        return (len(pieces), total)
+
+    texts = [
+        (1, "The thermometer reading and the patient wing"),
+        (2, "café naïve — ünïcode résumé 日本語 test"),
+        (3, None),
+        (4, ""),
+        (5, "aaaa llll the the \x1f\x1e Ġ weird bytes back\\slash 'quote'"),
+    ]
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_pieces, r.n_tokens_bpe)
+        for r in bpe_token_counts_byte_level(d).collect()
+    }
+    assert got == {i: ref(t, DEMO_MERGES) for i, t in texts}
+    # ASCII-only text: byte-level == char-level (the table is identity on
+    # printable ASCII and the Ġ prefix is the 0x20 mapping)
+    ascii_d = spark.createDataFrame(texts[:1], "doc_id long, text string")
+    a = bpe_token_counts(ascii_d).collect()[0]
+    b = bpe_token_counts_byte_level(ascii_d).collect()[0]
+    assert (a.n_pieces, a.n_tokens_bpe) == (b.n_pieces, b.n_tokens_bpe)
