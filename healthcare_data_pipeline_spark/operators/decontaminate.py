@@ -16,6 +16,18 @@ Two collision definitions, both deterministic:
   negatives (every true collision is always flagged — the direction that
   matters for decontamination, where a false positive costs one training
   doc and a false negative leaks a benchmark).
+* **fuzzy** — MinHash+LSH near-duplicate matching between train and eval
+  (catalog dd25): the NEAR-verbatim leak class the n-gram rule is blind to
+  by construction (an edit every <n tokens leaves no shared n-gram — the
+  quality harness's measured ``paraphrase 0.000`` contract).  This is the
+  published remedy: StarCoder/BigCode (Li et al. 2023) decontaminate by
+  MinHash near-dup against benchmark solutions precisely because light
+  rewrites survive exact overlap rules.  Train docs band-bucket once
+  (operators.dedup_corpus.band_buckets — the SAME index dedup persists,
+  reusable); the eval side's tiny band index broadcasts; a train doc is
+  contaminated when >= ``min_shared_bands`` of its bands collide with any
+  eval doc.  Recall follows the published 1-(1-J^r)^b curve of the 4x4
+  banding, measured per planted family in SCALE.md §quality.
 
 Scale shape: the EVAL side is always the small one (benchmarks are KBs-MBs
 against a TB-scale train side), so its distinct n-gram/fingerprint set is
@@ -58,6 +70,7 @@ from pyspark.sql import functions as F
 from healthcare_data_pipeline_spark.operators.dedup_corpus import (
     PMH_PRIME,
     _pmh_const,
+    band_buckets,
     normalized_fingerprint,
 )
 
@@ -347,6 +360,56 @@ def _bloom_hit_ids(
     )
 
 
+def fuzzy_contaminated_matches(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    hasher: str = "portable",
+    min_shared_bands: int = 1,
+) -> DataFrame:
+    """Near-duplicate contamination matches: training docs whose MinHash
+    band buckets collide with any eval doc's (module doc, bullet "fuzzy").
+
+    Output: (doc_id, n_shared_bands, n_eval_matches) for every train doc
+    with >= ``min_shared_bands`` distinct colliding bands; ``n_eval_matches``
+    counts distinct eval docs hit — the audit column a leak report needs.
+
+    Scale shape: the train side runs ONE signature pass (shingle explode +
+    map-side partial mins — the identical ``band_buckets`` relation an
+    incremental dedup pipeline already persists, so a production run can
+    join the STORED index instead of re-signing); the eval side's band
+    index is benchmark-sized and broadcast.  No train self-join, no train
+    shuffle beyond its own signature groupBy — O(train) like ngram mode.
+
+    ``hasher="portable"`` (md5/LCG, catalog dd25 hash-verifies the match
+    set cross-engine) or ``"fast"`` (xxhash64, the throughput path) — the
+    dd04/dd06 twin convention.  At the default 4-band/4-row shape a leak
+    with shingle-Jaccard J survives detection with prob (1-J^4)^4; raise
+    recall for heavily edited leaks by lowering rows-per-band, measured in
+    SCALE.md §quality (decon_fuzzy families).
+    """
+    if min_shared_bands < 1:
+        raise ValueError(f"need min_shared_bands >= 1, got {min_shared_bands}")
+    tb = band_buckets(train, id_col=id_col, text_col=text_col, hasher=hasher)
+    eb = band_buckets(
+        eval_df,
+        id_col=id_col,
+        text_col=eval_text_col or text_col,
+        hasher=hasher,
+    ).select(F.col("doc_id").alias("__eval_id"), "band", "bucket")
+    hits = tb.join(F.broadcast(eb), ["band", "bucket"])
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("band").alias("n_shared_bands"),
+            F.countDistinct("__eval_id").alias("n_eval_matches"),
+        )
+        .filter(F.col("n_shared_bands") >= min_shared_bands)
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -361,7 +424,9 @@ def decontaminate(
     columns preserved).  ``mode="bloom"`` applies the same n-gram rule via a
     fixed-size Bloom bitmap (``m_bits``) — no false negatives, sized false
     positives, zero train-side shuffle; the 100 TB form when the eval gram
-    set outgrows a comfortable broadcast."""
+    set outgrows a comfortable broadcast.  ``mode="fuzzy"`` drops MinHash
+    NEAR-duplicates of eval docs (``fuzzy_contaminated_matches``) — the
+    edited-leak class every n-gram rule misses."""
     if mode == "bloom":
         hits = _bloom_hit_ids(train, eval_df, n, m_bits, id_col, text_col, hasher)
         return train.join(F.broadcast(hits), id_col, "left_anti")
@@ -391,6 +456,10 @@ def contaminated_ids(
     """Ids of training docs colliding with the eval set — the small set both
     ``decontaminate`` (anti-join) and ``contamination_report`` (flag join)
     broadcast; bounded by the actual overlap, not by corpus size."""
+    if mode == "fuzzy":
+        return fuzzy_contaminated_matches(
+            train, eval_df, id_col=id_col, text_col=text_col
+        ).select(id_col)
     if mode == "bloom":
         return _bloom_hit_ids(train, eval_df, n, m_bits, id_col, text_col, hasher)
     if mode == "exact":
@@ -403,7 +472,7 @@ def contaminated_ids(
         )
     if mode != "ngram":
         raise ValueError(
-            f"unknown decontaminate mode {mode!r}: expected 'exact', 'ngram', or 'bloom'"
+            f"unknown decontaminate mode {mode!r}: expected 'exact', 'ngram', 'bloom', or 'fuzzy'"
         )
     ev = _exploded_ngrams(eval_df, n, id_col, text_col).select("g").distinct()
     return (

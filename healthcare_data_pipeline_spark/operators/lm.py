@@ -1,0 +1,238 @@
+"""[EXT] N-gram language-model perplexity scoring and bucketing (CCNet).
+
+The published CCNet recipe (Wenzek et al. 2020, "CCNet: Extracting High
+Quality Monolingual Datasets from Web Crawl Data") scores every crawl
+document with a language model TRAINED ON A TRUSTED REFERENCE CORPUS
+(Wikipedia in the paper) and buckets the crawl into head/middle/tail by
+per-language perplexity percentiles — the model-based complement of the
+heuristic gate batteries (Gopher A1.1/A1.2, C4): a fluent-but-off-domain
+or machine-garbled page sails through length/ratio/repetition rules, but
+its token transitions are unlikely under a reference LM.
+
+Design for hash-portability (the repo contract: every catalog value must
+be bit-identical on any engine):
+
+- The LM is a BIGRAM model with stupid backoff (Brants et al. 2007, "Large
+  Language Models in Machine Translation" — the published web-scale choice
+  precisely because it needs only counts, no discounting renormalization):
+
+      p(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1})          if seen
+                       = 0.4 * (c(w_i) + 1) / (N + V)          otherwise
+      p(w_0)           = (c(w_0) + 1) / (N + V)                (add-one)
+
+  Every probability is an exact BIGINT rational num/den (0.4 = 2/5 folds
+  into the integers), so no smoothed float ever enters the plan.
+
+- The per-token cost -log2(p) is quantized to EIGHTH-BITS in pure integer
+  arithmetic: k = floor(log2(den/num)) via binary-string length
+  (length(bin(x)) is exact in both Spark and DuckDB) with a one-step
+  shift-compare correction, then a 3-bit mantissa refinement against the
+  fixed thresholds round(2^(j/8) * 256), j=1..7.  The quantizer is a
+  DEFINED function of (num, den) — max error vs true -log2(p) is
+  1/8 bit + threshold rounding (<= 0.127 bits/token — max over the ladder at threshold 431, property-tested) —
+  and every step is BIGINT comparison, so document costs value-hash
+  identically in any engine (catalog t32).  Safe while den <= 2^53
+  (den*470 and den*256 must fit a BIGINT); 2^53/5 ≈ 1.8e15 reference
+  tokens is ~100x a 100 TB corpus.
+
+- The document score is a plain BIGINT SUM of per-token costs — integer
+  addition is associative, so partition order cannot perturb the hash —
+  and ``bits_per_token`` is ONE correctly-rounded IEEE division of that
+  sum by 8.0*n, portable by the IEEE-754 contract.
+
+Scale shape (the rare_bigram_scores / dsir_scores family): one positioned
+token explode per corpus (~n_tokens rows, the previous token carried in a
+2-field struct — the token array itself is never replicated per row), a
+bigram-count groupBy and a unigram-count groupBy on the REFERENCE side
+(map-side combine; the reference is a fixed trusted slice and does not
+grow with the crawl), one shuffle join of the crawl's exploded bigrams
+against the bigram table and one against the unigram table (vocabulary
+saturates — AQE broadcasts it when it fits), one per-doc integer SUM.
+Nothing collects to the driver; no table is assumed to fit anywhere.
+
+Reference parity: /root/reference has no LM scoring (no counterpart —
+[EXT] per the round-4+ mandate for training-data pipeline operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# round(2^(j/8) * 256) for j = 1..7 — the 3-bit mantissa ladder of the
+# eighth-bit log2 quantizer.  Fixed constants, part of the function's
+# definition (and of the catalog t32 oracle).
+EIGHTH_BIT_THRESHOLDS = (279, 304, 332, 362, 395, 431, 470)
+
+_WS = r"[ \t\n\r\f\x0B]+"
+
+
+def _toks_sql(text_col: str) -> str:
+    return f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+'), x -> x != '')"
+
+
+def _pair_explode(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, w1, w2) per token position: w2 = token, w1 = previous token
+    (NULL at position 0).  Built by exploding an array of 2-field structs so
+    the full token array is never carried through the explode."""
+    return docs.selectExpr(
+        f"{id_col} AS doc_id",
+        f"""explode(transform({_toks_sql(text_col)}, (t, i) ->
+              named_struct(
+                'w1', IF(i = 0, CAST(NULL AS STRING),
+                         element_at({_toks_sql(text_col)}, i)),
+                'w2', t))) AS p""",
+    ).select("doc_id", "p.w1", "p.w2")
+
+
+def eighth_bit_cost(num: Column, den: Column) -> Column:
+    """Quantized -log2(num/den) in eighth-bits, exact BIGINT arithmetic.
+
+    Requires 1 <= num <= den <= 2^53 (den*470 must fit a signed 64-bit
+    integer).  k = floor(log2(den/num)) from binary-digit counts with a
+    shift-compare correction; the fractional 3 bits compare the normalized
+    mantissa against ``EIGHTH_BIT_THRESHOLDS``.
+    """
+    k0 = F.length(F.bin(den)) - F.length(F.bin(num))
+    # F.shiftleft's python wrapper only takes an int literal for numBits;
+    # call_function reaches the SQL ShiftLeft expression, which takes columns.
+    shl = lambda a, b: F.call_function("shiftleft", a, b)  # noqa: E731
+    k = F.when(shl(num, k0) > den, k0 - F.lit(1)).otherwise(k0)
+    m = shl(num, k)
+    frac = sum(
+        ((den * F.lit(256) >= m * F.lit(t)).cast("int") for t in EIGHTH_BIT_THRESHOLDS),
+        F.lit(0),
+    )
+    return (F.lit(8) * k + frac).cast("long")
+
+
+def lm_score(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Score every document's perplexity under a bigram stupid-backoff LM
+    trained on ``reference`` (the CCNet scoring stage; see module doc for
+    the exact model and the hash-portable quantization).
+
+    Output per document with >= 1 token: (doc_id, n_tokens, n_backoff,
+    n_oov, cost_eighth_bits, bits_per_token) where ``n_backoff`` counts
+    positions scored through the backoff branch, ``n_oov`` counts tokens
+    absent from the reference vocabulary (they still score, via the
+    add-one unigram), ``cost_eighth_bits`` is the exact BIGINT total and
+    ``bits_per_token = cost_eighth_bits / (8.0 * n_tokens)`` the document's
+    quantized cross-entropy — LOW is reference-like (CCNet's "head").
+    """
+    rtext = ref_text_col or text_col
+    ref_pairs = _pair_explode(reference, id_col, rtext)
+
+    # Reference model tables.  c1 attaches to the bigram table by a window
+    # over w1 — one counts-table shuffle instead of a second join relation.
+    big = (
+        ref_pairs.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    big = big.withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
+    uni = ref_pairs.groupBy("w2").agg(F.count("*").alias("cu"))
+    totals = ref_pairs.agg(
+        F.count("*").alias("n_ref"), F.countDistinct("w2").alias("v_ref")
+    )
+
+    scored = (
+        _pair_explode(docs, id_col, text_col)
+        .join(big, ["w1", "w2"], "left")
+        .join(uni, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    nv = F.col("n_ref") + F.col("v_ref")
+    is_backoff = F.col("w1").isNotNull() & F.col("c12").isNull()
+    num = (
+        F.when(F.col("w1").isNull(), F.coalesce(F.col("cu"), F.lit(0)) + F.lit(1))
+        .when(is_backoff, (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(1)) * F.lit(2))
+        .otherwise(F.col("c12"))
+        .cast("long")
+    )
+    den = (
+        F.when(F.col("w1").isNull(), nv)
+        .when(is_backoff, nv * F.lit(5))
+        .otherwise(F.col("c1"))
+        .cast("long")
+    )
+    per_tok = scored.select(
+        "doc_id",
+        is_backoff.cast("int").alias("is_backoff"),
+        F.col("cu").isNull().cast("int").alias("is_oov"),
+        eighth_bit_cost(num, den).alias("cost"),
+    )
+    out = per_tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("is_backoff").alias("n_backoff"),
+        F.sum("is_oov").alias("n_oov"),
+        F.sum("cost").alias("cost_eighth_bits"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_backoff",
+        "n_oov",
+        "cost_eighth_bits",
+        (
+            F.col("cost_eighth_bits")
+            / (F.lit(8.0) * F.col("n_tokens").cast("double"))
+        ).alias("bits_per_token"),
+    )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    method: str = "approx",
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet's head/middle/tail bucketing over ``lm_score`` output.
+
+    The paper splits each language's crawl at the 33rd/66th perplexity
+    percentiles; "head" (lowest perplexity — most reference-like) is what
+    high-quality training mixes keep or upsample.
+
+    ``method="approx"`` (the 100 TB path) computes the two thresholds with
+    ``approx_percentile`` — a map-side sketch plus one tiny broadcast, the
+    corpus never sorts (the adaptive_quality_filter pattern).
+    ``method="exact"`` ranks the corpus in ONE window ordered by
+    (bits_per_token, doc_id) — deterministic total order for the catalog
+    oracle — and cuts at exact thirds: bucket boundaries are integer-rank
+    comparisons (3*rank <= n, <= 2n), so the assignment is hash-portable.
+    The exact path puts the whole corpus through one sort partition: it is
+    the VERIFICATION path and the bounded-slice path, same contract as
+    exact_stratified_split (SCALE.md's bounded-strata family).
+    """
+    if method == "exact":
+        w = Window.orderBy("bits_per_token", "doc_id")
+        n = scores.agg(F.count("*").alias("__n"))
+        ranked = scores.withColumn("__r", F.row_number().over(w)).crossJoin(
+            F.broadcast(n)
+        )
+        bucket = (
+            F.when(F.col("__r") * 3 <= F.col("__n"), F.lit("head"))
+            .when(F.col("__r") * 3 <= F.col("__n") * 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        return ranked.withColumn(bucket_col, bucket).drop("__r", "__n")
+    if method != "approx":
+        raise ValueError(f"method must be 'exact' or 'approx', got {method!r}")
+    th = scores.agg(
+        F.expr(
+            "approx_percentile(bits_per_token, array(0.3333333, 0.6666667), 10000)"
+        ).alias("__th")
+    ).select(
+        F.col("__th")[0].alias("__t1"), F.col("__th")[1].alias("__t2")
+    )
+    cut = scores.crossJoin(F.broadcast(th))
+    bucket = (
+        F.when(F.col("bits_per_token") <= F.col("__t1"), F.lit("head"))
+        .when(F.col("bits_per_token") <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return cut.withColumn(bucket_col, bucket).drop("__t1", "__t2")

@@ -1783,3 +1783,47 @@ def dd24_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_dedup(d, min_len=_DD24_MIN_LEN, hash_spans=False).select(
         "doc_id", "text", "n_tokens", "n_removed", "n_dup_spans"
     )
+
+
+def _dd25_oracle_sql() -> str:
+    """dd25 oracle: the SAME portable band-bucket CTEs as dd06 (one source
+    of truth for the MinHash constants), instantiated once for the train
+    slice and once for the eval slice, then the cross-corpus band join —
+    the relational spelling of operators.decontaminate.
+    fuzzy_contaminated_matches."""
+    return f"""
+    WITH {_pmh_pairs_ctes("(SELECT * FROM documents WHERE source <> 'src0')", "tr")},
+    {_pmh_pairs_ctes("(SELECT * FROM documents WHERE source = 'src0')", "ev")}
+    SELECT t.doc_id AS doc_id,
+           COUNT(DISTINCT t.band)::BIGINT AS n_shared_bands,
+           COUNT(DISTINCT e.doc_id)::BIGINT AS n_eval_matches
+    FROM trbands t
+    JOIN evbands e ON t.band = e.band AND t.bucket = e.bucket
+    GROUP BY 1
+    """
+
+
+@query(
+    "dd25_fuzzy_decontaminate",
+    oracle=_dd25_oracle_sql(),
+    tags=("dedup", "EXT", "decontamination", "minhash", "lsh"),
+    doc="FUZZY benchmark decontamination (operators.decontaminate."
+    "fuzzy_contaminated_matches): MinHash+LSH near-duplicate matching between the "
+    "train corpus and the eval slice — the edited-leak class exact n-gram overlap "
+    "(dd13/dd20) is blind to by construction (an edit every <n tokens leaves no "
+    "shared n-gram; the quality harness's paraphrase 0.000 contract).  The "
+    "published remedy (StarCoder/BigCode, Li et al. 2023).  Train side signs once "
+    "(the same persistable band index dedup uses); the benchmark-sized eval band "
+    "index broadcasts; no train self-join — O(train) like ngram mode.  Portable "
+    "hashing here so the match set value-verifies cross-engine; hasher='fast' is "
+    "the throughput twin (dd04 convention).",
+)
+def dd25_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.decontaminate import (
+        fuzzy_contaminated_matches,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    train = d.filter(F.col("source") != "src0")
+    ev = d.filter(F.col("source") == "src0")
+    return fuzzy_contaminated_matches(train, ev, hasher="portable")

@@ -1501,3 +1501,152 @@ def t31_bpe_byte_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bpe_token_counts_byte_level(table(spark, sf_dir, "documents"))
+
+
+# --- t32/t33: CCNet-style LM perplexity (operators.lm) ------------------
+# The reference slice the bigram LM trains on: a fixed trusted subset of
+# sources (CCNet trains on Wikipedia; here three of the twenty synthetic
+# sources play that role).
+_LM_REF_SOURCES = ("src0", "src1", "src2")
+
+
+def _lm_scores_oracle_cte() -> str:
+    """Shared oracle CTE chain: positioned token pairs, reference bigram /
+    unigram / total counts, per-token stupid-backoff rational, eighth-bit
+    integer log2 quantization (operators.lm module doc), per-doc sums."""
+    srcs = ", ".join(f"'{s}'" for s in _LM_REF_SOURCES)
+    thresholds = " + ".join(
+        f"(den*256 >= m*{t})::INT" for t in (279, 304, 332, 362, 395, 431, 470)
+    )
+    return f"""
+    WITH dt AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+'),
+                         x -> x != '') AS toks
+      FROM documents
+    ),
+    ref_pairs AS (
+      SELECT CASE WHEN i = 1 THEN NULL ELSE toks[i-1] END AS w1, toks[i] AS w2
+      FROM dt, UNNEST(generate_series(1, len(toks))) AS g(i)
+      WHERE source IN ({srcs})
+    ),
+    big AS (
+      SELECT w1, w2, COUNT(*)::BIGINT AS c12
+      FROM ref_pairs WHERE w1 IS NOT NULL GROUP BY w1, w2
+    ),
+    bigc AS (
+      SELECT w1, w2, c12, (SUM(c12) OVER (PARTITION BY w1))::BIGINT AS c1 FROM big
+    ),
+    uni AS (SELECT w2, COUNT(*)::BIGINT AS cu FROM ref_pairs GROUP BY w2),
+    tot AS (
+      SELECT COUNT(*)::BIGINT AS n_ref, COUNT(DISTINCT w2)::BIGINT AS v_ref
+      FROM ref_pairs
+    ),
+    doc_pairs AS (
+      SELECT doc_id, CASE WHEN i = 1 THEN NULL ELSE toks[i-1] END AS w1,
+             toks[i] AS w2
+      FROM dt, UNNEST(generate_series(1, len(toks))) AS g(i)
+    ),
+    branch AS (
+      SELECT p.doc_id,
+             (p.w1 IS NOT NULL AND b.c12 IS NULL)::INT AS is_backoff,
+             (u.cu IS NULL)::INT AS is_oov,
+             CASE WHEN p.w1 IS NULL THEN COALESCE(u.cu, 0) + 1
+                  WHEN b.c12 IS NULL THEN 2 * (COALESCE(u.cu, 0) + 1)
+                  ELSE b.c12 END::BIGINT AS num,
+             CASE WHEN p.w1 IS NULL THEN t.n_ref + t.v_ref
+                  WHEN b.c12 IS NULL THEN 5 * (t.n_ref + t.v_ref)
+                  ELSE b.c1 END::BIGINT AS den
+      FROM doc_pairs p
+      LEFT JOIN bigc b ON p.w1 = b.w1 AND p.w2 = b.w2
+      LEFT JOIN uni u ON p.w2 = u.w2
+      CROSS JOIN tot t
+    ),
+    k0t AS (
+      SELECT doc_id, is_backoff, is_oov, num, den,
+             length(bin(den)) - length(bin(num)) AS k0
+      FROM branch
+    ),
+    kt AS (
+      SELECT doc_id, is_backoff, is_oov, num, den,
+             CASE WHEN (num << k0) > den THEN k0 - 1 ELSE k0 END AS k
+      FROM k0t
+    ),
+    costed AS (
+      SELECT doc_id, is_backoff, is_oov,
+             8 * k + {thresholds} AS cost
+      FROM (SELECT doc_id, is_backoff, is_oov, den, k, (num << k) AS m FROM kt)
+    ),
+    lm_scores AS (
+      SELECT doc_id,
+             COUNT(*)::BIGINT AS n_tokens,
+             SUM(is_backoff)::BIGINT AS n_backoff,
+             SUM(is_oov)::BIGINT AS n_oov,
+             SUM(cost)::BIGINT AS cost_eighth_bits,
+             CAST(SUM(cost) AS DOUBLE) / (8.0 * COUNT(*)) AS bits_per_token
+      FROM costed
+      GROUP BY doc_id
+    )"""
+
+
+def _lm_catalog_inputs(spark: SparkSession, sf_dir: str):
+    d = table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source").isin(*_LM_REF_SOURCES))
+    return d, ref
+
+
+@query(
+    "t32_lm_perplexity",
+    oracle=_lm_scores_oracle_cte() + "\n    SELECT * FROM lm_scores",
+    tags=("text", "EXT", "quality", "lm", "ccnet"),
+    doc="CCNet-style LM perplexity scoring (operators.lm.lm_score): a bigram "
+    "stupid-backoff LM (Brants et al. 2007) trained on a fixed trusted source "
+    "slice scores every document's quantized cross-entropy — the model-based "
+    "quality signal of the published CCNet recipe (Wenzek et al. 2020), "
+    "complementing the heuristic gates (t02/t21/t23/t27/t28).  Every "
+    "probability is an exact BIGINT rational and -log2(p) is quantized to "
+    "eighth-bits in pure integer arithmetic (binary-digit counts + a 7-step "
+    "mantissa ladder), so document costs value-hash across engines; "
+    "bits_per_token is the one correctly-rounded IEEE division.",
+)
+def t32_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.lm import lm_score
+
+    d, ref = _lm_catalog_inputs(spark, sf_dir)
+    return lm_score(d, ref)
+
+
+@query(
+    "t33_perplexity_buckets",
+    oracle=_lm_scores_oracle_cte()
+    + """
+    , ranked AS (
+      SELECT doc_id, bits_per_token,
+             ROW_NUMBER() OVER (ORDER BY bits_per_token, doc_id) AS r,
+             COUNT(*) OVER () AS n
+      FROM lm_scores
+    )
+    SELECT doc_id, bits_per_token,
+           CASE WHEN 3 * r <= n THEN 'head'
+                WHEN 3 * r <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+    """,
+    tags=("text", "EXT", "quality", "lm", "ccnet"),
+    doc="CCNet head/middle/tail perplexity bucketing (operators.lm."
+    "perplexity_buckets): the paper's 33/66-percentile split of the crawl by LM "
+    "score, exact mode (deterministic (bits_per_token, doc_id) rank, integer "
+    "third-boundaries) for the oracle; production uses method='approx' — "
+    "approx_percentile thresholds broadcast as a narrow filter, the corpus "
+    "never sorts (the adaptive_quality_filter pattern).",
+)
+def t33_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.lm import (
+        lm_score,
+        perplexity_buckets,
+    )
+
+    d, ref = _lm_catalog_inputs(spark, sf_dir)
+    return perplexity_buckets(lm_score(d, ref), method="exact").select(
+        "doc_id", "bits_per_token", "ppl_bucket"
+    )

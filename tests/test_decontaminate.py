@@ -38,7 +38,7 @@ def test_ngram_mode_drops_overlapping_docs(spark):
 def test_unknown_mode_raises(spark):
     d = _df(spark, [(1, "x")])
     with pytest.raises(ValueError, match="mode"):
-        decontaminate(d, d, mode="fuzzy")
+        decontaminate(d, d, mode="nope")
 
 
 def test_train_side_never_shuffles(spark):
@@ -330,3 +330,84 @@ def test_prep_stream_threads_bloom_hasher(spark, tmp_path):
     expect = {r.doc_id for r in passing.collect()} - bad
     assert bad, "synthetic corpus should exhibit contamination"
     assert got == expect
+
+
+# --- fuzzy (MinHash) mode: dd25 -----------------------------------------
+
+
+def _long_doc(seed: str, n: int = 60) -> str:
+    return " ".join(f"{seed}tok{i}" for i in range(n))
+
+
+def test_fuzzy_catches_edited_leak_ngram_misses(spark):
+    from healthcare_data_pipeline_spark.operators.decontaminate import (
+        fuzzy_contaminated_matches,
+    )
+
+    base = _long_doc("leak1", n=120).split()
+    # rewrite every 12th token: longest clean run is 11 < 13, so the
+    # 13-gram rule sees nothing by construction.  Each edit poisons 3
+    # shingles -> J ~ 0.6, per-band fire prob J^4 ~ 0.13, any-band ~ 0.43:
+    # catching this class is PROBABILISTIC per doc (the published
+    # 1-(1-J^r)^b curve; the quality matrix measures the rate) — the seed
+    # "leak1" is a pinned deterministic collider under the portable hashes.
+    edited = [
+        (t + "_x" if i % 12 == 5 else t) for i, t in enumerate(base)
+    ]
+    train = _df(
+        spark,
+        [(1, " ".join(edited)), (2, _long_doc("clean"))],
+    )
+    ev = _df(spark, [(100, " ".join(base))])
+    exact = decontaminate(train, ev, mode="ngram", n=13).collect()
+    assert sorted(r.doc_id for r in exact) == [1, 2]  # ngram blind
+    m = fuzzy_contaminated_matches(train, ev).collect()
+    assert [r.doc_id for r in m] == [1]
+    assert m[0].n_shared_bands >= 1 and m[0].n_eval_matches == 1
+    out = decontaminate(train, ev, mode="fuzzy").collect()
+    assert [r.doc_id for r in out] == [2]
+
+
+def test_fuzzy_verbatim_leak_shares_all_bands(spark):
+    from healthcare_data_pipeline_spark.operators.decontaminate import (
+        fuzzy_contaminated_matches,
+    )
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import PMH_BANDS
+
+    train = _df(spark, [(1, _long_doc("same")), (2, _long_doc("other"))])
+    ev = _df(spark, [(100, _long_doc("same"))])
+    m = {r.doc_id: r for r in fuzzy_contaminated_matches(train, ev).collect()}
+    assert list(m) == [1]
+    assert m[1].n_shared_bands == PMH_BANDS
+
+
+def test_fuzzy_hasher_twins_agree_and_validate(spark):
+    from healthcare_data_pipeline_spark.operators.decontaminate import (
+        fuzzy_contaminated_matches,
+    )
+
+    train = _df(spark, [(1, _long_doc("dup")), (2, _long_doc("keep"))])
+    ev = _df(spark, [(100, _long_doc("dup"))])
+    ids_p = sorted(
+        r.doc_id for r in fuzzy_contaminated_matches(train, ev, hasher="portable").collect()
+    )
+    ids_f = sorted(
+        r.doc_id for r in fuzzy_contaminated_matches(train, ev, hasher="fast").collect()
+    )
+    assert ids_p == ids_f == [1]
+    with pytest.raises(ValueError, match="min_shared_bands"):
+        fuzzy_contaminated_matches(train, ev, min_shared_bands=0)
+
+
+def test_fuzzy_train_side_never_self_joins(spark):
+    """The train corpus joins ONLY the broadcast eval band index — no
+    train-train join, eval side broadcast."""
+    from healthcare_data_pipeline_spark.operators.decontaminate import (
+        fuzzy_contaminated_matches,
+    )
+
+    train = _df(spark, [(i, _long_doc(f"t{i}")) for i in range(6)])
+    ev = _df(spark, [(100, _long_doc("t3"))])
+    plan = fuzzy_contaminated_matches(train, ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,133 @@
+"""operators.lm — CCNet-style LM perplexity scoring (t32/t33).
+
+Pins: the hand-computed stupid-backoff model on a tiny corpus, the
+eighth-bit integer log2 quantizer's error bound against math.log2, the
+backoff/OOV accounting, NULL/empty-text behavior, exact-vs-approx bucket
+agreement on head docs, and the exact bucket thirds.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark.operators.lm import (
+    EIGHTH_BIT_THRESHOLDS,
+    eighth_bit_cost,
+    lm_score,
+    perplexity_buckets,
+)
+
+
+def _py_cost(num: int, den: int) -> int:
+    """The quantizer's defining computation, in python ints."""
+    k0 = den.bit_length() - num.bit_length()
+    k = k0 - 1 if (num << k0) > den else k0
+    m = num << k
+    j = sum(1 for t in EIGHTH_BIT_THRESHOLDS if den * 256 >= m * t)
+    return 8 * k + j
+
+
+REF = [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")]
+# ref token counts: the=4 cat=1 sat=2 on=2 mat=1 dog=1 rug=1 -> N=12 V=7
+# ref bigrams: (the,cat) (cat,sat) (sat,on)x2 (on,the)x2 (the,mat)
+#              (the,dog) (dog,sat) (the,rug); c1(the)=4 c1(cat)=1 c1(sat)=2
+#              c1(on)=2 c1(dog)=1
+
+
+@pytest.fixture(scope="module")
+def scores(spark):
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (10, "the cat sat"),
+            (11, "zebra quantum flux"),
+            (12, "the dog sat on the mat"),
+            (13, ""),
+            (14, None),
+            (15, "mat the"),  # (mat,the) unseen bigram, both in-vocab
+        ],
+        "doc_id long, text string",
+    )
+    out = lm_score(docs, ref)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_hand_computed_model(scores):
+    # doc 10: p(the)=(4+1)/19, p(cat|the)=1/4, p(sat|cat)=1/1
+    exp = _py_cost(5, 19) + _py_cost(1, 4) + _py_cost(1, 1)
+    r = scores[10]
+    assert r["cost_eighth_bits"] == exp
+    assert (r["n_tokens"], r["n_backoff"], r["n_oov"]) == (3, 0, 0)
+    assert r["bits_per_token"] == exp / (8.0 * 3)
+
+
+def test_backoff_and_oov(scores):
+    # doc 11: all three tokens OOV; first scores add-one unigram 1/19,
+    # the rest back off to 2*(0+1)/(5*19).
+    r = scores[11]
+    assert (r["n_tokens"], r["n_backoff"], r["n_oov"]) == (3, 2, 3)
+    assert r["cost_eighth_bits"] == _py_cost(1, 19) + 2 * _py_cost(2, 95)
+    # doc 15: "mat the" — both in vocabulary, bigram unseen: backoff with
+    # cu(the)=4 -> 2*(4+1)/95; first token mat -> (1+1)/19.
+    r15 = scores[15]
+    assert (r15["n_backoff"], r15["n_oov"]) == (1, 0)
+    assert r15["cost_eighth_bits"] == _py_cost(2, 19) + _py_cost(10, 95)
+
+
+def test_empty_and_null_text_absent(scores):
+    assert 13 not in scores and 14 not in scores
+
+
+def test_quantizer_error_bound(spark):
+    """cost/8 is within 1/8 bit + mantissa-threshold rounding (<= 0.127)
+    of true -log2(num/den), and the Spark column matches the python
+    definition bit-for-bit."""
+    import random
+
+    rng = random.Random(11)
+    cases = [(1, 1), (1, 2), (1, 3), (2, 3), (1, 2**43)]
+    for _ in range(300):
+        den = rng.randrange(1, 2**40)
+        num = rng.randrange(1, den + 1)
+        cases.append((num, den))
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = df.select(
+        "num", "den", eighth_bit_cost(F.col("num"), F.col("den")).alias("c")
+    ).collect()
+    for r in got:
+        assert r["c"] == _py_cost(r["num"], r["den"])
+        true = -math.log2(r["num"] / r["den"])
+        assert abs(r["c"] / 8.0 - true) <= 0.127, (r["num"], r["den"])
+
+
+def test_buckets_exact_thirds(spark):
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " + "zzz " * (i % 7)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    sc = lm_score(docs, ref)
+    b = perplexity_buckets(sc, method="exact")
+    counts = {r["ppl_bucket"]: r["n"] for r in b.groupBy("ppl_bucket").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"head": 10, "middle": 10, "tail": 10}
+    # head has strictly lower-or-equal max score than tail's min
+    rows = b.select("ppl_bucket", "bits_per_token").collect()
+    head_max = max(r["bits_per_token"] for r in rows if r["ppl_bucket"] == "head")
+    tail_min = min(r["bits_per_token"] for r in rows if r["ppl_bucket"] == "tail")
+    assert head_max <= tail_min
+    # approx mode agrees on the extremes (sketch thresholds may wobble at
+    # boundaries; the best head doc and worst tail doc cannot flip).
+    ba = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(sc, method="approx").collect()}
+    ordered = sorted(rows and b.select("doc_id", "bits_per_token").collect(), key=lambda r: (r["bits_per_token"], r["doc_id"]))
+    assert ba[ordered[0]["doc_id"]] == "head"
+    assert ba[ordered[-1]["doc_id"]] == "tail"
+
+
+def test_bad_method_raises(spark):
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    sc = lm_score(ref, ref)
+    with pytest.raises(ValueError, match="method"):
+        perplexity_buckets(sc, method="nope")

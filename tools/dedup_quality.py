@@ -707,6 +707,20 @@ def measure_decontamination(spark, docs: DataFrame) -> list[dict]:
       longest clean run is 7 < n=13, so ZERO shared grams survive — the
       documented n-gram-decontamination miss (catching it needs fuzzy /
       embedding machinery, not a bigger bitmap).
+    - ``edited_leak``    eval text with every 12th token rewritten: still
+      ZERO shared 13-grams (run length 11 < 13 — ngram/bloom recall is a
+      0.000 contract), but 3-gram shingle Jaccard ~0.6 — the class
+      ``decon_fuzzy`` (dd25, MinHash train x eval) exists for; its measured
+      recall sits on the published 1-(1-J^4)^4 band curve, NOT at 1.0.
+
+    The ``decon_fuzzy`` rows run against a fuzzy-decontaminated baseline
+    (clean_f — the fixpoint for ITS collision definition, so its FP count
+    is a hard zero contract like the others) and measure the
+    complementarity claim from both sides: ``verbatim_leak`` 1.0 (identical
+    docs share all bands), ``quote_13tok`` ~0.0 BY DESIGN (a 13-token quote
+    inside a long doc leaves doc-level Jaccard near zero — the quote class
+    belongs to the n-gram rule), ``edited_leak``/``paraphrase`` partial at
+    the banding curve (the classes the n-gram rule cannot see at all).
 
     The bloom bitmap is sized by the module's own ``bloom_m_bits`` helper at
     target_fpp=1e-4 from the measured eval gram count (the fixed 2^20
@@ -763,7 +777,16 @@ def measure_decontamination(spark, docs: DataFrame) -> list[dict]:
         "source",
         F.lit("paraphrase").alias("family"),
     )
-    plants = verbatim.unionByName(quote).unionByName(paraphrase)
+    edited = eval_df.filter(n_toks >= 24).select(
+        (F.col("doc_id") + 8 * FAM_OFFSET).alias("doc_id"),
+        F.expr(
+            "array_join(transform(split(text, ' '), (t, i) -> CASE WHEN i % 12 = 5 "
+            "THEN substring(md5(concat(t, '_el')), 1, 8) ELSE t END), ' ')"
+        ).alias("text"),
+        "source",
+        F.lit("edited_leak").alias("family"),
+    )
+    plants = verbatim.unionByName(quote).unionByName(paraphrase).unionByName(edited)
     plants.cache()
     planted = clean.unionByName(plants.drop("family"))
 
@@ -817,6 +840,51 @@ def measure_decontamination(spark, docs: DataFrame) -> list[dict]:
             }
         )
         rows.extend(part)
+
+    # --- decon_fuzzy (dd25): doc-level MinHash near-dup against eval ------
+    # Its own fixpoint baseline, so FP on clean_f is a zero contract for
+    # THIS collision definition too.
+    clean_f = decontaminate(clean, eval_df, mode="fuzzy").select(
+        "doc_id", "text", "source"
+    )
+    clean_f.cache()
+    n_clean_f = clean_f.count()
+    planted_f = clean_f.unionByName(plants.drop("family"))
+    out_f = decontaminate(planted_f, eval_df, mode="fuzzy").select("doc_id")
+    verdicts_f = (
+        plants.join(out_f.withColumn("__alive", F.lit(1)), "doc_id", "left")
+        .groupBy("family")
+        .agg(
+            F.count("*").alias("planted"),
+            F.sum(F.when(F.col("__alive").isNull(), 1).otherwise(0)).alias("caught"),
+        )
+        .collect()
+    )
+    fp_f = clean_f.select("doc_id").join(out_f, "doc_id", "left_anti").count()
+    part_f = [
+        {
+            "operator": "decon_fuzzy",
+            "family": r.family,
+            "planted": r.planted,
+            "caught": int(r.caught),
+            "recall": round(r.caught / r.planted, 3) if r.planted else None,
+            "similarity": round(sims.get(r.family, 0.0), 4),
+        }
+        for r in verdicts_f
+    ]
+    tp_f = sum(r["caught"] for r in part_f)
+    part_f.append(
+        {
+            "operator": "decon_fuzzy",
+            "family": "(precision)",
+            "planted": n_clean_f,
+            "caught": tp_f,
+            "fp": fp_f,
+            "precision": round(tp_f / (tp_f + fp_f), 4) if tp_f + fp_f else None,
+        }
+    )
+    rows.extend(part_f)
+    clean_f.unpersist()
     plants.unpersist()
     eval_grams.unpersist()
     clean.unpersist()
