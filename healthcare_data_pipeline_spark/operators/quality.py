@@ -816,3 +816,106 @@ def repetition_filter(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         F.col("rep_pass")
     ).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------------------------
+# C4 cleaning battery — Raffel et al. 2020 (T5), §2.2 "Colossal Clean
+# Crawled Corpus" heuristics.
+
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """The published C4 line/page cleaning rules (Raffel et al. 2020 §2.2),
+    as one zero-shuffle projection:
+
+    line rules (a line SURVIVES iff all three hold):
+    - ends in a terminal punctuation mark (period / ! / ? / end quote —
+      the paper's list, ``C4_TERMINALS``);
+    - contains at least ``min_words_per_line`` (paper: 5) words;
+    - does not contain the word "javascript" (case-insensitive).
+
+    page rules (the whole document is DROPPED iff any holds):
+    - fewer than ``min_sentences`` (paper: 3) surviving lines — each kept
+      line ends in terminal punctuation, so kept-line count is the
+      battery's sentence proxy;
+    - the phrase "lorem ipsum" appears anywhere (case-insensitive);
+    - a curly bracket ``{`` appears anywhere (code);
+    - any ``blocklist`` word appears as a token (the paper filters against
+      the public "List of Dirty, Naughty …" list; the list itself is a
+      caller-supplied parameter here, default empty).
+
+    Output: (doc_id, text = surviving lines joined by newline, n_lines,
+    n_kept_lines, flag_lorem_ipsum, flag_curly_brace, flag_blocklist,
+    c4_keep) — flags are the page-drop reasons, ``c4_keep`` the AND.  The
+    battery complements the Gopher batteries: A1.1/A1.2 gate on
+    distributional shape, C4 on line-grain editorial shape (boilerplate
+    nav links, code fragments, template junk are line-local signals).
+
+    Scale shape: one scalar projection over the scan — every rule is a
+    string/array expression inside whole-stage codegen; no shuffle, no UDF,
+    no explode (lines live inside per-row arrays).  Hash-portable by
+    construction (exact string/integer predicates only); catalog t34.
+    """
+    terms = ", ".join(f"'{t}'" if t != '"' else "'\"'" for t in C4_TERMINALS)
+    lines = f"filter(split({text_col}, '\\n'), l -> trim(l) != '')"
+    wc = "size(filter(split(trim(l), '[ \\\\t]+'), w -> w != ''))"
+    keep_l = (
+        f"filter({lines}, l -> "
+        f"substring(trim(l), length(trim(l)), 1) IN ({terms}) "
+        f"AND {wc} >= {min_words_per_line} "
+        f"AND NOT contains(lower(l), 'javascript'))"
+    )
+    toks = f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+'), x -> x != '')"
+    if blocklist:
+        bl = ", ".join("'" + w.lower().replace("'", "''") + "'" for w in blocklist)
+        blocked = f"size(filter({toks}, x -> x IN ({bl}))) > 0"
+    else:
+        blocked = "false"
+    out = docs.selectExpr(
+        f"{id_col} AS doc_id",
+        f"array_join({keep_l}, '\\n') AS text",
+        f"size({lines}) AS n_lines",
+        f"size({keep_l}) AS n_kept_lines",
+        f"contains(lower({text_col}), 'lorem ipsum') AS flag_lorem_ipsum",
+        f"contains({text_col}, '{{') AS flag_curly_brace",
+        f"({blocked}) AS flag_blocklist",
+    )
+    return out.selectExpr(
+        "*",
+        f"(NOT flag_lorem_ipsum AND NOT flag_curly_brace AND NOT flag_blocklist "
+        f"AND n_kept_lines >= {min_sentences}) AS c4_keep",
+    )
+
+
+def c4_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """Apply ``c4_clean``: keep only passing documents, with ``text_col``
+    replaced by the line-cleaned text (all other columns preserved)."""
+    cleaned = c4_clean(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        min_words_per_line=min_words_per_line,
+        min_sentences=min_sentences,
+        blocklist=blocklist,
+    ).filter("c4_keep")
+    keep = cleaned.select(F.col("doc_id").alias(id_col), F.col("text").alias("__c4_text"))
+    return (
+        docs.drop(text_col)
+        .join(keep, id_col)
+        .withColumnRenamed("__c4_text", text_col)
+    )

@@ -1320,3 +1320,252 @@ def ann_index_for(spark, sf_dir: str, en: DataFrame, variant: str = "full", buil
         with open(marker, "w", encoding="utf-8") as fh:
             fh.write("ok\n")
     return idx
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" (the FAISS IndexPQ construction), relationally.
+
+
+def _sub_explode(
+    en: DataFrame, m: int, sub_dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, sub_id, sv): each vector split into its m contiguous
+    sub_dim-wide subvectors (one explode of small structs — the full vector
+    is never replicated per row)."""
+    return en.selectExpr(
+        f"{id_col} AS vec_id",
+        f"""explode(transform(sequence(0, {m - 1}), mi ->
+              struct(mi AS sub_id,
+                     slice({vec_col}, mi * {sub_dim} + 1, {sub_dim}) AS sv))) AS p""",
+    ).select("vec_id", "p.sub_id", "p.sv")
+
+
+def _pq_dim(en: DataFrame, m: int, vec_col: str, max_component: float) -> int:
+    head = en.select(F.size(F.col(vec_col)).alias("d")).head()
+    if head is None or head.d is None:
+        raise ValueError("pq: empty input or NULL vectors")
+    dim = int(head.d)
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m} subspaces")
+    worst = float(dim) * (2.0 * max_component) ** 2
+    if worst >= 2.0**53:
+        raise ValueError(
+            f"pq exactness overflow: dim={dim} with max_component="
+            f"{max_component} gives worst-case ADC distance {worst:.3g} >= "
+            "2^53 — quantize the vectors tighter (and pass the true "
+            "max_component)."
+        )
+    return dim
+
+
+def _books_row(codebooks: DataFrame):
+    """ONE broadcast row: ``__books`` = array over sub_id of array<struct(j,c)>
+    sorted by centroid id — the shared lookup structure of encode and ADC."""
+    return F.broadcast(
+        codebooks.groupBy("sub_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "c"))).alias("bk"))
+        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "bk"))).alias("pb"))
+        .select(F.transform("pb", lambda x: x["bk"]).alias("__books"))
+    )
+
+
+def pq_train(
+    en: DataFrame,
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "iv",
+    max_component: float = 600_000.0,
+) -> DataFrame:
+    """Train the PQ codebooks: independent deterministic k-means (the
+    integer-Lloyd contract of ``kmeans_assign`` — smallest-id seeds,
+    truncated integer means, struct-argmin ties toward the lowest id) in
+    each of ``m`` contiguous subspaces, run as ONE grouped job — the
+    subspace id is just another grouping key, so all m codebooks train in
+    ``iters + 1`` passes total, not m separate jobs.
+
+    Output: (sub_id, j, c) — m·k centroid rows, the entire model (a few KB;
+    broadcast everywhere it is consumed).  Why PQ at 100 TB: a 64-dim fp32
+    vector is 256 bytes; its PQ code is m bytes (one codebook index per
+    subspace) — at m=8 that is 32x less scan I/O for the candidate pass,
+    with the exact-rescore shortlist paying full vectors only for the
+    handful of survivors (the published ADC + rescore recipe, and the next
+    rung below SQ8's fixed ~4x on the same axis).
+
+    Scale shape per iteration: assignment is a ZERO-shuffle scan (all m
+    codebooks ride one broadcast row; the argmin is a scalar expression per
+    (vector, subspace) row), the update one groupBy over m·k·sub_dim keys
+    with map-side combine.  Nothing collects to the driver.
+    """
+    if k < 1 or iters < 0 or m < 1:
+        raise ValueError(f"need m,k >= 1 and iters >= 0, got m={m} k={k} iters={iters}")
+    dim = _pq_dim(en, m, vec_col, max_component)
+    sd = dim // m
+    from pyspark.sql import Window
+
+    subs = _sub_explode(en, m, sd, id_col, vec_col)
+
+    # seeds: the k smallest-id vectors (ONE TakeOrdered of k rows), sliced
+    # into every subspace — global window bounded at k rows, the
+    # kmeans_assign pattern.
+    w = Window.orderBy("vec_id")
+    seed = (
+        en.selectExpr(f"{id_col} AS vec_id", f"{vec_col} AS __v")
+        .orderBy("vec_id")
+        .limit(k)
+        .select((F.row_number().over(w) - 1).alias("j"), F.col("__v"))
+    )
+    cents = seed.selectExpr(
+        "j",
+        f"""explode(transform(sequence(0, {m - 1}), mi ->
+              struct(mi AS sub_id, slice(__v, mi * {sd} + 1, {sd}) AS c))) AS p""",
+    ).select("p.sub_id", "j", "p.c")
+
+    def assign(cbooks: DataFrame) -> DataFrame:
+        min_sql = _kmeans_min_sql("sv", arr="element_at(__books, sub_id + 1)")
+        return (
+            subs.crossJoin(_books_row(cbooks))
+            .withColumn("__m", F.expr(min_sql))
+            .select(
+                "vec_id",
+                "sub_id",
+                "sv",
+                F.expr("CAST(__m.j AS INT)").alias("cluster_id"),
+            )
+        )
+
+    for _ in range(iters):
+        asg = assign(cents)
+        comp = (
+            asg.select("sub_id", "cluster_id", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("sub_id", "cluster_id", "pos")
+            .agg(F.sum(F.col("v").cast("long")).alias("s"), F.count("*").alias("n"))
+        )
+        cents = (
+            comp.withColumn(
+                "cv", F.expr(f"CAST({_trunc_div_sql('s', 'n')} AS DOUBLE)")
+            )
+            .groupBy("sub_id", "cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+            .select(
+                "sub_id",
+                F.col("cluster_id").alias("j"),
+                F.transform("pc", lambda x: x["cv"]).alias("c"),
+            )
+        )
+    return cents
+
+
+def pq_encode(
+    en: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "iv",
+) -> DataFrame:
+    """All input columns + ``codes``: per subspace, the POSITION (0-based,
+    within the sub_id-sorted codebook array) of the nearest centroid —
+    position-coded rather than centroid-id-coded so ADC's LUT lookup
+    (``element_at(lut, code+1)``) stays aligned even if Lloyd dropped an
+    empty cell and the id space has gaps.  Ties break toward the lowest
+    position == lowest centroid id (books are sorted by j).
+
+    ONE zero-shuffle scan: the codes are a single scalar expression against
+    the broadcast codebooks — no explode, no groupBy, so encoding co-lives
+    in whatever stage scans the vectors (e.g. the index build).
+    """
+    dist = (
+        "aggregate(zip_with(slice({v}, mi * __sd + 1, __sd), s.c, "
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, d) -> acc + d)"
+    ).format(v=vec_col)
+    codes_sql = f"""transform(sequence(0, size(__books) - 1), mi ->
+        CAST(array_min(transform(element_at(__books, mi + 1),
+          (s, i) -> struct({dist} AS d, i AS p))).p AS INT))"""
+    return (
+        en.crossJoin(_books_row(codebooks))
+        .withColumn("__sd", F.expr("size(element_at(element_at(__books, 1), 1).c)"))
+        .withColumn("codes", F.expr(codes_sql))
+        .drop("__books", "__sd")
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    top: int = 5,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "q_iv",
+    rescore: DataFrame | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query, rank the WHOLE code table
+    by the PQ approximation of squared L2 — sum over subspaces of the exact
+    distance between the query's subvector and each vector's ASSIGNED
+    centroid — and keep the ``top`` best.  Output: (query_id, vec_id,
+    adc_dist, rn); with ``rescore`` (a (vec_id, iv) relation), the
+    ``shortlist`` (default 4·top) best ADC candidates are re-ranked by
+    EXACT distance against their full vectors — the published ADC+rescore
+    recipe — and rn/dist_sq reflect the exact ranking.
+
+    Exactness: centroids are integer-valued (truncated means of quantized
+    vectors), queries are quantized integers, so every per-subspace LUT
+    entry is an exact integer in a double and the ADC sum is an exact
+    BIGINT — hash-portable (catalog s12); ties break by vec_id.
+
+    Scale shape: the per-query LUT (m·k integers) is computed once per
+    query on the BROADCAST codebooks; the codes table is scanned ONCE per
+    query batch (queries broadcast with their LUTs; ADC is one scalar
+    zip_with/aggregate per (query, code-row) — no explode, no join on the
+    big side), then one per-query top-k window on (adc_dist, vec_id).  The
+    scan reads m-byte codes instead of full vectors — PQ's point; compose
+    with the IVF cell index (route queries, scan only probed cells'
+    codes) for the sublinear form.
+    """
+    if top < 1:
+        raise ValueError(f"need top >= 1, got {top}")
+    from pyspark.sql import Window
+    lut_sql = """transform(__books, (bk, mi) ->
+        transform(bk, s -> aggregate(zip_with(
+            slice({qv}, mi * __sd + 1, __sd), s.c,
+            (x, y) -> (x - y) * (x - y)), 0D, (acc, d) -> acc + d)))""".format(
+        qv=query_vec_col
+    )
+    qlut = (
+        queries.crossJoin(_books_row(codebooks))
+        .withColumn("__sd", F.expr("size(element_at(element_at(__books, 1), 1).c)"))
+        .select(query_id_col, F.expr(lut_sql).alias("__lut"))
+    )
+    adc = F.expr(
+        "CAST(aggregate(zip_with(codes, __lut, (c, row) -> element_at(row, c + 1)), "
+        "0D, (acc, d) -> acc + d) AS BIGINT)"
+    )
+    pairs = codes.crossJoin(F.broadcast(qlut)).select(
+        query_id_col,
+        F.col(id_col).alias("vec_id"),
+        adc.alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", "vec_id")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    if rescore is None:
+        return ranked.filter(F.col("rn") <= top)
+    sl = shortlist or 4 * top
+    cand = ranked.filter(F.col("rn") <= sl).drop("rn")
+    ex = rescore.select(F.col(id_col).alias("vec_id"), F.col("iv").alias("__fv"))
+    qv = queries.select(query_id_col, F.col(query_vec_col).alias("__qv"))
+    exact = (
+        cand.join(ex, "vec_id")
+        .join(F.broadcast(qv), query_id_col)
+        .withColumn(
+            "dist_sq",
+            F.expr(
+                "CAST(aggregate(zip_with(__fv, __qv, (x, y) -> (x - y) * (x - y)), "
+                "0D, (acc, d) -> acc + d) AS BIGINT)"
+            ),
+        )
+        .drop("__fv", "__qv")
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy("dist_sq", "vec_id")
+    return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= top)

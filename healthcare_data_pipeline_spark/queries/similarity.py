@@ -643,3 +643,131 @@ def s11_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(quantized(spark, sf_dir), k=8, iters=2).select(
         "vec_id", "cluster_id", "dist_sq"
     )
+
+
+def _pq_ctes(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Product-quantization oracle CTEs: the grouped integer-Lloyd of
+    operators.similarity.pq_train with the subspace id as an extra grouping
+    key, iterations unrolled (the s11/_kmeans_ctes pattern), ending in the
+    final per-(vector, subspace) assignment ``paf`` and final codebooks
+    ``pc{iters}``.  The min-ordinal ``d*k + j`` stays exact: d <= sub_dim *
+    (2*6e5)^2 ~ 4.6e13, * k=8 ~ 3.7e14 < 2^53."""
+    sd = dim // m
+    sub = "iv[mi*{sd}+1 : mi*{sd}+{sd}]".format(sd=sd)
+
+    def assign(name: str, cent: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT e.vec_id, e.sub_id,
+             MIN((list_dot_product(e.sv, e.sv) - 2 * list_dot_product(e.sv, c.c)
+                  + list_dot_product(c.c, c.c)) * {k} + c.j) AS o
+      FROM ens e JOIN {cent} c USING (sub_id)
+      GROUP BY 1, 2
+    )"""
+
+    def update(a: str, s: str, c: str) -> str:
+        return f"""
+    {s} AS (
+      SELECT e.sub_id, CAST(CAST(a.o AS BIGINT) % {k} AS INT) AS cl, t.i AS pos,
+             SUM(CAST(e.sv[t.i] AS BIGINT)) AS s, COUNT(*) AS n
+      FROM ens e JOIN {a} a ON e.vec_id = a.vec_id AND e.sub_id = a.sub_id,
+           generate_series(1, {sd}) AS t(i)
+      GROUP BY 1, 2, 3
+    ),
+    {c} AS (
+      SELECT sub_id, cl AS j,
+             list_transform(list_sort(list(struct_pack(pos := pos,
+               cv := CAST(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS DOUBLE)))),
+               x -> x.cv) AS c
+      FROM {s} GROUP BY 1, 2
+    )"""
+
+    parts = [
+        f"""
+    , ens AS (
+      SELECT vec_id, mi AS sub_id, {sub} AS sv
+      FROM en, UNNEST(generate_series(0, {m - 1})) AS g(mi)
+    ),
+    pseedj AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, iv
+      FROM (SELECT vec_id, iv FROM en ORDER BY vec_id LIMIT {k})
+    ),
+    pc0 AS (
+      SELECT mi AS sub_id, j, {sub} AS c
+      FROM pseedj, UNNEST(generate_series(0, {m - 1})) AS g(mi)
+    )"""
+    ]
+    prev = "pc0"
+    for it in range(1, iters + 1):
+        parts.append("," + assign(f"pa{it}", prev))
+        parts.append("," + update(f"pa{it}", f"ps{it}", f"pc{it}"))
+        prev = f"pc{it}"
+    parts.append("," + assign("paf", prev))
+    return _QUANT_SQL + "".join(parts)
+
+
+_S12_NQ = 5
+_S12_TOP = 5
+
+
+def _s12_oracle_sql(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    sd = dim // m
+    return (
+        _pq_ctes(m, k, iters, dim)
+        + f"""
+    , pcode AS (
+      SELECT vec_id, sub_id, CAST(CAST(o AS BIGINT) % {k} AS INT) AS j FROM paf
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, mi AS sub_id, iv[mi*{sd}+1 : mi*{sd}+{sd}] AS sv
+      FROM en, UNNEST(generate_series(0, {m - 1})) AS g(mi)
+      WHERE vec_id < {_S12_NQ}
+    ),
+    adcp AS (
+      SELECT q.query_id, cs.vec_id,
+             CAST(SUM(list_dot_product(q.sv, q.sv) - 2 * list_dot_product(q.sv, c.c)
+                      + list_dot_product(c.c, c.c)) AS BIGINT) AS adc_dist
+      FROM pcode cs
+      JOIN pc{iters} c ON cs.sub_id = c.sub_id AND cs.j = c.j
+      JOIN qsub q ON q.sub_id = cs.sub_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rn FROM (
+      SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rn
+      FROM adcp
+    ) WHERE rn <= {_S12_TOP}
+    """
+    )
+
+
+@query(
+    "s12_pq_adc",
+    oracle=_s12_oracle_sql(),
+    tags=("similarity", "EXT", "ann", "pq", "iterative"),
+    doc="Product quantization + ADC top-k (operators.similarity.pq_train/pq_encode/"
+    "pq_adc_topk; Jégou et al. 2011 — the FAISS IndexPQ construction): independent "
+    "deterministic k-means per contiguous subspace trained as ONE grouped integer-Lloyd "
+    "job (subspace id is just a grouping key), vectors encoded to m position-codes in a "
+    "zero-shuffle scalar scan, queries ranked by the asymmetric distance (sum of exact "
+    "per-subspace LUT entries against the broadcast codebooks — an exact BIGINT, so the "
+    "whole train->encode->rank composition hash-verifies with the Lloyd iterations "
+    "unrolled as CTE stages).  At 100 TB the codes scan is m bytes/vector vs 4*dim fp32 "
+    "(32x at m=8/dim=64) — the axis below SQ8's fixed ~4x; compose with the IVF cell "
+    "index for sublinear probes and exact-rescore the shortlist (rescore= path, tested).",
+)
+def s12_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    en = quantized(spark, sf_dir).select("vec_id", "iv")
+    books = pq_train(en, m=2, k=8, iters=2)
+    codes = pq_encode(en, books).select("vec_id", "codes")
+    q = en.filter(F.col("vec_id") < _S12_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("iv").alias("q_iv")
+    )
+    return pq_adc_topk(q, codes, books, top=_S12_TOP)

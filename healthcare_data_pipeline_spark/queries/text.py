@@ -1650,3 +1650,92 @@ def t33_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(lm_score(d, ref), method="exact").select(
         "doc_id", "bits_per_token", "ppl_bucket"
     )
+
+
+# --- t34: C4 cleaning battery (operators.quality.c4_clean) ----------------
+# The synthetic corpus is single-line and unpunctuated, so the catalog
+# entry first applies a DETERMINISTIC lining transform (6-token lines; a
+# terminal period on most lines, none when (doc_id+i)%4=0, a trailing
+# ' javascript.' when (doc_id+i)%7=0) and plants the page-level drop
+# reasons ('lorem ipsum' on doc_id%11=3, a curly-brace code line on
+# doc_id%13=5) — mirrored exactly in the oracle, so every rule has live
+# positive and negative cases at sf0.01.
+_C4_BLOCKLIST = ("forbidden", "slow")
+
+_C4_LINED_SPARK = """
+    concat(
+      array_join(transform(sequence(1, CAST(ceil(size(split(text, ' ')) / 6.0) AS INT)),
+        i -> concat(array_join(slice(split(text, ' '), (i - 1) * 6 + 1, 6), ' '),
+          CASE WHEN (doc_id + i) % 4 = 0 THEN ''
+               WHEN (doc_id + i) % 7 = 0 THEN ' javascript.'
+               ELSE '.' END)), '\\n'),
+      CASE WHEN doc_id % 11 = 3 THEN '\\nthis page has lorem ipsum planted on it for the filter.' ELSE '' END,
+      CASE WHEN doc_id % 13 = 5 THEN '\\nfunction f() { return 1; }.' ELSE '' END
+    )"""
+
+
+def _t34_oracle_sql() -> str:
+    bl = ", ".join(f"'{w}'" for w in _C4_BLOCKLIST)
+    return f"""
+    WITH lined AS (
+      SELECT doc_id,
+             concat(
+               array_to_string(list_transform(generate_series(1,
+                   CAST(ceil(len(string_split(text, ' ')) / 6.0) AS INT)),
+                 i -> concat(array_to_string(string_split(text, ' ')[(i - 1) * 6 + 1 : i * 6], ' '),
+                   CASE WHEN (doc_id + i) % 4 = 0 THEN ''
+                        WHEN (doc_id + i) % 7 = 0 THEN ' javascript.'
+                        ELSE '.' END)), chr(10)),
+               CASE WHEN doc_id % 11 = 3 THEN chr(10) || 'this page has lorem ipsum planted on it for the filter.' ELSE '' END,
+               CASE WHEN doc_id % 13 = 5 THEN chr(10) || 'function f() {{ return 1; }}.' ELSE '' END
+             ) AS text
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lines
+      FROM lined
+    ),
+    kept AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, l ->
+               substring(trim(l), length(trim(l)), 1) IN ('.', '!', '?', '"')
+               AND len(list_filter(string_split_regex(trim(l), '[ \\t]+'), w -> w != '')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS keep_l,
+             len(list_filter(list_filter(string_split_regex(lower(text),
+                   '[ \\t\\n\\r\\f\\x0B]+'), x -> x != ''), x -> x IN ({bl}))) > 0 AS blocked
+      FROM parts
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(keep_l, chr(10)), '') AS text,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(keep_l) AS BIGINT) AS n_kept_lines,
+           contains(lower(text), 'lorem ipsum') AS flag_lorem_ipsum,
+           contains(text, '{{') AS flag_curly_brace,
+           blocked AS flag_blocklist,
+           (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{{')
+            AND NOT blocked AND len(keep_l) >= 3) AS c4_keep
+    FROM kept
+    """
+
+
+@query(
+    "t34_c4_rules",
+    oracle=_t34_oracle_sql(),
+    tags=("text", "EXT", "quality", "c4"),
+    doc="The published C4 cleaning battery (operators.quality.c4_clean; Raffel et al. "
+    "2020 §2.2): line rules (terminal punctuation, >= 5 words, no 'javascript') "
+    "rebuild each page from its surviving lines; page rules ('lorem ipsum', curly "
+    "brace, blocklist words, >= 3 surviving sentences) gate the document — the "
+    "line-grain editorial complement of the Gopher batteries.  One zero-shuffle "
+    "scalar projection (no explode: lines live inside per-row arrays), exact "
+    "string/integer predicates only, so the rebuilt text and every flag "
+    "hash-verify.",
+)
+def t34_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.quality import c4_clean
+
+    d = table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _C4_LINED_SPARK + " AS text"
+    )
+    return c4_clean(d, blocklist=_C4_BLOCKLIST)

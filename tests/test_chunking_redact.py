@@ -756,3 +756,46 @@ def test_prep_corpus_repetition_gate_composes(spark):
     assert gated.filter(F.col("doc_id") == 9_900_001).count() == 0  # closed
     # the gate only removes docs (subset-monotone)
     assert gated.count() <= base.count()
+
+
+# --- C4 cleaning battery (t34) --------------------------------------------
+
+
+def test_c4_line_and_page_rules(spark):
+    from healthcare_data_pipeline_spark.operators.quality import c4_clean, c4_filter
+
+    docs = spark.createDataFrame(
+        [
+            # survives: two 5+-word terminal lines dropped? needs >= 3 kept
+            (1, "one two three four five six.\nseven eight nine ten eleven!\ntwelve thirteen fourteen fifteen sixteen?"),
+            # line rules: no terminal punct / short / javascript
+            (2, "one two three four five six\nshort line here.\nthis line mentions JavaScript five words more.\na b c d e f."),
+            # page rules
+            (3, "one two three four five.\nlorem ipsum dolor sit amet.\nsix seven eight nine ten.\neleven twelve thirteen fourteen fifteen."),
+            (4, 'var x = {\none two three four five.\nsix seven eight nine ten.\neleven twelve thirteen fourteen fifteen.'),
+            (5, "one two three badword four five.\nsix seven eight nine ten.\neleven twelve thirteen fourteen fifteen."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_clean(docs, blocklist=("badword",)).collect()}
+    r1 = out[1]
+    assert (r1.n_lines, r1.n_kept_lines, r1.c4_keep) == (3, 3, True)
+    assert r1.text.count("\n") == 2
+    # doc 2: only the last line survives (terminal+5 words+no js) -> < 3 kept
+    r2 = out[2]
+    assert r2.n_kept_lines == 1 and not r2.c4_keep
+    assert "javascript" not in r2.text.lower()
+    assert out[3].flag_lorem_ipsum and not out[3].c4_keep
+    assert out[4].flag_curly_brace and not out[4].c4_keep
+    assert out[5].flag_blocklist and not out[5].c4_keep
+    kept = c4_filter(docs, blocklist=("badword",))
+    assert [r.doc_id for r in kept.collect()] == [1]
+    assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_c4_clean_is_one_scan_no_shuffle(spark):
+    from healthcare_data_pipeline_spark.operators.quality import c4_clean
+
+    docs = spark.createDataFrame([(1, "a b c d e f.")], "doc_id long, text string")
+    plan = c4_clean(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan

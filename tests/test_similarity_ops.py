@@ -659,3 +659,157 @@ def test_kmeans_assign_overflow_guard(spark):
     assert out.count() == en.count()
     with pytest.raises(ValueError, match="centroid_shards"):
         kmeans_assign(en, k=8, centroid_shards=0)
+
+
+# --- product quantization (s12) ------------------------------------------
+
+
+def _py_pq(vecs: dict[int, list[float]], m: int, k: int, iters: int):
+    """Canonical python mirror of the grouped integer-Lloyd + encode."""
+    dim = len(next(iter(vecs.values())))
+    sd = dim // m
+    subs = {
+        (vid, mi): v[mi * sd : (mi + 1) * sd]
+        for vid, v in vecs.items()
+        for mi in range(m)
+    }
+    seeds = sorted(vecs)[:k]
+    books = {
+        mi: [(j, subs[(vid, mi)]) for j, vid in enumerate(seeds)] for mi in range(m)
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def assign(books):
+        return {
+            (vid, mi): min((d2(sv, c), j) for j, c in books[mi])[1]
+            for (vid, mi), sv in subs.items()
+        }
+
+    def tdiv(s, n):
+        return s // n if s >= 0 else -((-s) // n)
+
+    for _ in range(iters):
+        a = assign(books)
+        nb = {}
+        for mi in range(m):
+            cells = {}
+            for vid in vecs:
+                cells.setdefault(a[(vid, mi)], []).append(subs[(vid, mi)])
+            nb[mi] = sorted(
+                (
+                    j,
+                    [
+                        float(tdiv(int(sum(sv[p] for sv in members)), len(members)))
+                        for p in range(sd)
+                    ],
+                )
+                for j, members in cells.items()
+            )
+        books = nb
+    a = assign(books)
+    # position-codes: index within the j-sorted book
+    posmap = {mi: {j: p for p, (j, _) in enumerate(books[mi])} for mi in range(m)}
+    codes = {
+        vid: [posmap[mi][a[(vid, mi)]] for mi in range(m)] for vid in vecs
+    }
+    return books, codes
+
+
+def _pq_fixture(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = {i: [float(rng.randrange(-1000, 1000)) for _ in range(8)] for i in range(40)}
+    en = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, iv array<double>"
+    )
+    return vecs, en
+
+
+def test_pq_train_encode_match_python_mirror(spark):
+    from healthcare_data_pipeline_spark.operators.similarity import pq_encode, pq_train
+
+    vecs, en = _pq_fixture(spark)
+    books = pq_train(en, m=2, k=4, iters=2)
+    got_books = {
+        (r.sub_id, r.j): list(r.c) for r in books.collect()
+    }
+    exp_books, exp_codes = _py_pq(vecs, m=2, k=4, iters=2)
+    exp_flat = {
+        (mi, j): c for mi, bk in exp_books.items() for j, c in bk
+    }
+    assert got_books == exp_flat
+    got_codes = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(en, books).select("vec_id", "codes").collect()
+    }
+    assert got_codes == exp_codes
+
+
+def test_pq_adc_exact_on_codes_and_rescore_self_match(spark):
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    vecs, en = _pq_fixture(spark)
+    books = pq_train(en, m=2, k=4, iters=2)
+    codes = pq_encode(en, books).select("vec_id", "codes")
+    q = en.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("iv").alias("q_iv")
+    )
+    out = pq_adc_topk(q, codes, books, top=3).collect()
+    # python ADC recompute
+    exp_books, exp_codes = _py_pq(vecs, m=2, k=4, iters=2)
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    for r in out:
+        qv, m, sd = vecs[r.query_id], 2, 4
+        exp = sum(
+            d2(qv[mi * sd : (mi + 1) * sd], exp_books[mi][exp_codes[r.vec_id][mi]][1])
+            for mi in range(m)
+        )
+        assert r.adc_dist == int(exp)
+    # exact rescore: each query's own vector must rank first (dist 0)
+    r1 = {
+        x.query_id: (x.vec_id, x.dist_sq)
+        for x in pq_adc_topk(q, codes, books, top=3, rescore=en).filter("rn = 1").collect()
+    }
+    assert r1 == {0: (0, 0), 1: (1, 0)}
+
+
+def test_pq_validation_and_plan(spark):
+    import pytest as _pytest
+
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    _, en = _pq_fixture(spark)
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(en, m=3)
+    with _pytest.raises(ValueError, match="overflow"):
+        pq_train(en, m=2, max_component=1e8)
+    books = pq_train(en, m=2, k=4, iters=1)
+    with _pytest.raises(ValueError, match="top"):
+        pq_adc_topk(en, en, books, top=0)
+    # encode is a zero-shuffle scalar scan: no Exchange, no SortMergeJoin;
+    # the only BNLJ is the 1-row broadcast books crossJoin (the repo's
+    # scalar-combine pattern).
+    plan = (
+        pq_encode(en, books)
+        .select("vec_id", "codes")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    head, _, encode_side = plan.partition("BroadcastNestedLoopJoin")
+    assert head.count("Exchange") == 0
