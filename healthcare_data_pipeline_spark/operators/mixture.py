@@ -466,3 +466,100 @@ def dsir_scores(
         .orderBy(F.col("importance").desc(), F.col(id_col))
         .limit(top_n)
     )
+
+
+def temperature_weights(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    total_budget: int | None = None,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """TEMPERATURE-scaled mixture weights (the published multilingual /
+    multi-source sampling rule: p_i ∝ n_i^alpha — Conneau & Lample 2019
+    §3.1, mT5 §3.2 with alpha=0.3, T5's examples-proportional mixing):
+    raising small sources and damping dominant ones before a budgeted
+    sample, so a 100 TB web slice cannot drown a 10 GB reference corpus at
+    alpha < 1.
+
+    Output per group: (group_col, n_docs, n_tokens, weight,
+    budget_tokens?) where weight = n_tokens^alpha / Σ_j n_tokens_j^alpha
+    and, when ``total_budget`` is given, budget_tokens =
+    floor(weight · total_budget) — the per-group token budgets
+    ``token_budget_sample(budgets=)`` consumes.
+
+    Portability: at the default alpha=0.5 the power is computed as
+    ``sqrt`` — correctly rounded by IEEE-754, so weights hash-verify
+    cross-engine (catalog t35); any other alpha goes through ``pow``,
+    which libms do NOT guarantee to the last bit — fine for production,
+    not for the oracle (documented, like the hasher twins).
+
+    Scale shape: one groupBy(group) token-sum over the scan (map-side
+    combine; group count is mixture-recipe-sized, i.e. tiny), one 1x1
+    broadcast combine for the normalizer.  Nothing corpus-sized moves.
+    """
+    ws = r"[ \t\n\r\f\x0B]+"
+    per = docs.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(F.filter(F.split(F.lower(F.col(text_col)), ws), lambda x: x != ""))
+        ).cast("long").alias("n_tokens"),
+    )
+    s = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    per = per.withColumn("__s", s)
+    # order-independent normalizer: decimal-exact sum (the repo's xsum
+    # convention) — a plain float SUM's accumulation order differs across
+    # engines/partitionings and breaks the weight hash in the last bit.
+    tot = per.agg(F.sum(F.col("__s").cast("decimal(25,8)")).cast("double").alias("__tot"))
+    out = per.crossJoin(F.broadcast(tot)).withColumn(
+        "weight", F.col("__s") / F.col("__tot")
+    )
+    if total_budget is not None:
+        out = out.withColumn(
+            "budget_tokens",
+            F.floor(F.col("weight") * F.lit(float(int(total_budget)))).cast("long"),
+        )
+    return out.drop("__s", "__tot")
+
+
+def temperature_budget_sample(
+    docs: DataFrame,
+    total_budget: int,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "exact",
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """The full published temperature-mixture pipeline: compute
+    ``temperature_weights``, then ``token_budget_sample`` each group to its
+    temperature-scaled token budget.  The per-group budget table collects to
+    the driver — bounded by the number of GROUPS (a mixture recipe has
+    dozens of sources, not millions; ``max_groups`` raises if violated, the
+    components/BPE budget-gate convention), never by corpus size."""
+    w = temperature_weights(
+        docs, alpha=alpha, total_budget=total_budget, group_col=group_col, text_col=text_col
+    )
+    rows = w.select(group_col, "budget_tokens").limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"temperature_budget_sample: more than {max_groups} groups — "
+            "this gate exists because the budget table collects to the "
+            "driver; raise max_groups only if the group column is genuinely "
+            "recipe-sized."
+        )
+    budgets = {r[0]: int(r[1]) for r in rows}
+    return token_budget_sample(
+        docs,
+        budget=0,
+        budgets=budgets,
+        group_col=group_col,
+        id_col=id_col,
+        text_col=text_col,
+        method=method,
+    )

@@ -1569,3 +1569,173 @@ def pq_adc_topk(
     )
     w2 = Window.partitionBy(query_id_col).orderBy("dist_sq", "vec_id")
     return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= top)
+
+
+def ann_index_build_pq(
+    en: DataFrame, index_dir: str, m: int = 2, k_codes: int = 8, iters: int = 2
+) -> None:
+    """Persist the PQ-augmented IVF index: everything ``ann_index_build``
+    writes (full-precision ``vectors/`` + ``centroids/``) plus the trained
+    ``pq_books/`` codebooks and the m-byte ``pq_codes/`` (same cell
+    partitioning — probes prune both scans at the disk-partition level).
+    The IVFPQ composition (Jégou et al. 2011 §IV): the coarse quantizer
+    bounds WHICH cells a probe reads, PQ bounds HOW MANY bytes per vector
+    the candidate pass costs — m bytes vs 4·dim fp32 (32x at m=8/dim=64,
+    the rung below SQ8's fixed ~4x), with the shortlist rescore paying full
+    vectors only for survivors.  Quantizer, codebooks, codes, and both
+    vector layouts build from the same corpus and must never drift apart."""
+    import os
+
+    ann_index_build(en, index_dir)
+    spark = en.sparkSession
+    books = pq_train(en, m=m, k=k_codes, iters=iters)
+    books.write.mode("overwrite").parquet(os.path.join(index_dir, "pq_books"))
+    books_saved = spark.read.parquet(os.path.join(index_dir, "pq_books"))
+    assigned = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    pq_encode(assigned, books_saved).select("vec_id", "codes", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(os.path.join(index_dir, "pq_codes"))
+
+
+def ann_index_append_pq(spark, index_dir: str, new_en: DataFrame) -> None:
+    """Append to a PQ-augmented index: assign against the FROZEN coarse
+    quantizer (ann_index_append's contract) and encode against the FROZEN
+    codebooks — codebook drift is the caller's rebuild decision
+    (``ann_index_report`` / ``ann_index_rebuild``)."""
+    import os
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    books = spark.read.parquet(os.path.join(index_dir, "pq_books"))
+    assigned = _assign_against(new_en, cent)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "vectors")
+    )
+    pq_encode(assigned, books).select("vec_id", "codes", "cell").write.mode(
+        "append"
+    ).partitionBy("cell").parquet(os.path.join(index_dir, "pq_codes"))
+
+
+def ann_index_probe_pq(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    shortlist: int = 20,
+) -> DataFrame:
+    """Probe the PQ layout (IVFPQ + exact rescore): route queries against
+    the centroid table, scan ONLY the probed cells' m-byte codes, rank
+    candidates by the asymmetric cosine (exact per-query LUT dot against
+    the reconstructed candidate — both from broadcast codebooks, all
+    exact-integer arithmetic), keep a ``shortlist`` per query, and
+    EXACT-rescore only the shortlist against the full-precision layout.
+    Output matches ``ann_index_probe``: (query_id, neighbor_id, cosine_sim,
+    rn) with cosine_sim EXACT — PQ affects which candidates reach the
+    rescore, never the reported score (the s10/SQ8 contract, one rung
+    further down the bytes-per-candidate axis).
+
+    The candidate pass is one scalar zip_with per code row (per query) —
+    no explode, no join on the codes side beyond the broadcast routing —
+    so its cost is the pruned codes scan itself."""
+    import os
+
+    from pyspark.sql import Window
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    books = spark.read.parquet(os.path.join(index_dir, "pq_books"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("iv").alias("q_iv"),
+        F.col("nrm2").alias("q_nrm2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    routed = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_iv",
+            "q_nrm2",
+            "cent_id",
+            _route_score(F.col("q_iv"), F.col("cs"), F.col("cnorm")).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_iv", "q_nrm2", F.col("cent_id").alias("cell"))
+    )
+    # bounded by n_cells (quantizer constant), never corpus-sized
+    cells = [r.cell for r in routed.select("cell").distinct().collect()]
+    # per-query LUTs against the broadcast codebooks: dot(q_sub, centroid)
+    # and |centroid|^2, in codebook order (position-aligned with the codes)
+    dot_lut = """transform(__books, (bk, mi) ->
+        transform(bk, s -> aggregate(zip_with(
+            slice(q_iv, mi * __sd + 1, __sd), s.c, (x, y) -> x * y),
+            0D, (acc, d) -> acc + d)))"""
+    nrm_lut = """transform(__books, bk ->
+        transform(bk, s -> aggregate(zip_with(s.c, s.c, (x, y) -> x * y),
+            0D, (acc, d) -> acc + d)))"""
+    qlut = (
+        routed.crossJoin(_books_row(books))
+        .withColumn("__sd", F.expr("size(element_at(element_at(__books, 1), 1).c)"))
+        .select(
+            "query_id",
+            "q_nrm2",
+            "cell",
+            F.expr(dot_lut).alias("__dlut"),
+            F.expr(nrm_lut).alias("__nlut"),
+        )
+    )
+    codes = (
+        spark.read.parquet(os.path.join(index_dir, "pq_codes"))
+        .filter(F.col("cell").isin(cells))
+        .select(F.col("vec_id").alias("neighbor_id"), "codes", "cell")
+    )
+    pick = "aggregate(zip_with(codes, {lut}, (c, row) -> element_at(row, c + 1)), 0D, (acc, d) -> acc + d)"
+    wsl = Window.partitionBy("query_id").orderBy(F.desc("pq_sim"), F.asc("neighbor_id"))
+    short = (
+        codes.join(F.broadcast(qlut), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__dot", F.expr(pick.format(lut="__dlut")))
+        .withColumn("__rn2", F.expr(pick.format(lut="__nlut")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            (F.col("__dot") / (F.sqrt("q_nrm2") * F.sqrt("__rn2"))).alias("pq_sim"),
+        )
+        .withColumn("srn", F.row_number().over(wsl))
+        .filter(F.col("srn") <= shortlist)
+        .select("query_id", "neighbor_id", "cell")
+    )
+    # exact rescore: shortlist-sized fetch from the full-precision layout,
+    # still pruned to the probed cells' partitions
+    full = (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .filter(F.col("cell").isin(cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("iv").alias("c_iv"),
+            F.col("nrm2").alias("c_nrm2"),
+            "cell",
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        full.join(F.broadcast(short), ["cell", "neighbor_id"])
+        .join(
+            F.broadcast(
+                routed.select("query_id", "q_iv", "q_nrm2").dropDuplicates(["query_id"])
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -645,7 +645,9 @@ def s11_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_ctes(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+def _pq_ctes(
+    m: int = 2, k: int = 8, iters: int = 2, dim: int = 64, include_quant: bool = True
+) -> str:
     """Product-quantization oracle CTEs: the grouped integer-Lloyd of
     operators.similarity.pq_train with the subspace id as an extra grouping
     key, iterations unrolled (the s11/_kmeans_ctes pattern), ending in the
@@ -703,7 +705,10 @@ def _pq_ctes(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64) -> str:
         parts.append("," + update(f"pa{it}", f"ps{it}", f"pc{it}"))
         prev = f"pc{it}"
     parts.append("," + assign("paf", prev))
-    return _QUANT_SQL + "".join(parts)
+    body = "".join(parts)
+    if not include_quant:
+        return body  # starts with ", ens AS (" — splices after any en-defining chain
+    return _QUANT_SQL + body
 
 
 _S12_NQ = 5
@@ -771,3 +776,99 @@ def s12_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("iv").alias("q_iv")
     )
     return pq_adc_topk(q, codes, books, top=_S12_TOP)
+
+
+def _s13_oracle_sql(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """s13 oracle: the IVF assignment CTEs (cells + query routing, s07's) +
+    the grouped-Lloyd PQ CTEs (codebooks + per-(vector, subspace)
+    assignment) + the asymmetric-cosine shortlist + the exact rescore —
+    the whole IVFPQ probe recomputed from scratch relationally."""
+    sd = dim // m
+    return (
+        _index_assign_ctes("TRUE")
+        + _pq_ctes(m, k, iters, dim, include_quant=False)
+        + f"""
+    , pcode AS (
+      SELECT vec_id, sub_id, CAST(CAST(o AS BIGINT) % {k} AS INT) AS j FROM paf
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell
+      FROM ranked WHERE crn <= 2 AND vec_id < 5
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, mi AS sub_id, iv[mi*{sd}+1 : mi*{sd}+{sd}] AS sv
+      FROM en, UNNEST(generate_series(0, {m - 1})) AS g(mi)
+      WHERE vec_id < 5
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             SUM(list_dot_product(q.sv, b.c)) AS dot,
+             SUM(list_dot_product(b.c, b.c)) AS rn2
+      FROM cand c
+      JOIN pcode cs ON cs.vec_id = c.neighbor_id
+      JOIN pc{iters} b ON b.sub_id = cs.sub_id AND b.j = cs.j
+      JOIN qsub q ON q.query_id = c.query_id AND q.sub_id = cs.sub_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT adc.query_id, adc.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY adc.query_id
+                  ORDER BY adc.dot / (sqrt(q.nrm2) * sqrt(adc.rn2)) DESC,
+                           adc.neighbor_id ASC) AS srn
+        FROM adc JOIN en q ON q.vec_id = adc.query_id
+      ) t
+      WHERE srn <= 20
+    ),
+    pairs AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_dot_product(q.iv, c.iv) / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cosine_sim
+      FROM short s
+      JOIN en q ON q.vec_id = s.query_id
+      JOIN en c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM pairs
+    ) t
+    WHERE rn <= 5
+    """
+    )
+
+
+@query(
+    "s13_ann_index_probe_pq",
+    oracle=_s13_oracle_sql(),
+    tags=("similarity", "EXT", "ann", "ivf", "pq", "index"),
+    doc="IVFPQ probe (operators.similarity.ann_index_build_pq/ann_index_probe_pq; Jégou "
+    "et al. 2011 §IV): the persisted IVF index additionally stores trained PQ codebooks "
+    "and m-byte codes under the SAME cell partitioning, so a probe prunes to its probed "
+    "cells and scans m bytes/vector for the candidate pass (32x under fp32 at m=8 — the "
+    "rung below SQ8's ~4x), ranks by the asymmetric cosine (per-query LUT dot + "
+    "reconstructed norm, both exact integers from the broadcast codebooks, one scalar "
+    "zip_with per code row — no explode), keeps a 20-deep shortlist and exact-rescores "
+    "only the shortlist against the full-precision layout.  Reported scores are exact; "
+    "the oracle recomputes quantizer, codebooks (grouped-Lloyd CTEs), codes, shortlist "
+    "and rescore from scratch.",
+)
+def s13_ann_index_probe_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_build_pq,
+        ann_index_for,
+        ann_index_probe_pq,
+    )
+
+    en = quantized(spark, sf_dir)
+    idx = ann_index_for(
+        spark, sf_dir, en, variant="pq", builder=lambda d: ann_index_build_pq(en, d)
+    )
+    qs = en.filter(F.col("vec_id") < 5).select("vec_id", "iv", "nrm2")
+    return ann_index_probe_pq(spark, idx, qs, k=5, nprobe=2, shortlist=20)

@@ -1739,3 +1739,36 @@ def t34_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _C4_LINED_SPARK + " AS text"
     )
     return c4_clean(d, blocklist=_C4_BLOCKLIST)
+
+
+@query(
+    "t35_temperature_mix",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             COUNT(*)::BIGINT AS n_docs,
+             SUM(len(list_filter(string_split_regex(lower(text),
+                 '[ \\t\\n\\r\\f\\x0B]+'), x -> x != '')))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(25,8))) AS DOUBLE) AS t FROM per)
+    SELECT source, n_docs, n_tokens,
+           sqrt(CAST(n_tokens AS DOUBLE)) / tot.t AS weight,
+           CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / tot.t * 100000.0) AS BIGINT)
+             AS budget_tokens
+    FROM per, tot
+    """,
+    tags=("text", "EXT", "mixture", "temperature"),
+    doc="Temperature-scaled mixture weights (operators.mixture.temperature_weights; "
+    "Conneau & Lample 2019 §3.1 / mT5 §3.2: p_i ∝ n_i^alpha): per-source token "
+    "masses raised to alpha=0.5 (sqrt — IEEE-correctly-rounded, so the weights "
+    "hash cross-engine), normalized, and turned into the per-group token budgets "
+    "token_budget_sample(budgets=) consumes — upsample the small trusted sources, "
+    "damp the dominant crawl.  One tiny groupBy + a 1x1 broadcast combine.",
+)
+def t35_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.mixture import temperature_weights
+
+    return temperature_weights(
+        table(spark, sf_dir, "documents"), alpha=0.5, total_budget=100_000
+    )

@@ -799,3 +799,60 @@ def test_c4_clean_is_one_scan_no_shuffle(spark):
     docs = spark.createDataFrame([(1, "a b c d e f.")], "doc_id long, text string")
     plan = c4_clean(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# --- temperature-scaled mixture (t35) --------------------------------------
+
+
+def test_temperature_weights_flatten_and_budget(spark):
+    from healthcare_data_pipeline_spark.operators.mixture import temperature_weights
+
+    docs = spark.createDataFrame(
+        [(i, "big", "tok " * 20) for i in range(90)]
+        + [(1000 + i, "small", "tok " * 20) for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    w = {r.source: r for r in temperature_weights(docs, alpha=0.5, total_budget=1000).collect()}
+    # normalizer is the DECIMAL(25,8)-exact sum (order-independent), so
+    # weights sum to 1 within the decimal quantum, not to the last ulp
+    assert abs(w["big"].weight + w["small"].weight - 1.0) < 1e-7
+    # proportional share of 'small' is 0.1; sqrt-temperature raises it
+    assert w["small"].weight > 0.1 and w["big"].weight < 0.9
+    assert w["small"].budget_tokens + w["big"].budget_tokens <= 1000
+    # alpha=1 degenerates to proportional (pow path)
+    w1 = {r.source: r for r in temperature_weights(docs, alpha=1.0).collect()}
+    assert abs(w1["small"].weight - 0.1) < 1e-9
+
+
+def test_temperature_budget_sample_respects_scaled_budgets(spark):
+    from pyspark.sql import functions as F
+    from healthcare_data_pipeline_spark.operators.mixture import (
+        temperature_budget_sample,
+        temperature_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "big", "tok " * 10) for i in range(90)]
+        + [(1000 + i, "small", "tok " * 10) for i in range(10)],
+        "doc_id long, source string, text string",
+    )
+    out = temperature_budget_sample(docs, total_budget=400, alpha=0.5)
+    got = {
+        r.source: r.tok
+        for r in out.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " ")) - 1).alias("tok"))
+        .collect()
+    }
+    w = {
+        r.source: r.budget_tokens
+        for r in temperature_weights(docs, alpha=0.5, total_budget=400).collect()
+    }
+    for src_name, tok in got.items():
+        assert tok <= w[src_name]
+    # the small source gets MORE than its proportional share of the sample
+    assert got["small"] / sum(got.values()) > 0.1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_groups"):
+        temperature_budget_sample(docs, total_budget=400, max_groups=1)

@@ -813,3 +813,35 @@ def test_pq_validation_and_plan(spark):
     assert "SortMergeJoin" not in plan
     head, _, encode_side = plan.partition("BroadcastNestedLoopJoin")
     assert head.count("Exchange") == 0
+
+
+def test_pq_index_full_shortlist_equals_fp_probe_and_append(spark, tmp_path):
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_append_pq,
+        ann_index_build_pq,
+        ann_index_probe,
+        ann_index_probe_pq,
+    )
+    from healthcare_data_pipeline_spark.queries.similarity import quantized
+
+    en = quantized(spark, SF_DIR)
+    idx = str(tmp_path / "pqidx")
+    base = en.filter(F.col("vec_id") % 2 == 0)
+    ann_index_build_pq(base, idx)
+    q = en.filter(F.col("vec_id").isin(0, 2, 4))
+    # PQ probe with an unbounded shortlist must EQUAL the fp probe: the
+    # candidate pass only reorders who reaches the rescore, and with
+    # everyone rescored the exact ranking is identical.
+    pq = ann_index_probe_pq(spark, idx, q, k=5, nprobe=2, shortlist=10**6)
+    fp = ann_index_probe(spark, idx, q, k=5, nprobe=2)
+    assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, fp.collect()))
+    # codes are m smallints per vector
+    codes = spark.read.parquet(f"{idx}/pq_codes")
+    r = codes.head()
+    assert len(r.codes) == 2 and all(0 <= c < 8 for c in r.codes)
+    # append under the frozen quantizer+codebooks: appended vectors become
+    # findable without a rebuild
+    newv = en.filter(F.col("vec_id") % 2 == 1)
+    ann_index_append_pq(spark, idx, newv)
+    out = ann_index_probe_pq(spark, idx, q, k=5, nprobe=2, shortlist=10**6)
+    assert out.filter(F.col("neighbor_id") % 2 == 1).count() > 0

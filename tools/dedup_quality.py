@@ -1186,6 +1186,102 @@ def measure_gopher_full_gate(spark, docs: DataFrame) -> list[dict]:
     return rows
 
 
+def measure_lm_bucketing(spark, docs: DataFrame) -> list[dict]:
+    """CCNet LM-perplexity bucketing (t32/t33) as a RANKING gate: train the
+    bigram stupid-backoff LM on the basic-gated corpus itself (the trusted
+    slice role), score the planted corpus, split into exact tertiles, and
+    measure what fraction of each junk family lands in the TAIL bucket —
+    read against ``clean_base_rate`` (a third of ANY corpus is tail BY
+    DESIGN; the signal is the lift, ~3x means the family concentrates
+    entirely in the discard bucket, not a precision number — CCNet drops or
+    downsamples the tail as a matter of recipe, there is no point gate to
+    be precise about).
+
+    Families: ``word_salad`` (hash-token injected + permuted — transitions
+    never seen by the LM, heavy OOV mass) and ``symbol_spam`` (every 6th
+    token replaced by '#####' — OOV backoff every 6 tokens).  Both are
+    LM-visible for the published reason: their token transitions are
+    unlikely under a reference model even where per-doc shape stats pass."""
+    from healthcare_data_pipeline_spark.operators.lm import (
+        lm_score,
+        perplexity_buckets,
+    )
+    from healthcare_data_pipeline_spark.operators.quality import filter_corpus
+
+    clean = filter_corpus(docs, min_stopword_ratio=None).select(
+        "doc_id", "text", "source"
+    )
+    clean.cache()
+    n_clean = clean.count()
+    m = F.col("doc_id") % 100
+    salad = clean.filter(m < 2).select(
+        (F.col("doc_id") + 14 * FAM_OFFSET).alias("doc_id"),
+        F.expr(
+            "array_join(transform(array_sort(transform(split(text, ' '), (t, i) -> "
+            "struct(xxhash64(concat(t, '_', CAST(i AS STRING), '_', CAST(doc_id AS STRING))) AS h, "
+            "CASE WHEN i % 2 = 1 "
+            "THEN substring(md5(concat(t, CAST(i AS STRING), CAST(doc_id AS STRING))), 1, 7) "
+            "ELSE t END AS t))), s -> s.t), ' ')"
+        ).alias("text"),
+        "source",
+        F.lit("word_salad").alias("family"),
+    )
+    spam = clean.filter((m >= 6) & (m < 8)).select(
+        (F.col("doc_id") + 15 * FAM_OFFSET).alias("doc_id"),
+        F.expr(
+            "array_join(transform(split(text, ' '), (t, i) -> "
+            "CASE WHEN i % 6 = 2 THEN '#####' ELSE t END), ' ')"
+        ).alias("text"),
+        "source",
+        F.lit("spam_oov").alias("family"),
+    )
+    plants = salad.unionByName(spam)
+    plants.cache()
+    planted = clean.unionByName(plants.drop("family"))
+    scores = lm_score(planted, clean)
+    tail = (
+        perplexity_buckets(scores, method="exact")
+        .filter(F.col("ppl_bucket") == "tail")
+        .select("doc_id")
+    )
+    rows: list[dict] = []
+    verdicts = (
+        plants.join(tail.withColumn("__t", F.lit(1)), "doc_id", "left")
+        .groupBy("family")
+        .agg(
+            F.count("*").alias("planted"),
+            F.sum(F.when(F.col("__t").isNotNull(), 1).otherwise(0)).alias("caught"),
+        )
+        .collect()
+    )
+    sims = {"word_salad": 0.5, "spam_oov": 0.833}
+    for r in verdicts:
+        rows.append(
+            {
+                "operator": "lm_tail_bucket",
+                "family": r.family,
+                "planted": r.planted,
+                "caught": int(r.caught),
+                "recall": round(r.caught / r.planted, 3) if r.planted else None,
+                "similarity": sims[r.family],
+            }
+        )
+    clean_tail = clean.select("doc_id").join(tail, "doc_id", "left_semi").count()
+    rows.append(
+        {
+            "operator": "lm_tail_bucket",
+            "family": "clean_base_rate",
+            "planted": n_clean,
+            "caught": clean_tail,
+            "recall": round(clean_tail / n_clean, 3) if n_clean else None,
+            "similarity": "(design)",
+        }
+    )
+    plants.unpersist()
+    clean.unpersist()
+    return rows
+
+
 def measure_scale(spark, docs_dir: str, base: str, k: int) -> list[dict]:
     docs = spark.read.parquet(os.path.join(docs_dir, "documents.parquet"))
     en = _scaled_embeddings(spark, base, k)
@@ -1198,6 +1294,7 @@ def measure_scale(spark, docs_dir: str, base: str, k: int) -> list[dict]:
         measure_decontamination(spark, docs),
         measure_quality_gates(spark, docs),
         measure_gopher_full_gate(spark, docs),
+        measure_lm_bucketing(spark, docs),
     ]
     rows = []
     for part in parts:
