@@ -192,6 +192,22 @@ def ops(spark, sf_dir: str):
         q = en.filter(F.col("vec_id") < 20).select("vec_id", "iv", "nrm2")
         sink(ann_index_probe_sq8(spark, sq8_dir, q, k=5, nprobe=2, shortlist=20))
 
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_build_pq,
+        ann_index_probe_pq,
+    )
+
+    pq_dir = os.path.join(sf_dir, "ann_index_pq")
+
+    def probe_pq():
+        # s13: same routing and partition pruning as the fp/sq8 probes, but
+        # the candidate pass scans m-byte codes (m=2 here) — the smallest
+        # bytes-per-candidate layout; the shortlist rescore is bounded.
+        if not os.path.exists(pq_dir):
+            ann_index_build_pq(en, pq_dir)
+        q = en.filter(F.col("vec_id") < 20).select("vec_id", "iv", "nrm2")
+        sink(ann_index_probe_pq(spark, pq_dir, q, k=5, nprobe=2, shortlist=20))
+
     # 90%-hot-key join stress (r9 verdict task 5): the big side's join key is
     # "hot" for 90% of rows; the small side (1001 keys, fixed size at every
     # scale) is pinned non-broadcastable (autoBroadcastJoinThreshold=-1 —
@@ -413,6 +429,7 @@ def ops(spark, sf_dir: str):
         # I/O-bound, so the codes scan is the lever; here both are small,
         # the row pins that the extra rescore stage costs ~nothing.
         "ann_index_probe_sq8 (build once)": probe_sq8,
+        "ann_index_probe_pq (build once)": probe_pq,
         "hot_join plain (no-bcast, AQE skew off)": with_conf(
             _NO_BCAST_NO_SKEW, lambda: sink(big.join(small, "key"))
         ),
