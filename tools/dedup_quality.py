@@ -1413,7 +1413,7 @@ def quality_section(all_rows: list[dict], base: str) -> str:
         "ONE 32-bit gram hash — an h32 collision with any eval gram "
         "(~n_eval/2^32 ≈ 1.6e-4 per gram at 64x) hits all k bits at once, "
         "a floor no bitmap size removes; past ~10M eval grams the fix is a "
-        "64-bit gram hash, not more bits.  The gate_* rows are the "
+        "64-bit gram hash, not more bits.  The decon_fuzzy rows are dd25 (MinHash train x eval — the StarCoder/BigCode edited-leak remedy), measured against ITS OWN fixpoint baseline so precision stays a zero-FP contract: `verbatim_leak` 1.000 (identical docs share all four bands), `edited_leak` (every 12th token rewritten — zero shared 13-grams, the class ngram/bloom measure 0.000 on BY CONSTRUCTION) lands at the published banding curve (~0.41 at shingle-J ~0.6, theory 1-(1-J^4)^4 ≈ 0.43) and stays FLAT across scales; `quote_13tok` ~0.000 BY DESIGN (a 13-token quote inside a long doc leaves doc-level Jaccard near zero — the quote class belongs to the n-gram rule), `paraphrase` ~0.15 partial — the complementarity the two decontamination families exist for, measured from both sides.  The lm_tail_bucket rows measure CCNet bucketing (t32/t33) as a RANKING gate: word_salad and OOV-spam plants land in the perplexity tail bucket at 1.000 at every scale against the `clean_base_rate` 0.309 design column (a third of ANY corpus is tail by tertile construction — read the ~3.2x lift, not a precision number; CCNet drops or downsamples the tail as recipe).  The gate_* rows are the "
         "quality-gate coverage MATRIX — each junk family is crafted to "
         "slip every gate except its intended catcher, so the diagonal is "
         "the claim: `word_salad` (permuted + hash-token injected "

@@ -621,7 +621,7 @@ def main() -> None:
         "growth exponent while absolute times are still small at local "
         "sizes). The scale paths hold scan-bound flat plans — `hash_split` "
         f"alpha {alphas.get('hash_split (scale path)')} (narrow salted-hash projection, split NEVER "
-        "moves under corpus growth), approx-percentile filter alpha "
+        "moves under corpus growth; its bases are sub-0.7s at EVERY size, so the exponent there reads the local noise floor, not the plan — the structural claim is the shape: a narrow hash projection has nothing to grow super-linearly), approx-percentile filter alpha "
         f"{alphas.get('adaptive_quality_filter approx (scale path)')} (map-side sketch + broadcast threshold). "
         "The exact paths are for bounded strata (label taxonomies, source "
         "lists) or post-sampled slices; a heavy stratum must go through the "
@@ -759,6 +759,29 @@ def main() -> None:
         "sort-merge shapes; reach for `salted_join` when the shape is one "
         "AQE cannot split (storage-partitioned/bucketed joins, skewed wide "
         "aggregations) or AQE is unavailable.",
+        "",
+        "r11 newcomers: `lm_score` "
+        f"(alpha {alphas.get('lm_score (fixed reference slice)')}) is the CCNet "
+        "LM-perplexity scorer (t32) — one positioned token explode per "
+        "side, bigram/unigram frequency joins against a FIXED reference "
+        "slice (the trusted corpus the LM trains on does not grow with the "
+        "crawl), one per-doc integer SUM: the rare_bigram/dsir shape with "
+        "an extra join, and the measured growth matches that family. "
+        "`decontaminate fuzzy` "
+        f"(alpha {alphas.get('decontaminate fuzzy (broadcast eval bands)')}) is dd25 — the "
+        "train side pays ONE MinHash signature pass (the same persistable "
+        "band index dedup keeps) and joins the broadcast eval band index; "
+        "no train self-join, so the row tracks the signature pass. "
+        "`pq_adc` "
+        f"(alpha {alphas.get('pq_adc (train+encode+rank, 5 queries)')}) is the s12 "
+        "composition (grouped-Lloyd train at fixed m,k + zero-shuffle "
+        "encode + ADC rank for a fixed query batch) — every stage a scan "
+        "or an m*k*sub_dim-key groupBy, and `ann_index_probe_pq` "
+        f"(alpha {alphas.get('ann_index_probe_pq (build once)')}) probes the IVFPQ "
+        "layout (s13): same routing/pruning as the fp and SQ8 probes with "
+        "the candidate scan shrunk to m bytes/vector — the flat row pins "
+        "that the LUT + rescore stages cost ~nothing at local sizes while "
+        "the scan-bytes axis (PQ's point) only matters at real I/O scale.",
         "",
         "Harness sensitivity check: with a suffix-only replica perturbation "
         "(cross-replica MinHash signatures collide, so ~(k-1)/k of the corpus "
