@@ -1,0 +1,94 @@
+"""PQ recall-vs-shortlist sweep (the s13 IVFPQ layout): the measured basis
+for the README's PQ numbers — recall vs the fp probe at increasing
+shortlist depth, PER (m, k_codes) CONFIGURATION, plus the on-disk byte
+ratio of the codes layout vs the fp64 layout.
+
+Two knobs trade recall for bytes where SQ8 has one: the shortlist (a true
+neighbor is lost only when its ADC rank falls past it — same contract as
+SQ8) and the codebook resolution (m subspaces x k_codes centroids — coarser
+codes mis-rank more candidates, so the same shortlist recovers less).  The
+sweep shows both curves for this corpus so the m/k/shortlist choice is a
+measured decision, not a guessed one.  Storage bytes are the scale lever:
+probe cost at 100 TB is scan I/O of the probed cells, and the codes layout
+is what that scan reads.
+
+Usage: python tools/pq_sweep.py [--sf-dir /root/testdata/sf0.1]
+Prints one JSON line:
+  {"configs": {"m2_k8": {"recall_vs_fp": {5: r, ...}, "bytes": {...}}, ...}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from healthcare_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--nprobe", type=int, default=2)
+    ap.add_argument("--shortlists", default="5,10,20,40")
+    ap.add_argument("--configs", default="2:8,8:64,8:256")
+    args = ap.parse_args()
+
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_build_pq,
+        ann_index_probe,
+        ann_index_probe_pq,
+    )
+    from healthcare_data_pipeline_spark.queries.similarity import quantized
+
+    spark = get_spark(app_name="hdp-pq-sweep")
+    en = quantized(spark, args.sf_dir)
+
+    def dir_bytes(d: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(d) for f in fs
+        )
+
+    out: dict[str, dict] = {}
+    for cfg in args.configs.split(","):
+        m, kc = (int(x) for x in cfg.split(":"))
+        idx = os.path.join(tempfile.gettempdir(), f"hdp_pq_sweep_idx_m{m}_k{kc}")
+        if not os.path.exists(os.path.join(idx, "pq_books")):
+            shutil.rmtree(idx, ignore_errors=True)
+            ann_index_build_pq(en, idx, m=m, k_codes=kc)
+        qs = en.filter(F.col("vec_id") < 50).select("vec_id", "iv", "nrm2")
+        fp = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_index_probe(spark, idx, qs, k=args.k, nprobe=args.nprobe).collect()
+        }
+        recall = {}
+        for sl in (int(x) for x in args.shortlists.split(",")):
+            pq = {
+                (r.query_id, r.neighbor_id)
+                for r in ann_index_probe_pq(
+                    spark, idx, qs, k=args.k, nprobe=args.nprobe, shortlist=sl
+                ).collect()
+            }
+            recall[sl] = round(len(fp & pq) / len(fp), 4)
+        fp_b = dir_bytes(os.path.join(idx, "vectors"))
+        pq_b = dir_bytes(os.path.join(idx, "pq_codes"))
+        out[f"m{m}_k{kc}"] = {
+            "recall_vs_fp": recall,
+            "bytes": {"fp64": fp_b, "pq": pq_b, "ratio": round(fp_b / pq_b, 2)},
+        }
+    print(json.dumps({"sf_dir": args.sf_dir, "k": args.k, "nprobe": args.nprobe, "configs": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
