@@ -255,6 +255,9 @@ def prep_corpus(
     token_budgets: dict[str, int] | None = None,
     budget_group_col: str = "source",
     budget_method: str = "exact",
+    lm_reference: DataFrame | None = None,
+    lm_keep_buckets: tuple[str, ...] = ("head", "middle"),
+    lm_bucket_method: str = "approx",
 ) -> DataFrame:
     """The whole pre-training prep path: quality FILTER, optional
     corpus-adaptive GIBBERISH gate, full DEDUP (exact fingerprint -> LSH
@@ -303,6 +306,13 @@ def prep_corpus(
       stripping whole lines first means the span stage only has to catch
       the non-line-aligned residue.  No-op (zero removals) on newline-free
       corpora — opt-in for that reason.
+    - ``lm_reference`` applies the CCNet LM stage (``lm_score`` +
+      ``perplexity_buckets``, t32/t33) AFTER dedup — the published CCNet
+      order (dedup -> LM bucketing), and scoring deduped survivors means
+      the frequency joins never pay for documents dedup was about to drop.
+      Keeps documents whose bucket is in ``lm_keep_buckets`` (default
+      head+middle — CCNet discards or downweights the tail);
+      ``lm_bucket_method`` defaults to the zero-sort approx path.
     - ``token_budget`` (+ per-group ``token_budgets``, grouped by
       ``budget_group_col``) applies ``token_budget_sample`` AFTER dedup —
       a budget must buy unique tokens, not duplicates.  ``budget_method``
@@ -366,6 +376,21 @@ def prep_corpus(
             text_col=text_col,
         ).drop("n_tokens", "n_removed", "n_dup_spans")
     out = dedup_corpus(filtered, id_col=id_col, text_col=text_col, hasher=hasher)
+    if lm_reference is not None:
+        from healthcare_data_pipeline_spark.operators.lm import (
+            lm_score,
+            perplexity_buckets,
+        )
+
+        scores = lm_score(
+            out, lm_reference, id_col=id_col, text_col=text_col
+        )
+        keep = (
+            perplexity_buckets(scores, method=lm_bucket_method)
+            .filter(F.col("ppl_bucket").isin(*lm_keep_buckets))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        out = out.join(keep, id_col, "left_semi")
     if token_budget is not None:
         out = token_budget_sample(
             out,

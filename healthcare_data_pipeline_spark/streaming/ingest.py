@@ -258,6 +258,8 @@ def run_stream_dedup_ingest(
     hasher: str = "portable",
     compact_every: int = 32,
     progress_path: str | None = None,
+    eval_df: DataFrame | None = None,
+    decontaminate_mode: str = "fuzzy",
 ) -> None:
     """Drain ``stream_df`` (a documents stream) into a deduplicated corpus.
 
@@ -268,6 +270,15 @@ def run_stream_dedup_ingest(
     into one (``compact_tiered`` — pause bounded by tier size, never the
     corpus).  ``progress_path`` appends per-batch StreamingQueryProgress
     JSONL (streaming.metrics) for dashboards/alerting.
+
+    ``eval_df`` composes benchmark decontamination into the same
+    foreachBatch pass, BEFORE dedup indexing (a leaked benchmark must never
+    enter the corpus OR its band/fingerprint indexes): per micro-batch cost
+    is O(batch) — the batch signs once against the broadcast eval index.
+    The default ``decontaminate_mode="fuzzy"`` (dd25) also stops
+    lightly-edited leaks, the variant ``prep_stream``'s stateless Bloom
+    gate cannot see (aggregation-shaped, so it belongs HERE, where
+    foreachBatch allows per-batch joins, not in the row-predicate gate).
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -276,6 +287,18 @@ def run_stream_dedup_ingest(
         done = _max_committed_batch(corpus_dir)
         if done is not None and batch_id <= done:
             return  # replayed batch — already ingested
+        if eval_df is not None:
+            from healthcare_data_pipeline_spark.operators.decontaminate import (
+                decontaminate,
+            )
+
+            batch_df = decontaminate(
+                batch_df,
+                eval_df,
+                mode=decontaminate_mode,
+                id_col=id_col,
+                text_col=text_col,
+            )
         bands, fps = _load_state(spark, corpus_dir)
         if bands is None:
             bands = spark.createDataFrame([], _BANDS_SCHEMA)

@@ -797,3 +797,48 @@ def test_exact_substring_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_prep_corpus_lm_stage_drops_tail(spark):
+    """The CCNet stage in the front door: with lm_reference set, deduped
+    survivors are LM-scored and only head+middle buckets ship — the
+    hash-gibberish docs (which pass the base word-count/length gates by
+    construction) land in the tail and are dropped."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_pipeline_spark.operators.quality import prep_corpus
+
+    natural = [
+        (
+            i,
+            " ".join(f"word{(i * 7 + j) % 97} the of and point{(i * 13 + j) % 89}" for j in range(12)),
+            "web",
+        )
+        for i in range(30)
+    ]
+    # gibberish: plausible lengths, unique hash tokens -> no reference
+    # bigram ever matches, every token OOV -> maximal perplexity
+    import hashlib
+
+    def hx(i, j):
+        return hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:7]
+
+    junk = [
+        (1000 + i, " ".join(hx(i, j) for j in range(60)), "web") for i in range(5)
+    ]
+    docs = spark.createDataFrame(natural + junk, "doc_id long, text string, source string")
+    ref = docs.filter(F.col("doc_id") < 15)
+    base = prep_corpus(docs, min_stopword_ratio=None)
+    assert base.filter(F.col("doc_id") >= 1000).count() == 5  # gates blind to it
+    out = prep_corpus(
+        docs,
+        min_stopword_ratio=None,
+        lm_reference=ref,
+        lm_bucket_method="exact",
+    )
+    assert out.filter(F.col("doc_id") >= 1000).count() == 0
+    # natural docs survive in bulk: the tertile split drops a third of the
+    # deduped corpus and junk fills the tail first
+    n_base = base.filter(F.col("doc_id") < 1000).count()
+    n_kept = out.filter(F.col("doc_id") < 1000).count()
+    assert n_kept >= (2 * (n_base + 5)) // 3 - 5

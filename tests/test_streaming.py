@@ -1216,3 +1216,44 @@ def test_session_window_state_is_bounded_by_watermark_eviction(spark, tmp_path):
         f"peak state rows {peak} vs {n_sessions} sessions — state must be bounded "
         "by the watermark horizon, not accumulate the stream's history"
     )
+
+
+def test_stream_ingest_fuzzy_decontaminates_each_batch(spark, tmp_path):
+    """eval_df composes fuzzy decontamination into the ingest foreachBatch:
+    a near-verbatim benchmark leak (one token edited — zero impact on most
+    bands) is dropped BEFORE the corpus and its indexes see it, while
+    unrelated docs ingest normally."""
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+
+    src = str(tmp_path / "doc_src_fz")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    bench = " ".join(f"benchtok{i}" for i in range(60))
+    leak = bench.replace("benchtok30", "edited30")  # near-dup, not exact
+    keep = " ".join(f"cleantok{i}" for i in range(60))
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    corpus, ckpt = str(tmp_path / "corpus_fz"), str(tmp_path / "ckpt_fz")
+    ev = spark.createDataFrame([(900, bench)], schema)
+    spark.createDataFrame([(1, leak), (2, keep)], schema).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    ing.run_stream_dedup_ingest(stream(), corpus, ckpt, eval_df=ev)
+    assert [r.doc_id for r in ing.read_corpus(spark, corpus).collect()] == [2]
+    # the leak never reached the band index either: re-ingesting the EXACT
+    # benchmark text (no eval gate this time) is still novel to the index
+    # only through the decontamination gate, so gate it again and ingest a
+    # fresh clean doc to prove the pipeline keeps flowing
+    keep2 = " ".join(f"freshtok{i}" for i in range(60))
+    spark.createDataFrame([(3, keep2)], schema).coalesce(1).write.parquet(
+        os.path.join(src, "b2")
+    )
+    ing.run_stream_dedup_ingest(stream(), corpus, ckpt, eval_df=ev)
+    assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == [2, 3]
