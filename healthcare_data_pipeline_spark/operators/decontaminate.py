@@ -419,6 +419,8 @@ def decontaminate(
     text_col: str = "text",
     m_bits: int = BLOOM_M,
     hasher: str = DEFAULT_HASHER,
+    fuzzy_hasher: str = "portable",
+    min_shared_bands: int = 1,
 ) -> DataFrame:
     """Training rows minus those colliding with ``eval_df`` (all original
     columns preserved).  ``mode="bloom"`` applies the same n-gram rule via a
@@ -427,6 +429,12 @@ def decontaminate(
     set outgrows a comfortable broadcast.  ``mode="fuzzy"`` drops MinHash
     NEAR-duplicates of eval docs (``fuzzy_contaminated_matches``) — the
     edited-leak class every n-gram rule misses."""
+    if mode == "fuzzy":
+        hits = fuzzy_contaminated_matches(
+            train, eval_df, id_col=id_col, text_col=text_col,
+            hasher=fuzzy_hasher, min_shared_bands=min_shared_bands,
+        ).select(id_col)
+        return train.join(F.broadcast(hits), id_col, "left_anti")
     if mode == "bloom":
         hits = _bloom_hit_ids(train, eval_df, n, m_bits, id_col, text_col, hasher)
         return train.join(F.broadcast(hits), id_col, "left_anti")
@@ -452,13 +460,16 @@ def contaminated_ids(
     text_col: str = "text",
     m_bits: int = BLOOM_M,
     hasher: str = DEFAULT_HASHER,
+    fuzzy_hasher: str = "portable",
+    min_shared_bands: int = 1,
 ) -> DataFrame:
     """Ids of training docs colliding with the eval set — the small set both
     ``decontaminate`` (anti-join) and ``contamination_report`` (flag join)
     broadcast; bounded by the actual overlap, not by corpus size."""
     if mode == "fuzzy":
         return fuzzy_contaminated_matches(
-            train, eval_df, id_col=id_col, text_col=text_col
+            train, eval_df, id_col=id_col, text_col=text_col,
+            hasher=fuzzy_hasher, min_shared_bands=min_shared_bands,
         ).select(id_col)
     if mode == "bloom":
         return _bloom_hit_ids(train, eval_df, n, m_bits, id_col, text_col, hasher)
@@ -493,6 +504,8 @@ def contamination_report(
     group_col: str = "source",
     m_bits: int = BLOOM_M,
     hasher: str = DEFAULT_HASHER,
+    fuzzy_hasher: str = "portable",
+    min_shared_bands: int = 1,
 ) -> DataFrame:
     """Per-``group_col`` contamination statistics — the DIAGNOSTIC twin of
     ``decontaminate``: instead of dropping overlapping training docs, report
@@ -507,6 +520,7 @@ def contamination_report(
     bad = contaminated_ids(
         train, eval_df, mode=mode, n=n, id_col=id_col, text_col=text_col,
         m_bits=m_bits, hasher=hasher,
+        fuzzy_hasher=fuzzy_hasher, min_shared_bands=min_shared_bands,
     ).withColumn("__bad", F.lit(True))
     return (
         train.join(F.broadcast(bad), id_col, "left")

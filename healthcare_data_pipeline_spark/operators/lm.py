@@ -190,30 +190,44 @@ def perplexity_buckets(
     scores: DataFrame,
     method: str = "approx",
     bucket_col: str = "ppl_bucket",
+    group_col: str | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail bucketing over ``lm_score`` output.
 
-    The paper splits each language's crawl at the 33rd/66th perplexity
+    The paper splits EACH LANGUAGE's crawl at the 33rd/66th perplexity
     percentiles; "head" (lowest perplexity — most reference-like) is what
-    high-quality training mixes keep or upsample.
+    high-quality training mixes keep or upsample.  ``group_col`` (e.g. a
+    ``lang`` column carried on the scores) is that per-language split —
+    tertiles computed within each group, the paper-faithful form; None
+    buckets the whole corpus as one group (the catalog t33 shape).
 
     ``method="approx"`` (the 100 TB path) computes the two thresholds with
     ``approx_percentile`` — a map-side sketch plus one tiny broadcast, the
     corpus never sorts (the adaptive_quality_filter pattern).
-    ``method="exact"`` ranks the corpus in ONE window ordered by
-    (bits_per_token, doc_id) — deterministic total order for the catalog
-    oracle — and cuts at exact thirds: bucket boundaries are integer-rank
-    comparisons (3*rank <= n, <= 2n), so the assignment is hash-portable.
-    The exact path puts the whole corpus through one sort partition: it is
-    the VERIFICATION path and the bounded-slice path, same contract as
-    exact_stratified_split (SCALE.md's bounded-strata family).
+    ``method="exact"`` ranks by a window ordered by (bits_per_token,
+    doc_id) — deterministic total order for the catalog oracle — and cuts
+    at exact thirds: bucket boundaries are integer-rank comparisons
+    (3*rank <= n, <= 2n), so the assignment is hash-portable.  Ungrouped,
+    the exact path puts the whole corpus through one sort partition (the
+    VERIFICATION / bounded-slice contract of the bounded-strata family);
+    grouped, each group sorts in its own partition — exact stays viable
+    whenever no single language dominates an executor's memory.
     """
     if method == "exact":
-        w = Window.orderBy("bits_per_token", "doc_id")
-        n = scores.agg(F.count("*").alias("__n"))
-        ranked = scores.withColumn("__r", F.row_number().over(w)).crossJoin(
-            F.broadcast(n)
-        )
+        if group_col is None:
+            w = Window.orderBy("bits_per_token", "doc_id")
+            counted = scores.crossJoin(
+                F.broadcast(scores.agg(F.count("*").alias("__n")))
+            )
+        else:
+            w = Window.partitionBy(group_col).orderBy("bits_per_token", "doc_id")
+            counted = scores.join(
+                F.broadcast(
+                    scores.groupBy(group_col).agg(F.count("*").alias("__n"))
+                ),
+                group_col,
+            )
+        ranked = counted.withColumn("__r", F.row_number().over(w))
         bucket = (
             F.when(F.col("__r") * 3 <= F.col("__n"), F.lit("head"))
             .when(F.col("__r") * 3 <= F.col("__n") * 2, F.lit("middle"))
@@ -222,14 +236,21 @@ def perplexity_buckets(
         return ranked.withColumn(bucket_col, bucket).drop("__r", "__n")
     if method != "approx":
         raise ValueError(f"method must be 'exact' or 'approx', got {method!r}")
-    th = scores.agg(
-        F.expr(
-            "approx_percentile(bits_per_token, array(0.3333333, 0.6666667), 10000)"
-        ).alias("__th")
-    ).select(
-        F.col("__th")[0].alias("__t1"), F.col("__th")[1].alias("__t2")
-    )
-    cut = scores.crossJoin(F.broadcast(th))
+    th_expr = F.expr(
+        "approx_percentile(bits_per_token, array(0.3333333, 0.6666667), 10000)"
+    ).alias("__th")
+    if group_col is None:
+        th = scores.agg(th_expr).select(
+            F.col("__th")[0].alias("__t1"), F.col("__th")[1].alias("__t2")
+        )
+        cut = scores.crossJoin(F.broadcast(th))
+    else:
+        th = scores.groupBy(group_col).agg(th_expr).select(
+            group_col,
+            F.col("__th")[0].alias("__t1"),
+            F.col("__th")[1].alias("__t2"),
+        )
+        cut = scores.join(F.broadcast(th), group_col)
     bucket = (
         F.when(F.col("bits_per_token") <= F.col("__t1"), F.lit("head"))
         .when(F.col("bits_per_token") <= F.col("__t2"), F.lit("middle"))

@@ -1772,3 +1772,44 @@ def t35_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_weights(
         table(spark, sf_dir, "documents"), alpha=0.5, total_budget=100_000
     )
+
+
+@query(
+    "t36_perplexity_buckets_by_lang",
+    oracle=_lm_scores_oracle_cte()
+    + """
+    , withlang AS (
+      SELECT s.doc_id, d.lang, s.bits_per_token
+      FROM lm_scores s JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, bits_per_token,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY bits_per_token, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM withlang
+    )
+    SELECT doc_id, lang, bits_per_token,
+           CASE WHEN 3 * r <= n THEN 'head'
+                WHEN 3 * r <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+    """,
+    tags=("text", "EXT", "quality", "lm", "ccnet"),
+    doc="CCNet bucketing in its PAPER-FAITHFUL per-language form (operators.lm."
+    "perplexity_buckets(group_col='lang')): tertiles computed within each language, "
+    "so no language's perplexity scale drowns another's — and the exact path's rank "
+    "window partitions by language, each group sorting in its own partition instead "
+    "of the ungrouped single-sort (t33's verification shape).",
+)
+def t36_perplexity_buckets_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.lm import (
+        lm_score,
+        perplexity_buckets,
+    )
+
+    d, ref = _lm_catalog_inputs(spark, sf_dir)
+    scores = lm_score(d, ref).join(d.select("doc_id", "lang"), "doc_id")
+    return perplexity_buckets(scores, method="exact", group_col="lang").select(
+        "doc_id", "lang", "bits_per_token", "ppl_bucket"
+    )

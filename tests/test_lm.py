@@ -131,3 +131,33 @@ def test_bad_method_raises(spark):
     sc = lm_score(ref, ref)
     with pytest.raises(ValueError, match="method"):
         perplexity_buckets(sc, method="nope")
+
+
+def test_buckets_grouped_per_language(spark):
+    """group_col computes tertiles WITHIN each group (the paper's
+    per-language split): groups of different sizes each split into thirds,
+    and a language whose scores are globally high still gets its own head."""
+    ref = spark.createDataFrame(REF, "doc_id long, text string")
+    rows = []
+    for i in range(12):  # lang a: scores vary with junk suffix length
+        rows.append((i, "the cat sat on the mat " + "zzz " * (i % 4), "a"))
+    for i in range(6):  # lang b: ALL heavily OOV -> globally tail-ish
+        rows.append((100 + i, " ".join(f"qq{i}x{j}" for j in range(8 + i)), "b"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    sc = lm_score(docs, ref).join(docs.select("doc_id", "lang"), "doc_id")
+    b = perplexity_buckets(sc, method="exact", group_col="lang")
+    counts = {
+        (r["lang"], r["ppl_bucket"]): r["n"]
+        for r in b.groupBy("lang", "ppl_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts[("a", "head")] == 4 and counts[("a", "tail")] == 4
+    # lang b gets its own thirds even though every b score exceeds a's max
+    assert counts[("b", "head")] == 2 and counts[("b", "middle")] == 2 and counts[("b", "tail")] == 2
+    # grouped approx agrees on each group's extremes
+    ba = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(sc, method="approx", group_col="lang").collect()}
+    ordered_b = sorted(
+        (r for r in b.select("doc_id", "lang", "bits_per_token").collect() if r["lang"] == "b"),
+        key=lambda r: (r["bits_per_token"], r["doc_id"]),
+    )
+    assert ba[ordered_b[0]["doc_id"]] == "head"
+    assert ba[ordered_b[-1]["doc_id"]] == "tail"
