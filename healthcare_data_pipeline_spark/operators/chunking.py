@@ -80,6 +80,7 @@ def pack_sequences(
     text_col: str = "text",
     group_col: str = "source",
     budget: int = DEFAULT_PACK_BUDGET,
+    tokenizer: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Concat-and-split packing: (group, id, n_tokens, bin_id, tok_in_bin).
 
@@ -88,12 +89,24 @@ def pack_sequences(
     spanning a cut appears once per bin it touches, with the token count it
     contributes to that bin (sum over rows of tok_in_bin == n_tokens).
 
+    ``tokenizer``: a BPE merges list (``operators.bpe``) switches the
+    packing currency to the EXACT token count under that tokenizer — bins
+    are the sequence slots of a real model, so packing in estimate-tokens
+    over- or under-fills them by the measured estimate-vs-exact drift
+    (SCALE.md); same plan shape, the count is one scan-bound fold column
+    (the ``token_budget_sample(tokenizer=)`` convention).
+
     Plan shape: one cumulative-sum window partitioned by the shard key
     (parallel, no global sort) + an explode over the (first_bin..last_bin)
     range — at most ceil(n_tokens/budget)+1 rows per document.
     """
     toks = F.split(F.col(text_col), r"[ \t\n\r\f\x0B]+")
-    n = F.size(toks).cast("long")
+    if tokenizer is not None:
+        from healthcare_data_pipeline_spark.operators.bpe import bpe_token_count_col
+
+        n = bpe_token_count_col(tokenizer, text_col=text_col).cast("long")
+    else:
+        n = F.size(toks).cast("long")
     w = Window.partitionBy(group_col).orderBy(id_col)
     cum = F.sum("n_tokens").over(w)
     first_bin = F.floor(F.col("start_off") / budget)

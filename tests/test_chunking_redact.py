@@ -856,3 +856,31 @@ def test_temperature_budget_sample_respects_scaled_budgets(spark):
 
     with _pytest.raises(ValueError, match="max_groups"):
         temperature_budget_sample(docs, total_budget=400, max_groups=1)
+
+
+def test_pack_sequences_tokenizer_currency(spark):
+    """tokenizer= packs in EXACT BPE tokens ('aa' pieces are one estimate
+    token but two exact symbols, and inter-piece whitespace is a symbol of
+    its own), so the same budget cuts different bin boundaries per
+    currency — and a merge that fuses the piece shrinks the exact count."""
+    from pyspark.sql import functions as F
+    from healthcare_data_pipeline_spark.operators.chunking import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "web", "aa aa aa aa")], "doc_id long, source string, text string"
+    )
+    est = pack_sequences(docs, budget=4)
+    erows = est.collect()
+    assert len(erows) == 1 and erows[0].n_tokens == 4
+    # exact symbols under a no-op merge: 2 chars per piece + the inter-piece
+    # whitespace symbols = 11 tokens -> three bins where the estimate saw one
+    ex = pack_sequences(docs, budget=4, tokenizer=[("x", "y")])
+    rows = sorted(ex.collect(), key=lambda r: r.bin_id)
+    assert [r.tok_in_bin for r in rows] == [4, 4, 3] and rows[0].n_tokens == 11
+    # a merge that fuses the piece shrinks the exact count (7 = 4 fused
+    # pieces + 3 whitespace symbols) -> two bins
+    fused = pack_sequences(docs, budget=4, tokenizer=[("a", "a")])
+    frows = sorted(fused.collect(), key=lambda r: r.bin_id)
+    assert [r.tok_in_bin for r in frows] == [4, 3] and frows[0].n_tokens == 7
+    # conservation in every currency
+    assert ex.agg(F.sum("tok_in_bin").alias("s")).head().s == 11
