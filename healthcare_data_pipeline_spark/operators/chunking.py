@@ -114,8 +114,15 @@ def pack_sequences(
     tok_in_bin = F.least(F.col("cum"), (F.col("bin_id") + 1) * budget) - F.greatest(
         F.col("start_off"), F.col("bin_id") * budget
     )
+    # Zero-token docs (possible only under an exact tokenizer: empty /
+    # whitespace-only text) contribute nothing to any bin; keeping them
+    # would make first_bin > last_bin on an exact boundary (F.sequence
+    # would then generate a DESCENDING range -> spurious rows) and emit a
+    # degenerate tok_in_bin=0 row otherwise.  Dropping them before the
+    # window is exact: they add 0 to every later cum.
     return (
         df.select(group_col, id_col, n.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
         .withColumn("cum", cum)
         .withColumn("start_off", F.col("cum") - F.col("n_tokens"))
         .select(

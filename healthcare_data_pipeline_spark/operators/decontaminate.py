@@ -368,6 +368,7 @@ def fuzzy_contaminated_matches(
     eval_text_col: str | None = None,
     hasher: str = "portable",
     min_shared_bands: int = 1,
+    eval_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate contamination matches: training docs whose MinHash
     band buckets collide with any eval doc's (module doc, bullet "fuzzy").
@@ -393,13 +394,22 @@ def fuzzy_contaminated_matches(
     if min_shared_bands < 1:
         raise ValueError(f"need min_shared_bands >= 1, got {min_shared_bands}")
     tb = band_buckets(train, id_col=id_col, text_col=text_col, hasher=hasher)
-    eb = band_buckets(
-        eval_df,
-        id_col=id_col,
-        text_col=eval_text_col or text_col,
-        hasher=hasher,
-    ).select(F.col("doc_id").alias("__eval_id"), "band", "bucket")
+    # ``eval_bands``: a precomputed/persisted band_buckets(eval) relation
+    # (columns doc_id, band, bucket) — lets a repeated caller (streaming
+    # ingest's per-micro-batch decon) sign the eval side ONCE instead of
+    # re-hashing it every batch.  Must have been built with the same hasher.
+    if eval_bands is None:
+        eval_bands = band_buckets(
+            eval_df,
+            id_col=id_col,
+            text_col=eval_text_col or text_col,
+            hasher=hasher,
+        )
+    eb = eval_bands.select(F.col("doc_id").alias("__eval_id"), "band", "bucket")
     hits = tb.join(F.broadcast(eb), ["band", "bucket"])
+    # band_buckets normalizes the id to "doc_id" internally; surface the
+    # caller's id_col so decontaminate/contaminated_ids/contamination_report
+    # can .select(id_col)/anti-join on it regardless of the input schema.
     return (
         hits.groupBy("doc_id")
         .agg(
@@ -407,6 +417,7 @@ def fuzzy_contaminated_matches(
             F.countDistinct("__eval_id").alias("n_eval_matches"),
         )
         .filter(F.col("n_shared_bands") >= min_shared_bands)
+        .withColumnRenamed("doc_id", id_col)
     )
 
 
@@ -421,6 +432,7 @@ def decontaminate(
     hasher: str = DEFAULT_HASHER,
     fuzzy_hasher: str = "portable",
     min_shared_bands: int = 1,
+    eval_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Training rows minus those colliding with ``eval_df`` (all original
     columns preserved).  ``mode="bloom"`` applies the same n-gram rule via a
@@ -428,11 +440,13 @@ def decontaminate(
     positives, zero train-side shuffle; the 100 TB form when the eval gram
     set outgrows a comfortable broadcast.  ``mode="fuzzy"`` drops MinHash
     NEAR-duplicates of eval docs (``fuzzy_contaminated_matches``) — the
-    edited-leak class every n-gram rule misses."""
+    edited-leak class every n-gram rule misses.  ``eval_bands`` short-cuts
+    the fuzzy eval signing with a precomputed band index."""
     if mode == "fuzzy":
         hits = fuzzy_contaminated_matches(
             train, eval_df, id_col=id_col, text_col=text_col,
             hasher=fuzzy_hasher, min_shared_bands=min_shared_bands,
+            eval_bands=eval_bands,
         ).select(id_col)
         return train.join(F.broadcast(hits), id_col, "left_anti")
     if mode == "bloom":
@@ -462,6 +476,7 @@ def contaminated_ids(
     hasher: str = DEFAULT_HASHER,
     fuzzy_hasher: str = "portable",
     min_shared_bands: int = 1,
+    eval_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Ids of training docs colliding with the eval set — the small set both
     ``decontaminate`` (anti-join) and ``contamination_report`` (flag join)
@@ -470,6 +485,7 @@ def contaminated_ids(
         return fuzzy_contaminated_matches(
             train, eval_df, id_col=id_col, text_col=text_col,
             hasher=fuzzy_hasher, min_shared_bands=min_shared_bands,
+            eval_bands=eval_bands,
         ).select(id_col)
     if mode == "bloom":
         return _bloom_hit_ids(train, eval_df, n, m_bits, id_col, text_col, hasher)

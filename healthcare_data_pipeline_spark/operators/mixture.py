@@ -293,6 +293,7 @@ def token_budget_sample(
     salt: str = "budget",
     method: str = "exact",
     tokenizer: list[tuple[str, str]] | None = None,
+    token_count: Column | None = None,
 ) -> DataFrame:
     """TOKEN-budget mixture sampling: from each group, keep documents in
     salted-hash order until the group's token budget is spent.
@@ -335,7 +336,11 @@ def token_budget_sample(
     if method not in ("exact", "approx"):
         raise ValueError(f"unknown method {method!r}: expected 'exact' or 'approx'")
     per_group = dict(budgets or {})
-    if tokenizer is not None:
+    if token_count is not None:
+        # Explicit counting convention — used by temperature_budget_sample to
+        # SPEND budgets in the same currency temperature_weights computed them.
+        ntok = token_count.cast("long")
+    elif tokenizer is not None:
         from healthcare_data_pipeline_spark.operators.bpe import bpe_token_count_col
 
         ntok = bpe_token_count_col(tokenizer, text_col=text_col).cast("long")
@@ -468,6 +473,19 @@ def dsir_scores(
     )
 
 
+def normalized_token_count(text_col: str = "text") -> Column:
+    """The temperature-mixture token currency: whitespace split, lowercased,
+    EMPTY TOKENS DROPPED (so leading/trailing/repeated whitespace counts 0,
+    unlike the raw-split estimate which counts the empty fragments).  Shared
+    by ``temperature_weights`` and — via ``token_budget_sample(token_count=)``
+    — by ``temperature_budget_sample``, so budgets are computed and spent in
+    the SAME currency and realized shares track the weights."""
+    ws = r"[ \t\n\r\f\x0B]+"
+    return F.size(
+        F.filter(F.split(F.lower(F.col(text_col)), ws), lambda x: x != "")
+    ).cast("long")
+
+
 def temperature_weights(
     docs: DataFrame,
     alpha: float = 0.5,
@@ -498,12 +516,9 @@ def temperature_weights(
     combine; group count is mixture-recipe-sized, i.e. tiny), one 1x1
     broadcast combine for the normalizer.  Nothing corpus-sized moves.
     """
-    ws = r"[ \t\n\r\f\x0B]+"
     per = docs.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(
-            F.size(F.filter(F.split(F.lower(F.col(text_col)), ws), lambda x: x != ""))
-        ).cast("long").alias("n_tokens"),
+        F.sum(normalized_token_count(text_col)).cast("long").alias("n_tokens"),
     )
     s = (
         F.sqrt(F.col("n_tokens").cast("double"))
@@ -553,7 +568,13 @@ def temperature_budget_sample(
             "driver; raise max_groups only if the group column is genuinely "
             "recipe-sized."
         )
-    budgets = {r[0]: int(r[1]) for r in rows}
+    # budget_tokens is NULL when the group's token mass is zero everywhere
+    # (weight = 0^a/0 = NaN -> floor/cast NULL): spend nothing on it rather
+    # than raise.  Budgets are SPENT in the same normalized token currency
+    # they were computed in (token_count=), so realized per-group shares
+    # track the temperature weights instead of drifting by the raw-split
+    # empty-fragment count.
+    budgets = {r[0]: int(r[1]) if r[1] is not None else 0 for r in rows}
     return token_budget_sample(
         docs,
         budget=0,
@@ -562,4 +583,5 @@ def temperature_budget_sample(
         id_col=id_col,
         text_col=text_col,
         method=method,
+        token_count=normalized_token_count(text_col),
     )

@@ -260,6 +260,7 @@ def run_stream_dedup_ingest(
     progress_path: str | None = None,
     eval_df: DataFrame | None = None,
     decontaminate_mode: str = "fuzzy",
+    decontaminate_kwargs: dict | None = None,
 ) -> None:
     """Drain ``stream_df`` (a documents stream) into a deduplicated corpus.
 
@@ -279,7 +280,30 @@ def run_stream_dedup_ingest(
     lightly-edited leaks, the variant ``prep_stream``'s stateless Bloom
     gate cannot see (aggregation-shaped, so it belongs HERE, where
     foreachBatch allows per-batch joins, not in the row-predicate gate).
+
+    ``decontaminate_kwargs`` passes through to ``decontaminate`` (n,
+    m_bits, min_shared_bands, ...).  Unless overridden there, the fuzzy
+    signing uses the INGEST's ``hasher`` — a ``hasher="fast"`` ingest
+    should not silently pay md5 twice per batch.  The eval side's band
+    index is computed and persisted ONCE before the stream starts and
+    reused by every micro-batch (the static side never changes), instead
+    of re-signing the eval corpus per batch.
     """
+    extra = dict(decontaminate_kwargs or {})
+    eval_bands_cached = None
+    if eval_df is not None and decontaminate_mode == "fuzzy":
+        extra.setdefault("fuzzy_hasher", hasher)
+        if "eval_bands" not in extra:
+            from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+                band_buckets as _bb,
+            )
+
+            eval_bands_cached = _bb(
+                eval_df, id_col=id_col, text_col=text_col,
+                hasher=extra["fuzzy_hasher"],
+            ).persist()
+            eval_bands_cached.count()  # materialize before the stream starts
+            extra["eval_bands"] = eval_bands_cached
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -298,6 +322,7 @@ def run_stream_dedup_ingest(
                 mode=decontaminate_mode,
                 id_col=id_col,
                 text_col=text_col,
+                **extra,
             )
         bands, fps = _load_state(spark, corpus_dir)
         if bands is None:
@@ -351,6 +376,8 @@ def run_stream_dedup_ingest(
         q.processAllAvailable()
     finally:
         q.stop()
+        if eval_bands_cached is not None:
+            eval_bands_cached.unpersist()
         if recorder_cm is not None:
             # progress events are delivered asynchronously on the listener
             # bus; give queued events a bounded window to land before

@@ -884,3 +884,66 @@ def test_pack_sequences_tokenizer_currency(spark):
     assert [r.tok_in_bin for r in frows] == [4, 3] and frows[0].n_tokens == 7
     # conservation in every currency
     assert ex.agg(F.sum("tok_in_bin").alias("s")).head().s == 11
+
+def test_pack_sequences_zero_token_docs_drop(spark):
+    """r11 ADVICE: a 0-token doc (empty/whitespace-only text under an exact
+    tokenizer) whose cumulative count lands ON a bin boundary used to make
+    first_bin > last_bin — F.sequence then generated a DESCENDING range and
+    emitted spurious rows; off-boundary it emitted a tok_in_bin=0 row.
+    Zero-token docs must simply not appear, and others must be unaffected."""
+    from pyspark.sql import functions as F
+    from healthcare_data_pipeline_spark.operators.chunking import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "aa aa"),   # 5 exact symbols under a no-op merge
+            (2, "web", ""),        # 0 tokens, cum=5: lands ON the budget=5 boundary
+            (3, "web", "   "),     # whitespace-only -> 0 tokens, off-boundary later
+            (4, "web", "aa"),      # 2 symbols
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = pack_sequences(docs, budget=5, tokenizer=[("x", "y")])
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.bin_id))
+    assert [r.doc_id for r in rows] == [1, 4]  # zero-token docs gone
+    assert all(r.tok_in_bin > 0 for r in rows)
+    # conservation: 5 + 2 tokens across bins, bin ids ascending
+    assert out.agg(F.sum("tok_in_bin").alias("s")).head().s == 7
+
+
+def test_temperature_budget_sample_null_budget_and_currency(spark):
+    """r11 ADVICE: (a) an all-zero-token group has weight NaN -> NULL
+    budget_tokens, which used to raise TypeError in int(); it must spend 0
+    instead.  (b) budgets are computed in the normalized token currency
+    (empty split fragments dropped) and must be SPENT in the same currency:
+    text with doubled whitespace would otherwise burn budget on phantom
+    tokens and undershoot the recipe share."""
+    from pyspark.sql import functions as F
+    from healthcare_data_pipeline_spark.operators.mixture import (
+        normalized_token_count,
+        temperature_budget_sample,
+        temperature_weights,
+    )
+
+    docs = spark.createDataFrame(
+        # "tok  tok ..." — doubled separators: raw split counts ~2x tokens
+        [(i, "web", "  " + "tok  " * 10) for i in range(40)]
+        + [(1000, "emptysrc", ""), (1001, "emptysrc", "   ")],
+        "doc_id long, source string, text string",
+    )
+    out = temperature_budget_sample(docs, total_budget=200, alpha=0.5)
+    got = {
+        r.source: (r.n or 0)
+        for r in out.groupBy("source")
+        .agg(F.sum(normalized_token_count("text")).alias("n"))
+        .collect()
+    }
+    w = {
+        r.source: r.budget_tokens
+        for r in temperature_weights(docs, alpha=0.5, total_budget=200).collect()
+    }
+    assert w["emptysrc"] is None or w["emptysrc"] == 0
+    assert got.get("emptysrc", 0) == 0
+    # spent-in-same-currency: the web group fills its budget to within one
+    # document (10 normalized tokens each) instead of stopping at ~half
+    assert w["web"] - 10 < got["web"] <= w["web"]

@@ -411,3 +411,53 @@ def test_fuzzy_train_side_never_self_joins(spark):
     plan = fuzzy_contaminated_matches(train, ev)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
+
+def test_fuzzy_honors_custom_id_col(spark):
+    """r11 ADVICE: fuzzy mode hardcoded 'doc_id' in its output, so any
+    non-default id_col raised AnalysisException in decontaminate /
+    contaminated_ids / contamination_report.  All three front doors must
+    honor id_col like the ngram/bloom/exact modes do."""
+    from healthcare_data_pipeline_spark.operators.decontaminate import (
+        contaminated_ids,
+        contamination_report,
+        fuzzy_contaminated_matches,
+    )
+
+    train = spark.createDataFrame(
+        [(1, _long_doc("same"), "web"), (2, _long_doc("other"), "web")],
+        "rec_id long, text string, source string",
+    )
+    ev = spark.createDataFrame(
+        [(100, _long_doc("same"))], "rec_id long, text string"
+    )
+    m = fuzzy_contaminated_matches(train, ev, id_col="rec_id")
+    assert m.columns[0] == "rec_id"
+    assert [r.rec_id for r in m.collect()] == [1]
+    ids = contaminated_ids(train, ev, mode="fuzzy", id_col="rec_id")
+    assert [r.rec_id for r in ids.collect()] == [1]
+    out = decontaminate(train, ev, mode="fuzzy", id_col="rec_id")
+    assert [r.rec_id for r in out.collect()] == [2]
+    rep = contamination_report(train, ev, mode="fuzzy", id_col="rec_id").collect()
+    assert rep[0].n_contaminated == 1 and rep[0].n_docs == 2
+
+
+def test_fuzzy_precomputed_eval_bands_equivalent(spark):
+    """eval_bands= (a persisted band_buckets(eval) relation) must produce the
+    identical match set as signing the eval side inline — the streaming
+    ingest reuses one precomputed index across micro-batches."""
+    from healthcare_data_pipeline_spark.operators.decontaminate import (
+        fuzzy_contaminated_matches,
+    )
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import band_buckets
+
+    train = _df(spark, [(1, _long_doc("dup")), (2, _long_doc("keep"))])
+    ev = _df(spark, [(100, _long_doc("dup"))])
+    eb = band_buckets(ev, id_col="doc_id", text_col="text", hasher="portable")
+    inline = sorted(r.doc_id for r in fuzzy_contaminated_matches(train, ev).collect())
+    pre = sorted(
+        r.doc_id
+        for r in fuzzy_contaminated_matches(train, ev, eval_bands=eb).collect()
+    )
+    assert inline == pre == [1]
+    out = decontaminate(train, ev, mode="fuzzy", eval_bands=eb).collect()
+    assert [r.doc_id for r in out] == [2]

@@ -1257,3 +1257,41 @@ def test_stream_ingest_fuzzy_decontaminates_each_batch(spark, tmp_path):
     )
     ing.run_stream_dedup_ingest(stream(), corpus, ckpt, eval_df=ev)
     assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus).collect()) == [2, 3]
+
+def test_stream_ingest_fast_hasher_and_kwargs_passthrough(spark, tmp_path):
+    """r11 ADVICE: a hasher='fast' ingest must not pay md5 twice per batch —
+    the fuzzy decon defaults to the ingest's hasher; decontaminate_kwargs
+    passes through (an explicit fuzzy_hasher override wins); and the eval
+    band index is computed once up front, not per micro-batch."""
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+
+    src = str(tmp_path / "doc_src_fh")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    bench = " ".join(f"benchtok{i}" for i in range(60))
+    leak = bench.replace("benchtok30", "edited30")
+    keep = " ".join(f"cleantok{i}" for i in range(60))
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    ev = spark.createDataFrame([(900, bench)], schema)
+    spark.createDataFrame([(1, leak), (2, keep)], schema).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    corpus, ckpt = str(tmp_path / "corpus_fh"), str(tmp_path / "ckpt_fh")
+    ing.run_stream_dedup_ingest(stream(), corpus, ckpt, hasher="fast", eval_df=ev)
+    assert [r.doc_id for r in ing.read_corpus(spark, corpus).collect()] == [2]
+
+    # kwargs passthrough: min_shared_bands too high -> the leak survives
+    corpus2, ckpt2 = str(tmp_path / "corpus_fh2"), str(tmp_path / "ckpt_fh2")
+    ing.run_stream_dedup_ingest(
+        stream(), corpus2, ckpt2, hasher="fast", eval_df=ev,
+        decontaminate_kwargs={"min_shared_bands": 5},  # > PMH_BANDS: nothing fires
+    )
+    assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus2).collect()) == [1, 2]
