@@ -1571,8 +1571,52 @@ def pq_adc_topk(
     return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= top)
 
 
+def _cell_means(assigned: DataFrame) -> DataFrame:
+    """Per-cell truncated-integer-mean centroid VECTORS — the concrete
+    reconstruction centers residual PQ subtracts and adds back.  (The coarse
+    ROUTING table ``int_centroids`` stores component SUMS because cosine
+    routing is scale-invariant; residual encoding needs an actual point, so
+    this is the ``kmeans_assign``-convention integer mean: exact BIGINT
+    component sums, sign-peeled truncating division.)  Output: (cell,
+    cm: array<double> integer-valued, cmnorm2: double — the exact ||cm||²)."""
+    comp = (
+        assigned.select("cell", F.posexplode("iv").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.sum(F.col("v").cast("long")).alias("s"), F.count("*").alias("n"))
+    )
+    return (
+        comp.withColumn("cv", F.expr(f"CAST({_trunc_div_sql('s', 'n')} AS DOUBLE)"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select("cell", F.transform("pc", lambda x: x["cv"]).alias("cm"))
+        .withColumn(
+            "cmnorm2",
+            F.expr("aggregate(zip_with(cm, cm, (x, y) -> x * y), 0D, (acc, d) -> acc + d)"),
+        )
+    )
+
+
+def _with_residual(assigned: DataFrame, cellmeans: DataFrame) -> DataFrame:
+    """assigned columns + ``rv`` = iv − cm(cell): the integer-valued residual
+    the PQ codebooks are trained on and encoded from (Jégou et al. 2011
+    §IV.A — IVFADC quantizes x − q1(x), not x: raw-vector codes waste
+    codebook capacity re-describing the cell centroid the probe already
+    knows).  One broadcast join on the cell id — zero shuffle."""
+    cm = F.broadcast(cellmeans.select("cell", F.col("cm").alias("__cm")))
+    return (
+        assigned.join(cm, "cell")
+        .withColumn("rv", F.expr("zip_with(iv, __cm, (x, y) -> x - y)"))
+        .drop("__cm")
+    )
+
+
 def ann_index_build_pq(
-    en: DataFrame, index_dir: str, m: int = 2, k_codes: int = 8, iters: int = 2
+    en: DataFrame,
+    index_dir: str,
+    m: int = 2,
+    k_codes: int = 8,
+    iters: int = 2,
+    residual: bool = True,
 ) -> None:
     """Persist the PQ-augmented IVF index: everything ``ann_index_build``
     writes (full-precision ``vectors/`` + ``centroids/``) plus the trained
@@ -1583,15 +1627,44 @@ def ann_index_build_pq(
     the candidate pass costs — m bytes vs 4·dim fp32 (32x at m=8/dim=64,
     the rung below SQ8's fixed ~4x), with the shortlist rescore paying full
     vectors only for survivors.  Quantizer, codebooks, codes, and both
-    vector layouts build from the same corpus and must never drift apart."""
+    vector layouts build from the same corpus and must never drift apart.
+
+    ``residual=True`` (the published IVFADC form, §IV.A): codebooks train
+    on and codes encode the RESIDUAL x − q1(x) against the cell's
+    truncated-integer-mean center (persisted as ``pq_cellmeans/`` — its
+    presence is the layout marker probe/append auto-detect).  Residuals
+    concentrate near 0 regardless of which cell a vector lives in, so the
+    m·k codebook capacity describes local structure instead of re-encoding
+    cell offsets — the reason IVFADC holds recall at small m.  The probe
+    adds the centroid back inside its LUTs (dot and norm decompose per
+    contiguous subspace), keeping every score an exact-integer double.
+    ``residual=False`` keeps the r11 raw-vector layout."""
     import os
 
     ann_index_build(en, index_dir)
     spark = en.sparkSession
+    assigned = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    if residual:
+        cms = _cell_means(assigned)
+        cms.write.mode("overwrite").parquet(os.path.join(index_dir, "pq_cellmeans"))
+        cms_saved = spark.read.parquet(os.path.join(index_dir, "pq_cellmeans"))
+        res = _with_residual(assigned, cms_saved)
+        # residual components span ±2·max_component — widen the exactness
+        # guard accordingly (same 2^53 worst-case ADC bound, doubled range)
+        books = pq_train(
+            res, m=m, k=k_codes, iters=iters, vec_col="rv", max_component=1_200_000.0
+        )
+        books.write.mode("overwrite").parquet(os.path.join(index_dir, "pq_books"))
+        books_saved = spark.read.parquet(os.path.join(index_dir, "pq_books"))
+        pq_encode(res, books_saved, vec_col="rv").select(
+            "vec_id", "codes", "cell"
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(index_dir, "pq_codes")
+        )
+        return
     books = pq_train(en, m=m, k=k_codes, iters=iters)
     books.write.mode("overwrite").parquet(os.path.join(index_dir, "pq_books"))
     books_saved = spark.read.parquet(os.path.join(index_dir, "pq_books"))
-    assigned = spark.read.parquet(os.path.join(index_dir, "vectors"))
     pq_encode(assigned, books_saved).select("vec_id", "codes", "cell").write.mode(
         "overwrite"
     ).partitionBy("cell").parquet(os.path.join(index_dir, "pq_codes"))
@@ -1601,7 +1674,10 @@ def ann_index_append_pq(spark, index_dir: str, new_en: DataFrame) -> None:
     """Append to a PQ-augmented index: assign against the FROZEN coarse
     quantizer (ann_index_append's contract) and encode against the FROZEN
     codebooks — codebook drift is the caller's rebuild decision
-    (``ann_index_report`` / ``ann_index_rebuild``)."""
+    (``ann_index_report`` / ``ann_index_rebuild``).  On a residual layout
+    (``pq_cellmeans/`` present) the frozen contract extends to the cell
+    means: new vectors subtract the BUILD-time center of their assigned
+    cell, so old and new codes stay decodable against one codebook set."""
     import os
 
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
@@ -1610,9 +1686,15 @@ def ann_index_append_pq(spark, index_dir: str, new_en: DataFrame) -> None:
     assigned.write.mode("append").partitionBy("cell").parquet(
         os.path.join(index_dir, "vectors")
     )
-    pq_encode(assigned, books).select("vec_id", "codes", "cell").write.mode(
-        "append"
-    ).partitionBy("cell").parquet(os.path.join(index_dir, "pq_codes"))
+    cm_dir = os.path.join(index_dir, "pq_cellmeans")
+    if os.path.exists(cm_dir):
+        res = _with_residual(assigned, spark.read.parquet(cm_dir))
+        enc = pq_encode(res, books, vec_col="rv")
+    else:
+        enc = pq_encode(assigned, books)
+    enc.select("vec_id", "codes", "cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(os.path.join(index_dir, "pq_codes"))
 
 
 def ann_index_probe_pq(
@@ -1636,13 +1718,26 @@ def ann_index_probe_pq(
 
     The candidate pass is one scalar zip_with per code row (per query) —
     no explode, no join on the codes side beyond the broadcast routing —
-    so its cost is the pruned codes scan itself."""
+    so its cost is the pruned codes scan itself.
+
+    On a residual layout (``pq_cellmeans/`` present — the
+    ``ann_index_build_pq(residual=True)`` default) the candidate score
+    reconstructs x̂ = cm(cell) + r̂: because subspaces are contiguous and
+    disjoint, both dot(q, x̂) and ||x̂||² decompose as a per-cell constant
+    plus per-subspace LUT sums — dot adds the per-(query, cell) exact
+    dot(q, cm); the norm adds cmnorm2 and a per-CELL cross LUT
+    2·dot(cm_sub, r̂_j) + ||r̂_j||² (n_cells·m·k entries against the
+    broadcast codebooks — quantizer-constant-sized, never corpus-sized).
+    Still exact-integer doubles end to end, still one scalar expression
+    per code row."""
     import os
 
     from pyspark.sql import Window
 
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     books = spark.read.parquet(os.path.join(index_dir, "pq_books"))
+    cm_dir = os.path.join(index_dir, "pq_cellmeans")
+    cellmeans = spark.read.parquet(cm_dir) if os.path.exists(cm_dir) else None
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("iv").alias("q_iv"),
@@ -1673,16 +1768,8 @@ def ann_index_probe_pq(
     nrm_lut = """transform(__books, bk ->
         transform(bk, s -> aggregate(zip_with(s.c, s.c, (x, y) -> x * y),
             0D, (acc, d) -> acc + d)))"""
-    qlut = (
-        routed.crossJoin(_books_row(books))
-        .withColumn("__sd", F.expr("size(element_at(element_at(__books, 1), 1).c)"))
-        .select(
-            "query_id",
-            "q_nrm2",
-            "cell",
-            F.expr(dot_lut).alias("__dlut"),
-            F.expr(nrm_lut).alias("__nlut"),
-        )
+    qbase = routed.crossJoin(_books_row(books)).withColumn(
+        "__sd", F.expr("size(element_at(element_at(__books, 1), 1).c)")
     )
     codes = (
         spark.read.parquet(os.path.join(index_dir, "pq_codes"))
@@ -1691,21 +1778,75 @@ def ann_index_probe_pq(
     )
     pick = "aggregate(zip_with(codes, {lut}, (c, row) -> element_at(row, c + 1)), 0D, (acc, d) -> acc + d)"
     wsl = Window.partitionBy("query_id").orderBy(F.desc("pq_sim"), F.asc("neighbor_id"))
-    short = (
-        codes.join(F.broadcast(qlut), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("__dot", F.expr(pick.format(lut="__dlut")))
-        .withColumn("__rn2", F.expr(pick.format(lut="__nlut")))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "cell",
-            (F.col("__dot") / (F.sqrt("q_nrm2") * F.sqrt("__rn2"))).alias("pq_sim"),
+    if cellmeans is not None:
+        # residual layout: dot(q, x̂) = dot(q, cm) + Σ dlut[code];
+        # ||x̂||² = ||cm||² + Σ (2·dot(cm_sub, r̂) + ||r̂||²) — the cross
+        # term rides a per-CELL LUT so the codes scan stays one scalar
+        # expression per row.
+        cms = cellmeans.filter(F.col("cell").isin(cells))
+        qc_dot = F.expr(
+            "aggregate(zip_with(q_iv, __cm, (x, y) -> x * y), 0D, (acc, d) -> acc + d)"
         )
-        .withColumn("srn", F.row_number().over(wsl))
-        .filter(F.col("srn") <= shortlist)
-        .select("query_id", "neighbor_id", "cell")
-    )
+        qlut = (
+            qbase.join(F.broadcast(cms.select("cell", F.col("cm").alias("__cm"))), "cell")
+            .select(
+                "query_id",
+                "q_nrm2",
+                "cell",
+                qc_dot.alias("__qc"),
+                F.expr(dot_lut).alias("__dlut"),
+            )
+        )
+        cross_lut = """transform(__books, (bk, mi) ->
+            transform(bk, s ->
+                2D * aggregate(zip_with(slice(cm, mi * __sd + 1, __sd), s.c,
+                    (x, y) -> x * y), 0D, (acc, d) -> acc + d)
+                + aggregate(zip_with(s.c, s.c, (x, y) -> x * y),
+                    0D, (acc, d) -> acc + d)))"""
+        clut = (
+            cms.crossJoin(_books_row(books))
+            .withColumn("__sd", F.expr("size(element_at(element_at(__books, 1), 1).c)"))
+            .select("cell", "cmnorm2", F.expr(cross_lut).alias("__clut"))
+        )
+        short = (
+            codes.join(F.broadcast(qlut), "cell")
+            .join(F.broadcast(clut), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("__dot", F.col("__qc") + F.expr(pick.format(lut="__dlut")))
+            .withColumn("__rn2", F.col("cmnorm2") + F.expr(pick.format(lut="__clut")))
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cell",
+                (F.col("__dot") / (F.sqrt("q_nrm2") * F.sqrt("__rn2"))).alias("pq_sim"),
+            )
+            .withColumn("srn", F.row_number().over(wsl))
+            .filter(F.col("srn") <= shortlist)
+            .select("query_id", "neighbor_id", "cell")
+        )
+    else:
+        qlut = qbase.select(
+            "query_id",
+            "q_nrm2",
+            "cell",
+            F.expr(dot_lut).alias("__dlut"),
+            F.expr(nrm_lut).alias("__nlut"),
+        )
+        short = (
+            codes.join(F.broadcast(qlut), "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("__dot", F.expr(pick.format(lut="__dlut")))
+            .withColumn("__rn2", F.expr(pick.format(lut="__nlut")))
+            .select(
+                "query_id",
+                "neighbor_id",
+                "cell",
+                (F.col("__dot") / (F.sqrt("q_nrm2") * F.sqrt("__rn2"))).alias("pq_sim"),
+            )
+            .withColumn("srn", F.row_number().over(wsl))
+            .filter(F.col("srn") <= shortlist)
+            .select("query_id", "neighbor_id", "cell")
+        )
     # exact rescore: shortlist-sized fetch from the full-precision layout,
     # still pruned to the probed cells' partitions
     full = (

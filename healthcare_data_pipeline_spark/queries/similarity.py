@@ -646,14 +646,22 @@ def s11_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_ctes(
-    m: int = 2, k: int = 8, iters: int = 2, dim: int = 64, include_quant: bool = True
+    m: int = 2,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    include_quant: bool = True,
+    src: str = "en",
 ) -> str:
     """Product-quantization oracle CTEs: the grouped integer-Lloyd of
     operators.similarity.pq_train with the subspace id as an extra grouping
     key, iterations unrolled (the s11/_kmeans_ctes pattern), ending in the
     final per-(vector, subspace) assignment ``paf`` and final codebooks
-    ``pc{iters}``.  The min-ordinal ``d*k + j`` stays exact: d <= sub_dim *
-    (2*6e5)^2 ~ 4.6e13, * k=8 ~ 3.7e14 < 2^53."""
+    ``pc{iters}``.  ``src`` names the (vec_id, iv) relation the codebooks
+    train on — ``en`` for raw vectors (s12), a residual CTE for the IVFADC
+    layout (s13).  The min-ordinal ``d*k + j`` stays exact even on
+    residuals: d <= sub_dim * (2*2*6e5)^2 ~ 1.9e14, * k=8 ~ 1.5e15 < 2^53
+    at the fixed m=2/dim=64 shape (sub_dim=32)."""
     sd = dim // m
     sub = "iv[mi*{sd}+1 : mi*{sd}+{sd}]".format(sd=sd)
 
@@ -688,11 +696,11 @@ def _pq_ctes(
         f"""
     , ens AS (
       SELECT vec_id, mi AS sub_id, {sub} AS sv
-      FROM en, UNNEST(generate_series(0, {m - 1})) AS g(mi)
+      FROM {src}, UNNEST(generate_series(0, {m - 1})) AS g(mi)
     ),
     pseedj AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, iv
-      FROM (SELECT vec_id, iv FROM en ORDER BY vec_id LIMIT {k})
+      FROM (SELECT vec_id, iv FROM {src} ORDER BY vec_id LIMIT {k})
     ),
     pc0 AS (
       SELECT mi AS sub_id, j, {sub} AS c
@@ -780,13 +788,38 @@ def s12_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _s13_oracle_sql(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64) -> str:
     """s13 oracle: the IVF assignment CTEs (cells + query routing, s07's) +
-    the grouped-Lloyd PQ CTEs (codebooks + per-(vector, subspace)
-    assignment) + the asymmetric-cosine shortlist + the exact rescore —
-    the whole IVFPQ probe recomputed from scratch relationally."""
+    per-cell truncated-integer-mean centers + the grouped-Lloyd PQ CTEs
+    trained on the RESIDUALS x − cm(cell) (the Jégou 2011 §IV.A IVFADC
+    form) + the asymmetric-cosine shortlist reconstructing x̂ = cm + r̂
+    (dot and norm decompose per contiguous subspace, so the cross term is
+    a per-cell constant plus per-subspace sums) + the exact rescore — the
+    whole IVFPQ probe recomputed from scratch relationally."""
     sd = dim // m
     return (
         _index_assign_ctes("TRUE")
-        + _pq_ctes(m, k, iters, dim, include_quant=False)
+        + f"""
+    , cmsum AS (
+      SELECT a.cell, t.i AS pos,
+             SUM(CAST(en.iv[t.i] AS BIGINT)) AS s, COUNT(*) AS n
+      FROM en JOIN assign a USING (vec_id), generate_series(1, {dim}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    cmn AS (
+      SELECT cell, cm, list_dot_product(cm, cm) AS cmnorm2 FROM (
+        SELECT cell,
+               list_transform(list_sort(list(struct_pack(pos := pos,
+                 cv := CAST(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS DOUBLE)))),
+                 x -> x.cv) AS cm
+        FROM cmsum GROUP BY cell
+      ) t
+    ),
+    enr AS (
+      SELECT en.vec_id,
+             list_transform(generate_series(1, {dim}),
+                            i -> CAST(en.iv[i] - c.cm[i] AS DOUBLE)) AS iv
+      FROM en JOIN assign a USING (vec_id) JOIN cmn c ON c.cell = a.cell
+    )"""
+        + _pq_ctes(m, k, iters, dim, include_quant=False, src="enr")
         + f"""
     , pcode AS (
       SELECT vec_id, sub_id, CAST(CAST(o AS BIGINT) % {k} AS INT) AS j FROM paf
@@ -801,28 +834,34 @@ def _s13_oracle_sql(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64) -> st
       WHERE vec_id < 5
     ),
     cand AS (
-      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id, a.cell
       FROM probes p
       JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
     ),
     adc AS (
-      SELECT c.query_id, c.neighbor_id,
-             SUM(list_dot_product(q.sv, b.c)) AS dot,
-             SUM(list_dot_product(b.c, b.c)) AS rn2
+      SELECT c.query_id, c.neighbor_id, c.cell,
+             SUM(list_dot_product(q.sv, b.c)) AS rdot,
+             SUM(2 * list_dot_product(
+                   cm.cm[cs.sub_id*{sd}+1 : cs.sub_id*{sd}+{sd}], b.c)
+                 + list_dot_product(b.c, b.c)) AS rcross
       FROM cand c
       JOIN pcode cs ON cs.vec_id = c.neighbor_id
       JOIN pc{iters} b ON b.sub_id = cs.sub_id AND b.j = cs.j
       JOIN qsub q ON q.query_id = c.query_id AND q.sub_id = cs.sub_id
-      GROUP BY 1, 2
+      JOIN cmn cm ON cm.cell = c.cell
+      GROUP BY 1, 2, 3
     ),
     short AS (
       SELECT query_id, neighbor_id
       FROM (
         SELECT adc.query_id, adc.neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY adc.query_id
-                  ORDER BY adc.dot / (sqrt(q.nrm2) * sqrt(adc.rn2)) DESC,
+                  ORDER BY (list_dot_product(q.iv, cm.cm) + adc.rdot)
+                           / (sqrt(q.nrm2) * sqrt(cm.cmnorm2 + adc.rcross)) DESC,
                            adc.neighbor_id ASC) AS srn
-        FROM adc JOIN en q ON q.vec_id = adc.query_id
+        FROM adc
+        JOIN en q ON q.vec_id = adc.query_id
+        JOIN cmn cm ON cm.cell = adc.cell
       ) t
       WHERE srn <= 20
     ),
@@ -848,16 +887,20 @@ def _s13_oracle_sql(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64) -> st
     "s13_ann_index_probe_pq",
     oracle=_s13_oracle_sql(),
     tags=("similarity", "EXT", "ann", "ivf", "pq", "index"),
-    doc="IVFPQ probe (operators.similarity.ann_index_build_pq/ann_index_probe_pq; Jégou "
-    "et al. 2011 §IV): the persisted IVF index additionally stores trained PQ codebooks "
-    "and m-byte codes under the SAME cell partitioning, so a probe prunes to its probed "
-    "cells and scans m bytes/vector for the candidate pass (32x under fp32 at m=8 — the "
-    "rung below SQ8's ~4x), ranks by the asymmetric cosine (per-query LUT dot + "
-    "reconstructed norm, both exact integers from the broadcast codebooks, one scalar "
-    "zip_with per code row — no explode), keeps a 20-deep shortlist and exact-rescores "
+    doc="IVFPQ probe in the published IVFADC form (operators.similarity."
+    "ann_index_build_pq/ann_index_probe_pq; Jégou et al. 2011 §IV.A): the persisted IVF "
+    "index additionally stores trained PQ codebooks and m-byte codes under the SAME cell "
+    "partitioning — and the codes encode the RESIDUAL x − cm(cell) against the cell's "
+    "truncated-integer-mean center (pq_cellmeans/), so codebook capacity describes local "
+    "structure instead of re-encoding cell offsets (why IVFADC holds recall at small m; "
+    "measured residual ≥ raw at every m in tools/pq_sweep.py).  A probe prunes to its "
+    "probed cells, scans m bytes/vector (32x under fp32 at m=8 — the rung below SQ8's "
+    "~4x), ranks by the asymmetric cosine of the reconstruction cm + r̂ (per-query LUT "
+    "dot + per-cell cross LUT for the norm — all exact-integer doubles, one scalar "
+    "zip_with per code row, no explode), keeps a 20-deep shortlist and exact-rescores "
     "only the shortlist against the full-precision layout.  Reported scores are exact; "
-    "the oracle recomputes quantizer, codebooks (grouped-Lloyd CTEs), codes, shortlist "
-    "and rescore from scratch.",
+    "the oracle recomputes quantizer, cell means, residual codebooks (grouped-Lloyd "
+    "CTEs), codes, shortlist and rescore from scratch.",
 )
 def s13_ann_index_probe_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.similarity import (
@@ -868,7 +911,7 @@ def s13_ann_index_probe_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     en = quantized(spark, sf_dir)
     idx = ann_index_for(
-        spark, sf_dir, en, variant="pq", builder=lambda d: ann_index_build_pq(en, d)
+        spark, sf_dir, en, variant="pqr", builder=lambda d: ann_index_build_pq(en, d)
     )
     qs = en.filter(F.col("vec_id") < 5).select("vec_id", "iv", "nrm2")
     return ann_index_probe_pq(spark, idx, qs, k=5, nprobe=2, shortlist=20)

@@ -845,3 +845,47 @@ def test_pq_index_full_shortlist_equals_fp_probe_and_append(spark, tmp_path):
     ann_index_append_pq(spark, idx, newv)
     out = ann_index_probe_pq(spark, idx, q, k=5, nprobe=2, shortlist=10**6)
     assert out.filter(F.col("neighbor_id") % 2 == 1).count() > 0
+
+def test_pq_residual_layout_ivfadc(spark, tmp_path):
+    """residual=True (default, the Jégou §IV.A IVFADC form): the index
+    carries pq_cellmeans/, books train on x − cm(cell), codes differ from
+    the raw layout, and the reconstruction math is exact — a cell's center
+    itself (residual = 0⃗... approximately: its nearest-code reconstruction)
+    must rank its own cell's vectors sensibly.  Probe auto-detects the
+    layout; raw (residual=False) stays supported and both satisfy the
+    unbounded-shortlist ≡ fp-probe invariant."""
+    import os
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_build_pq,
+        ann_index_probe,
+        ann_index_probe_pq,
+    )
+    from healthcare_data_pipeline_spark.queries.similarity import quantized
+
+    en = quantized(spark, SF_DIR)
+    base = en.filter(F.col("vec_id") % 2 == 0)
+    q = en.filter(F.col("vec_id").isin(0, 2, 4))
+
+    res_idx, raw_idx = str(tmp_path / "residx"), str(tmp_path / "rawidx")
+    ann_index_build_pq(base, res_idx)  # residual default
+    ann_index_build_pq(base, raw_idx, residual=False)
+    assert os.path.exists(os.path.join(res_idx, "pq_cellmeans"))
+    assert not os.path.exists(os.path.join(raw_idx, "pq_cellmeans"))
+
+    # cell means are integer-valued with exact norms
+    cm = spark.read.parquet(os.path.join(res_idx, "pq_cellmeans")).collect()
+    for r in cm:
+        assert all(float(x).is_integer() for x in r.cm)
+        assert r.cmnorm2 == sum(x * x for x in r.cm)
+
+    # the code tables genuinely differ (residual codes describe offsets)
+    rc = {r.vec_id: list(r.codes) for r in spark.read.parquet(f"{res_idx}/pq_codes").collect()}
+    wc = {r.vec_id: list(r.codes) for r in spark.read.parquet(f"{raw_idx}/pq_codes").collect()}
+    assert rc.keys() == wc.keys()
+    assert any(rc[k] != wc[k] for k in rc), "residual and raw codes identical?"
+
+    # both layouts: unbounded shortlist == exact fp probe (rescore covers all)
+    fp = sorted(map(tuple, ann_index_probe(spark, res_idx, q, k=5, nprobe=2).collect()))
+    for idx in (res_idx, raw_idx):
+        pq = ann_index_probe_pq(spark, idx, q, k=5, nprobe=2, shortlist=10**6)
+        assert sorted(map(tuple, pq.collect())) == fp

@@ -62,30 +62,46 @@ def main() -> None:
     out: dict[str, dict] = {}
     for cfg in args.configs.split(","):
         m, kc = (int(x) for x in cfg.split(":"))
-        idx = os.path.join(tempfile.gettempdir(), f"hdp_pq_sweep_idx_m{m}_k{kc}")
-        if not os.path.exists(os.path.join(idx, "pq_books")):
-            shutil.rmtree(idx, ignore_errors=True)
-            ann_index_build_pq(en, idx, m=m, k_codes=kc)
-        qs = en.filter(F.col("vec_id") < 50).select("vec_id", "iv", "nrm2")
-        fp = {
-            (r.query_id, r.neighbor_id)
-            for r in ann_index_probe(spark, idx, qs, k=args.k, nprobe=args.nprobe).collect()
-        }
-        recall = {}
-        for sl in (int(x) for x in args.shortlists.split(",")):
-            pq = {
+        # residual (IVFADC, the default) vs raw codes, same (m, k): the
+        # measured basis for "residual >= raw at every m" — residuals
+        # concentrate near 0 so the m*k codebook capacity describes local
+        # structure instead of re-encoding cell offsets (Jégou 2011 §IV.A).
+        per_form: dict[str, dict] = {}
+        for form, residual in (("residual", True), ("raw", False)):
+            idx = os.path.join(
+                tempfile.gettempdir(), f"hdp_pq_sweep_idx_m{m}_k{kc}_{form}"
+            )
+            if not os.path.exists(os.path.join(idx, "pq_books")):
+                shutil.rmtree(idx, ignore_errors=True)
+                ann_index_build_pq(en, idx, m=m, k_codes=kc, residual=residual)
+            qs = en.filter(F.col("vec_id") < 50).select("vec_id", "iv", "nrm2")
+            fp = {
                 (r.query_id, r.neighbor_id)
-                for r in ann_index_probe_pq(
-                    spark, idx, qs, k=args.k, nprobe=args.nprobe, shortlist=sl
+                for r in ann_index_probe(
+                    spark, idx, qs, k=args.k, nprobe=args.nprobe
                 ).collect()
             }
-            recall[sl] = round(len(fp & pq) / len(fp), 4)
-        fp_b = dir_bytes(os.path.join(idx, "vectors"))
-        pq_b = dir_bytes(os.path.join(idx, "pq_codes"))
-        out[f"m{m}_k{kc}"] = {
-            "recall_vs_fp": recall,
-            "bytes": {"fp64": fp_b, "pq": pq_b, "ratio": round(fp_b / pq_b, 2)},
+            recall = {}
+            for sl in (int(x) for x in args.shortlists.split(",")):
+                pq = {
+                    (r.query_id, r.neighbor_id)
+                    for r in ann_index_probe_pq(
+                        spark, idx, qs, k=args.k, nprobe=args.nprobe, shortlist=sl
+                    ).collect()
+                }
+                recall[sl] = round(len(fp & pq) / len(fp), 4)
+            fp_b = dir_bytes(os.path.join(idx, "vectors"))
+            pq_b = dir_bytes(os.path.join(idx, "pq_codes"))
+            per_form[form] = {
+                "recall_vs_fp": recall,
+                "bytes": {"fp64": fp_b, "pq": pq_b, "ratio": round(fp_b / pq_b, 2)},
+            }
+        per_form["residual_ge_raw"] = {
+            str(sl): per_form["residual"]["recall_vs_fp"][sl]
+            >= per_form["raw"]["recall_vs_fp"][sl]
+            for sl in per_form["raw"]["recall_vs_fp"]
         }
+        out[f"m{m}_k{kc}"] = per_form
     print(json.dumps({"sf_dir": args.sf_dir, "k": args.k, "nprobe": args.nprobe, "configs": out}))
     spark.stop()
 
