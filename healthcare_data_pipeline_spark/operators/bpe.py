@@ -373,6 +373,16 @@ def learn_bpe_merges(
     deliberately).  A 100 TB corpus has a few million distinct pieces; the
     loop is pure python over that table, exact and deterministic
     (ties break lexicographically on the pair).
+
+    The loop maintains pair counts INCREMENTALLY (the standard trainer
+    optimization, HF tokenizers' trainer does the same): each merge touches
+    only the pieces that actually CONTAIN the merged pair (tracked in a
+    pair -> pieces index), so per-merge cost is O(affected pieces), not
+    O(|vocab|) — the difference between "32k merges over ~1M pieces is
+    hours of driver time" and "seconds-to-minutes".  Bit-identical to the
+    full recompute (property-tested against the naive mirror): the counts
+    after every step are the same numbers, so the greedy argmax sequence is
+    the same sequence.
     """
     pieces_sql = _PIECES_SQL.format(text=text_col)
     vocab_df = (
@@ -392,13 +402,50 @@ def learn_bpe_merges(
     vocab: dict[tuple[str, ...], int] = {
         tuple(p): int(c) for p, c in zip(rows["__p"], rows["__c"])
     }
+    return _greedy_merges(vocab, n_merges)
+
+
+def _apply_merge(syms: tuple[str, ...], x: str, y: str) -> tuple[str, ...]:
+    """Left-to-right, non-overlapping application of one merge — the exact
+    per-piece rewrite both the trainer and the fold tokenizer use."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _greedy_merges(
+    vocab: dict[tuple[str, ...], int], n_merges: int
+) -> list[tuple[str, str]]:
+    """The greedy merge loop over a (piece -> count) table with INCREMENTAL
+    pair-count maintenance: ``counts`` holds every adjacent pair's total
+    occurrence count; ``where`` indexes which pieces currently contain each
+    pair.  A merge removes the contributions of exactly the affected pieces,
+    rewrites them, and adds the rewrites' contributions back — O(affected)
+    per merge.  Deterministic: max count, lexicographically-smallest pair
+    tie-break, identical numbers to the full recompute at every step."""
+
+    def piece_pairs(syms: tuple[str, ...]):
+        return zip(syms, syms[1:])
+
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[tuple[str, ...]]] = {}
+    for syms, c in vocab.items():
+        for p in piece_pairs(syms):
+            counts[p] = counts.get(p, 0) + c
+        for p in set(piece_pairs(syms)):
+            where.setdefault(p, set()).add(syms)
+
+    vocab = dict(vocab)  # private copy — we mutate it
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, c in vocab.items():
-            for i in range(len(syms) - 1):
-                pair = (syms[i], syms[i + 1])
-                counts[pair] = counts.get(pair, 0) + c
         if not counts:
             break
         # deterministic argmax: max count, then lexicographically smallest
@@ -407,20 +454,28 @@ def learn_bpe_merges(
             break
         merges.append(best)
         x, y = best
-        new_vocab: dict[tuple[str, ...], int] = {}
-        for syms, c in vocab.items():
-            out: list[str] = []
-            i = 0
-            while i < len(syms):
-                if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
-                    out.append(x + y)
-                    i += 2
+        for syms in list(where.get(best, ())):
+            c = vocab.pop(syms, None)
+            if c is None:
+                continue
+            for p in piece_pairs(syms):
+                nc = counts[p] - c
+                if nc:
+                    counts[p] = nc
                 else:
-                    out.append(syms[i])
-                    i += 1
-            key = tuple(out)
-            new_vocab[key] = new_vocab.get(key, 0) + c
-        vocab = new_vocab
+                    del counts[p]
+            for p in set(piece_pairs(syms)):
+                s = where.get(p)
+                if s is not None:
+                    s.discard(syms)
+                    if not s:
+                        del where[p]
+            new = _apply_merge(syms, x, y)
+            vocab[new] = vocab.get(new, 0) + c
+            for p in piece_pairs(new):
+                counts[p] = counts.get(p, 0) + c
+            for p in set(piece_pairs(new)):
+                where.setdefault(p, set()).add(new)
     return merges
 
 
