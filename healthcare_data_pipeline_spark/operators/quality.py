@@ -258,6 +258,9 @@ def prep_corpus(
     lm_reference: DataFrame | None = None,
     lm_keep_buckets: tuple[str, ...] = ("head", "middle"),
     lm_bucket_method: str = "approx",
+    lm_group_col: str | None = None,
+    use_c4: bool = False,
+    c4_blocklist: tuple[str, ...] = (),
 ) -> DataFrame:
     """The whole pre-training prep path: quality FILTER, optional
     corpus-adaptive GIBBERISH gate, full DEDUP (exact fingerprint -> LSH
@@ -306,6 +309,14 @@ def prep_corpus(
       stripping whole lines first means the span stage only has to catch
       the non-line-aligned residue.  No-op (zero removals) on newline-free
       corpora — opt-in for that reason.
+    - ``use_c4`` applies the C4 battery (``c4_filter``, t34) FIRST — its
+      published slot (Raffel 2020 §2.2 runs line-grain cleaning before
+      everything): ``text_col`` is rebuilt from the surviving lines, so a
+      page whose junk lines (nav stubs, "javascript" banners) would have
+      failed the page-level gates can pass them once cleaned — and every
+      later stage (gates, dedup shingles, LM scoring, budgets) consumes the
+      cleaned text.  ``c4_blocklist`` forwards the caller-supplied word
+      blocklist.  Still one zero-shuffle scalar projection + a semi-join.
     - ``lm_reference`` applies the CCNet LM stage (``lm_score`` +
       ``perplexity_buckets``, t32/t33) AFTER dedup — the published CCNet
       order (dedup -> LM bucketing), and scoring deduped survivors means
@@ -313,6 +324,11 @@ def prep_corpus(
       Keeps documents whose bucket is in ``lm_keep_buckets`` (default
       head+middle — CCNet discards or downweights the tail);
       ``lm_bucket_method`` defaults to the zero-sort approx path.
+      ``lm_group_col`` (e.g. a ``lang`` column) makes the tertiles
+      PER-GROUP — CCNet's actual recipe splits each LANGUAGE at its own
+      33rd/66th percentiles (t36): under one global scale an entire
+      high-perplexity language lands in the tail and is silently dropped;
+      grouped, each language keeps its own head+middle.
     - ``token_budget`` (+ per-group ``token_budgets``, grouped by
       ``budget_group_col``) applies ``token_budget_sample`` AFTER dedup —
       a budget must buy unique tokens, not duplicates.  ``budget_method``
@@ -328,6 +344,10 @@ def prep_corpus(
     from healthcare_data_pipeline_spark.operators.dedup_corpus import dedup_corpus
     from healthcare_data_pipeline_spark.operators.mixture import token_budget_sample
 
+    if use_c4:
+        docs = c4_filter(
+            docs, id_col=id_col, text_col=text_col, blocklist=c4_blocklist
+        )
     filtered = filter_corpus(
         docs, text_col=text_col, min_stopword_ratio=min_stopword_ratio
     )
@@ -385,8 +405,16 @@ def prep_corpus(
         scores = lm_score(
             out, lm_reference, id_col=id_col, text_col=text_col
         )
+        if lm_group_col is not None:
+            # carry the doc's group (e.g. lang) onto the scores so the
+            # tertiles are computed within each group — the t36 semantics
+            scores = scores.join(
+                out.select(F.col(id_col).alias("doc_id"), lm_group_col), "doc_id"
+            )
         keep = (
-            perplexity_buckets(scores, method=lm_bucket_method)
+            perplexity_buckets(
+                scores, method=lm_bucket_method, group_col=lm_group_col
+            )
             .filter(F.col("ppl_bucket").isin(*lm_keep_buckets))
             .select(F.col("doc_id").alias(id_col))
         )

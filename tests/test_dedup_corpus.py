@@ -842,3 +842,86 @@ def test_prep_corpus_lm_stage_drops_tail(spark):
     n_base = base.filter(F.col("doc_id") < 1000).count()
     n_kept = out.filter(F.col("doc_id") < 1000).count()
     assert n_kept >= (2 * (n_base + 5)) // 3 - 5
+
+def test_prep_corpus_lm_group_col_buckets_per_language(spark):
+    """r11 verdict task 3: CCNet's recipe splits EACH LANGUAGE at its own
+    perplexity tertiles.  Under one global scale (lm_group_col=None) an
+    entire high-perplexity language lands in the tail and is silently
+    dropped; grouped, each language keeps its own head+middle."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_pipeline_spark.operators.quality import prep_corpus
+
+    lang_a = [
+        (
+            i,
+            " ".join(f"word{(i * 7 + j) % 97} the of and point{(i * 13 + j) % 89}" for j in range(12)),
+            "web",
+            "aa",
+        )
+        for i in range(30)
+    ]
+    # a second "language": disjoint vocabulary -> every token OOV under the
+    # lang-a reference -> uniformly high perplexity, but internally healthy
+    lang_b = [
+        (
+            1000 + i,
+            " ".join(f"mot{(i * 11 + j) % 83} le de et point{(i * 17 + j) % 79}" for j in range(12)),
+            "web",
+            "bb",
+        )
+        for i in range(9)
+    ]
+    docs = spark.createDataFrame(
+        lang_a + lang_b, "doc_id long, text string, source string, lang string"
+    )
+    ref = docs.filter(F.col("doc_id") < 15)
+    common = dict(min_stopword_ratio=None, lm_reference=ref, lm_bucket_method="exact")
+    ungrouped = prep_corpus(docs, **common)
+    grouped = prep_corpus(docs, lm_group_col="lang", **common)
+    # global tertiles: all 9 lang-b docs rank above every lang-a doc -> all
+    # tail -> dropped (the t36 docstring's failure mode, now reproduced
+    # through the front door)
+    assert ungrouped.filter(F.col("lang") == "bb").count() == 0
+    # per-language tertiles: lang b keeps its own head+middle = 6 of 9
+    assert grouped.filter(F.col("lang") == "bb").count() == 6
+    # lang a is cut at ITS OWN tertiles: exactly floor(2n/3) of its deduped
+    # docs survive (ungrouped it kept more, because bb soaked up the tail)
+    n_aa = (
+        prep_corpus(docs, min_stopword_ratio=None)
+        .filter(F.col("lang") == "aa")
+        .count()
+    )
+    assert grouped.filter(F.col("lang") == "aa").count() == (2 * n_aa) // 3
+    assert ungrouped.filter(F.col("lang") == "aa").count() > (2 * n_aa) // 3
+
+
+def test_prep_corpus_c4_stage_rescues_cleaned_pages(spark):
+    """r11 verdict task 4: use_c4 runs the C4 line battery FIRST (Raffel
+    2020 §2.2's slot) and rebuilds text_col from the surviving lines — a
+    page whose junk lines made it fail the word-length gate RAW passes the
+    same gates once cleaned, and downstream stages consume the cleaned
+    text."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_pipeline_spark.operators.quality import prep_corpus
+
+    good_lines = "\n".join(
+        f"alpha bravo charlie delta echo foxtrot golf number{k}." for k in range(4)
+    )
+    junk = "\n".join("x" * 60 for _ in range(12))  # 1-word, no terminal
+    wrapped = good_lines + "\n" + junk
+    clean_doc = " ".join(f"plain words flow here nicely token{j}" for j in range(5))
+    docs = spark.createDataFrame(
+        [(1, wrapped, "web"), (2, clean_doc, "web")],
+        "doc_id long, text string, source string",
+    )
+    # raw: the junk tokens push avg word len past 12 -> doc 1 dies at the gate
+    base = prep_corpus(docs, min_stopword_ratio=None)
+    assert sorted(r.doc_id for r in base.collect()) == [2]
+    # use_c4: junk lines are removed first, the cleaned page passes
+    out = prep_corpus(docs, min_stopword_ratio=None, use_c4=True)
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert 1 in rows
+    assert "x" * 60 not in rows[1]  # downstream sees the CLEANED text
+    assert "number3." in rows[1]

@@ -1186,6 +1186,152 @@ def measure_gopher_full_gate(spark, docs: DataFrame) -> list[dict]:
     return rows
 
 
+# Re-line the synthetic single-line corpus into C4-shaped sentences (8
+# words + a terminal period per line) so the C4 battery has a live,
+# passing baseline — the same corpus-artifact repair class as
+# GOPHER_WEAVE_SQL (real crawls have line structure; the scale corpus
+# does not).
+C4_LINE_WEAVE_SQL = (
+    "array_join(transform(split(text, ' '), (t, i) -> "
+    "CASE WHEN i % 8 = 7 THEN concat(t, ' .\\n') ELSE t END), ' ')"
+)
+
+
+def measure_c4_gate(spark, docs: DataFrame) -> list[dict]:
+    """The C4 battery (t34, Raffel 2020 §2.2) as a gate-matrix operator —
+    the LINE-GRAIN junk families the shape batteries cannot see.  The
+    corpus is re-lined (C4_LINE_WEAVE_SQL) so the baseline passes, then:
+
+    - ``no_terminal``: every terminal period token stripped — no line
+      survives the terminal-punctuation rule, the page dies on the
+      kept-line count.  Word counts, lengths, stopwords all unchanged, so
+      the basic gate's recall (measured side by side) is 0.0 by design.
+    - ``curly_code``: one ``{`` injected — the page-level code rule.
+    - ``lorem_banner``: a "lorem ipsum" template line appended — the
+      page-level placeholder rule.
+    - ``nav_boilerplate``: short terminal-free nav lines appended — the
+      page must SURVIVE (recall 0.0 is the contract: this is the CLEANING
+      side, not the drop side)…
+    - ``nav_lines_removed``: …and the companion row measures that the
+      surviving pages' junk lines were actually removed (recall 1.0).
+
+    Precision is the per-doc-stateless 0-FP hard contract."""
+    from healthcare_data_pipeline_spark.operators.quality import (
+        c4_clean,
+        c4_filter,
+        filter_corpus,
+    )
+
+    woven = docs.select("doc_id", F.expr(C4_LINE_WEAVE_SQL).alias("text"), "source")
+    clean = c4_filter(woven).select("doc_id", "text", "source")
+    clean.cache()
+    n_clean = clean.count()
+    m = F.col("doc_id") % 100
+    NAV_LINE = "home | about | contact"
+    noterm = clean.filter(m < 2).select(
+        (F.col("doc_id") + 21 * FAM_OFFSET).alias("doc_id"),
+        F.expr(
+            "array_join(filter(split(text, ' '), t -> t != '.' AND t != '.\\n'), ' ')"
+        ).alias("text"),
+        "source",
+        F.lit("no_terminal").alias("family"),
+    )
+    curly = clean.filter((m >= 2) & (m < 4)).select(
+        (F.col("doc_id") + 22 * FAM_OFFSET).alias("doc_id"),
+        F.expr(
+            "array_join(transform(split(text, ' '), (t, i) -> "
+            "CASE WHEN i = 3 THEN concat(t, '{') ELSE t END), ' ')"
+        ).alias("text"),
+        "source",
+        F.lit("curly_code").alias("family"),
+    )
+    lorem = clean.filter((m >= 4) & (m < 6)).select(
+        (F.col("doc_id") + 23 * FAM_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("\nlorem ipsum dolor sit amet consectetur .")).alias(
+            "text"
+        ),
+        "source",
+        F.lit("lorem_banner").alias("family"),
+    )
+    nav = clean.filter((m >= 6) & (m < 8)).select(
+        (F.col("doc_id") + 24 * FAM_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(f"\n{NAV_LINE}\n{NAV_LINE}")).alias("text"),
+        "source",
+        F.lit("nav_boilerplate").alias("family"),
+    )
+    plants = noterm.unionByName(curly).unionByName(lorem).unionByName(nav)
+    plants.cache()
+    planted = clean.unionByName(plants.drop("family"))
+    out_c4 = c4_filter(planted).select("doc_id")
+    out_basic = filter_corpus(planted, min_stopword_ratio=None).select("doc_id")
+    sims = {
+        "no_terminal": 0.89,
+        "curly_code": 1.0,
+        "lorem_banner": 1.0,
+        "nav_boilerplate": 1.0,
+    }
+    rows: list[dict] = []
+    verdicts = (
+        plants.join(out_c4.withColumn("__a", F.lit(1)), "doc_id", "left")
+        .join(out_basic.withColumn("__ab", F.lit(1)), "doc_id", "left")
+        .groupBy("family")
+        .agg(
+            F.count("*").alias("planted"),
+            F.sum(F.when(F.col("__a").isNull(), 1).otherwise(0)).alias("caught"),
+            F.sum(F.when(F.col("__ab").isNull(), 1).otherwise(0)).alias("caught_b"),
+        )
+        .collect()
+    )
+    for r in verdicts:
+        rows.append(
+            {
+                "operator": "gate_c4",
+                "family": r.family,
+                "planted": r.planted,
+                "caught": int(r.caught),
+                "recall": round(r.caught / r.planted, 3) if r.planted else None,
+                "similarity": sims[r.family],
+                "basic_recall": round(int(r.caught_b) / r.planted, 3)
+                if r.planted
+                else None,
+            }
+        )
+    # cleaning companion row: surviving nav_boilerplate pages must have the
+    # junk lines stripped from their rebuilt text
+    nav_plants = plants.filter(F.col("family") == "nav_boilerplate")
+    n_nav = nav_plants.count()
+    n_removed = (
+        c4_clean(nav_plants)
+        .filter(F.col("c4_keep") & ~F.col("text").contains(NAV_LINE))
+        .count()
+    )
+    rows.append(
+        {
+            "operator": "gate_c4",
+            "family": "nav_lines_removed",
+            "planted": n_nav,
+            "caught": n_removed,
+            "recall": round(n_removed / n_nav, 3) if n_nav else None,
+            "similarity": 1.0,
+        }
+    )
+    fp = clean.select("doc_id").join(out_c4, "doc_id", "left_anti").count()
+    tp = sum(r["caught"] for r in rows if r["family"] != "nav_lines_removed")
+    rows.append(
+        {
+            "operator": "gate_c4",
+            "family": "(precision)",
+            "planted": n_clean,
+            "caught": tp,
+            "fp": int(fp),
+            "precision": round(tp / (tp + fp), 4) if tp + fp else None,
+        }
+    )
+    plants.unpersist()
+    clean.unpersist()
+    return rows
+
+
 def measure_lm_bucketing(spark, docs: DataFrame) -> list[dict]:
     """CCNet LM-perplexity bucketing (t32/t33) as a RANKING gate: train the
     bigram stupid-backoff LM on the basic-gated corpus itself (the trusted
@@ -1294,6 +1440,7 @@ def measure_scale(spark, docs_dir: str, base: str, k: int) -> list[dict]:
         measure_decontamination(spark, docs),
         measure_quality_gates(spark, docs),
         measure_gopher_full_gate(spark, docs),
+        measure_c4_gate(spark, docs),
         measure_lm_bucketing(spark, docs),
     ]
     rows = []
@@ -1439,6 +1586,17 @@ def quality_section(all_rows: list[dict], base: str) -> str:
         "otherwise-healthy doc) is caught at 1.0 by the full gate while "
         "the seven-rule variant measures 0.0 on it — the required-stopword "
         "rule's unique coverage, now a matrix row instead of a footnote.  "
+        "The gate_c4 rows are the C4 battery (t34, Raffel 2020 §2.2) on a "
+        "re-lined corpus (C4_LINE_WEAVE_SQL — 8-word terminal-punctuated "
+        "sentences, the same corpus-artifact repair class as the stopword "
+        "weave): `no_terminal`/`curly_code`/`lorem_banner` are LINE/page "
+        "editorial-shape junk every distributional gate is blind to "
+        "(basic_recall 0.0 alongside each row) and C4 catches at 1.0; "
+        "`nav_boilerplate` pins the CLEANING side — short terminal-free nav "
+        "lines must NOT kill the page (recall 0.0 is the contract) and the "
+        "companion `nav_lines_removed` row measures at 1.0 that the "
+        "surviving pages' rebuilt text actually dropped them — the "
+        "use_c4-in-prep_corpus behavior, measured.  "
         "The exact_substring rows are dd24 (Lee et al. ExactSubstr "
         "semantics — occurrence-counted, threshold 12 here): `es_sub_6tok` "
         "below the threshold MUST be 0.000 (not duplication); "
