@@ -1370,6 +1370,73 @@ def _books_row(codebooks: DataFrame):
     )
 
 
+def _permute_col(vec_col: str, perm: list[int]) -> Column:
+    """The permuted vector as one scalar projection — a permutation matrix
+    is orthogonal, so L2 distances in the permuted space equal the original
+    space exactly (no floats touched: elements are just reordered)."""
+    return F.array(*[F.col(vec_col).getItem(int(p)) for p in perm])
+
+
+def _check_perm(rotate: list[int], dim: int) -> None:
+    if sorted(int(p) for p in rotate) != list(range(dim)):
+        raise ValueError(
+            f"rotate must be a permutation of 0..{dim - 1} (got {len(rotate)} entries)"
+        )
+
+
+def pq_dim_permutation(
+    en: DataFrame,
+    m: int = 2,
+    vec_col: str = "iv",
+) -> list[int]:
+    """OPQ-style deterministic dimension assignment (the integer-friendly
+    variant of Ge et al. 2013's learned rotation): rank dimensions by their
+    EXACT per-dimension variance proxy n·Σx² − (Σx)² (decimal-exact BIGINT
+    arithmetic — no float variance), then deal them snake-wise across the
+    ``m`` subspaces so total variance balances.  Plain PQ's contiguous
+    sub-splitting can put all the high-variance dims in one subspace, whose
+    k centroids then carry most of the quantization error; balancing
+    spreads the error budget evenly — the first (permutation-only) rung of
+    OPQ, and the only one that preserves this repo's exact-integer ADC
+    contract (a general rotation would make components non-integer).
+
+    Returns the permutation as a list: position i of the rotated vector
+    holds original dimension perm[i]; subspace j owns perm[j·sd:(j+1)·sd]
+    (sorted ascending within a subspace — within-subspace order cannot
+    change any distance).  Pass it to ``pq_train``/``pq_encode``/
+    ``pq_adc_topk`` as ``rotate=``; exact rescore is untouched (permutation
+    preserves L2, and rescore reads the ORIGINAL vectors anyway).
+
+    Scale shape: one posexplode + one dim-keyed groupBy (dim·1 rows out);
+    the collect is bounded by the dimensionality, never the corpus.
+    """
+    stats = (
+        en.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+            F.sum(
+                F.col("v").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)")
+            ).alias("s2"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    if not stats:
+        raise ValueError("pq_dim_permutation: empty input")
+    dim = len(stats)
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m} subspaces")
+    var = {int(r.pos): int(r.n) * int(r.s2) - int(r.s) * int(r.s) for r in stats}
+    order = sorted(range(dim), key=lambda d: (-var[d], d))
+    sub_dims: list[list[int]] = [[] for _ in range(m)]
+    for rank, d in enumerate(order):
+        lap, off = divmod(rank, m)
+        j = off if lap % 2 == 0 else m - 1 - off  # snake: balance variance
+        sub_dims[j].append(d)
+    return [d for dims in sub_dims for d in sorted(dims)]
+
+
 def pq_train(
     en: DataFrame,
     m: int = 2,
@@ -1378,6 +1445,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "iv",
     max_component: float = 600_000.0,
+    rotate: list[int] | None = None,
 ) -> DataFrame:
     """Train the PQ codebooks: independent deterministic k-means (the
     integer-Lloyd contract of ``kmeans_assign`` — smallest-id seeds,
@@ -1403,6 +1471,11 @@ def pq_train(
         raise ValueError(f"need m,k >= 1 and iters >= 0, got m={m} k={k} iters={iters}")
     dim = _pq_dim(en, m, vec_col, max_component)
     sd = dim // m
+    if rotate is not None:
+        # OPQ permutation (pq_dim_permutation): train in the rotated space;
+        # encode/ADC must pass the SAME rotate (codebooks live there).
+        _check_perm(rotate, dim)
+        en = en.select(F.col(id_col), _permute_col(vec_col, rotate).alias(vec_col))
     from pyspark.sql import Window
 
     subs = _sub_explode(en, m, sd, id_col, vec_col)
@@ -1463,6 +1536,7 @@ def pq_encode(
     codebooks: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "iv",
+    rotate: list[int] | None = None,
 ) -> DataFrame:
     """All input columns + ``codes``: per subspace, the POSITION (0-based,
     within the sub_id-sorted codebook array) of the nearest centroid —
@@ -1475,10 +1549,15 @@ def pq_encode(
     the broadcast codebooks — no explode, no groupBy, so encoding co-lives
     in whatever stage scans the vectors (e.g. the index build).
     """
+    src = vec_col
+    if rotate is not None:
+        _check_perm(rotate, len(rotate))
+        src = "__pv"
+        en = en.withColumn(src, _permute_col(vec_col, rotate))
     dist = (
         "aggregate(zip_with(slice({v}, mi * __sd + 1, __sd), s.c, "
         "(x, y) -> (x - y) * (x - y)), 0D, (acc, d) -> acc + d)"
-    ).format(v=vec_col)
+    ).format(v=src)
     codes_sql = f"""transform(sequence(0, size(__books) - 1), mi ->
         CAST(array_min(transform(element_at(__books, mi + 1),
           (s, i) -> struct({dist} AS d, i AS p))).p AS INT))"""
@@ -1486,7 +1565,7 @@ def pq_encode(
         en.crossJoin(_books_row(codebooks))
         .withColumn("__sd", F.expr("size(element_at(element_at(__books, 1), 1).c)"))
         .withColumn("codes", F.expr(codes_sql))
-        .drop("__books", "__sd")
+        .drop("__books", "__sd", *( [src] if rotate is not None else [] ))
     )
 
 
@@ -1500,6 +1579,7 @@ def pq_adc_topk(
     query_vec_col: str = "q_iv",
     rescore: DataFrame | None = None,
     shortlist: int | None = None,
+    rotate: list[int] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: per query, rank the WHOLE code table
     by the PQ approximation of squared L2 — sum over subspaces of the exact
@@ -1527,11 +1607,19 @@ def pq_adc_topk(
     if top < 1:
         raise ValueError(f"need top >= 1, got {top}")
     from pyspark.sql import Window
+    qsrc = query_vec_col
+    if rotate is not None:
+        # the codes live in the rotated space; the query LUT must too (the
+        # exact rescore below reads ORIGINAL vectors — permutation preserves
+        # L2, so rescored distances need no rotation)
+        _check_perm(rotate, len(rotate))
+        qsrc = "__qpv"
+        queries = queries.withColumn(qsrc, _permute_col(query_vec_col, rotate))
     lut_sql = """transform(__books, (bk, mi) ->
         transform(bk, s -> aggregate(zip_with(
             slice({qv}, mi * __sd + 1, __sd), s.c,
             (x, y) -> (x - y) * (x - y)), 0D, (acc, d) -> acc + d)))""".format(
-        qv=query_vec_col
+        qv=qsrc
     )
     qlut = (
         queries.crossJoin(_books_row(codebooks))

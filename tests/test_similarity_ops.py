@@ -889,3 +889,84 @@ def test_pq_residual_layout_ivfadc(spark, tmp_path):
     for idx in (res_idx, raw_idx):
         pq = ann_index_probe_pq(spark, idx, q, k=5, nprobe=2, shortlist=10**6)
         assert sorted(map(tuple, pq.collect())) == fp
+
+def _opq_fixture(spark):
+    """Variance-skewed vectors: dims 0-3 span +-1000, dims 4-7 span +-10 —
+    plain contiguous sub-splitting puts ALL the variance in subspace 0."""
+    import random
+
+    rng = random.Random(11)
+    vecs = {
+        i: [float(rng.randrange(-1000, 1000)) for _ in range(4)]
+        + [float(rng.randrange(-10, 10)) for _ in range(4)]
+        for i in range(60)
+    }
+    en = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, iv array<double>"
+    )
+    return vecs, en
+
+
+def test_pq_dim_permutation_balances_variance(spark):
+    from healthcare_data_pipeline_spark.operators.similarity import pq_dim_permutation
+
+    _, en = _opq_fixture(spark)
+    perm = pq_dim_permutation(en, m=2)
+    assert sorted(perm) == list(range(8))
+    assert perm == pq_dim_permutation(en, m=2)  # deterministic
+    # the 4 high-variance dims (0-3) split 2/2 across the two subspaces
+    assert sum(1 for d in perm[:4] if d < 4) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="permutation"):
+        from healthcare_data_pipeline_spark.operators.similarity import pq_train
+
+        pq_train(en, m=2, rotate=[0, 1, 2])
+
+
+def test_pq_rotate_exactness_and_recall(spark):
+    """rotate= trains/encodes/ranks in the permuted space.  Exactness: with
+    everyone rescored, rotated PQ equals plain PQ equals the exact ranking
+    (permutation preserves L2).  Recall: on the variance-skewed fixture the
+    balanced assignment's ADC-only top-k beats plain contiguous
+    sub-splitting's — the OPQ claim, asserted on a deterministic fixture."""
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_dim_permutation,
+        pq_encode,
+        pq_train,
+    )
+
+    vecs, en = _opq_fixture(spark)
+    q = en.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("iv").alias("q_iv")
+    )
+
+    def adc_top(rotate):
+        books = pq_train(en, m=2, k=4, iters=2, rotate=rotate)
+        codes = pq_encode(en, books, rotate=rotate).select("vec_id", "codes")
+        return pq_adc_topk(q, codes, books, top=5, rotate=rotate)
+
+    def exact_top(rotate):
+        books = pq_train(en, m=2, k=4, iters=2, rotate=rotate)
+        codes = pq_encode(en, books, rotate=rotate).select("vec_id", "codes")
+        return pq_adc_topk(
+            q, codes, books, top=5, rescore=en, shortlist=10**6, rotate=rotate
+        )
+
+    perm = pq_dim_permutation(en, m=2)
+    ex_plain = sorted(
+        (r.query_id, r.vec_id, r.dist_sq, r.rn) for r in exact_top(None).collect()
+    )
+    ex_rot = sorted(
+        (r.query_id, r.vec_id, r.dist_sq, r.rn) for r in exact_top(perm).collect()
+    )
+    assert ex_plain == ex_rot  # full-rescore ranking is rotation-invariant
+
+    truth = {(a, b) for a, b, _, _ in ex_plain}
+    plain = {(r.query_id, r.vec_id) for r in adc_top(None).collect()}
+    rot = {(r.query_id, r.vec_id) for r in adc_top(perm).collect()}
+    assert len(rot & truth) > len(plain & truth), (
+        f"OPQ permutation should improve ADC recall on the skewed fixture: "
+        f"rotated {len(rot & truth)} vs plain {len(plain & truth)} of {len(truth)}"
+    )

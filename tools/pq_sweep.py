@@ -102,7 +102,49 @@ def main() -> None:
             for sl in per_form["raw"]["recall_vs_fp"]
         }
         out[f"m{m}_k{kc}"] = per_form
-    print(json.dumps({"sf_dir": args.sf_dir, "k": args.k, "nprobe": args.nprobe, "configs": out}))
+
+    # OPQ permutation row (pq_dim_permutation): ADC-only recall@k of the
+    # variance-balanced dim assignment vs plain contiguous sub-splitting at
+    # equal (m, k) — no IVF, no rescore, so the number isolates what the
+    # rotation buys the CODES.  On near-uniform synthetic embeddings the two
+    # are close (there is little imbalance to fix); on skewed dims the gap
+    # is the OPQ claim (asserted on a fixture in tests).
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        brute_topk,
+        pq_adc_topk,
+        pq_dim_permutation,
+        pq_encode,
+        pq_train,
+    )
+
+    opq: dict[str, dict] = {}
+    base = en.select("vec_id", "iv")
+    q = en.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("iv").alias("q_iv")
+    )
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_topk(en, F.col("vec_id") < 50, k=args.k).collect()
+    }
+    for cfg in args.configs.split(","):
+        m, kc = (int(x) for x in cfg.split(":"))
+        perm = pq_dim_permutation(base, m=m)
+        rec = {}
+        for form, rot in (("plain", None), ("rotated", perm)):
+            books = pq_train(base, m=m, k=kc, iters=2, rotate=rot)
+            codes = pq_encode(base, books, rotate=rot).select("vec_id", "codes")
+            # ADC ranks the whole table incl. the query itself (dist 0):
+            # take k+1, drop the self-match, keep the k best per query
+            rows = pq_adc_topk(q, codes, books, top=args.k + 1, rotate=rot).collect()
+            per_q: dict[int, list] = {}
+            for r in sorted(rows, key=lambda r: (r.query_id, r.rn)):
+                if r.query_id != r.vec_id and len(per_q.setdefault(r.query_id, [])) < args.k:
+                    per_q[r.query_id].append(r.vec_id)
+            got = {(qi, v) for qi, vs in per_q.items() for v in vs}
+            rec[form] = round(len(got & truth) / max(len(truth), 1), 4)
+        rec["rotated_ge_plain"] = rec["rotated"] >= rec["plain"]
+        opq[f"m{m}_k{kc}"] = rec
+    print(json.dumps({"sf_dir": args.sf_dir, "k": args.k, "nprobe": args.nprobe, "configs": out, "opq_adc": opq}))
     spark.stop()
 
 
