@@ -43,6 +43,27 @@ HEADLINE = [
     "s07_ann_index_probe",
 ]
 
+# Second headline group (r11 verdict task 5): the r9-r11 heavy operators,
+# tracked round-over-round from r12 on.  The original HEADLINE list stays
+# FROZEN at the r8 set so its total remains comparable across every round;
+# this group gets its own total under "headline_v2" in the JSON (both
+# probe-normalized).  One representative per new family: the LM scorer (the
+# heaviest text operator), the BPE fold, exact-substring dedup, fuzzy
+# decontamination, the C4 battery, and the quantized probes (SQ8 + the
+# residual-IVFPQ path; their indexes build once in the untimed warmup via
+# ann_index_for, so the timed numbers are the probe paths).
+HEADLINE_V2 = [
+    "t29_bpe_tokenize",
+    "t32_lm_perplexity",
+    "t34_c4_rules",
+    "t35_temperature_mix",
+    "dd24_exact_substring",
+    "dd25_fuzzy_decontaminate",
+    "s10_ann_index_probe_sq8",
+    "s12_pq_adc",
+    "s13_ann_index_probe_pq",
+]
+
 # Calibration probe (the r8 lesson: loadavg sampled once before the run
 # CANNOT see decaying contention — BENCH_r08 stamped quiet:true at loadavg
 # 3.05 and recorded 25.68s where the same code measured 14.99s idle).  The
@@ -139,6 +160,7 @@ def main() -> None:
 
     cat = catalog()
     names = [n for n in HEADLINE if n in cat]
+    names_v2 = [n for n in HEADLINE_V2 if n in cat]
     # Test hook: fault-isolation coverage needs a deterministically broken
     # query (tests/test_bench_harness.py) without corrupting real data.
     sabotage = os.environ.get("SPARK_GRAFT_BENCH_SABOTAGE")
@@ -160,7 +182,7 @@ def main() -> None:
     # the whole bench (the round-3 lesson — a single AnalysisException in this
     # loop published no numbers at all).
     errors: dict[str, str] = {}
-    for name in names:
+    for name in names + names_v2:
         try:
             build(name).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001
@@ -189,37 +211,43 @@ def main() -> None:
     # reps are recorded in the JSON so the variance itself is visible — a
     # wide rep spread on a quiet-stamped artifact is the tell to re-run.
     reps_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    timings: dict[str, float] = {}
-    reps: dict[str, list[float]] = {}
-    total = 0.0
-    for name in names:
-        if name in errors:
-            continue
-        rep_times: list[float] = []
-        for _ in range(reps_n):
-            t0 = time.perf_counter()
-            try:
-                # Force full execution without driver-side materialization cost.
-                build(name).write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # noqa: BLE001
-                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                print(f"# {name}: FAILED — {errors[name]}", file=sys.stderr)
-                break
-            rep_times.append(round(time.perf_counter() - t0, 3))
-            spark.catalog.clearCache()
-            gc.collect()
-            # Pay JVM GC debt BETWEEN timed windows, not during them: without
-            # this, allocation pressure from earlier queries lands as GC pauses
-            # inside later queries' timings (dd04/dd09 measured ~+0.7s in-bench
-            # vs standalone; the same fix stabilized tools/scale_stress.py).
-            spark.sparkContext._jvm.System.gc()
-        if name in errors:
-            continue
-        dt = min(rep_times)
-        timings[name] = dt
-        reps[name] = rep_times
-        total += dt
-        print(f"# {name}: {dt:.3f}s (reps: {', '.join(f'{r:.3f}' for r in rep_times)})", file=sys.stderr)
+
+    def time_group(group: list[str]) -> tuple[dict[str, float], dict[str, list[float]], float]:
+        timings: dict[str, float] = {}
+        reps: dict[str, list[float]] = {}
+        total = 0.0
+        for name in group:
+            if name in errors:
+                continue
+            rep_times: list[float] = []
+            for _ in range(reps_n):
+                t0 = time.perf_counter()
+                try:
+                    # Force full execution without driver-side materialization cost.
+                    build(name).write.format("noop").mode("overwrite").save()
+                except Exception as exc:  # noqa: BLE001
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                    print(f"# {name}: FAILED — {errors[name]}", file=sys.stderr)
+                    break
+                rep_times.append(round(time.perf_counter() - t0, 3))
+                spark.catalog.clearCache()
+                gc.collect()
+                # Pay JVM GC debt BETWEEN timed windows, not during them: without
+                # this, allocation pressure from earlier queries lands as GC pauses
+                # inside later queries' timings (dd04/dd09 measured ~+0.7s in-bench
+                # vs standalone; the same fix stabilized tools/scale_stress.py).
+                spark.sparkContext._jvm.System.gc()
+            if name in errors:
+                continue
+            dt = min(rep_times)
+            timings[name] = dt
+            reps[name] = rep_times
+            total += dt
+            print(f"# {name}: {dt:.3f}s (reps: {', '.join(f'{r:.3f}' for r in rep_times)})", file=sys.stderr)
+        return timings, reps, total
+
+    timings, reps, total = time_group(names)
+    timings_v2, reps_v2, total_v2 = time_group(names_v2)
 
     probe_after = run_probe(spark, cpus, fake_probe)
     print(f"# calibration probe (after): {probe_after:.3f}s (ref {probe_ref:.2f}s)", file=sys.stderr)
@@ -307,12 +335,21 @@ def main() -> None:
     # +32% episode needed a human to cross-read the probe).  Raw fields stay
     # frozen for cross-round comparability; normalized fields are additive,
     # and only emitted when the committed reference transfers to this host.
+    out["headline_v2"] = {
+        "value": round(total_v2, 3),
+        "queries": timings_v2,
+        "reps": reps_v2,
+    }
     if probe_gated:
         probe_ratio = round(((probe_before + probe_after) / 2.0) / probe_ref, 4)
         out["probe"]["ratio"] = probe_ratio
         out["value_probe_normalized"] = round(total / probe_ratio, 3)
         out["queries_probe_normalized"] = {
             k: round(v / probe_ratio, 3) for k, v in timings.items()
+        }
+        out["headline_v2"]["value_probe_normalized"] = round(total_v2 / probe_ratio, 3)
+        out["headline_v2"]["queries_probe_normalized"] = {
+            k: round(v / probe_ratio, 3) for k, v in timings_v2.items()
         }
     if ann_recall:
         out["ann_recall"] = ann_recall
