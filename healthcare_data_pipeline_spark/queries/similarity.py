@@ -915,3 +915,100 @@ def s13_ann_index_probe_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qs = en.filter(F.col("vec_id") < 5).select("vec_id", "iv", "nrm2")
     return ann_index_probe_pq(spark, idx, qs, k=5, nprobe=2, shortlist=20)
+
+
+def _s14_oracle_sql(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """s14 oracle: the OPQ dimension permutation recomputed relationally —
+    per-dim exact variance proxy n·Σx² − (Σx)² (HUGEINT), rank DESC with
+    dim-ascending tie-break, snake-deal ranks across the m subspaces,
+    dims sorted ascending within a subspace — then the grouped-Lloyd PQ
+    CTEs over the PERMUTED vectors and the same ADC tail as s12 (queries
+    permuted identically)."""
+    sd = dim // m
+    return (
+        _QUANT_SQL
+        + f"""
+    , vstat AS (
+      SELECT t.i AS pos,
+             SUM(CAST(en.iv[t.i] AS HUGEINT)) AS s,
+             SUM(CAST(en.iv[t.i] AS HUGEINT) * CAST(en.iv[t.i] AS HUGEINT)) AS s2,
+             COUNT(*) AS n
+      FROM en, generate_series(1, {dim}) AS t(i)
+      GROUP BY t.i
+    ),
+    vrank AS (
+      SELECT pos - 1 AS d,
+             ROW_NUMBER() OVER (ORDER BY (n * s2 - s * s) DESC, pos ASC) - 1 AS rnk
+      FROM vstat
+    ),
+    vsub AS (
+      SELECT d,
+             CASE WHEN (rnk // {m}) % 2 = 0 THEN rnk % {m}
+                  ELSE {m} - 1 - (rnk % {m}) END AS j
+      FROM vrank
+    ),
+    perm AS (SELECT list(d ORDER BY j, d) AS p FROM vsub),
+    enp AS (
+      SELECT en.vec_id, list_transform(perm.p, d -> en.iv[d + 1]) AS iv
+      FROM en, perm
+    )"""
+        + _pq_ctes(m, k, iters, dim, include_quant=False, src="enp")
+        + f"""
+    , pcode AS (
+      SELECT vec_id, sub_id, CAST(CAST(o AS BIGINT) % {k} AS INT) AS j FROM paf
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, mi AS sub_id, iv[mi*{sd}+1 : mi*{sd}+{sd}] AS sv
+      FROM enp, UNNEST(generate_series(0, {m - 1})) AS g(mi)
+      WHERE vec_id < {_S12_NQ}
+    ),
+    adcp AS (
+      SELECT q.query_id, cs.vec_id,
+             CAST(SUM(list_dot_product(q.sv, q.sv) - 2 * list_dot_product(q.sv, c.c)
+                      + list_dot_product(c.c, c.c)) AS BIGINT) AS adc_dist
+      FROM pcode cs
+      JOIN pc{iters} c ON cs.sub_id = c.sub_id AND cs.j = c.j
+      JOIN qsub q ON q.sub_id = cs.sub_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rn FROM (
+      SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rn
+      FROM adcp
+    ) WHERE rn <= {_S12_TOP}
+    """
+    )
+
+
+@query(
+    "s14_pq_adc_opq",
+    oracle=_s14_oracle_sql(),
+    tags=("similarity", "EXT", "ann", "pq", "opq", "iterative"),
+    doc="OPQ-rotated PQ + ADC top-k (operators.similarity.pq_dim_permutation + "
+    "pq_train/pq_encode/pq_adc_topk(rotate=); the integer-friendly rung of Ge et al. "
+    "2013): dimensions ranked by their EXACT per-dim variance proxy n*Sum(x^2)-(Sum x)^2 "
+    "and snake-dealt across subspaces so quantization error balances — a permutation is "
+    "orthogonal, so L2/ADC exactness survives and the whole permute->train->encode->rank "
+    "composition hash-verifies with the permutation itself recomputed relationally "
+    "(window-ranked variance + snake-assignment CTEs).  Train/encode/rank all read the "
+    "permuted vector as ONE scalar projection — same zero-shuffle scan shapes as s12, "
+    "same m-bytes-per-vector candidate economics; the recall delta vs plain contiguous "
+    "splitting is measured per (m,k) config in tools/pq_sweep.py (opq_adc rows).",
+)
+def s14_pq_adc_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_dim_permutation,
+        pq_encode,
+        pq_train,
+    )
+
+    en = quantized(spark, sf_dir).select("vec_id", "iv")
+    perm = pq_dim_permutation(en, m=2)
+    books = pq_train(en, m=2, k=8, iters=2, rotate=perm)
+    codes = pq_encode(en, books, rotate=perm).select("vec_id", "codes")
+    q = en.filter(F.col("vec_id") < _S12_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("iv").alias("q_iv")
+    )
+    return pq_adc_topk(q, codes, books, top=_S12_TOP, rotate=perm)

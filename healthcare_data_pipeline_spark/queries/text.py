@@ -1813,3 +1813,66 @@ def t36_perplexity_buckets_by_lang(spark: SparkSession, sf_dir: str) -> DataFram
     return perplexity_buckets(scores, method="exact", group_col="lang").select(
         "doc_id", "lang", "bits_per_token", "ppl_bucket"
     )
+
+
+_T37_BUDGET = 20_000
+
+
+def _t37_oracle_sql() -> str:
+    from healthcare_data_pipeline_spark.operators.mixture import DENOM
+    from healthcare_data_pipeline_spark.queries.dedup import _SQL_H32
+
+    ws = r"[ \t\n\r\f\x0B]+"
+    ntok = f"len(list_filter(string_split_regex(lower(text), '{ws}'), x -> x != ''))"
+    return f"""
+    WITH per AS (
+      SELECT source,
+             SUM({ntok})::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(25,8))) AS DOUBLE) AS t FROM per),
+    b AS (
+      SELECT source,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) / tot.t * {_T37_BUDGET}.0) AS BIGINT)
+               AS budget
+      FROM per, tot
+    ),
+    t AS (
+      SELECT doc_id, source, CAST(doc_id AS VARCHAR) || ':budget' AS s,
+             CAST({ntok} AS BIGINT) AS n_tokens
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT doc_id, source, n_tokens, ({_SQL_H32}) % {DENOM} AS u FROM t
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum_tokens
+      FROM h
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c JOIN b USING (source)
+    WHERE cum_tokens <= b.budget
+    """
+
+
+@query(
+    "t37_temperature_budget_sample",
+    oracle=_t37_oracle_sql(),
+    tags=("text", "EXT", "mixture", "temperature", "sampling"),
+    doc="The FULL published temperature-mixture pipeline end to end (operators.mixture."
+    "temperature_budget_sample = temperature_weights -> per-source budgets -> "
+    "token_budget_sample): per-source token masses to the alpha=0.5 power over a "
+    "DECIMAL-exact normalizer, floor(weight*budget) per-group token budgets, then each "
+    "source kept in salted-portable-hash order until ITS budget is spent — computed and "
+    "SPENT in the same normalized token currency (lowercased, empty split fragments "
+    "dropped; the r11-advice currency fix, hash-verified here).  Driver-side state is "
+    "one recipe-sized budget table (max_groups-gated collect); the corpus pays one "
+    "groupBy + the per-source cumsum window.",
+)
+def t37_temperature_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.mixture import temperature_budget_sample
+
+    return temperature_budget_sample(
+        table(spark, sf_dir, "documents"), total_budget=_T37_BUDGET, alpha=0.5
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
