@@ -941,6 +941,12 @@ def ann_index_rebuild(
       builds a complete new index in a ``<index_dir>.staged`` sibling;
     - ``variant="sq8"`` rebuilds the SQ8-augmented layout (fresh bounds +
       codes) via ``ann_index_build_sq8``; ``"full"`` the fp layout;
+      ``"pq"`` the IVFPQ layout via ``ann_index_build_pq`` — codebook
+      shape (m, k) is inferred from the existing ``pq_books`` and the
+      residual-vs-raw form from the ``pq_cellmeans`` marker, so the rebuilt
+      index keeps its layout contract with FRESH centroids, cell means,
+      codebooks, and codes (a "full" rebuild of a PQ index would strand
+      the code layout against stale cells — this closes that gap);
     - the swap is the segment log's rename-aside pattern
       (``streaming/ingest.py``): current -> ``.aside``, staged -> live, then
       the aside is deleted — no crash point leaves a half-visible index
@@ -960,8 +966,8 @@ def ann_index_rebuild(
     import os
     import shutil
 
-    if variant not in ("full", "sq8"):
-        raise ValueError(f"variant must be 'full' or 'sq8', got {variant!r}")
+    if variant not in ("full", "sq8", "pq"):
+        raise ValueError(f"variant must be 'full', 'sq8', or 'pq', got {variant!r}")
     if if_recommended:
         rep = ann_index_report(spark, index_dir, flag_factor=flag_factor).first()
         if rep is None or not rep.rebuild_recommended:
@@ -971,7 +977,19 @@ def ann_index_rebuild(
     aside = index_dir.rstrip("/") + ".aside"
     shutil.rmtree(staged, ignore_errors=True)
     shutil.rmtree(aside, ignore_errors=True)
-    builder = ann_index_build_sq8 if variant == "sq8" else ann_index_build
+    if variant == "pq":
+        books = spark.read.parquet(os.path.join(index_dir, "pq_books"))
+        m = books.select("sub_id").distinct().count()
+        k_codes = int(
+            books.groupBy("sub_id").count().agg(F.max("count")).first()[0]
+        )
+        residual = os.path.exists(os.path.join(index_dir, "pq_cellmeans"))
+
+        def builder(e, d):
+            ann_index_build_pq(e, d, m=m, k_codes=k_codes, residual=residual)
+
+    else:
+        builder = ann_index_build_sq8 if variant == "sq8" else ann_index_build
     builder(en, staged)
     # Barrier before the swap: the staged build's jobs are fully done when
     # the write returns (Spark actions are synchronous), so two plain

@@ -970,3 +970,42 @@ def test_pq_rotate_exactness_and_recall(spark):
         f"OPQ permutation should improve ADC recall on the skewed fixture: "
         f"rotated {len(rot & truth)} vs plain {len(plain & truth)} of {len(truth)}"
     )
+
+def test_ann_index_rebuild_pq_variant(spark, tmp_path):
+    """variant='pq' closes the PQ half of the drift loop: the rebuild
+    re-quantizes AND regenerates cell means + codebooks + codes in one
+    staged swap, inferring (m, k) from the existing books and keeping the
+    residual form — a 'full' rebuild of a PQ index would strand the code
+    layout against stale cells."""
+    import os
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_append_pq,
+        ann_index_build_pq,
+        ann_index_probe,
+        ann_index_probe_pq,
+        ann_index_rebuild,
+    )
+    from healthcare_data_pipeline_spark.queries.similarity import quantized
+
+    en = quantized(spark, SF_DIR)
+    idx = str(tmp_path / "pqidx_rb")
+    base = en.filter(F.col("vec_id") % 2 == 0)
+    ann_index_build_pq(base, idx, m=2, k_codes=8)
+    ann_index_append_pq(spark, idx, en.filter(F.col("vec_id") % 2 == 1))
+    assert ann_index_rebuild(spark, idx, variant="pq") is True
+    # layout intact and consistent after the swap
+    for piece in ("vectors", "centroids", "pq_books", "pq_codes", "pq_cellmeans"):
+        assert os.path.exists(os.path.join(idx, piece)), piece
+    books = spark.read.parquet(os.path.join(idx, "pq_books"))
+    assert books.select("sub_id").distinct().count() == 2
+    n_codes = spark.read.parquet(os.path.join(idx, "pq_codes")).count()
+    assert n_codes == en.count()
+    # rebuilt index still satisfies the unbounded-shortlist == fp invariant
+    q = en.filter(F.col("vec_id").isin(0, 1, 2))
+    pq = ann_index_probe_pq(spark, idx, q, k=5, nprobe=2, shortlist=10**6)
+    fp = ann_index_probe(spark, idx, q, k=5, nprobe=2)
+    assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, fp.collect()))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="variant"):
+        ann_index_rebuild(spark, idx, variant="nope")
