@@ -917,21 +917,7 @@ def c4_clean(
     no explode (lines live inside per-row arrays).  Hash-portable by
     construction (exact string/integer predicates only); catalog t34.
     """
-    terms = ", ".join(f"'{t}'" if t != '"' else "'\"'" for t in C4_TERMINALS)
-    lines = f"filter(split({text_col}, '\\n'), l -> trim(l) != '')"
-    wc = "size(filter(split(trim(l), '[ \\\\t]+'), w -> w != ''))"
-    keep_l = (
-        f"filter({lines}, l -> "
-        f"substring(trim(l), length(trim(l)), 1) IN ({terms}) "
-        f"AND {wc} >= {min_words_per_line} "
-        f"AND NOT contains(lower(l), 'javascript'))"
-    )
-    toks = f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+'), x -> x != '')"
-    if blocklist:
-        bl = ", ".join("'" + w.lower().replace("'", "''") + "'" for w in blocklist)
-        blocked = f"size(filter({toks}, x -> x IN ({bl}))) > 0"
-    else:
-        blocked = "false"
+    lines, keep_l, blocked = _c4_sql_parts(text_col, min_words_per_line, blocklist)
     out = docs.selectExpr(
         f"{id_col} AS doc_id",
         f"array_join({keep_l}, '\\n') AS text",
@@ -948,6 +934,30 @@ def c4_clean(
     )
 
 
+def _c4_sql_parts(
+    text_col: str, min_words_per_line: int, blocklist: tuple[str, ...]
+) -> tuple[str, str, str]:
+    """The C4 battery's scalar SQL pieces (lines array, surviving-lines
+    array, blocklist predicate) — shared by ``c4_clean`` (the diagnostic
+    projection, t34) and ``c4_filter`` (the join-free in-place gate)."""
+    terms = ", ".join(f"'{t}'" if t != '"' else "'\"'" for t in C4_TERMINALS)
+    lines = f"filter(split({text_col}, '\\n'), l -> trim(l) != '')"
+    wc = "size(filter(split(trim(l), '[ \\\\t]+'), w -> w != ''))"
+    keep_l = (
+        f"filter({lines}, l -> "
+        f"substring(trim(l), length(trim(l)), 1) IN ({terms}) "
+        f"AND {wc} >= {min_words_per_line} "
+        f"AND NOT contains(lower(l), 'javascript'))"
+    )
+    toks = f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+'), x -> x != '')"
+    if blocklist:
+        bl = ", ".join("'" + w.lower().replace("'", "''") + "'" for w in blocklist)
+        blocked = f"size(filter({toks}, x -> x IN ({bl}))) > 0"
+    else:
+        blocked = "false"
+    return lines, keep_l, blocked
+
+
 def c4_filter(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -956,19 +966,22 @@ def c4_filter(
     min_sentences: int = 3,
     blocklist: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Apply ``c4_clean``: keep only passing documents, with ``text_col``
-    replaced by the line-cleaned text (all other columns preserved)."""
-    cleaned = c4_clean(
-        docs,
-        id_col=id_col,
-        text_col=text_col,
-        min_words_per_line=min_words_per_line,
-        min_sentences=min_sentences,
-        blocklist=blocklist,
-    ).filter("c4_keep")
-    keep = cleaned.select(F.col("doc_id").alias(id_col), F.col("text").alias("__c4_text"))
+    """Apply the C4 battery in place: keep only passing documents, with
+    ``text_col`` replaced by the line-cleaned text (all other columns
+    preserved).  JOIN-FREE: the page predicate evaluates on the original
+    text and the rewrite is one scalar projection over the same scan — no
+    shuffle, no self-join, and therefore STATELESS, so the identical gate
+    runs on an unbounded stream (``prep_stream(use_c4=)``) and costs
+    nothing extra in the batch front door (``prep_corpus(use_c4=)``)."""
+    lines, keep_l, blocked = _c4_sql_parts(text_col, min_words_per_line, blocklist)
+    keep = (
+        f"NOT contains(lower({text_col}), 'lorem ipsum') "
+        f"AND NOT contains({text_col}, '{{') "
+        f"AND NOT ({blocked}) AND size({keep_l}) >= {min_sentences}"
+    )
     return (
-        docs.drop(text_col)
-        .join(keep, id_col)
-        .withColumnRenamed("__c4_text", text_col)
+        docs.filter(F.expr(keep))
+        # withColumn evaluates against the INPUT row, so the rewrite reads
+        # the original text even though it replaces the same column
+        .withColumn(text_col, F.expr(f"array_join({keep_l}, '\\n')"))
     )

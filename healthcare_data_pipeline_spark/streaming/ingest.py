@@ -97,6 +97,8 @@ def prep_stream(
     eval_bloom: list[int] | None = None,
     bloom_ngram: int | None = None,
     bloom_hasher: str | None = None,
+    use_c4: bool = False,
+    c4_blocklist: tuple[str, ...] = (),
 ) -> DataFrame:
     """The streaming corpus-prep gate: quality filter -> optional benchmark
     decontamination -> PII redaction -> optional mixture gate -> optional
@@ -117,13 +119,25 @@ def prep_stream(
     bitmap's own build-time tag (``collect_bloom`` returns a tagged list);
     explicit values that contradict the tag raise in ``flag_bloom`` — a
     mismatched probe silently produces false negatives, the one failure
-    mode decontamination exists to prevent."""
+    mode decontamination exists to prevent.
+
+    ``use_c4`` runs the C4 line battery FIRST (its published slot, same as
+    ``prep_corpus(use_c4=)``): since the r12 join-free rewrite,
+    ``c4_filter`` is one scalar predicate + projection — stateless, so it
+    streams unchanged; the page gate reads the original text and every
+    later stage consumes the line-cleaned rewrite."""
     from healthcare_data_pipeline_spark.operators.decontaminate import flag_bloom
     from healthcare_data_pipeline_spark.operators.mixture import hash_split, mixture_sample
-    from healthcare_data_pipeline_spark.operators.quality import quality_predicate
+    from healthcare_data_pipeline_spark.operators.quality import (
+        c4_filter,
+        quality_predicate,
+    )
     from healthcare_data_pipeline_spark.operators.redact import redact_pii
 
-    out = docs.filter(quality_predicate(min_stopword_ratio=min_stopword_ratio))
+    out = docs
+    if use_c4:
+        out = c4_filter(out, blocklist=c4_blocklist)
+    out = out.filter(quality_predicate(min_stopword_ratio=min_stopword_ratio))
     if eval_bloom is not None:
         out = (
             flag_bloom(out, eval_bloom, n=bloom_ngram, hasher=bloom_hasher)

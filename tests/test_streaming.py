@@ -1295,3 +1295,52 @@ def test_stream_ingest_fast_hasher_and_kwargs_passthrough(spark, tmp_path):
         decontaminate_kwargs={"min_shared_bands": 5},  # > PMH_BANDS: nothing fires
     )
     assert sorted(r.doc_id for r in ing.read_corpus(spark, corpus2).collect()) == [1, 2]
+
+def test_stream_prep_c4_gate_equals_batch(spark):
+    """use_c4 in the streaming prep gate: since the join-free rewrite,
+    c4_filter is one stateless predicate + projection, so the stream emits
+    exactly the batch composition's rows — C4-cleaned text included."""
+    from healthcare_data_pipeline_spark.operators.quality import (
+        c4_filter,
+        quality_predicate,
+    )
+    from healthcare_data_pipeline_spark.operators.redact import redact_pii
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+
+    docs = table(spark, SF_DIR, "documents")
+    # re-line the corpus so the C4 battery has passing pages (the synthetic
+    # text is single-line): every 8th token ends a sentence, and docs whose
+    # id % 13 == 5 get a curly-brace code line planted (page-dropped)
+    lined = (
+        "concat(array_join(transform(split(text, ' '), (t, i) -> "
+        "CASE WHEN i % 8 = 7 THEN concat(t, ' .\\n') ELSE t END), ' '), "
+        "CASE WHEN doc_id % 13 = 5 THEN '\\nvar x = { 1 };' ELSE '' END)"
+    )
+    src = docs.selectExpr("doc_id", f"{lined} AS text", "source")
+    tmp = f"{spark.conf.get('spark.sql.warehouse.dir').removeprefix('file:')}/c4_stream_src"
+    src.write.mode("overwrite").parquet(tmp)
+    stream_src = spark.readStream.schema("doc_id long, text string, source string").parquet(tmp)
+    stream = ing.prep_stream(stream_src, use_c4=True)
+    stv.run_to_memory(stream.select("doc_id", "text"), "prep_c4_out", output_mode="append")
+    got = {(r.doc_id, r.text) for r in spark.sql("SELECT * FROM prep_c4_out").collect()}
+    batch = redact_pii(
+        c4_filter(spark.read.parquet(tmp)).filter(
+            quality_predicate(min_stopword_ratio=0.01)
+        )
+    )
+    want = {(r.doc_id, r.text) for r in batch.select("doc_id", "text").collect()}
+    assert got == want and len(got) > 0
+    # the curly-brace plants were page-dropped, and surviving text is cleaned
+    assert all(d % 13 != 5 for d, _ in got)
+    assert all("{" not in t for _, t in got)
+
+
+def test_c4_filter_is_join_free(spark):
+    """The in-place C4 gate must stay one scalar predicate + projection:
+    no join, no exchange — the property that makes it streamable and free
+    in the batch front door."""
+    from healthcare_data_pipeline_spark.operators.quality import c4_filter
+
+    d = table(spark, SF_DIR, "documents")
+    plan = c4_filter(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
