@@ -492,6 +492,7 @@ def temperature_weights(
     total_budget: int | None = None,
     group_col: str = "source",
     text_col: str = "text",
+    tokenizer: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """TEMPERATURE-scaled mixture weights (the published multilingual /
     multi-source sampling rule: p_i ∝ n_i^alpha — Conneau & Lample 2019
@@ -515,10 +516,21 @@ def temperature_weights(
     Scale shape: one groupBy(group) token-sum over the scan (map-side
     combine; group count is mixture-recipe-sized, i.e. tiny), one 1x1
     broadcast combine for the normalizer.  Nothing corpus-sized moves.
+
+    ``tokenizer``: a BPE merges list switches the token currency to the
+    EXACT count under that tokenizer (the t09/t24 convention) — recipes
+    denominated in real model tokens; default is the normalized
+    whitespace count.
     """
+    if tokenizer is not None:
+        from healthcare_data_pipeline_spark.operators.bpe import bpe_token_count_col
+
+        ntok = bpe_token_count_col(tokenizer, text_col=text_col).cast("long")
+    else:
+        ntok = normalized_token_count(text_col)
     per = docs.groupBy(group_col).agg(
         F.count("*").alias("n_docs"),
-        F.sum(normalized_token_count(text_col)).cast("long").alias("n_tokens"),
+        F.sum(ntok).cast("long").alias("n_tokens"),
     )
     s = (
         F.sqrt(F.col("n_tokens").cast("double"))
@@ -550,6 +562,7 @@ def temperature_budget_sample(
     text_col: str = "text",
     method: str = "exact",
     max_groups: int = 10_000,
+    tokenizer: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """The full published temperature-mixture pipeline: compute
     ``temperature_weights``, then ``token_budget_sample`` each group to its
@@ -558,7 +571,8 @@ def temperature_budget_sample(
     dozens of sources, not millions; ``max_groups`` raises if violated, the
     components/BPE budget-gate convention), never by corpus size."""
     w = temperature_weights(
-        docs, alpha=alpha, total_budget=total_budget, group_col=group_col, text_col=text_col
+        docs, alpha=alpha, total_budget=total_budget, group_col=group_col,
+        text_col=text_col, tokenizer=tokenizer,
     )
     rows = w.select(group_col, "budget_tokens").limit(max_groups + 1).collect()
     if len(rows) > max_groups:
@@ -575,6 +589,12 @@ def temperature_budget_sample(
     # track the temperature weights instead of drifting by the raw-split
     # empty-fragment count.
     budgets = {r[0]: int(r[1]) if r[1] is not None else 0 for r in rows}
+    if tokenizer is not None:
+        from healthcare_data_pipeline_spark.operators.bpe import bpe_token_count_col
+
+        spend_count = bpe_token_count_col(tokenizer, text_col=text_col).cast("long")
+    else:
+        spend_count = normalized_token_count(text_col)
     return token_budget_sample(
         docs,
         budget=0,
@@ -583,5 +603,5 @@ def temperature_budget_sample(
         id_col=id_col,
         text_col=text_col,
         method=method,
-        token_count=normalized_token_count(text_col),
+        token_count=spend_count,
     )

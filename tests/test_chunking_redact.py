@@ -947,3 +947,34 @@ def test_temperature_budget_sample_null_budget_and_currency(spark):
     # spent-in-same-currency: the web group fills its budget to within one
     # document (10 normalized tokens each) instead of stopping at ~half
     assert w["web"] - 10 < got["web"] <= w["web"]
+
+def test_temperature_pipeline_tokenizer_currency(spark):
+    """tokenizer= denominates the WHOLE temperature pipeline in exact BPE
+    tokens — weights computed and budgets spent in the same currency (the
+    t09/t24 convention extended to t35/t37's pipeline)."""
+    from pyspark.sql import functions as F
+    from healthcare_data_pipeline_spark.operators.bpe import bpe_token_count_col
+    from healthcare_data_pipeline_spark.operators.mixture import (
+        temperature_budget_sample,
+        temperature_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "web", "aa aa aa") for i in range(30)]
+        + [(1000 + i, "ref", "aa aa aa") for i in range(5)],
+        "doc_id long, source string, text string",
+    )
+    tok = [("a", "a")]  # fuses 'aa' -> per doc: 3 pieces + 2 ws = 5 exact tokens
+    w = {r.source: r for r in temperature_weights(docs, tokenizer=tok, total_budget=100).collect()}
+    assert w["web"].n_tokens == 150 and w["ref"].n_tokens == 25
+    out = temperature_budget_sample(docs, total_budget=100, tokenizer=tok)
+    got = {
+        r.source: (r.n or 0)
+        for r in out.groupBy("source")
+        .agg(F.sum(bpe_token_count_col(tok)).alias("n"))
+        .collect()
+    }
+    # spent in the exact currency: each kept doc costs 5 tokens, so every
+    # group fills its floor(weight*100) budget to within one document
+    for src in ("web", "ref"):
+        assert w[src].budget_tokens - 5 < got.get(src, 0) <= w[src].budget_tokens
