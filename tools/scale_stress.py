@@ -197,12 +197,17 @@ def ops(spark, sf_dir: str):
         ann_index_probe_pq,
     )
 
-    pq_dir = os.path.join(sf_dir, "ann_index_pq")
+    # 'pqr' since r12: the residual (IVFADC) layout is the build default —
+    # a new cache dir so stale r11 raw-layout indexes are not silently
+    # probed as the measured path.
+    pq_dir = os.path.join(sf_dir, "ann_index_pqr")
 
     def probe_pq():
         # s13: same routing and partition pruning as the fp/sq8 probes, but
-        # the candidate pass scans m-byte codes (m=2 here) — the smallest
-        # bytes-per-candidate layout; the shortlist rescore is bounded.
+        # the candidate pass scans m-byte RESIDUAL codes (m=2 here) — the
+        # smallest bytes-per-candidate layout; the shortlist rescore is
+        # bounded, and the residual reconstruction adds only per-cell
+        # constant LUTs to the scan.
         if not os.path.exists(pq_dir):
             ann_index_build_pq(en, pq_dir)
         q = en.filter(F.col("vec_id") < 20).select("vec_id", "iv", "nrm2")
