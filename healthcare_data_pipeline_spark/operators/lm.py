@@ -71,18 +71,23 @@ def _toks_sql(text_col: str) -> str:
     return f"filter(split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+'), x -> x != '')"
 
 
-def _pair_explode(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(doc_id, w1, w2) per token position: w2 = token, w1 = previous token
-    (NULL at position 0).  Built by exploding an array of 2-field structs so
-    the full token array is never carried through the explode."""
+def _pair_explode(
+    docs: DataFrame, id_col: str, text_col: str, group_col: str | None = None
+) -> DataFrame:
+    """(doc_id[, group], w1, w2) per token position: w2 = token, w1 =
+    previous token (NULL at position 0).  Built by exploding an array of
+    2-field structs so the full token array is never carried through the
+    explode."""
+    g = [group_col] if group_col is not None else []
     return docs.selectExpr(
         f"{id_col} AS doc_id",
+        *g,
         f"""explode(transform({_toks_sql(text_col)}, (t, i) ->
               named_struct(
                 'w1', IF(i = 0, CAST(NULL AS STRING),
                          element_at({_toks_sql(text_col)}, i)),
                 'w2', t))) AS p""",
-    ).select("doc_id", "p.w1", "p.w2")
+    ).select("doc_id", *g, "p.w1", "p.w2")
 
 
 def eighth_bit_cost(num: Column, den: Column) -> Column:
@@ -112,6 +117,7 @@ def lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
     ref_text_col: str | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Score every document's perplexity under a bigram stupid-backoff LM
     trained on ``reference`` (the CCNet scoring stage; see module doc for
@@ -124,29 +130,54 @@ def lm_score(
     add-one unigram), ``cost_eighth_bits`` is the exact BIGINT total and
     ``bits_per_token = cost_eighth_bits / (8.0 * n_tokens)`` the document's
     quantized cross-entropy — LOW is reference-like (CCNet's "head").
+
+    ``group_col`` (a column present on BOTH ``docs`` and ``reference``,
+    e.g. ``lang``) trains ONE LM PER GROUP — CCNet's actual construction
+    (Wenzek 2020 trains a Wikipedia LM per language): counts, totals, and
+    vocabulary are all keyed by the group, so an English page is never
+    scored against French statistics.  The group key rides the same
+    joins (bigram/unigram tables gain one key column; the 1-row totals
+    broadcast becomes an n_groups-row broadcast) — no new shuffle class.
+    Documents whose group has NO reference rows are DROPPED (there is no
+    model to score them under — the paper's pipeline routes by language
+    id first for the same reason); the output carries ``group_col``.
+    Compose with ``perplexity_buckets(group_col=)`` for per-group
+    tertiles end to end.
     """
     rtext = ref_text_col or text_col
-    ref_pairs = _pair_explode(reference, id_col, rtext)
+    g = [group_col] if group_col is not None else []
+    ref_pairs = _pair_explode(reference, id_col, rtext, group_col=group_col)
 
     # Reference model tables.  c1 attaches to the bigram table by a window
     # over w1 — one counts-table shuffle instead of a second join relation.
     big = (
         ref_pairs.filter(F.col("w1").isNotNull())
-        .groupBy("w1", "w2")
+        .groupBy(*g, "w1", "w2")
         .agg(F.count("*").alias("c12"))
     )
-    big = big.withColumn("c1", F.sum("c12").over(Window.partitionBy("w1")))
-    uni = ref_pairs.groupBy("w2").agg(F.count("*").alias("cu"))
-    totals = ref_pairs.agg(
-        F.count("*").alias("n_ref"), F.countDistinct("w2").alias("v_ref")
-    )
-
-    scored = (
-        _pair_explode(docs, id_col, text_col)
-        .join(big, ["w1", "w2"], "left")
-        .join(uni, "w2", "left")
-        .crossJoin(F.broadcast(totals))
-    )
+    big = big.withColumn("c1", F.sum("c12").over(Window.partitionBy(*g, "w1")))
+    uni = ref_pairs.groupBy(*g, "w2").agg(F.count("*").alias("cu"))
+    if group_col is None:
+        totals = ref_pairs.agg(
+            F.count("*").alias("n_ref"), F.countDistinct("w2").alias("v_ref")
+        )
+        scored = (
+            _pair_explode(docs, id_col, text_col)
+            .join(big, ["w1", "w2"], "left")
+            .join(uni, "w2", "left")
+            .crossJoin(F.broadcast(totals))
+        )
+    else:
+        totals = ref_pairs.groupBy(group_col).agg(
+            F.count("*").alias("n_ref"), F.countDistinct("w2").alias("v_ref")
+        )
+        scored = (
+            _pair_explode(docs, id_col, text_col, group_col=group_col)
+            .join(big, g + ["w1", "w2"], "left")
+            .join(uni, g + ["w2"], "left")
+            # inner: a group with no reference rows has no model — dropped
+            .join(F.broadcast(totals), g)
+        )
     nv = F.col("n_ref") + F.col("v_ref")
     is_backoff = F.col("w1").isNotNull() & F.col("c12").isNull()
     num = (
@@ -163,11 +194,12 @@ def lm_score(
     )
     per_tok = scored.select(
         "doc_id",
+        *g,
         is_backoff.cast("int").alias("is_backoff"),
         F.col("cu").isNull().cast("int").alias("is_oov"),
         eighth_bit_cost(num, den).alias("cost"),
     )
-    out = per_tok.groupBy("doc_id").agg(
+    out = per_tok.groupBy("doc_id", *g).agg(
         F.count("*").alias("n_tokens"),
         F.sum("is_backoff").alias("n_backoff"),
         F.sum("is_oov").alias("n_oov"),
@@ -175,6 +207,7 @@ def lm_score(
     )
     return out.select(
         "doc_id",
+        *g,
         "n_tokens",
         "n_backoff",
         "n_oov",

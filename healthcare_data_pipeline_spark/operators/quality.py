@@ -259,6 +259,7 @@ def prep_corpus(
     lm_keep_buckets: tuple[str, ...] = ("head", "middle"),
     lm_bucket_method: str = "approx",
     lm_group_col: str | None = None,
+    lm_per_group_model: bool = False,
     use_c4: bool = False,
     c4_blocklist: tuple[str, ...] = (),
 ) -> DataFrame:
@@ -329,6 +330,11 @@ def prep_corpus(
       33rd/66th percentiles (t36): under one global scale an entire
       high-perplexity language lands in the tail and is silently dropped;
       grouped, each language keeps its own head+middle.
+      ``lm_per_group_model=True`` additionally trains ONE LM PER GROUP
+      (``lm_score(group_col=)``, t38 — the full CCNet construction; the
+      reference must carry ``lm_group_col``): no language is scored
+      against another's statistics, and documents of reference-less
+      groups DROP — an explicit opt-in because of that drop semantics.
     - ``token_budget`` (+ per-group ``token_budgets``, grouped by
       ``budget_group_col``) applies ``token_budget_sample`` AFTER dedup —
       a budget must buy unique tokens, not duplicates.  ``budget_method``
@@ -402,15 +408,32 @@ def prep_corpus(
             perplexity_buckets,
         )
 
-        scores = lm_score(
-            out, lm_reference, id_col=id_col, text_col=text_col
-        )
-        if lm_group_col is not None:
-            # carry the doc's group (e.g. lang) onto the scores so the
-            # tertiles are computed within each group — the t36 semantics
-            scores = scores.join(
-                out.select(F.col(id_col).alias("doc_id"), lm_group_col), "doc_id"
+        if lm_per_group_model:
+            if lm_group_col is None or lm_group_col not in lm_reference.columns:
+                raise ValueError(
+                    "lm_per_group_model requires lm_group_col present on the "
+                    "reference: one LM trains per group (t38), so the "
+                    "reference must be routable by the same column"
+                )
+            # the full CCNet construction (t38): one LM PER GROUP — scores
+            # come back group-keyed; docs of reference-less groups DROP
+            # (no model to score them under), which is why this is an
+            # explicit opt-in rather than implied by lm_group_col.
+            scores = lm_score(
+                out, lm_reference, id_col=id_col, text_col=text_col,
+                group_col=lm_group_col,
             )
+        else:
+            scores = lm_score(
+                out, lm_reference, id_col=id_col, text_col=text_col
+            )
+            if lm_group_col is not None:
+                # shared model, per-group TERTILES (t36): carry the doc's
+                # group onto the scores so each group splits at its own
+                # 33rd/66th percentiles
+                scores = scores.join(
+                    out.select(F.col(id_col).alias("doc_id"), lm_group_col), "doc_id"
+                )
         keep = (
             perplexity_buckets(
                 scores, method=lm_bucket_method, group_col=lm_group_col

@@ -1510,45 +1510,56 @@ def t31_bpe_byte_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_REF_SOURCES = ("src0", "src1", "src2")
 
 
-def _lm_scores_oracle_cte() -> str:
+def _lm_scores_oracle_cte(grouped: bool = False) -> str:
     """Shared oracle CTE chain: positioned token pairs, reference bigram /
     unigram / total counts, per-token stupid-backoff rational, eighth-bit
-    integer log2 quantization (operators.lm module doc), per-doc sums."""
+    integer log2 quantization (operators.lm module doc), per-doc sums.
+    ``grouped=True`` keys every model table by ``lang`` — one LM per
+    language, CCNet's actual construction (t38); the totals join becomes
+    an INNER join so documents of reference-less languages drop, mirroring
+    ``lm_score(group_col=)``."""
     srcs = ", ".join(f"'{s}'" for s in _LM_REF_SOURCES)
     thresholds = " + ".join(
         f"(den*256 >= m*{t})::INT" for t in (279, 304, 332, 362, 395, 431, 470)
     )
+    k = "lang, " if grouped else ""
+    pk = "p.lang, " if grouped else ""
+    tot_join = (
+        "JOIN tot t ON t.lang = p.lang" if grouped else "CROSS JOIN tot t"
+    )
+    band_k = "AND b.lang = p.lang " if grouped else ""
+    uni_k = "AND u.lang = p.lang " if grouped else ""
     return f"""
     WITH dt AS (
-      SELECT doc_id, source,
+      SELECT doc_id, source, lang,
              list_filter(string_split_regex(lower(text), '[ \\t\\n\\r\\f\\x0B]+'),
                          x -> x != '') AS toks
       FROM documents
     ),
     ref_pairs AS (
-      SELECT CASE WHEN i = 1 THEN NULL ELSE toks[i-1] END AS w1, toks[i] AS w2
+      SELECT {k}CASE WHEN i = 1 THEN NULL ELSE toks[i-1] END AS w1, toks[i] AS w2
       FROM dt, UNNEST(generate_series(1, len(toks))) AS g(i)
       WHERE source IN ({srcs})
     ),
     big AS (
-      SELECT w1, w2, COUNT(*)::BIGINT AS c12
-      FROM ref_pairs WHERE w1 IS NOT NULL GROUP BY w1, w2
+      SELECT {k}w1, w2, COUNT(*)::BIGINT AS c12
+      FROM ref_pairs WHERE w1 IS NOT NULL GROUP BY {k}w1, w2
     ),
     bigc AS (
-      SELECT w1, w2, c12, (SUM(c12) OVER (PARTITION BY w1))::BIGINT AS c1 FROM big
+      SELECT {k}w1, w2, c12, (SUM(c12) OVER (PARTITION BY {k}w1))::BIGINT AS c1 FROM big
     ),
-    uni AS (SELECT w2, COUNT(*)::BIGINT AS cu FROM ref_pairs GROUP BY w2),
+    uni AS (SELECT {k}w2, COUNT(*)::BIGINT AS cu FROM ref_pairs GROUP BY {k}w2),
     tot AS (
-      SELECT COUNT(*)::BIGINT AS n_ref, COUNT(DISTINCT w2)::BIGINT AS v_ref
-      FROM ref_pairs
+      SELECT {k}COUNT(*)::BIGINT AS n_ref, COUNT(DISTINCT w2)::BIGINT AS v_ref
+      FROM ref_pairs{" GROUP BY lang" if grouped else ""}
     ),
     doc_pairs AS (
-      SELECT doc_id, CASE WHEN i = 1 THEN NULL ELSE toks[i-1] END AS w1,
+      SELECT doc_id, {k}CASE WHEN i = 1 THEN NULL ELSE toks[i-1] END AS w1,
              toks[i] AS w2
       FROM dt, UNNEST(generate_series(1, len(toks))) AS g(i)
     ),
     branch AS (
-      SELECT p.doc_id,
+      SELECT p.doc_id, {pk}
              (p.w1 IS NOT NULL AND b.c12 IS NULL)::INT AS is_backoff,
              (u.cu IS NULL)::INT AS is_oov,
              CASE WHEN p.w1 IS NULL THEN COALESCE(u.cu, 0) + 1
@@ -1558,34 +1569,34 @@ def _lm_scores_oracle_cte() -> str:
                   WHEN b.c12 IS NULL THEN 5 * (t.n_ref + t.v_ref)
                   ELSE b.c1 END::BIGINT AS den
       FROM doc_pairs p
-      LEFT JOIN bigc b ON p.w1 = b.w1 AND p.w2 = b.w2
-      LEFT JOIN uni u ON p.w2 = u.w2
-      CROSS JOIN tot t
+      LEFT JOIN bigc b ON p.w1 = b.w1 AND p.w2 = b.w2 {band_k}
+      LEFT JOIN uni u ON p.w2 = u.w2 {uni_k}
+      {tot_join}
     ),
     k0t AS (
-      SELECT doc_id, is_backoff, is_oov, num, den,
+      SELECT doc_id, {k}is_backoff, is_oov, num, den,
              length(bin(den)) - length(bin(num)) AS k0
       FROM branch
     ),
     kt AS (
-      SELECT doc_id, is_backoff, is_oov, num, den,
+      SELECT doc_id, {k}is_backoff, is_oov, num, den,
              CASE WHEN (num << k0) > den THEN k0 - 1 ELSE k0 END AS k
       FROM k0t
     ),
     costed AS (
-      SELECT doc_id, is_backoff, is_oov,
+      SELECT doc_id, {k}is_backoff, is_oov,
              8 * k + {thresholds} AS cost
-      FROM (SELECT doc_id, is_backoff, is_oov, den, k, (num << k) AS m FROM kt)
+      FROM (SELECT doc_id, {k}is_backoff, is_oov, den, k, (num << k) AS m FROM kt)
     ),
     lm_scores AS (
-      SELECT doc_id,
+      SELECT doc_id, {k}
              COUNT(*)::BIGINT AS n_tokens,
              SUM(is_backoff)::BIGINT AS n_backoff,
              SUM(is_oov)::BIGINT AS n_oov,
              SUM(cost)::BIGINT AS cost_eighth_bits,
              CAST(SUM(cost) AS DOUBLE) / (8.0 * COUNT(*)) AS bits_per_token
       FROM costed
-      GROUP BY doc_id
+      GROUP BY doc_id{", lang" if grouped else ""}
     )"""
 
 
@@ -1876,3 +1887,24 @@ def t37_temperature_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     return temperature_budget_sample(
         table(spark, sf_dir, "documents"), total_budget=_T37_BUDGET, alpha=0.5
     ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+@query(
+    "t38_lm_perplexity_by_lang",
+    oracle=_lm_scores_oracle_cte(grouped=True) + "\n    SELECT * FROM lm_scores",
+    tags=("text", "EXT", "quality", "lm", "ccnet"),
+    doc="CCNet LM scoring in its PAPER-FAITHFUL per-language form (operators.lm."
+    "lm_score(group_col='lang'); Wenzek 2020 trains one Wikipedia LM PER LANGUAGE): "
+    "bigram/unigram/total tables are all keyed by lang, so an English page is never "
+    "scored against French statistics — under one shared model a whole language reads "
+    "as high-perplexity noise and its head/tail split collapses.  Same scale shape as "
+    "t32 with one extra key column; the 1-row totals broadcast becomes n_langs rows; "
+    "documents of reference-less languages DROP (no model — the paper routes by "
+    "language id first).  Composes with perplexity_buckets(group_col=) / "
+    "prep_corpus(lm_group_col=) for the full per-language pipeline.",
+)
+def t38_lm_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.lm import lm_score
+
+    d, ref = _lm_catalog_inputs(spark, sf_dir)
+    return lm_score(d, ref, group_col="lang")

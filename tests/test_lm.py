@@ -161,3 +161,35 @@ def test_buckets_grouped_per_language(spark):
     )
     assert ba[ordered_b[0]["doc_id"]] == "head"
     assert ba[ordered_b[-1]["doc_id"]] == "tail"
+
+def test_lm_score_group_col_trains_per_group_models(spark):
+    """group_col='lang' keys the whole model by language (t38): identical
+    text scores differently under its own language's statistics than under
+    a shared pool, and documents of reference-less languages DROP."""
+    from healthcare_data_pipeline_spark.operators.lm import lm_score
+
+    a_text = "the cat sat on the mat near the door"
+    b_text = "le chat dort sur le tapis pres de la porte"
+    docs = spark.createDataFrame(
+        [
+            (1, a_text, "aa"),
+            (2, b_text, "bb"),
+            (3, "zz yy xx ww vv uu", "cc"),  # no cc reference -> drops
+        ],
+        "doc_id long, text string, lang string",
+    )
+    ref = spark.createDataFrame(
+        [(100, a_text, "aa"), (101, a_text, "aa"), (102, b_text, "bb")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in lm_score(docs, ref, group_col="lang").collect()}
+    assert set(out) == {1, 2}  # reference-less lang dropped
+    assert out[1].lang == "aa" and out[2].lang == "bb"
+    # per-language: each doc is verbatim in ITS OWN reference -> zero
+    # backoff positions (every bigram seen in its language's table)
+    assert out[1].n_backoff == 0 and out[2].n_backoff == 0
+    # shared-pool model scores the same docs DIFFERENTLY (pooled totals
+    # change the add-one unigram denominators at position 0)
+    shared = {r.doc_id: r for r in lm_score(docs, ref).collect()}
+    assert set(shared) == {1, 2, 3}  # shared model scores everyone
+    assert shared[1].cost_eighth_bits != out[1].cost_eighth_bits
