@@ -79,15 +79,23 @@ def _pair_explode(
     2-field structs so the full token array is never carried through the
     explode."""
     g = [group_col] if group_col is not None else []
-    return docs.selectExpr(
-        f"{id_col} AS doc_id",
-        *g,
-        f"""explode(transform({_toks_sql(text_col)}, (t, i) ->
+    # Materialize the token array ONCE per row before the pair transform:
+    # inlining the split into the lambda would re-tokenize the whole text
+    # for EVERY element_at(_, i) — O(n_tokens * n_chars) per document
+    # (measured 1.9x on t32, the heaviest text operator).
+    return (
+        docs.selectExpr(f"{id_col} AS doc_id", *g, f"{_toks_sql(text_col)} AS __toks")
+        .selectExpr(
+            "doc_id",
+            *g,
+            """explode(transform(__toks, (t, i) ->
               named_struct(
                 'w1', IF(i = 0, CAST(NULL AS STRING),
-                         element_at({_toks_sql(text_col)}, i)),
+                         element_at(__toks, i)),
                 'w2', t))) AS p""",
-    ).select("doc_id", *g, "p.w1", "p.w2")
+        )
+        .select("doc_id", *g, "p.w1", "p.w2")
+    )
 
 
 def eighth_bit_cost(num: Column, den: Column) -> Column:
