@@ -1677,20 +1677,26 @@ def pq_adc_topk(
     return exact.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= top)
 
 
-def _cell_means(assigned: DataFrame) -> DataFrame:
+def _cell_means(assigned: DataFrame, cent: DataFrame | None = None) -> DataFrame:
     """Per-cell truncated-integer-mean centroid VECTORS — the concrete
     reconstruction centers residual PQ subtracts and adds back.  (The coarse
     ROUTING table ``int_centroids`` stores component SUMS because cosine
     routing is scale-invariant; residual encoding needs an actual point, so
     this is the ``kmeans_assign``-convention integer mean: exact BIGINT
     component sums, sign-peeled truncating division.)  Output: (cell,
-    cm: array<double> integer-valued, cmnorm2: double — the exact ||cm||²)."""
+    cm: array<double> integer-valued, cmnorm2: double — the exact ||cm||²).
+
+    ``cent`` (the quantizer table): cells with ZERO build-time members
+    still get a row — the zero vector, i.e. residual == raw coding for
+    that cell.  Without it, a later APPEND routed to an empty cell would
+    silently drop from the codes layout (the cellmeans joins are inner),
+    and its probe candidates with it."""
     comp = (
         assigned.select("cell", F.posexplode("iv").alias("pos", "v"))
         .groupBy("cell", "pos")
         .agg(F.sum(F.col("v").cast("long")).alias("s"), F.count("*").alias("n"))
     )
-    return (
+    means = (
         comp.withColumn("cv", F.expr(f"CAST({_trunc_div_sql('s', 'n')} AS DOUBLE)"))
         .groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
@@ -1700,6 +1706,17 @@ def _cell_means(assigned: DataFrame) -> DataFrame:
             F.expr("aggregate(zip_with(cm, cm, (x, y) -> x * y), 0D, (acc, d) -> acc + d)"),
         )
     )
+    if cent is None:
+        return means
+    head = assigned.select(F.size("iv").alias("d")).head()
+    dim = int(head.d) if head is not None else 0
+    empty = (
+        cent.select(F.col("cent_id").alias("cell"))
+        .join(means.select("cell"), "cell", "left_anti")
+        .withColumn("cm", F.array_repeat(F.lit(0.0), dim))
+        .withColumn("cmnorm2", F.lit(0.0))
+    )
+    return means.unionByName(empty)
 
 
 def _with_residual(assigned: DataFrame, cellmeans: DataFrame) -> DataFrame:
@@ -1751,7 +1768,8 @@ def ann_index_build_pq(
     spark = en.sparkSession
     assigned = spark.read.parquet(os.path.join(index_dir, "vectors"))
     if residual:
-        cms = _cell_means(assigned)
+        cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+        cms = _cell_means(assigned, cent=cent)
         cms.write.mode("overwrite").parquet(os.path.join(index_dir, "pq_cellmeans"))
         cms_saved = spark.read.parquet(os.path.join(index_dir, "pq_cellmeans"))
         res = _with_residual(assigned, cms_saved)

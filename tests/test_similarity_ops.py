@@ -1009,3 +1009,34 @@ def test_ann_index_rebuild_pq_variant(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="variant"):
         ann_index_rebuild(spark, idx, variant="nope")
+
+def test_cell_means_cover_empty_quantizer_cells(spark):
+    """A quantizer cell with zero build-time members still gets a cellmeans
+    row (the zero vector = raw coding): without it, appends routed there
+    would silently vanish from the codes layout (inner joins)."""
+    import os
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        _cell_means,
+        ann_index_build_pq,
+    )
+    from healthcare_data_pipeline_spark.queries.similarity import quantized
+
+    en = quantized(spark, SF_DIR)
+    assigned = en.limit(20).withColumn("cell", F.lit(3))  # everyone in cell 3
+    cent = spark.createDataFrame(
+        [(3, [1.0] * 64, 8.0), (9, [1.0] * 64, 8.0)],  # cell 9 is EMPTY
+        "cent_id int, cs array<double>, cnorm double",
+    )
+    cms = {r.cell: r for r in _cell_means(assigned, cent=cent).collect()}
+    assert set(cms) == {3, 9}
+    assert cms[9].cmnorm2 == 0.0 and all(x == 0.0 for x in cms[9].cm)
+    assert cms[3].cmnorm2 > 0.0
+
+    # build invariant: one cellmeans row per quantizer cell
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        idx = os.path.join(d, "idx")
+        ann_index_build_pq(en.filter(F.col("vec_id") % 2 == 0), idx)
+        n_cells = spark.read.parquet(os.path.join(idx, "centroids")).count()
+        n_means = spark.read.parquet(os.path.join(idx, "pq_cellmeans")).count()
+        assert n_means == n_cells
