@@ -925,3 +925,57 @@ def test_prep_corpus_c4_stage_rescues_cleaned_pages(spark):
     assert 1 in rows
     assert "x" * 60 not in rows[1]  # downstream sees the CLEANED text
     assert "number3." in rows[1]
+
+def test_prep_corpus_lm_per_group_model(spark):
+    """lm_per_group_model=True trains one LM per language inside the front
+    door (t38): each language is scored against ITS OWN reference slice, so
+    a language whose text is OOV to every other language still buckets
+    normally — and the knob demands a routable reference (ValueError if the
+    reference lacks the group column)."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_pipeline_spark.operators.quality import prep_corpus
+
+    lang_a = [
+        (
+            i,
+            " ".join(f"word{(i * 7 + j) % 97} the of and point{(i * 13 + j) % 89}" for j in range(12)),
+            "web",
+            "aa",
+        )
+        for i in range(30)
+    ]
+    lang_b = [
+        (
+            1000 + i,
+            " ".join(f"mot{(i * 11 + j) % 83} le de et point{(i * 17 + j) % 79}" for j in range(12)),
+            "web",
+            "bb",
+        )
+        for i in range(9)
+    ]
+    docs = spark.createDataFrame(
+        lang_a + lang_b, "doc_id long, text string, source string, lang string"
+    )
+    # reference slices from BOTH languages
+    ref = docs.filter((F.col("doc_id") < 15) | (F.col("doc_id").between(1000, 1002)))
+    out = prep_corpus(
+        docs,
+        min_stopword_ratio=None,
+        lm_reference=ref,
+        lm_bucket_method="exact",
+        lm_group_col="lang",
+        lm_per_group_model=True,
+    )
+    n_bb = out.filter(F.col("lang") == "bb").count()
+    assert n_bb == 6  # bb's own tertiles keep 2/3 of its 9 docs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lm_per_group_model"):
+        prep_corpus(
+            docs,
+            min_stopword_ratio=None,
+            lm_reference=ref.drop("lang"),
+            lm_group_col="lang",
+            lm_per_group_model=True,
+        )
