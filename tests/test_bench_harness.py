@@ -66,6 +66,16 @@ def test_bench_emits_complete_json():
         for name, t in out["queries"].items():
             assert abs(out["queries_probe_normalized"][name] - t / ratio) < 0.01
         assert abs(out["value_probe_normalized"] - out["value"] / ratio) < 0.05
+    # headline_v2 (r11 verdict task 5): the r9-r11 heavy operators get their
+    # own round-over-round group; the original headline stays frozen
+    from bench import HEADLINE_V2
+
+    v2 = out["headline_v2"]
+    assert len(v2["queries"]) == len(HEADLINE_V2) and v2["value"] > 0
+    assert abs(sum(v2["queries"].values()) - v2["value"]) < 0.01
+    assert set(v2["reps"]) == set(v2["queries"])
+    if out["probe"]["gated"]:
+        assert set(v2["queries_probe_normalized"]) == set(v2["queries"])
 
 
 def test_bench_probe_overrides_clean_loadavg():
