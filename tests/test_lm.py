@@ -193,3 +193,14 @@ def test_lm_score_group_col_trains_per_group_models(spark):
     shared = {r.doc_id: r for r in lm_score(docs, ref).collect()}
     assert set(shared) == {1, 2, 3}  # shared model scores everyone
     assert shared[1].cost_eighth_bits != out[1].cost_eighth_bits
+
+def test_pair_explode_tokenizes_once(spark):
+    """The r12 perf fix's contract: the pair explode materializes the token
+    array ONCE per row — the inlined form re-tokenized the whole text for
+    every element_at (O(tokens x chars) per doc, measured ~4x on t32)."""
+    from healthcare_data_pipeline_spark.operators.lm import _pair_explode
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = _pair_explode(d, "doc_id", "text")._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(lower") == 1
+    assert "element_at(filter(split" not in plan
