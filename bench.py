@@ -85,6 +85,39 @@ PROBE_REF_SEC = 0.46
 PROBE_REF_CPUS = 32
 PROBE_TOL = 1.15
 
+# Rep-spread gate (the r12 lesson: BENCH_r12 shipped ~25% load-inflated at
+# quiet:true with probe ratio 1.013 — the CPU-saturating probe still gets
+# scheduled near-fully under competing load while shuffle/GC-bound Spark
+# queries degrade far more, so probe-normalization under-corrects).  The
+# visible tell was IN the artifact all along: per-query rep spreads of 50%+
+# on a "quiet" run (dd24 reps [3.13, 3.15, 2.00]).  On a genuinely idle box
+# the min-of-3 reps agree within a few percent; decaying background load
+# inflates SOME reps of MOST queries.  So: spread = (max-min)/min per query,
+# and when the MEDIAN spread across all timed queries exceeds SPREAD_TOL the
+# run is contended no matter what loadavg and the probe said — re-run the
+# timed passes (up to SPREAD_RETRIES), keep the calmest pass, and stamp
+# quiet=false if even that pass is spread-y.  Median, not max: one query
+# with a naturally variable plan (cache effects) must not flip the stamp;
+# half the suite inflating is unambiguous host contention.
+SPREAD_TOL = 0.20
+
+
+def rep_spread(rep_times: list[float]) -> float:
+    """(max-min)/min over one query's reps — 0 when only one rep."""
+    lo = min(rep_times)
+    return (max(rep_times) - lo) / lo if lo > 0 and len(rep_times) > 1 else 0.0
+
+
+def median_rep_spread(reps: dict[str, list[float]]) -> float:
+    """Median per-query rep spread across the suite (0.0 when unmeasurable)."""
+    spreads = sorted(rep_spread(r) for r in reps.values() if len(r) > 1)
+    if not spreads:
+        return 0.0
+    mid = len(spreads) // 2
+    if len(spreads) % 2:
+        return spreads[mid]
+    return (spreads[mid - 1] + spreads[mid]) / 2.0
+
 
 def run_probe(spark, cpus: int, fake: str | None = None) -> float:
     """Min-of-PROBE_REPS wall time of the fixed calibration computation."""
@@ -211,6 +244,14 @@ def main() -> None:
     # reps are recorded in the JSON so the variance itself is visible — a
     # wide rep spread on a quiet-stamped artifact is the tell to re-run.
     reps_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Test hook: the rep-spread gate needs deterministically "inflated" reps
+    # (tests/test_bench_harness.py) without loading the box — a comma list of
+    # multipliers applied cyclically to each query's measured reps.
+    fake_noise = [
+        float(x)
+        for x in os.environ.get("SPARK_GRAFT_BENCH_FAKE_REP_NOISE", "").split(",")
+        if x
+    ]
 
     def time_group(group: list[str]) -> tuple[dict[str, float], dict[str, list[float]], float]:
         timings: dict[str, float] = {}
@@ -220,7 +261,7 @@ def main() -> None:
             if name in errors:
                 continue
             rep_times: list[float] = []
-            for _ in range(reps_n):
+            for rep_i in range(reps_n):
                 t0 = time.perf_counter()
                 try:
                     # Force full execution without driver-side materialization cost.
@@ -229,7 +270,10 @@ def main() -> None:
                     errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                     print(f"# {name}: FAILED — {errors[name]}", file=sys.stderr)
                     break
-                rep_times.append(round(time.perf_counter() - t0, 3))
+                dt_rep = time.perf_counter() - t0
+                if fake_noise:
+                    dt_rep *= fake_noise[rep_i % len(fake_noise)]
+                rep_times.append(round(dt_rep, 3))
                 spark.catalog.clearCache()
                 gc.collect()
                 # Pay JVM GC debt BETWEEN timed windows, not during them: without
@@ -246,13 +290,53 @@ def main() -> None:
             print(f"# {name}: {dt:.3f}s (reps: {', '.join(f'{r:.3f}' for r in rep_times)})", file=sys.stderr)
         return timings, reps, total
 
-    timings, reps, total = time_group(names)
-    timings_v2, reps_v2, total_v2 = time_group(names_v2)
+    # Timed passes with the rep-spread gate (see the SPREAD_TOL comment): a
+    # pass whose median per-query rep spread exceeds the tolerance is load-
+    # contaminated — re-run it (the contention that produced r12's artifact
+    # was DECAYING, so a retry minutes later is usually clean), keep the
+    # calmest pass, and stamp quiet=false if even the best pass is spread-y.
+    # A short probe runs BETWEEN the two query groups too, so contention that
+    # arrives mid-suite (invisible to the before/after pair when it decays
+    # before the end) still lands in the probe gate.
+    spread_retries = int(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_RETRIES", "1"))
+    probe_mids: list[float] = []
+    passes = []
+    for attempt in range(spread_retries + 1):
+        timings, reps, total = time_group(names)
+        probe_mid = run_probe(spark, cpus, fake_probe)
+        probe_mids.append(probe_mid)
+        print(f"# calibration probe (mid): {probe_mid:.3f}s (ref {probe_ref:.2f}s)", file=sys.stderr)
+        timings_v2, reps_v2, total_v2 = time_group(names_v2)
+        med_spread = median_rep_spread({**reps, **reps_v2})
+        passes.append((med_spread, timings, reps, total, timings_v2, reps_v2, total_v2))
+        if med_spread <= SPREAD_TOL:
+            break
+        if attempt < spread_retries:
+            print(
+                f"# median rep spread {med_spread:.1%} exceeds {SPREAD_TOL:.0%} — the "
+                "host was contended during this pass; re-running the timed suite",
+                file=sys.stderr,
+            )
+    med_spread, timings, reps, total, timings_v2, reps_v2, total_v2 = min(
+        passes, key=lambda p: p[0]
+    )
+    spread_quiet = med_spread <= SPREAD_TOL
 
     probe_after = run_probe(spark, cpus, fake_probe)
     print(f"# calibration probe (after): {probe_after:.3f}s (ref {probe_ref:.2f}s)", file=sys.stderr)
     probe_gated = cpus == PROBE_REF_CPUS or fake_probe is not None
-    probe_quiet = (not probe_gated) or max(probe_before, probe_after) <= probe_ref * PROBE_TOL
+    probe_quiet = (not probe_gated) or max(
+        probe_before, probe_after, *probe_mids
+    ) <= probe_ref * PROBE_TOL
+    if not spread_quiet:
+        quiet = False
+        print(
+            f"# WARNING: median per-query rep spread {med_spread:.1%} exceeds "
+            f"{SPREAD_TOL:.0%} after {len(passes)} pass(es) — reps disagree the way "
+            "they only do under host contention (the r12 failure shape); timings "
+            "are load-inflated, stamping quiet=false",
+            file=sys.stderr,
+        )
     if not probe_quiet:
         quiet = False
         print(
@@ -322,10 +406,13 @@ def main() -> None:
         "loadavg_1m": load1,
         "probe": {
             "before_sec": probe_before,
+            "mid_sec": probe_mids,
             "after_sec": probe_after,
             "ref_sec": probe_ref,
             "gated": probe_gated,
         },
+        "rep_spread_median": round(med_spread, 4),
+        "spread_passes": len(passes),
         "quiet": quiet,
     }
     # Probe-relative normalization: the calibration probe is fixed work, so
@@ -341,7 +428,11 @@ def main() -> None:
         "reps": reps_v2,
     }
     if probe_gated:
-        probe_ratio = round(((probe_before + probe_after) / 2.0) / probe_ref, 4)
+        # Mean over ALL probe points (before, between-groups mids, after):
+        # contention that arrives mid-suite and decays before the end is
+        # invisible to the before/after pair alone (the r12 shape).
+        probe_pts = [probe_before, *probe_mids, probe_after]
+        probe_ratio = round((sum(probe_pts) / len(probe_pts)) / probe_ref, 4)
         out["probe"]["ratio"] = probe_ratio
         out["value_probe_normalized"] = round(total / probe_ratio, 3)
         out["queries_probe_normalized"] = {

@@ -119,6 +119,34 @@ def eighth_bit_cost(num: Column, den: Column) -> Column:
     return (F.lit(8) * k + frac).cast("long")
 
 
+def lm_drop_audit(
+    docs: DataFrame,
+    reference: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group count of documents ``lm_score(group_col=)`` will DROP
+    because their group has no reference rows (no LM to score them under).
+
+    The drop itself is paper-faithful (CCNet routes by language id first),
+    but on a production corpus a typo'd or incomplete reference slice would
+    silently shrink the corpus with zero signal — this makes it observable
+    BEFORE the scoring pass, the ``minhash_pairs(max_bucket=)`` never-silent
+    accounting standard.  Output: (group_col, n_docs_dropped), one row per
+    reference-less group (empty when the reference covers every group).
+
+    Cost: one distinct on the reference's group column (vocabulary-sized,
+    broadcast into the anti join) + one map-side-combinable groupBy over the
+    docs' group column — no token explode, nothing corpus-sized moves.
+    """
+    ref_groups = reference.select(group_col).distinct()
+    return (
+        docs.join(F.broadcast(ref_groups), group_col, "left_anti")
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n_docs_dropped"))
+    )
+
+
 def lm_score(
     docs: DataFrame,
     reference: DataFrame,
@@ -126,6 +154,7 @@ def lm_score(
     text_col: str = "text",
     ref_text_col: str | None = None,
     group_col: str | None = None,
+    dropped_group_log: list | None = None,
 ) -> DataFrame:
     """Score every document's perplexity under a bigram stupid-backoff LM
     trained on ``reference`` (the CCNet scoring stage; see module doc for
@@ -149,11 +178,23 @@ def lm_score(
     Documents whose group has NO reference rows are DROPPED (there is no
     model to score them under — the paper's pipeline routes by language
     id first for the same reason); the output carries ``group_col``.
-    Compose with ``perplexity_buckets(group_col=)`` for per-group
-    tertiles end to end.
+    NEVER silent: pass ``dropped_group_log`` (a list) and the dropped
+    groups are counted into it as ``(group, n_docs)`` tuples — one extra
+    driver action over the bounded ``lm_drop_audit`` relation — so a
+    typo'd or incomplete reference slice is observable instead of quietly
+    shrinking the corpus (the ``minhash_pairs(max_bucket=)`` accounting
+    standard).  Compose with ``perplexity_buckets(group_col=)`` for
+    per-group tertiles end to end.
     """
     rtext = ref_text_col or text_col
     g = [group_col] if group_col is not None else []
+    if dropped_group_log is not None and group_col is not None:
+        dropped_group_log.extend(
+            (r[group_col], int(r.n_docs_dropped))
+            for r in lm_drop_audit(
+                docs, reference, group_col, id_col=id_col
+            ).collect()
+        )
     ref_pairs = _pair_explode(reference, id_col, rtext, group_col=group_col)
 
     # Reference model tables.  c1 attaches to the bigram table by a window

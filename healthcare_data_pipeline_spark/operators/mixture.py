@@ -420,35 +420,55 @@ def dsir_scores(
     never sorts the corpus.  For budgeted selection compose the scores with
     token_budget_sample / group_sample instead of ``top_n``.
 
-    Scale shape — the rare_bigram_scores family twice over: one token
-    explode of each corpus, two groupBy(token) frequency tables with
-    map-side combine, one join of the exploded raw tokens against both
-    (all three clustered by token; the target table is usually small
-    enough that AQE broadcasts it), one per-doc aggregation.  The scalar
-    totals attach via a 1x1 broadcast combine.  Nothing is collected to
-    the driver; no table is assumed to fit anywhere.
+    Scale shape (the r12 fix — SCALE.md had measured alpha 1.21 on the old
+    per-OCCURRENCE plan): the exploded corpus is collapsed to distinct
+    (doc, token) pairs FIRST — ``groupBy(doc_id, h).count()`` with map-side
+    combine, so Zipf's law does the heavy lifting (a 10k-token web doc has
+    ~2-3k distinct tokens, and the per-token frequency joins downstream see
+    pairs, not occurrences).  Tokens travel as xxhash64 8-byte keys (the
+    span_dedup ``hash_spans`` trick), never as strings: the two frequency
+    tables group on the hash, the pair table joins both on the hash, and
+    the per-doc aggregation weights every sum by the pair multiplicity
+    ``k`` — integer-identical to the occurrence-level sums.  This removes
+    the two super-linear terms the old plan had: string shuffle bytes, and
+    stopword join skew (the partition owning "the" received every
+    occurrence in the corpus; now it receives one row per containing doc).
+    Collision bound: two distinct tokens sharing an xxhash64 value would
+    merge counts — probability ~V²/2⁶⁵ for vocabulary V (≈1e-9 even at a
+    100M-type vocabulary), the same documented trade span_dedup makes.
+    The scalar totals attach via a 1x1 broadcast combine.  Nothing is
+    collected to the driver; no table is assumed to fit anywhere.
     """
     tgt_text = target_text_col or text_col
     ws = r"[ \t\n\r\f\x0B]+"
-    raw_tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), ws)).alias("tok"),
+    raw_pairs = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), ws)).alias("tok"),
+        )
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("k"))
     )
-    tgt_tok = target.select(F.explode(F.split(F.lower(F.col(tgt_text)), ws)).alias("tok"))
-    c_r = raw_tok.groupBy("tok").agg(F.count("*").alias("c_r"))
-    c_t = tgt_tok.groupBy("tok").agg(F.count("*").alias("c_t"))
+    tgt_tok = target.select(
+        F.explode(F.split(F.lower(F.col(tgt_text)), ws)).alias("tok")
+    ).select(F.xxhash64("tok").alias("h"))
+    c_r = raw_pairs.groupBy("h").agg(F.sum("k").alias("c_r"))
+    c_t = tgt_tok.groupBy("h").agg(F.count("*").alias("c_t"))
     per = (
-        raw_tok.join(c_r, "tok")
-        .join(c_t, "tok", "left")
+        raw_pairs.join(c_r, "h")
+        .join(c_t, "h", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.sum(F.when(F.col("c_t").isNull(), 1).otherwise(0)).alias("n_oov"),
-            F.sum(F.coalesce(F.col("c_t"), F.lit(0))).alias("target_mass"),
-            F.sum("c_r").alias("raw_mass"),
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.when(F.col("c_t").isNull(), F.col("k")).otherwise(F.lit(0))).alias(
+                "n_oov"
+            ),
+            F.sum(F.col("k") * F.coalesce(F.col("c_t"), F.lit(0))).alias("target_mass"),
+            F.sum(F.col("k") * F.col("c_r")).alias("raw_mass"),
         )
     )
-    totals = raw_tok.agg(F.count("*").alias("n_raw")).crossJoin(
+    totals = raw_pairs.agg(F.sum("k").alias("n_raw")).crossJoin(
         tgt_tok.agg(F.count("*").alias("n_target"))
     )
     scores = per.crossJoin(F.broadcast(totals)).select(

@@ -260,6 +260,7 @@ def prep_corpus(
     lm_bucket_method: str = "approx",
     lm_group_col: str | None = None,
     lm_per_group_model: bool = False,
+    lm_dropped_group_log: list | None = None,
     use_c4: bool = False,
     c4_blocklist: tuple[str, ...] = (),
 ) -> DataFrame:
@@ -335,6 +336,9 @@ def prep_corpus(
       reference must carry ``lm_group_col``): no language is scored
       against another's statistics, and documents of reference-less
       groups DROP — an explicit opt-in because of that drop semantics.
+      Pass ``lm_dropped_group_log`` (a list) to record the drops as
+      ``(group, n_docs)`` tuples — never-silent accounting for a typo'd
+      or incomplete reference slice (see ``lm.lm_drop_audit``).
     - ``token_budget`` (+ per-group ``token_budgets``, grouped by
       ``budget_group_col``) applies ``token_budget_sample`` AFTER dedup —
       a budget must buy unique tokens, not duplicates.  ``budget_method``
@@ -419,9 +423,12 @@ def prep_corpus(
             # come back group-keyed; docs of reference-less groups DROP
             # (no model to score them under), which is why this is an
             # explicit opt-in rather than implied by lm_group_col.
+            # lm_dropped_group_log makes that drop observable per group
+            # (the never-silent accounting standard).
             scores = lm_score(
                 out, lm_reference, id_col=id_col, text_col=text_col,
                 group_col=lm_group_col,
+                dropped_group_log=lm_dropped_group_log,
             )
         else:
             scores = lm_score(

@@ -143,7 +143,15 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+            # zero-norm guard: a zero vector (or zero query) has no cosine —
+            # score -1.0; 0/0 = NaN would ORDER GREATEST and top the DESC
+            # ranking, displacing real neighbors
+            F.when(
+                (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
+                dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -191,7 +199,15 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+            # zero-norm guard: a zero vector (or zero query) has no cosine —
+            # score -1.0; 0/0 = NaN would ORDER GREATEST and top the DESC
+            # ranking, displacing real neighbors
+            F.when(
+                (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
+                dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -225,7 +241,15 @@ def brute_topk(en: DataFrame, query_pred: Column, k: int = 5) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+            # zero-norm guard: a zero vector (or zero query) has no cosine —
+            # score -1.0; 0/0 = NaN would ORDER GREATEST and top the DESC
+            # ranking, displacing real neighbors
+            F.when(
+                (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
+                dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -366,7 +390,15 @@ def ivf_topk_multiprobe(
         .select(
             "query_id",
             "neighbor_id",
-            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+            # zero-norm guard: a zero vector (or zero query) has no cosine —
+            # score -1.0; 0/0 = NaN would ORDER GREATEST and top the DESC
+            # ranking, displacing real neighbors
+            F.when(
+                (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
+                dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -565,13 +597,20 @@ def _route_score(iv_col: Column, cs_col: Column, cnorm_col: Column) -> Column:
     so the score — and therefore the cell ranking — is bit-identical on any
     engine and any partitioning.  (The query-norm factor is per-query
     constant and cannot change its own ranking, so it is omitted.)
+
+    Zero-norm guard: a degenerate quantizer cell (all-zero centroid, e.g. a
+    label whose members are zero vectors) scores -inf — it must never win
+    routing, and the unguarded 0/0 raises under ANSI mode / NaN-tops-the-
+    ranking without it.
     """
     dot = F.aggregate(
         F.zip_with(iv_col, cs_col, lambda x, y: x.cast("decimal(38,0)") * y),
         F.lit(0).cast("decimal(38,0)"),
         lambda acc, x: (acc + x).cast("decimal(38,0)"),
     )
-    return dot.cast("double") / cnorm_col
+    return F.when(cnorm_col > 0, dot.cast("double") / cnorm_col).otherwise(
+        F.lit(float("-inf"))
+    )
 
 
 def _assign_against(en: DataFrame, cent: DataFrame) -> DataFrame:
@@ -978,15 +1017,39 @@ def ann_index_rebuild(
     shutil.rmtree(staged, ignore_errors=True)
     shutil.rmtree(aside, ignore_errors=True)
     if variant == "pq":
-        books = spark.read.parquet(os.path.join(index_dir, "pq_books"))
-        m = books.select("sub_id").distinct().count()
-        k_codes = int(
-            books.groupBy("sub_id").count().agg(F.max("count")).first()[0]
-        )
-        residual = os.path.exists(os.path.join(index_dir, "pq_cellmeans"))
+        meta_dir = os.path.join(index_dir, "pq_meta")
+        if os.path.exists(meta_dir):
+            # the build persisted its ORIGINAL training settings — use them
+            # verbatim (inference from the realized codebook shape ratchets
+            # k down whenever Lloyd dropped an empty centroid, and loses the
+            # iters/rotate settings entirely)
+            mr = spark.read.parquet(meta_dir).first()
+            m, k_codes, iters = int(mr.m), int(mr.k_codes), int(mr.iters)
+            residual, rotated = bool(mr.residual), bool(mr.rotated)
+        else:
+            # pre-metadata index: infer shape from the realized codebooks
+            books = spark.read.parquet(os.path.join(index_dir, "pq_books"))
+            m = books.select("sub_id").distinct().count()
+            k_codes = int(
+                books.groupBy("sub_id").count().agg(F.max("count")).first()[0]
+            )
+            iters = 2
+            residual = os.path.exists(os.path.join(index_dir, "pq_cellmeans"))
+            rotated = os.path.exists(os.path.join(index_dir, "pq_perm"))
 
         def builder(e, d):
-            ann_index_build_pq(e, d, m=m, k_codes=k_codes, residual=residual)
+            # rotate=True, not the old permutation: a rebuild re-derives
+            # everything from the CURRENT corpus (fresh centroids, fresh
+            # cell means) — the variance ranking should be fresh too
+            ann_index_build_pq(
+                e,
+                d,
+                m=m,
+                k_codes=k_codes,
+                iters=iters,
+                residual=residual,
+                rotate=True if rotated else None,
+            )
 
     else:
         builder = ann_index_build_sq8 if variant == "sq8" else ann_index_build
@@ -1061,7 +1124,15 @@ def ann_index_probe(
         .select(
             "query_id",
             "neighbor_id",
-            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+            # zero-norm guard: a zero vector (or zero query) has no cosine —
+            # score -1.0; 0/0 = NaN would ORDER GREATEST and top the DESC
+            # ranking, displacing real neighbors
+            F.when(
+                (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
+                dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -1289,7 +1360,15 @@ def ann_index_probe_sq8(
         .select(
             "query_id",
             "neighbor_id",
-            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+            # zero-norm guard: a zero vector (or zero query) has no cosine —
+            # score -1.0; 0/0 = NaN would ORDER GREATEST and top the DESC
+            # ranking, displacing real neighbors
+            F.when(
+                (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
+                dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -1400,6 +1479,21 @@ def _check_perm(rotate: list[int], dim: int) -> None:
         raise ValueError(
             f"rotate must be a permutation of 0..{dim - 1} (got {len(rotate)} entries)"
         )
+
+
+def _books_dims(codebooks: DataFrame) -> tuple[int, int]:
+    """(m, sub_dim) of a trained codebook relation — the REAL vector dim is
+    m·sub_dim, which is what ``rotate`` must be validated against in the
+    encode/ADC paths (validating against ``len(rotate)`` is tautological: a
+    short permutation would silently TRUNCATE every vector via
+    ``_permute_col`` and produce wrong codes/LUTs).  A few-row aggregate on
+    a few-KB relation."""
+    r = codebooks.agg(
+        F.countDistinct("sub_id").alias("m"), F.max(F.size("c")).alias("sd")
+    ).head()
+    if r is None or r.m is None:
+        raise ValueError("empty codebooks relation")
+    return int(r.m), int(r.sd)
 
 
 def pq_dim_permutation(
@@ -1569,7 +1663,8 @@ def pq_encode(
     """
     src = vec_col
     if rotate is not None:
-        _check_perm(rotate, len(rotate))
+        m, sd = _books_dims(codebooks)
+        _check_perm(rotate, m * sd)
         src = "__pv"
         en = en.withColumn(src, _permute_col(vec_col, rotate))
     dist = (
@@ -1630,7 +1725,8 @@ def pq_adc_topk(
         # the codes live in the rotated space; the query LUT must too (the
         # exact rescore below reads ORIGINAL vectors — permutation preserves
         # L2, so rescored distances need no rotation)
-        _check_perm(rotate, len(rotate))
+        mm, sd = _books_dims(codebooks)
+        _check_perm(rotate, mm * sd)
         qsrc = "__qpv"
         queries = queries.withColumn(qsrc, _permute_col(query_vec_col, rotate))
     lut_sql = """transform(__books, (bk, mi) ->
@@ -1733,6 +1829,18 @@ def _with_residual(assigned: DataFrame, cellmeans: DataFrame) -> DataFrame:
     )
 
 
+def _load_perm(spark, index_dir: str) -> list[int] | None:
+    """The frozen OPQ permutation of a persisted PQ layout (``pq_perm/``),
+    or None for an unrotated index.  Bounded by the dimensionality."""
+    import os
+
+    perm_dir = os.path.join(index_dir, "pq_perm")
+    if not os.path.exists(perm_dir):
+        return None
+    rows = spark.read.parquet(perm_dir).orderBy("pos").collect()
+    return [int(r.src) for r in rows]
+
+
 def ann_index_build_pq(
     en: DataFrame,
     index_dir: str,
@@ -1740,6 +1848,7 @@ def ann_index_build_pq(
     k_codes: int = 8,
     iters: int = 2,
     residual: bool = True,
+    rotate: bool | list[int] | None = None,
 ) -> None:
     """Persist the PQ-augmented IVF index: everything ``ann_index_build``
     writes (full-precision ``vectors/`` + ``centroids/``) plus the trained
@@ -1761,11 +1870,36 @@ def ann_index_build_pq(
     cell offsets — the reason IVFADC holds recall at small m.  The probe
     adds the centroid back inside its LUTs (dot and norm decompose per
     contiguous subspace), keeping every score an exact-integer double.
-    ``residual=False`` keeps the r11 raw-vector layout."""
+    ``residual=False`` keeps the r11 raw-vector layout.
+
+    ``rotate``: the OPQ permutation rung on the persisted layout — ``True``
+    derives the variance-balancing dimension permutation from the vectors
+    the codebooks actually encode (the residuals on a residual layout) via
+    ``pq_dim_permutation``; an explicit permutation list is used as-is.
+    The permutation is PERSISTED as ``pq_perm/`` and is frozen exactly like
+    the cell means: appends encode and probes build their LUTs in the same
+    permuted space forever, so old and new codes stay decodable against one
+    codebook set (re-deriving it per batch would silently re-key the code
+    space).  Build settings (m, k_codes, iters, residual, rotated) persist
+    as ``pq_meta/`` so ``ann_index_rebuild`` re-trains with the ORIGINAL
+    settings instead of inferring them from the realized codebook shape
+    (which ratchets k down when Lloyd drops a centroid)."""
     import os
 
     ann_index_build(en, index_dir)
     spark = en.sparkSession
+
+    def _persist_perm(perm: list[int] | None) -> list[int] | None:
+        if perm is not None:
+            spark.createDataFrame(
+                [(i, int(p)) for i, p in enumerate(perm)], "pos INT, src INT"
+            ).write.mode("overwrite").parquet(os.path.join(index_dir, "pq_perm"))
+        spark.createDataFrame(
+            [(int(m), int(k_codes), int(iters), bool(residual), perm is not None)],
+            "m INT, k_codes INT, iters INT, residual BOOLEAN, rotated BOOLEAN",
+        ).write.mode("overwrite").parquet(os.path.join(index_dir, "pq_meta"))
+        return perm
+
     assigned = spark.read.parquet(os.path.join(index_dir, "vectors"))
     if residual:
         cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
@@ -1773,25 +1907,43 @@ def ann_index_build_pq(
         cms.write.mode("overwrite").parquet(os.path.join(index_dir, "pq_cellmeans"))
         cms_saved = spark.read.parquet(os.path.join(index_dir, "pq_cellmeans"))
         res = _with_residual(assigned, cms_saved)
+        perm = _persist_perm(
+            pq_dim_permutation(res, m=m, vec_col="rv")
+            if rotate is True
+            else (list(rotate) if rotate else None)
+        )
         # residual components span ±2·max_component — widen the exactness
         # guard accordingly (same 2^53 worst-case ADC bound, doubled range)
         books = pq_train(
-            res, m=m, k=k_codes, iters=iters, vec_col="rv", max_component=1_200_000.0
+            res,
+            m=m,
+            k=k_codes,
+            iters=iters,
+            vec_col="rv",
+            max_component=1_200_000.0,
+            rotate=perm,
         )
         books.write.mode("overwrite").parquet(os.path.join(index_dir, "pq_books"))
         books_saved = spark.read.parquet(os.path.join(index_dir, "pq_books"))
-        pq_encode(res, books_saved, vec_col="rv").select(
+        pq_encode(res, books_saved, vec_col="rv", rotate=perm).select(
             "vec_id", "codes", "cell"
         ).write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(index_dir, "pq_codes")
         )
         return
-    books = pq_train(en, m=m, k=k_codes, iters=iters)
+    perm = _persist_perm(
+        pq_dim_permutation(en, m=m)
+        if rotate is True
+        else (list(rotate) if rotate else None)
+    )
+    books = pq_train(en, m=m, k=k_codes, iters=iters, rotate=perm)
     books.write.mode("overwrite").parquet(os.path.join(index_dir, "pq_books"))
     books_saved = spark.read.parquet(os.path.join(index_dir, "pq_books"))
-    pq_encode(assigned, books_saved).select("vec_id", "codes", "cell").write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(os.path.join(index_dir, "pq_codes"))
+    pq_encode(assigned, books_saved, rotate=perm).select(
+        "vec_id", "codes", "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(index_dir, "pq_codes")
+    )
 
 
 def ann_index_append_pq(spark, index_dir: str, new_en: DataFrame) -> None:
@@ -1801,11 +1953,14 @@ def ann_index_append_pq(spark, index_dir: str, new_en: DataFrame) -> None:
     (``ann_index_report`` / ``ann_index_rebuild``).  On a residual layout
     (``pq_cellmeans/`` present) the frozen contract extends to the cell
     means: new vectors subtract the BUILD-time center of their assigned
-    cell, so old and new codes stay decodable against one codebook set."""
+    cell, so old and new codes stay decodable against one codebook set.
+    On a rotated layout (``pq_perm/`` present) it extends to the OPQ
+    permutation: new codes encode in the BUILD-time permuted space."""
     import os
 
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     books = spark.read.parquet(os.path.join(index_dir, "pq_books"))
+    perm = _load_perm(spark, index_dir)
     assigned = _assign_against(new_en, cent)
     assigned.write.mode("append").partitionBy("cell").parquet(
         os.path.join(index_dir, "vectors")
@@ -1813,9 +1968,9 @@ def ann_index_append_pq(spark, index_dir: str, new_en: DataFrame) -> None:
     cm_dir = os.path.join(index_dir, "pq_cellmeans")
     if os.path.exists(cm_dir):
         res = _with_residual(assigned, spark.read.parquet(cm_dir))
-        enc = pq_encode(res, books, vec_col="rv")
+        enc = pq_encode(res, books, vec_col="rv", rotate=perm)
     else:
-        enc = pq_encode(assigned, books)
+        enc = pq_encode(assigned, books, rotate=perm)
     enc.select("vec_id", "codes", "cell").write.mode("append").partitionBy(
         "cell"
     ).parquet(os.path.join(index_dir, "pq_codes"))
@@ -1853,13 +2008,21 @@ def ann_index_probe_pq(
     2·dot(cm_sub, r̂_j) + ||r̂_j||² (n_cells·m·k entries against the
     broadcast codebooks — quantizer-constant-sized, never corpus-sized).
     Still exact-integer doubles end to end, still one scalar expression
-    per code row."""
+    per code row.
+
+    On a rotated layout (``pq_perm/`` present — ``ann_index_build_pq``'s
+    ``rotate=``) the codes live in the build-time permuted space, so the
+    LUT slices read the PERMUTED query (and permuted cell means for the
+    residual cross term): a permutation is orthogonal, so dot(q, x̂) =
+    dot(Pq, Px̂) and every norm is unchanged — the scores stay exact and
+    the exact rescore still reads ORIGINAL vectors."""
     import os
 
     from pyspark.sql import Window
 
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     books = spark.read.parquet(os.path.join(index_dir, "pq_books"))
+    perm = _load_perm(spark, index_dir)
     cm_dir = os.path.join(index_dir, "pq_cellmeans")
     cellmeans = spark.read.parquet(cm_dir) if os.path.exists(cm_dir) else None
     q = queries.select(
@@ -1881,13 +2044,20 @@ def ann_index_probe_pq(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_iv", "q_nrm2", F.col("cent_id").alias("cell"))
     )
+    # rotated layout: LUT slices read the permuted query; q_iv itself stays
+    # original for routing (cosine is permutation-invariant but the stored
+    # centroid sums live in the original space) and for the exact rescore
+    qv = "q_iv"
+    if perm is not None:
+        qv = "__qpv"
+        routed = routed.withColumn(qv, _permute_col("q_iv", perm))
     # bounded by n_cells (quantizer constant), never corpus-sized
     cells = [r.cell for r in routed.select("cell").distinct().collect()]
     # per-query LUTs against the broadcast codebooks: dot(q_sub, centroid)
     # and |centroid|^2, in codebook order (position-aligned with the codes)
-    dot_lut = """transform(__books, (bk, mi) ->
+    dot_lut = f"""transform(__books, (bk, mi) ->
         transform(bk, s -> aggregate(zip_with(
-            slice(q_iv, mi * __sd + 1, __sd), s.c, (x, y) -> x * y),
+            slice({qv}, mi * __sd + 1, __sd), s.c, (x, y) -> x * y),
             0D, (acc, d) -> acc + d)))"""
     nrm_lut = """transform(__books, bk ->
         transform(bk, s -> aggregate(zip_with(s.c, s.c, (x, y) -> x * y),
@@ -1902,6 +2072,18 @@ def ann_index_probe_pq(
     )
     pick = "aggregate(zip_with(codes, {lut}, (c, row) -> element_at(row, c + 1)), 0D, (acc, d) -> acc + d)"
     wsl = Window.partitionBy("query_id").orderBy(F.desc("pq_sim"), F.asc("neighbor_id"))
+    # Zero-reconstruction guard: an empty-quantizer-cell append (zero-vector
+    # cell mean, raw coding) whose residual centroid is also zero yields
+    # __rn2 = 0, and 0/0 = NaN — which Spark ORDERS GREATEST, so such rows
+    # would top the DESC shortlist and displace real candidates.  A zero
+    # reconstruction carries no similarity evidence: score it -1.0 (below
+    # every real cosine).
+    def _pq_sim() -> Column:
+        return F.when(
+            (F.col("q_nrm2") > 0) & (F.col("__rn2") > 0),
+            F.col("__dot") / (F.sqrt("q_nrm2") * F.sqrt("__rn2")),
+        ).otherwise(F.lit(-1.0))
+
     if cellmeans is not None:
         # residual layout: dot(q, x̂) = dot(q, cm) + Σ dlut[code];
         # ||x̂||² = ||cm||² + Σ (2·dot(cm_sub, r̂) + ||r̂||²) — the cross
@@ -1921,9 +2103,15 @@ def ann_index_probe_pq(
                 F.expr(dot_lut).alias("__dlut"),
             )
         )
-        cross_lut = """transform(__books, (bk, mi) ->
+        # rotated layout: the cross term slices the cell mean in the same
+        # permuted space the residual codebooks live in
+        cmv = "cm"
+        if perm is not None:
+            cmv = "__cmp"
+            cms = cms.withColumn(cmv, _permute_col("cm", perm))
+        cross_lut = f"""transform(__books, (bk, mi) ->
             transform(bk, s ->
-                2D * aggregate(zip_with(slice(cm, mi * __sd + 1, __sd), s.c,
+                2D * aggregate(zip_with(slice({cmv}, mi * __sd + 1, __sd), s.c,
                     (x, y) -> x * y), 0D, (acc, d) -> acc + d)
                 + aggregate(zip_with(s.c, s.c, (x, y) -> x * y),
                     0D, (acc, d) -> acc + d)))"""
@@ -1938,12 +2126,7 @@ def ann_index_probe_pq(
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("__dot", F.col("__qc") + F.expr(pick.format(lut="__dlut")))
             .withColumn("__rn2", F.col("cmnorm2") + F.expr(pick.format(lut="__clut")))
-            .select(
-                "query_id",
-                "neighbor_id",
-                "cell",
-                (F.col("__dot") / (F.sqrt("q_nrm2") * F.sqrt("__rn2"))).alias("pq_sim"),
-            )
+            .select("query_id", "neighbor_id", "cell", _pq_sim().alias("pq_sim"))
             .withColumn("srn", F.row_number().over(wsl))
             .filter(F.col("srn") <= shortlist)
             .select("query_id", "neighbor_id", "cell")
@@ -1961,12 +2144,7 @@ def ann_index_probe_pq(
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .withColumn("__dot", F.expr(pick.format(lut="__dlut")))
             .withColumn("__rn2", F.expr(pick.format(lut="__nlut")))
-            .select(
-                "query_id",
-                "neighbor_id",
-                "cell",
-                (F.col("__dot") / (F.sqrt("q_nrm2") * F.sqrt("__rn2"))).alias("pq_sim"),
-            )
+            .select("query_id", "neighbor_id", "cell", _pq_sim().alias("pq_sim"))
             .withColumn("srn", F.row_number().over(wsl))
             .filter(F.col("srn") <= shortlist)
             .select("query_id", "neighbor_id", "cell")
@@ -1999,7 +2177,15 @@ def ann_index_probe_pq(
         .select(
             "query_id",
             "neighbor_id",
-            (dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2")))).alias("cosine_sim"),
+            # zero-norm guard: a zero vector (or zero query) has no cosine —
+            # score -1.0; 0/0 = NaN would ORDER GREATEST and top the DESC
+            # ranking, displacing real neighbors
+            F.when(
+                (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
+                dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))

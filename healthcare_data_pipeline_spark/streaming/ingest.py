@@ -305,19 +305,25 @@ def run_stream_dedup_ingest(
     """
     extra = dict(decontaminate_kwargs or {})
     eval_bands_cached = None
-    if eval_df is not None and decontaminate_mode == "fuzzy":
-        extra.setdefault("fuzzy_hasher", hasher)
-        if "eval_bands" not in extra:
-            from healthcare_data_pipeline_spark.operators.dedup_corpus import (
-                band_buckets as _bb,
-            )
 
-            eval_bands_cached = _bb(
-                eval_df, id_col=id_col, text_col=text_col,
-                hasher=extra["fuzzy_hasher"],
-            ).persist()
-            eval_bands_cached.count()  # materialize before the stream starts
-            extra["eval_bands"] = eval_bands_cached
+    def _setup_eval_bands() -> None:
+        # called INSIDE the try that owns the unpersist: if writeStream setup
+        # (recorder attach, query start) raises after the persist, the cached
+        # relation must not leak for the session (r12 ADVICE fix)
+        nonlocal eval_bands_cached
+        if eval_df is not None and decontaminate_mode == "fuzzy":
+            extra.setdefault("fuzzy_hasher", hasher)
+            if "eval_bands" not in extra:
+                from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+                    band_buckets as _bb,
+                )
+
+                eval_bands_cached = _bb(
+                    eval_df, id_col=id_col, text_col=text_col,
+                    hasher=extra["fuzzy_hasher"],
+                ).persist()
+                eval_bands_cached.count()  # materialize before the stream starts
+                extra["eval_bands"] = eval_bands_cached
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -374,18 +380,24 @@ def run_stream_dedup_ingest(
             compact_tiered(spark, corpus_dir, min_merge=compact_every)
 
     os.makedirs(corpus_dir, exist_ok=True)
-    recorder_cm = None
-    if progress_path:
-        from healthcare_data_pipeline_spark.streaming.metrics import record_progress
+    try:
+        _setup_eval_bands()
+        recorder_cm = None
+        if progress_path:
+            from healthcare_data_pipeline_spark.streaming.metrics import record_progress
 
-        recorder_cm = record_progress(stream_df.sparkSession, progress_path)
-        recorder_cm.__enter__()
-    q = (
-        stream_df.writeStream.outputMode("append")
-        .foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+            recorder_cm = record_progress(stream_df.sparkSession, progress_path)
+            recorder_cm.__enter__()
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+    except BaseException:
+        if eval_bands_cached is not None:
+            eval_bands_cached.unpersist()
+        raise
     try:
         q.processAllAvailable()
     finally:

@@ -19,10 +19,15 @@ from bench import HEADLINE  # noqa: E402
 def _run_bench(extra_env: dict[str, str]) -> tuple[subprocess.CompletedProcess, dict]:
     # MAX_WAIT=0: the quiet-wait gate must not stall the suite when the suite
     # ITSELF is the load (Spark workers peg the loadavg during pytest).
+    # SPREAD_RETRIES=0: under pytest the suite itself loads the box, so the
+    # rep-spread gate may fire — the gate's honesty (quiet=false) is what we
+    # test, not the retry's doubled runtime.  Tests that exercise the retry
+    # override this.
     env = {
         **os.environ,
         "SPARK_GRAFT_SF_DIR": SF_DIR,
         "SPARK_GRAFT_BENCH_MAX_WAIT": "0",
+        "SPARK_GRAFT_BENCH_SPREAD_RETRIES": "0",
         **extra_env,
     }
     proc = subprocess.run(
@@ -58,9 +63,8 @@ def test_bench_emits_complete_json():
     # is separable from a slow sandbox mechanically
     if out["probe"]["gated"]:
         ratio = out["probe"]["ratio"]
-        expect = (out["probe"]["before_sec"] + out["probe"]["after_sec"]) / 2 / out[
-            "probe"
-        ]["ref_sec"]
+        pts = [out["probe"]["before_sec"], *out["probe"]["mid_sec"], out["probe"]["after_sec"]]
+        expect = sum(pts) / len(pts) / out["probe"]["ref_sec"]
         assert abs(ratio - expect) < 1e-3
         assert set(out["queries_probe_normalized"]) == set(out["queries"])
         for name, t in out["queries"].items():
@@ -133,12 +137,78 @@ def test_bench_waits_for_quiet_machine_then_stamps_honestly():
     assert proc.returncode == 0, proc.stderr[-2000:]
 
 
+def test_median_rep_spread_flags_the_r12_artifact_shape():
+    """Pure-function check on the r12 failure evidence: BENCH_r12 shipped
+    quiet:true with per-query rep spreads like dd24's [3.13, 3.15, 2.00]
+    (58%) — the gate must flag that shape, and must NOT flag the few-percent
+    agreement an idle box produces."""
+    from bench import SPREAD_TOL, median_rep_spread, rep_spread
+
+    assert rep_spread([3.13, 3.15, 2.00]) > 0.5
+    # Half the suite inflated (the r12 shape: EVERY query 15-50%) -> median trips.
+    inflated = {f"q{i}": [1.0, 1.35, 1.28] for i in range(10)}
+    assert median_rep_spread(inflated) > SPREAD_TOL
+    # Idle-box agreement (couple percent) -> well under the gate.
+    idle = {f"q{i}": [1.00, 1.02, 1.01] for i in range(10)}
+    assert median_rep_spread(idle) < 0.05
+    # One naturally-variable query must not flip a quiet run (median, not max).
+    mostly_idle = {**idle, "weird": [1.0, 2.0, 1.0]}
+    assert median_rep_spread(mostly_idle) < SPREAD_TOL
+    # Degenerate inputs are unmeasurable, not crashes.
+    assert median_rep_spread({}) == 0.0
+    assert median_rep_spread({"q": [1.0]}) == 0.0
+
+
+def test_bench_rep_spread_stamps_quiet_false():
+    """The r12 failure end-to-end: clean loadavg, clean probe, but inflated
+    reps (synthetic 60% noise on rep 2 of 2) — the artifact must stamp
+    quiet=false, record the median spread, and say why on stderr."""
+    proc, out = _run_bench(
+        {
+            "SPARK_GRAFT_BENCH_FAKE_LOAD": "0.5",
+            "SPARK_GRAFT_BENCH_FAKE_PROBE": "0.46",
+            "SPARK_GRAFT_BENCH_REPS": "2",
+            "SPARK_GRAFT_BENCH_FAKE_REP_NOISE": "1.0,1.6",
+        }
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out["quiet"] is False
+    assert out["rep_spread_median"] > 0.2 and out["spread_passes"] == 1
+    assert "median per-query rep spread" in proc.stderr and "quiet=false" in proc.stderr
+
+
+def test_bench_rep_spread_retries_then_keeps_calmest_pass():
+    """With one retry allowed and persistent synthetic noise, the bench must
+    run a second timed pass (visible on stderr), keep the calmest one, and
+    still stamp quiet=false because even that pass is spread-y."""
+    proc, out = _run_bench(
+        {
+            "SPARK_GRAFT_BENCH_FAKE_LOAD": "0.5",
+            "SPARK_GRAFT_BENCH_FAKE_PROBE": "0.46",
+            "SPARK_GRAFT_BENCH_REPS": "2",
+            "SPARK_GRAFT_BENCH_FAKE_REP_NOISE": "1.0,1.6",
+            "SPARK_GRAFT_BENCH_SPREAD_RETRIES": "1",
+        }
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "re-running the timed suite" in proc.stderr
+    assert out["spread_passes"] == 2 and out["quiet"] is False
+    # Two mid-suite probes ran (one per pass) and all feed the ratio.
+    assert len(out["probe"]["mid_sec"]) == 2
+
+
 def test_bench_quiet_machine_skips_the_wait():
     # Fake the probe too: this test isolates the loadavg wait-skip path, and
     # the REAL calibration probe correctly stamps quiet=false when the test
     # suite itself is loading the box (exactly the noise it exists to catch).
+    # REPS=1 for the same reason: the rep-spread gate would also correctly
+    # fire under pytest's own load, and this test is about the wait skip.
     proc, out = _run_bench(
-        {"SPARK_GRAFT_BENCH_FAKE_LOAD": "0.5", "SPARK_GRAFT_BENCH_FAKE_PROBE": "0.46"}
+        {
+            "SPARK_GRAFT_BENCH_FAKE_LOAD": "0.5",
+            "SPARK_GRAFT_BENCH_FAKE_PROBE": "0.46",
+            "SPARK_GRAFT_BENCH_REPS": "1",
+        }
     )
     assert "waiting" not in proc.stderr
     assert out["quiet"] is True

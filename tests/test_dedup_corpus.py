@@ -979,3 +979,42 @@ def test_prep_corpus_lm_per_group_model(spark):
             lm_group_col="lang",
             lm_per_group_model=True,
         )
+
+
+def test_prep_corpus_lm_drop_audit_records_referenceless_language(spark):
+    """The r12 verdict task 4: lm_per_group_model's inner join silently drops
+    documents whose language has no reference rows — the drop must be
+    OBSERVABLE.  A reference covering only lang 'aa' must surface lang 'cc'
+    in the log with its full doc count, and the surviving corpus must contain
+    no 'cc' docs."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_pipeline_spark.operators.quality import prep_corpus
+
+    mk = lambda base, lang, stem, n: [  # noqa: E731
+        (
+            base + i,
+            " ".join(f"{stem}{(i * 7 + j) % 97} the of and x{(i * 13 + j) % 89}" for j in range(12)),
+            "web",
+            lang,
+        )
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(
+        mk(0, "aa", "word", 30) + mk(2000, "cc", "verbo", 7),
+        "doc_id long, text string, source string, lang string",
+    )
+    ref = docs.filter(F.col("lang") == "aa").filter(F.col("doc_id") < 15)
+    log: list = []
+    out = prep_corpus(
+        docs,
+        min_stopword_ratio=None,
+        lm_reference=ref,
+        lm_bucket_method="exact",
+        lm_group_col="lang",
+        lm_per_group_model=True,
+        lm_dropped_group_log=log,
+    )
+    assert out.filter(F.col("lang") == "cc").count() == 0  # the silent drop...
+    assert log == [("cc", 7)]  # ...is no longer silent
+    assert out.filter(F.col("lang") == "aa").count() > 0

@@ -136,17 +136,22 @@ def test_oracle_sql_is_subset_with_matching_keys():
     assert all(isinstance(s, str) and s.strip() for s in osql.values())
 
 
-def test_verification_cadence_never_drifts_past_two_rounds():
-    """Cadence insurance (r6 task 8 / r7 task 2): the driver window verifies
-    50 of the 100+ catalog entries per round, so with `_catalog_order`
-    front-loading the least-recently-verified, steady state re-verifies every
-    entry at worst every ceil(len(catalog)/50) rounds.  Assert no entry's
-    last GREEN driver round has drifted older than max_recorded_round - 2 —
-    exactly the t08-t13/t18 situation this test exists to catch (last green
-    r5 while the history had reached r7 and r8 was underway).  Entries with
-    no history at all are new this round; they sort first in the window, so
-    flagging them would just punish adding operators."""
+def test_verification_cadence_never_drifts_past_rotation_bound():
+    """Cadence insurance (r6 task 8 / r7 task 2, bound parametrized r13):
+    the driver window verifies DRIVER_WINDOW of the catalog entries per
+    round, so with `_catalog_order` front-loading the least-recently-
+    verified, steady state re-verifies every entry at worst every
+    ceil(len(catalog)/DRIVER_WINDOW) rounds — i.e. no entry's last GREEN
+    may be older than that many rounds minus one behind the newest history
+    round.  The bound is DERIVED FROM THE LIVE CATALOG SIZE (the r12
+    verdict's task 6): a hardcoded lag silently loosens (or falsely trips)
+    as the catalog grows.  At 139 entries / window 50 the bound is 2 —
+    exactly the t08-t13/t18 situation this test exists to catch (last
+    green r5 while the history had reached r7 and r8 was underway).
+    Entries with no history at all are new this round; they sort first in
+    the window, so flagging them would just punish adding operators."""
     import glob
+    import math
     import re
 
     here = os.path.dirname(os.path.abspath(entry.__file__))
@@ -157,15 +162,17 @@ def test_verification_cadence_never_drifts_past_two_rounds():
     ]
     assert rounds, "no CORRECTNESS history — driver has not run yet"
     current = max(rounds)
+    max_lag = math.ceil(len(catalog()) / DRIVER_WINDOW) - 1
     recency = entry._verification_recency()
     stale = {
         name: last
         for name, last in sorted(recency.items())
-        if name in catalog() and last < current - 2
+        if name in catalog() and last < current - max_lag
     }
     assert not stale, (
-        f"entries last driver-verified more than 2 rounds before r{current} "
-        f"(window rotation has stalled — check _catalog_order and catalog growth): {stale}"
+        f"entries last driver-verified more than {max_lag} rounds before r{current} "
+        f"(rotation bound ceil({len(catalog())}/{DRIVER_WINDOW})-1; window rotation "
+        f"has stalled — check _catalog_order and catalog growth): {stale}"
     )
     # rotation only holds while the catalog fits two windows plus the
     # steady-state remainder; growth past this bound needs a wider window

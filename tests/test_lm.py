@@ -204,3 +204,39 @@ def test_pair_explode_tokenizes_once(spark):
     plan = _pair_explode(d, "doc_id", "text")._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(lower") == 1
     assert "element_at(filter(split" not in plan
+
+
+def test_lm_drop_audit_and_score_log(spark):
+    """lm_drop_audit reports (group, n_docs) for every reference-less group
+    and nothing when the reference covers all groups; lm_score's
+    dropped_group_log mirrors it and scored output matches the audit."""
+    from healthcare_data_pipeline_spark.operators.lm import lm_drop_audit, lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat", "en"), (2, "the dog ran", "en"),
+         (3, "le chat", "fr"), (4, "el gato corre", "es"), (5, "el perro", "es")],
+        "doc_id long, text string, lang string",
+    )
+    ref = spark.createDataFrame(
+        [(10, "the cat ran and the dog sat", "en")],
+        "doc_id long, text string, lang string",
+    )
+    audit = {r.lang: r.n_docs_dropped for r in lm_drop_audit(docs, ref, "lang").collect()}
+    assert audit == {"fr": 1, "es": 2}
+
+    log: list = []
+    scored = lm_score(docs, ref, group_col="lang", dropped_group_log=log)
+    assert sorted(log) == [("es", 2), ("fr", 1)]
+    assert {r.doc_id for r in scored.collect()} == {1, 2}
+
+    # full coverage -> empty audit, empty log
+    ref_full = ref.union(
+        spark.createDataFrame(
+            [(11, "le chat et le chien", "fr"), (12, "el gato y el perro", "es")],
+            "doc_id long, text string, lang string",
+        )
+    )
+    assert lm_drop_audit(docs, ref_full, "lang").count() == 0
+    log2: list = []
+    lm_score(docs, ref_full, group_col="lang", dropped_group_log=log2).collect()
+    assert log2 == []

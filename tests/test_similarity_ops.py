@@ -1040,3 +1040,136 @@ def test_cell_means_cover_empty_quantizer_cells(spark):
         n_cells = spark.read.parquet(os.path.join(idx, "centroids")).count()
         n_means = spark.read.parquet(os.path.join(idx, "pq_cellmeans")).count()
         assert n_means == n_cells
+
+def test_pq_index_rotated_layout_frozen_permutation(spark, tmp_path):
+    """rotate= threaded through the persisted IVFPQ layout (r12 verdict task
+    3): the OPQ permutation persists as pq_perm/ and is FROZEN exactly like
+    the cell means — probes build their LUTs in the permuted space (scores
+    stay exact: unbounded-shortlist PQ probe == fp probe), appends encode
+    against the build-time permutation (old and new codes stay decodable by
+    one codebook set), and rebuild re-derives a FRESH permutation because
+    pq_meta/ records rotated=true."""
+    import os
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_append_pq,
+        ann_index_build_pq,
+        ann_index_probe,
+        ann_index_probe_pq,
+        ann_index_rebuild,
+    )
+    from healthcare_data_pipeline_spark.queries.similarity import quantized
+
+    en = quantized(spark, SF_DIR)
+    base = en.filter(F.col("vec_id") % 2 == 0)
+    idx = str(tmp_path / "pqrot")
+    ann_index_build_pq(base, idx, rotate=True)
+
+    # pq_perm/ is a real permutation of the dims; pq_meta/ records the build
+    dim = len(en.select("iv").head().iv)
+    perm_before = [
+        (r.pos, r.src)
+        for r in spark.read.parquet(os.path.join(idx, "pq_perm")).orderBy("pos").collect()
+    ]
+    assert sorted(src for _, src in perm_before) == list(range(dim))
+    meta = spark.read.parquet(os.path.join(idx, "pq_meta")).first()
+    assert (meta.m, meta.k_codes, meta.iters, meta.residual, meta.rotated) == (
+        2, 8, 2, True, True,
+    )
+
+    # exactness survives rotation: unbounded-shortlist PQ probe == fp probe
+    q = en.filter(F.col("vec_id").isin(0, 2, 4))
+    pq = ann_index_probe_pq(spark, idx, q, k=5, nprobe=2, shortlist=10**6)
+    fp = ann_index_probe(spark, idx, q, k=5, nprobe=2)
+    assert sorted(map(tuple, pq.collect())) == sorted(map(tuple, fp.collect()))
+
+    # append under the FROZEN permutation: the perm file is untouched and
+    # appended vectors become findable through the rotated code layout
+    ann_index_append_pq(spark, idx, en.filter(F.col("vec_id") % 2 == 1))
+    perm_after = [
+        (r.pos, r.src)
+        for r in spark.read.parquet(os.path.join(idx, "pq_perm")).orderBy("pos").collect()
+    ]
+    assert perm_after == perm_before
+    grown = ann_index_probe_pq(spark, idx, q, k=5, nprobe=2, shortlist=10**6)
+    assert grown.filter(F.col("neighbor_id") % 2 == 1).count() > 0
+    fp_grown = ann_index_probe(spark, idx, q, k=5, nprobe=2)
+    assert sorted(map(tuple, grown.collect())) == sorted(map(tuple, fp_grown.collect()))
+
+    # rebuild reads pq_meta (no shape inference) and regenerates the rotated
+    # layout: meta identical, perm present, exactness invariant still holds
+    assert ann_index_rebuild(spark, idx, variant="pq") is True
+    meta2 = spark.read.parquet(os.path.join(idx, "pq_meta")).first()
+    assert (meta2.m, meta2.k_codes, meta2.iters, meta2.residual, meta2.rotated) == (
+        2, 8, 2, True, True,
+    )
+    assert os.path.exists(os.path.join(idx, "pq_perm"))
+    pq2 = ann_index_probe_pq(spark, idx, q, k=5, nprobe=2, shortlist=10**6)
+    fp2 = ann_index_probe(spark, idx, q, k=5, nprobe=2)
+    assert sorted(map(tuple, pq2.collect())) == sorted(map(tuple, fp2.collect()))
+
+
+def test_pq_encode_adc_reject_short_permutation(spark):
+    """The r12 ADVICE fix: encode/ADC used to validate rotate against
+    len(rotate) itself — a short permutation silently TRUNCATED every vector.
+    Both paths must now derive the real dim from the codebooks and raise."""
+    import pytest as _pytest
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    _, en = _opq_fixture(spark)  # dim 8
+    books = pq_train(en, m=2, k=4, iters=1)
+    short_perm = [1, 0, 2, 3]  # valid permutation of 0..3, but dim is 8
+    with _pytest.raises(ValueError, match="permutation"):
+        pq_encode(en, books, rotate=short_perm).head()
+    q = en.select(F.col("vec_id").alias("query_id"), F.col("iv").alias("q_iv"))
+    with _pytest.raises(ValueError, match="permutation"):
+        pq_adc_topk(q, pq_encode(en, books).select("vec_id", "codes"), books,
+                    rotate=short_perm).head()
+
+
+def test_zero_vector_scores_minus_one_not_nan(spark, tmp_path):
+    """The r12 ADVICE NaN fix: a zero reconstruction (zero-vector cell mean +
+    zero residual centroid) used to produce 0/0 = NaN, which Spark orders
+    GREATEST — topping the DESC shortlist and displacing real candidates.
+    Zero-norm rows must score -1.0 and rank BELOW every real neighbor."""
+    import math
+    import os
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_build_pq,
+        ann_index_probe_pq,
+    )
+
+    # labels are the coarse quantizer cells (int_centroids); the zero
+    # vectors get their OWN cell so its mean is the zero vector and the
+    # residual reconstruction is exactly zero — the 0/0 shape
+    rows = [
+        (i, i // 3, [float(v) for v in vec])
+        for i, vec in enumerate(
+            [[900, -300, 250, 700], [880, -280, 260, 690], [870, -310, 240, 710],
+             [-500, 600, -450, 100], [-520, 580, -440, 90], [-510, 610, -430, 110],
+             [0, 0, 0, 0], [0, 0, 0, 0]]
+        )
+    ]
+    en = spark.createDataFrame(rows, "vec_id long, label int, iv array<double>").withColumn(
+        "nrm2",
+        F.aggregate(F.zip_with("iv", "iv", lambda x, y: x * y), F.lit(0.0),
+                    lambda a, x: a + x),
+    )
+    idx = str(tmp_path / "zeroidx")
+    ann_index_build_pq(en, idx)
+    q = en.filter(F.col("vec_id") == 0)
+    out = ann_index_probe_pq(
+        spark, idx, q, k=10, nprobe=10, shortlist=10**6
+    ).collect()
+    assert out, "probe returned nothing"
+    assert all(not math.isnan(r.cosine_sim) for r in out)
+    by_id = {r.neighbor_id: r for r in out}
+    for zid in (6, 7):
+        if zid in by_id:
+            assert by_id[zid].cosine_sim == -1.0
+            assert all(
+                by_id[zid].rn > r.rn for r in out if r.neighbor_id not in (6, 7)
+            )

@@ -1344,3 +1344,42 @@ def test_c4_filter_is_join_free(spark):
     d = table(spark, SF_DIR, "documents")
     plan = c4_filter(d)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_ingest_setup_failure_unpersists_eval_bands(spark, tmp_path):
+    """The r12 ADVICE leak: the eval band index is persisted+materialized
+    BEFORE the stream starts — if writeStream setup then raises (here: the
+    checkpoint path is a FILE), the cached relation must be unpersisted, not
+    leaked for the session."""
+    import pytest
+
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+
+    src = str(tmp_path / "doc_src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog in the park")], schema
+    ).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "benchmark question about the lazy dog in the park today")], schema
+    )
+    bad_ckpt = str(tmp_path / "ckpt_is_a_file")
+    with open(bad_ckpt, "w") as fh:
+        fh.write("not a directory")
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_cached()
+    with pytest.raises(Exception):
+        ing.run_stream_dedup_ingest(
+            stream, str(tmp_path / "corpus"), bad_ckpt, eval_df=eval_df
+        )
+    assert n_cached() == before, "eval band cache leaked past a failed setup"
