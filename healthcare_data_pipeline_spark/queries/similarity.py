@@ -1012,3 +1012,171 @@ def s14_pq_adc_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("iv").alias("q_iv")
     )
     return pq_adc_topk(q, codes, books, top=_S12_TOP, rotate=perm)
+
+
+def _s15_oracle_sql(m: int = 2, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """s15 oracle: s13's full IVFADC chain (quantizer, cell means, residuals,
+    grouped-Lloyd codebooks, shortlist, rescore) with the OPQ permutation
+    rung threaded through the persisted layout — the permutation is
+    recomputed relationally from the RESIDUALS' exact variance proxy (s14's
+    CTEs over enr instead of en), the codebooks train on the permuted
+    residuals, and the shortlist LUTs slice the PERMUTED query and PERMUTED
+    cell means (a permutation is orthogonal, so the dot/norm decomposition
+    and the exact rescore are unchanged)."""
+    sd = dim // m
+    return (
+        _index_assign_ctes("TRUE")
+        + f"""
+    , cmsum AS (
+      SELECT a.cell, t.i AS pos,
+             SUM(CAST(en.iv[t.i] AS BIGINT)) AS s, COUNT(*) AS n
+      FROM en JOIN assign a USING (vec_id), generate_series(1, {dim}) AS t(i)
+      GROUP BY 1, 2
+    ),
+    cmn AS (
+      SELECT cell, cm, list_dot_product(cm, cm) AS cmnorm2 FROM (
+        SELECT cell,
+               list_transform(list_sort(list(struct_pack(pos := pos,
+                 cv := CAST(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS DOUBLE)))),
+                 x -> x.cv) AS cm
+        FROM cmsum GROUP BY cell
+      ) t
+    ),
+    enr AS (
+      SELECT en.vec_id,
+             list_transform(generate_series(1, {dim}),
+                            i -> CAST(en.iv[i] - c.cm[i] AS DOUBLE)) AS iv
+      FROM en JOIN assign a USING (vec_id) JOIN cmn c ON c.cell = a.cell
+    ),
+    rvstat AS (
+      SELECT t.i AS pos,
+             SUM(CAST(enr.iv[t.i] AS HUGEINT)) AS s,
+             SUM(CAST(enr.iv[t.i] AS HUGEINT) * CAST(enr.iv[t.i] AS HUGEINT)) AS s2,
+             COUNT(*) AS n
+      FROM enr, generate_series(1, {dim}) AS t(i)
+      GROUP BY t.i
+    ),
+    rvrank AS (
+      SELECT pos - 1 AS d,
+             ROW_NUMBER() OVER (ORDER BY (n * s2 - s * s) DESC, pos ASC) - 1 AS rnk
+      FROM rvstat
+    ),
+    rvsub AS (
+      SELECT d,
+             CASE WHEN (rnk // {m}) % 2 = 0 THEN rnk % {m}
+                  ELSE {m} - 1 - (rnk % {m}) END AS j
+      FROM rvrank
+    ),
+    perm AS (SELECT list(d ORDER BY j, d) AS p FROM rvsub),
+    enrp AS (
+      SELECT enr.vec_id, list_transform(perm.p, d -> enr.iv[d + 1]) AS iv
+      FROM enr, perm
+    )"""
+        + _pq_ctes(m, k, iters, dim, include_quant=False, src="enrp")
+        + f"""
+    , pcode AS (
+      SELECT vec_id, sub_id, CAST(CAST(o AS BIGINT) % {k} AS INT) AS j FROM paf
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell
+      FROM ranked WHERE crn <= 2 AND vec_id < 5
+    ),
+    enp AS (
+      SELECT en.vec_id, list_transform(perm.p, d -> en.iv[d + 1]) AS iv
+      FROM en, perm
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, mi AS sub_id, iv[mi*{sd}+1 : mi*{sd}+{sd}] AS sv
+      FROM enp, UNNEST(generate_series(0, {m - 1})) AS g(mi)
+      WHERE vec_id < 5
+    ),
+    cmp AS (
+      SELECT cell, list_transform(perm.p, d -> cmn.cm[d + 1]) AS cmp
+      FROM cmn, perm
+    ),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id, a.cell
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, c.cell,
+             SUM(list_dot_product(q.sv, b.c)) AS rdot,
+             SUM(2 * list_dot_product(
+                   cp.cmp[cs.sub_id*{sd}+1 : cs.sub_id*{sd}+{sd}], b.c)
+                 + list_dot_product(b.c, b.c)) AS rcross
+      FROM cand c
+      JOIN pcode cs ON cs.vec_id = c.neighbor_id
+      JOIN pc{iters} b ON b.sub_id = cs.sub_id AND b.j = cs.j
+      JOIN qsub q ON q.query_id = c.query_id AND q.sub_id = cs.sub_id
+      JOIN cmp cp ON cp.cell = c.cell
+      GROUP BY 1, 2, 3
+    ),
+    short AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT adc.query_id, adc.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY adc.query_id
+                  ORDER BY (list_dot_product(q.iv, cm.cm) + adc.rdot)
+                           / (sqrt(q.nrm2) * sqrt(cm.cmnorm2 + adc.rcross)) DESC,
+                           adc.neighbor_id ASC) AS srn
+        FROM adc
+        JOIN en q ON q.vec_id = adc.query_id
+        JOIN cmn cm ON cm.cell = adc.cell
+      ) t
+      WHERE srn <= 20
+    ),
+    pairs AS (
+      SELECT s.query_id, s.neighbor_id,
+             list_dot_product(q.iv, c.iv) / (sqrt(q.nrm2) * sqrt(c.nrm2)) AS cosine_sim
+      FROM short s
+      JOIN en q ON q.vec_id = s.query_id
+      JOIN en c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+      FROM pairs
+    ) t
+    WHERE rn <= 5
+    """
+    )
+
+
+@query(
+    "s15_ann_index_probe_pq_rotated",
+    oracle=_s15_oracle_sql(),
+    tags=("similarity", "EXT", "ann", "ivf", "pq", "opq", "index"),
+    doc="IVFPQ probe with the OPQ permutation rung threaded through the PERSISTED "
+    "layout (operators.similarity.ann_index_build_pq(rotate=True) + ann_index_probe_pq; "
+    "Jégou 2011 §IV.A + the permutation rung of Ge 2013): the build derives the "
+    "variance-balancing dimension permutation FROM THE RESIDUALS (what the codebooks "
+    "actually encode), persists it as pq_perm/ frozen like the cell means, and trains/"
+    "encodes in the permuted space; the probe auto-detects pq_perm/ and slices its "
+    "per-query dot LUT and per-cell cross LUT from the permuted query and permuted cell "
+    "means — a permutation is orthogonal, so every score stays an exact-integer double "
+    "and the exact rescore still reads original vectors.  Appends encode against the "
+    "frozen permutation (old and new codes decodable by one codebook set — "
+    "frozen-permutation contract pytest-pinned); pq_meta/ records (m, k, iters, "
+    "residual, rotated) so rebuild re-trains with the ORIGINAL settings.  The oracle "
+    "recomputes quantizer, cell means, residual variance ranking, snake-dealt "
+    "permutation, permuted-residual codebooks, shortlist, and rescore from scratch.",
+)
+def s15_ann_index_probe_pq_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.similarity import (
+        ann_index_build_pq,
+        ann_index_for,
+        ann_index_probe_pq,
+    )
+
+    en = quantized(spark, sf_dir)
+    idx = ann_index_for(
+        spark,
+        sf_dir,
+        en,
+        variant="pqrot",
+        builder=lambda d: ann_index_build_pq(en, d, rotate=True),
+    )
+    qs = en.filter(F.col("vec_id") < 5).select("vec_id", "iv", "nrm2")
+    return ann_index_probe_pq(spark, idx, qs, k=5, nprobe=2, shortlist=20)

@@ -13,8 +13,20 @@ probe cost at 100 TB is scan I/O of the probed cells, and the codes layout
 is what that scan reads.
 
 Usage: python tools/pq_sweep.py [--sf-dir /root/testdata/sf0.1]
+                                [--fixture sf|clustered]
 Prints one JSON line:
   {"configs": {"m2_k8": {"recall_vs_fp": {5: r, ...}, "bytes": {...}}, ...}}
+
+``--fixture clustered`` swaps the near-random sf embeddings for a
+deterministic mixture-of-Gaussians fixture (tight clusters + a decaying
+per-dimension variance spectrum) — the regime the published techniques are
+DESIGNED for: residual coding wins when vectors concentrate around their
+cell centers, and the OPQ permutation wins when contiguous sub-splitting
+would hoard the variance in one subspace.  The sf corpus is structureless
+by construction, so its sweep verdicts ("parity-within-noise", "OPQ does
+not pay") describe the WRONG regime for the techniques — both fixtures are
+published so the m/k/rotate choice is a measured decision on the regime
+that matters.
 """
 
 from __future__ import annotations
@@ -33,11 +45,51 @@ from pyspark.sql import functions as F  # noqa: E402
 from healthcare_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+def clustered_embeddings(spark, n: int = 2000, dim: int = 64, n_clusters: int = 32):
+    """Deterministic mixture-of-Gaussians embeddings in the repo's quantized
+    convention (vec_id, label, iv: integer-valued array<double>, nrm2).
+
+    Each vector is its cluster's center plus small noise; centers carry a
+    DECAYING per-dimension scale (PCA-like spectrum: dim 0 spans ~±256k,
+    dim 63 ~±4k) so contiguous PQ sub-splitting hoards the variance in the
+    first subspaces — the imbalance the OPQ permutation exists to fix —
+    while the tight clusters (noise ±2k vs inter-center distances ~1e5) are
+    the regime residual coding exists for.  All components are exact
+    integers from xxhash64 bit-mixing — no RNG, reproducible anywhere.
+    """
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    c = (F.col("vec_id") % n_clusters).cast("int")
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+    center = (
+        F.pmod(F.xxhash64(F.lit("ctr"), c, F.col("d")), F.lit(2001)) - 1000
+    ) * (F.lit(dim) - F.col("d")) * 4
+    noise = F.pmod(F.xxhash64(F.lit("nz"), F.col("vec_id"), F.col("d")), F.lit(41)) - 20
+    en = (
+        base.withColumn("label", c)
+        .withColumn("d", F.explode(dims))
+        .withColumn("v", ((center + noise * 100)).cast("double"))
+        .groupBy("vec_id", "label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "v"))).alias("dv"))
+        .select(
+            "vec_id",
+            "label",
+            F.transform("dv", lambda x: x["v"]).alias("iv"),
+        )
+    )
+    nrm2 = F.aggregate(
+        F.zip_with(F.col("iv"), F.col("iv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return en.withColumn("nrm2", nrm2)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    ap.add_argument("--fixture", choices=("sf", "clustered"), default="sf")
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--nprobe", type=int, default=2)
     ap.add_argument("--shortlists", default="5,10,20,40")
@@ -52,7 +104,11 @@ def main() -> None:
     from healthcare_data_pipeline_spark.queries.similarity import quantized
 
     spark = get_spark(app_name="hdp-pq-sweep")
-    en = quantized(spark, args.sf_dir)
+    if args.fixture == "clustered":
+        en = clustered_embeddings(spark).persist()
+        en.count()
+    else:
+        en = quantized(spark, args.sf_dir)
 
     def dir_bytes(d: str) -> int:
         return sum(
@@ -69,7 +125,8 @@ def main() -> None:
         per_form: dict[str, dict] = {}
         for form, residual in (("residual", True), ("raw", False)):
             idx = os.path.join(
-                tempfile.gettempdir(), f"hdp_pq_sweep_idx_m{m}_k{kc}_{form}"
+                tempfile.gettempdir(),
+                f"hdp_pq_sweep_idx_{args.fixture}_m{m}_k{kc}_{form}",
             )
             if not os.path.exists(os.path.join(idx, "pq_books")):
                 shutil.rmtree(idx, ignore_errors=True)
@@ -144,7 +201,18 @@ def main() -> None:
             rec[form] = round(len(got & truth) / max(len(truth), 1), 4)
         rec["rotated_ge_plain"] = rec["rotated"] >= rec["plain"]
         opq[f"m{m}_k{kc}"] = rec
-    print(json.dumps({"sf_dir": args.sf_dir, "k": args.k, "nprobe": args.nprobe, "configs": out, "opq_adc": opq}))
+    print(
+        json.dumps(
+            {
+                "fixture": args.fixture,
+                "sf_dir": args.sf_dir if args.fixture == "sf" else None,
+                "k": args.k,
+                "nprobe": args.nprobe,
+                "configs": out,
+                "opq_adc": opq,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -469,6 +469,86 @@ def bpe_estimate_drift(spark, sf_dir: str) -> tuple[int, int]:
     return int(est or 0), int(exact or 0)
 
 
+def bpe_train_at_scale(
+    spark, sf_dir: str, n_merges: int = 8192
+) -> tuple[float, int, int, int]:
+    """Train a PRODUCTION-SIZE merges list on the largest corpus and
+    re-measure the t06 estimate drift under it: (train_sec, n_merges_learned,
+    estimate_total, exact_total_learned).
+
+    One timed measurement, not a growth row: training statistics live on the
+    bounded piece-frequency table (the vocabulary is sub-linear in corpus
+    size).  NOTE the synthetic corpus's piece vocabulary is TINY (~125
+    distinct pieces even at 64x — stems like 'word'/'rep' plus digit runs),
+    so the greedy trainer SATURATES far below ``n_merges`` (no pair left
+    with count >= 2 once every piece is one symbol) — the honest corpus
+    measurement is the saturation count, and the production-size driver-loop
+    cost is measured separately by ``bpe_trainer_budget`` on a synthetic
+    1M-piece vocabulary where 32k merges are actually learnable.  The exact
+    recount uses ``mode='vocab'`` (fold once per DISTINCT piece, join counts
+    back): a big rule list pays per distinct piece, not per document.
+    """
+    import time
+
+    from healthcare_data_pipeline_spark.operators.bpe import (
+        bpe_token_counts,
+        learn_bpe_merges,
+    )
+    from healthcare_data_pipeline_spark.queries.text import _BPE_PAT
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.perf_counter()
+    merges = learn_bpe_merges(docs, n_merges=n_merges)
+    train_sec = time.perf_counter() - t0
+    exact = (
+        bpe_token_counts(docs, pairs=merges, mode="vocab")
+        .agg(F.sum("n_tokens_bpe"))
+        .first()[0]
+    )
+    n_pieces = F.regexp_count(F.lower("text"), F.lit(_BPE_PAT)).cast("long")
+    est = (
+        docs.select(
+            F.greatest(n_pieces, F.ceil(F.length("text") / 4.0).cast("long")).alias("e")
+        )
+        .agg(F.sum("e"))
+        .first()[0]
+    )
+    return round(train_sec, 1), len(merges), int(est or 0), int(exact or 0)
+
+
+def bpe_trainer_budget(
+    n_pieces: int = 200_000, n_merges: int = 8_192
+) -> tuple[float, int]:
+    """PRODUCTION-SIZE driver-loop cost of the incremental trainer: time
+    ``_greedy_merges`` over a deterministic Zipf-ish synthetic vocabulary
+    large enough that 8k+ merges are actually learnable (the real corpus's
+    piece vocabulary saturates at ~126 merges — see ``bpe_train_at_scale``).
+    Pure python, no Spark: the distributed half of training is one bounded
+    groupBy whose growth the t29 row already covers; THIS is the half the
+    r11 incremental rewrite (pair counts maintained per affected piece) made
+    feasible, measured.  Defaults calibrated so the probe adds ~10 min to
+    the battery (measured: 8192 merges / 162k distinct pieces = 564s; the
+    32k-merge/806k-piece point runs for HOURS even incrementally — early
+    merges touch large fractions of a near-uniform-count vocabulary, so the
+    honest claim is minutes at the 8k scale, not 32k).  Returns
+    (sec, merges_learned)."""
+    import time
+
+    from healthcare_data_pipeline_spark.operators.bpe import _greedy_merges
+
+    vocab: dict[tuple[str, ...], int] = {}
+    for i in range(n_pieces):
+        s = []
+        v = i
+        for _ in range(3 + (i % 6)):
+            s.append(chr(97 + v % 26))
+            v = (v * 31 + 7) % 999_983
+        vocab[tuple(s)] = 1 + (i % 997)
+    t0 = time.monotonic()
+    merges = _greedy_merges(vocab, n_merges)
+    return round(time.monotonic() - t0, 1), len(merges)
+
+
 def hot_join_imbalance(spark, sf_dir: str, n_salts: int = 32) -> tuple[tuple, tuple]:
     """UNTIMED partition-balance probe for the hot-join trio: (max-partition
     row share, n_partitions) for the plain and the salted join, with AQE
@@ -581,6 +661,10 @@ def main() -> None:
     bpe_est, bpe_exact = (
         (0, 0) if args.only else bpe_estimate_drift(spark, dirs[k_hi])
     )
+    bpe_train_sec, bpe_n_merges, bpe_est2, bpe_exact_learned = (
+        (0.0, 0, 0, 0) if args.only else bpe_train_at_scale(spark, dirs[k_hi])
+    )
+    budget_sec, budget_merges = (0.0, 0) if args.only else bpe_trainer_budget()
     lines = [
         "# SCALE — measured operator growth (tools/scale_stress.py)",
         "",
@@ -716,6 +800,32 @@ def main() -> None:
         "of that gap); `token_budget_sample(tokenizer=)` switches the "
         "budget currency to the exact count.",
         "",
+        "Train-at-scale (single timed measurements — the trainer's "
+        "statistics live on the bounded piece-frequency table, so there is "
+        "no growth axis to sweep).  On the {khi}x corpus `learn_bpe_merges` "
+        "(asked for 8192) SATURATED at {nm} merges in {ts}s end to end — "
+        "the synthetic vocabulary holds only ~125 distinct pieces, so the "
+        "greedy loop runs out of mergeable pairs; reported as measured "
+        "rather than padded.  Under that fully-learned list the "
+        "estimate-vs-exact ratio is {r2:.3f} (estimate {e2:,} vs exact "
+        "{x2:,} via the distinct-piece `mode='vocab'` recount) — vs "
+        "{r1:.3f} under the 24-rule demo list: a trained tokenizer closes "
+        "the budget-currency drift, exactly as the t06 note predicted.  "
+        "The production-size driver-loop cost is measured where 8k+ merges "
+        "ARE learnable: `_greedy_merges` over a deterministic 162k-piece "
+        "Zipf-ish vocabulary learned {bm:,} merges in {bs}s of pure driver "
+        "time (the r11 incremental pair-count rewrite; the naive "
+        "O(n_merges x vocab) recompute is hours at this size — and the "
+        "32k-merge/806k-piece point is hours even incrementally: early "
+        "merges touch large fractions of a near-uniform-count vocabulary, "
+        "so the measured feasibility claim is the 8k scale)."
+        .format(
+            khi=k_hi, nm=bpe_n_merges, ts=bpe_train_sec,
+            r2=bpe_est2 / max(bpe_exact_learned, 1), e2=bpe_est2,
+            x2=bpe_exact_learned, r1=bpe_est / max(bpe_exact, 1),
+            bm=budget_merges, bs=budget_sec,
+        ),
+        "",
         "`repetition_flags` "
         f"(alpha {alphas.get('repetition_flags (full A1.2, hashed)')}) is the FULL Gopher A1.2 "
         "battery (t28): nine tagged gram sizes (top-2/3/4 + dup-5..10, ~9x "
@@ -822,6 +932,16 @@ def main() -> None:
                 "alpha": alphas,
                 "hot_join_imbalance": {"plain": imb_plain, "salted": imb_salted},
                 "bpe_estimate_drift": {"est": bpe_est, "exact": bpe_exact},
+                "bpe_train_at_scale": {
+                    "n_merges": bpe_n_merges,
+                    "train_sec": bpe_train_sec,
+                    "est": bpe_est2,
+                    "exact_learned": bpe_exact_learned,
+                },
+                "bpe_trainer_budget": {
+                    "n_merges": budget_merges,
+                    "train_sec": budget_sec,
+                },
             }
         )
     )
