@@ -1908,3 +1908,37 @@ def t38_lm_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d, ref = _lm_catalog_inputs(spark, sf_dir)
     return lm_score(d, ref, group_col="lang")
+
+
+@query(
+    "t39_lm_drop_audit",
+    oracle="""
+    WITH ref_langs AS (
+      SELECT DISTINCT lang FROM documents
+      WHERE source IN ('src0', 'src1', 'src2') AND lang NOT IN ('es', 'zh')
+    )
+    SELECT d.lang, COUNT(*) AS n_docs_dropped
+    FROM documents d
+    LEFT JOIN ref_langs r ON r.lang = d.lang
+    WHERE r.lang IS NULL
+    GROUP BY d.lang
+    """,
+    tags=("text", "EXT", "quality", "lm", "ccnet", "audit"),
+    doc="Per-language drop audit for the per-language LM stage (operators.lm."
+    "lm_drop_audit): lm_score(group_col='lang') inner-joins the per-group totals, so "
+    "documents whose language has NO reference rows silently drop — paper-faithful "
+    "(CCNet routes by language id first), but on a production corpus a typo'd or "
+    "incomplete reference slice would shrink the corpus with zero signal.  This "
+    "relation makes the drop observable BEFORE the scoring pass (the "
+    "minhash_pairs(max_bucket=) never-silent accounting standard): one row per "
+    "reference-less language with its doc count, empty when the reference covers every "
+    "language.  Cost: a vocabulary-sized distinct broadcast into an anti join + one "
+    "map-side-combinable groupBy — nothing corpus-sized moves.  The catalog form "
+    "audits a reference deliberately missing two languages; lm_score/prep_corpus "
+    "surface the same counts via dropped_group_log / lm_dropped_group_log.",
+)
+def t39_lm_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.lm import lm_drop_audit
+
+    d, ref = _lm_catalog_inputs(spark, sf_dir)
+    return lm_drop_audit(d, ref.filter(~F.col("lang").isin("es", "zh")), "lang")
