@@ -145,18 +145,27 @@ def test_median_rep_spread_flags_the_r12_artifact_shape():
     from bench import SPREAD_TOL, median_rep_spread, rep_spread
 
     assert rep_spread([3.13, 3.15, 2.00]) > 0.5
-    # Half the suite inflated (the r12 shape: EVERY query 15-50%) -> median trips.
-    inflated = {f"q{i}": [1.0, 1.35, 1.28] for i in range(10)}
+    # Decaying-load inflation (the r12 shape: early reps slow, later reps
+    # recovering — visible in the STEADY reps too) -> median trips.
+    inflated = {f"q{i}": [1.40, 1.32, 1.02] for i in range(10)}
     assert median_rep_spread(inflated) > SPREAD_TOL
     # Idle-box agreement (couple percent) -> well under the gate.
     idle = {f"q{i}": [1.00, 1.02, 1.01] for i in range(10)}
     assert median_rep_spread(idle) < 0.05
+    # Benign first-rep coldness (page cache evicted between warmup and the
+    # timed visit — measured on an idle run: rep 1 slowest on ~20 of 23
+    # queries) must NOT flip the stamp: the first rep is excluded, and the
+    # min-of-reps headline never uses it anyway.
+    first_rep_cold = {f"q{i}": [1.60, 1.00, 1.05] for i in range(10)}
+    assert median_rep_spread(first_rep_cold) < SPREAD_TOL
     # One naturally-variable query must not flip a quiet run (median, not max).
-    mostly_idle = {**idle, "weird": [1.0, 2.0, 1.0]}
+    mostly_idle = {**idle, "weird": [1.0, 1.0, 2.0]}
     assert median_rep_spread(mostly_idle) < SPREAD_TOL
     # Degenerate inputs are unmeasurable, not crashes.
     assert median_rep_spread({}) == 0.0
     assert median_rep_spread({"q": [1.0]}) == 0.0
+    # With only 2 reps there is no cold rep to drop — all reps count.
+    assert rep_spread([1.0, 1.6]) > 0.5
 
 
 def test_bench_rep_spread_stamps_quiet_false():

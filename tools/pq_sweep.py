@@ -123,14 +123,23 @@ def main() -> None:
         # concentrate near 0 so the m*k codebook capacity describes local
         # structure instead of re-encoding cell offsets (Jégou 2011 §IV.A).
         per_form: dict[str, dict] = {}
-        for form, residual in (("residual", True), ("raw", False)):
+        # third form (r13): the OPQ permutation threaded through the
+        # persisted layout (rotate=True -> pq_perm/) — the rotated IVFPQ row
+        # the rotate= knob trades on, measured at every shortlist depth
+        for form, residual, rotate in (
+            ("residual", True, None),
+            ("raw", False, None),
+            ("residual_rotated", True, True),
+        ):
             idx = os.path.join(
                 tempfile.gettempdir(),
                 f"hdp_pq_sweep_idx_{args.fixture}_m{m}_k{kc}_{form}",
             )
             if not os.path.exists(os.path.join(idx, "pq_books")):
                 shutil.rmtree(idx, ignore_errors=True)
-                ann_index_build_pq(en, idx, m=m, k_codes=kc, residual=residual)
+                ann_index_build_pq(
+                    en, idx, m=m, k_codes=kc, residual=residual, rotate=rotate
+                )
             qs = en.filter(F.col("vec_id") < 50).select("vec_id", "iv", "nrm2")
             fp = {
                 (r.query_id, r.neighbor_id)

@@ -751,7 +751,12 @@ def main() -> None:
         "is what keeps the byte volume flat as k grows. `dsir_scores` "
         f"(alpha {alphas.get('dsir_scores (fixed target slice)')}) runs the frequency-join shape twice "
         "(raw corpus + a FIXED-size target slice — a DSIR seed does not grow "
-        "with the crawl), so growth tracks the raw side alone. "
+        "with the crawl), so growth tracks the raw side alone; since r13 the "
+        "joins run over DISTINCT (doc, xxhash64-token) pairs collapsed "
+        "map-side first (Zipf does the heavy lifting) instead of per token "
+        "OCCURRENCE with string keys — that removed the stopword join skew "
+        "and string shuffle bytes behind the r12-measured alpha 1.21 "
+        "(64x: 4.79s then, 2.2s now). "
         f"`corpus_drift_report` (alpha {alphas.get('corpus_drift_report (fixed new batch)')}) is the lightest: "
         "ONE groupBy(token) over both sides with a side flag — no join "
         "between the corpora at all — then a scalar rollup.",
