@@ -980,12 +980,16 @@ def ann_index_rebuild(
       builds a complete new index in a ``<index_dir>.staged`` sibling;
     - ``variant="sq8"`` rebuilds the SQ8-augmented layout (fresh bounds +
       codes) via ``ann_index_build_sq8``; ``"full"`` the fp layout;
-      ``"pq"`` the IVFPQ layout via ``ann_index_build_pq`` — codebook
-      shape (m, k) is inferred from the existing ``pq_books`` and the
-      residual-vs-raw form from the ``pq_cellmeans`` marker, so the rebuilt
-      index keeps its layout contract with FRESH centroids, cell means,
-      codebooks, and codes (a "full" rebuild of a PQ index would strand
-      the code layout against stale cells — this closes that gap);
+      ``"pq"`` the IVFPQ layout via ``ann_index_build_pq`` — training
+      settings (m, k_codes, iters, residual, rotated) come from the
+      ``pq_meta/`` file the build persisted, so the rebuilt index keeps
+      its EXACT layout contract with FRESH centroids, cell means,
+      codebooks, codes, and (when rotated) a fresh permutation derived
+      from the current corpus; pre-metadata indexes fall back to inferring
+      shape from the realized ``pq_books``/layout markers (which can
+      ratchet k down when Lloyd dropped a centroid — the reason the
+      metadata file exists).  A "full" rebuild of a PQ index would strand
+      the code layout against stale cells — the variant closes that gap;
     - the swap is the segment log's rename-aside pattern
       (``streaming/ingest.py``): current -> ``.aside``, staged -> live, then
       the aside is deleted — no crash point leaves a half-visible index
