@@ -57,6 +57,7 @@ def _load_all() -> None:
     from healthcare_data_pipeline_spark.queries import similarity  # noqa: F401
     from healthcare_data_pipeline_spark.queries import dedup  # noqa: F401
     from healthcare_data_pipeline_spark.queries import multimodal  # noqa: F401
+    from healthcare_data_pipeline_spark.queries import web  # noqa: F401
 
 
 def catalog() -> dict[str, Query]:

@@ -1,0 +1,256 @@
+"""Catalog entries for the URL/domain curation family (operators.web).
+
+The driver's test tables carry no URL column (the reference is a CSV/JDBC
+healthcare ETL with no web provenance), so each entry SYNTHESIZES a
+deterministic URL from (source, doc_id) with printf — identical expressions
+on the Spark and DuckDB sides, the same convention the stratum/label
+entries use — deliberately messy (scheme case, WWW., explicit :443,
+tracking params, fragments) so the normalization rules are exercised, not
+just typed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_data_pipeline_spark.catalog import table
+from healthcare_data_pipeline_spark.operators.mixture import DENOM
+from healthcare_data_pipeline_spark.queries import query
+
+# The messy URL (w01): exercises scheme-strip, host lowercase, www-strip,
+# default-port strip, fragment strip, tracking-param removal (leading AND
+# trailing positions), separator tidy-up.
+_W01_FMT = (
+    "HTTPS://WWW.%s-%d.Example.COM:443/Path/%d/?utm_source=w01&id=%d&utm_medium=x#frag"
+)
+_W01_SQL_URL = f"printf('{_W01_FMT}', source, doc_id % 37, doc_id % 11, doc_id)"
+
+# Scheme-case/variant collisions (w02): raw strings differ, canonical forms
+# collide for every (source, doc_id % 40) group.
+_W02_SQL_URL = (
+    "printf('%s://%s.EXAMPLE.com/p/%d', "
+    "CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END, source, doc_id % 40)"
+)
+
+# Distinct registrable domains (w03/w04/w05): 'sub.<source>-<k>.net'.
+_W0345_SQL_URL = "printf('https://sub.%s-%d.net/x/%d', source, doc_id % 13, doc_id)"
+_W0345_SQL_DOM = "printf('%s-%d.net', source, doc_id % 13)"
+
+# The module's normalization chain as DuckDB SQL over a CTE exposing (u):
+# host/rest split, then the documented rewrite sequence.  The 'g' flag is
+# needed only on the tracking removal (Spark's regexp_replace is global;
+# every other pattern here matches at most once).
+_SQL_NORM_CTES = r"""
+    hp AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(lower(regexp_extract(u, '^[^/]*')),
+                            '^www\.', ''), ':(80|443)$', '') AS host,
+             regexp_replace(u, '^[^/]*', '') AS rest
+      FROM s1
+    ),
+    r1 AS (
+      SELECT doc_id, url, host,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(rest, '#.*', ''),
+               '(utm_[^=&#]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
+               '\?&', '?'), '[?&]+$', ''), '/$', '') AS rest
+      FROM hp
+    )
+"""
+
+_SQL_H32 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(s), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+def _docs_with_url(spark: SparkSession, sf_dir: str, fmt: str, *args) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.withColumn("url", F.format_string(fmt, *args))
+
+
+@query(
+    "w01_url_normalize",
+    oracle=f"""
+    WITH u0 AS (SELECT doc_id, {_W01_SQL_URL} AS url FROM documents),
+    s1 AS (
+      SELECT doc_id, url,
+             regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS u
+      FROM u0
+    ),
+    {_SQL_NORM_CTES}
+    SELECT doc_id, url, host || rest AS url_norm,
+           CASE WHEN regexp_extract(host, '((?:[^.]+\\.)' || '{{1}}' || '[^.]+)$', 1) = ''
+                THEN host
+                ELSE regexp_extract(host, '((?:[^.]+\\.)' || '{{1}}' || '[^.]+)$', 1)
+           END AS domain
+    FROM r1
+    """,
+    tags=("web", "EXT", "url", "front-door"),
+    doc="URL canonicalization (operators.web.url_normalize/registrable_domain_col; the "
+    "first stage of RefinedWeb-style web curation — Penedo 2023 runs URL-level filters "
+    "before any content pass): scheme stripped, host lowercased with www./default-port "
+    "removal, fragment and tracking params (utm_*/fbclid/gclid) dropped, separators "
+    "tidied, one trailing slash stripped — ONE scalar regex-chain projection, zero "
+    "shuffle, and the registrable domain (PSL approximated as the last 2 host labels — "
+    "errs by splitting, never by merging) extracted the same way.  The synthesized URL "
+    "is deliberately messy so every rule fires; the oracle re-runs the identical chain "
+    "in DuckDB regex syntax.",
+)
+def w01_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.web import (
+        registrable_domain_col,
+        url_normalize_col,
+    )
+
+    d = _docs_with_url(
+        spark,
+        sf_dir,
+        _W01_FMT,
+        F.col("source"),
+        F.col("doc_id") % 37,
+        F.col("doc_id") % 11,
+        F.col("doc_id"),
+    )
+    return d.select(
+        "doc_id",
+        "url",
+        url_normalize_col("url").alias("url_norm"),
+        registrable_domain_col("url").alias("domain"),
+    )
+
+
+@query(
+    "w02_url_dedup",
+    oracle=f"""
+    WITH u0 AS (
+      SELECT doc_id, source, {_W02_SQL_URL} AS url FROM documents
+    ),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM u0 GROUP BY source, doc_id % 40
+    )
+    SELECT u0.doc_id, u0.url FROM u0 JOIN keep USING (doc_id)
+    """,
+    tags=("web", "EXT", "url", "dedup", "front-door"),
+    doc="URL-level dedup (operators.web.url_dedup; RefinedWeb's first dedup stage — one "
+    "page per canonical URL BEFORE content dedup ever pays shingle shuffles): raw URLs "
+    "that differ only by scheme case ('https'/'HTTP') and host case collide after "
+    "canonicalization; the survivor is the smallest doc_id.  One scalar normalization + "
+    "one map-side-combined groupBy(url_norm) + one semi join.  The oracle groups by the "
+    "synthesis parameters — equivalent iff the normalization merges exactly the right "
+    "URLs, so over- AND under-canonicalization both hash-mismatch.",
+)
+def w02_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.web import url_dedup
+
+    d = _docs_with_url(
+        spark,
+        sf_dir,
+        "%s://%s.EXAMPLE.com/p/%d",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.col("source"),
+        F.col("doc_id") % 40,
+    )
+    return url_dedup(d).select("doc_id", "url")
+
+
+@query(
+    "w03_domain_cap",
+    oracle=f"""
+    WITH u0 AS (
+      SELECT doc_id, {_W0345_SQL_URL} AS url, {_W0345_SQL_DOM} AS domain,
+             CAST(doc_id AS VARCHAR) || ':domcap' AS s
+      FROM documents
+    ),
+    h AS (SELECT doc_id, url, domain, ({_SQL_H32}) % {DENOM} AS u FROM u0),
+    r AS (
+      SELECT doc_id, url,
+             ROW_NUMBER() OVER (PARTITION BY domain ORDER BY u ASC, doc_id ASC) AS rn
+      FROM h
+    )
+    SELECT doc_id, url FROM r WHERE rn <= 5
+    """,
+    tags=("web", "EXT", "url", "sampling", "front-door"),
+    doc="Per-domain frequency cap (operators.web.domain_cap, method='exact'): at most "
+    "5 documents per registrable domain, selected by a salted portable hash of the id — "
+    "deterministic, decorrelated from every other hash gate, and a kept document stays "
+    "kept as the corpus grows (the hash_split stability contract).  The exact form "
+    "window-ranks within each domain (auditable; a mega-domain's rank is ONE task — the "
+    "exact_stratified_split trade), and the approx twin (per-domain count + hash "
+    "threshold, zero windows) is the 100 TB path, pytest-verified against the same "
+    "expectation.  Cap template spam BEFORE it dominates token mass.",
+)
+def w03_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.web import domain_cap
+
+    d = _docs_with_url(
+        spark,
+        sf_dir,
+        "https://sub.%s-%d.net/x/%d",
+        F.col("source"),
+        F.col("doc_id") % 13,
+        F.col("doc_id"),
+    )
+    return domain_cap(d, max_docs=5, salt="domcap").select("doc_id", "url")
+
+
+@query(
+    "w04_domain_stats",
+    oracle=f"""
+    WITH u0 AS (
+      SELECT doc_id, text, {_W0345_SQL_DOM} AS domain FROM documents
+    )
+    SELECT domain, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM u0 GROUP BY domain
+    """,
+    tags=("web", "EXT", "url", "profiling"),
+    doc="Per-domain occupancy report (operators.web.domain_stats): (domain, n_docs, "
+    "n_chars) from one map-side-combinable groupBy — output bounded by the domain "
+    "count, never corpus-sized.  The observability face of w03's cap: decide the cap "
+    "from measured occupancy (the ann_index_report pattern), don't guess it.",
+)
+def w04_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.web import domain_stats
+
+    d = _docs_with_url(
+        spark,
+        sf_dir,
+        "https://sub.%s-%d.net/x/%d",
+        F.col("source"),
+        F.col("doc_id") % 13,
+        F.col("doc_id"),
+    )
+    return domain_stats(d, text_col="text")
+
+
+@query(
+    "w05_domain_blocklist",
+    oracle=f"""
+    WITH u0 AS (
+      SELECT doc_id, {_W0345_SQL_URL} AS url, {_W0345_SQL_DOM} AS domain
+      FROM documents
+    )
+    SELECT doc_id, url FROM u0
+    WHERE domain <> 'src0-0.net' AND ('sub.' || domain) <> 'sub.src1-1.net'
+    """,
+    tags=("web", "EXT", "url", "quality"),
+    doc="URL blocklist filter (operators.web.domain_blocklist_filter; RefinedWeb applies "
+    "a 4.6M-domain blocklist as its very first filter): entries match by registrable "
+    "domain ('src0-0.net') OR full normalized host ('sub.src1-1.net') — two broadcast "
+    "anti equi-joins against the curation-sized list, no per-row regex scan.",
+)
+def w05_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.web import domain_blocklist_filter
+
+    d = _docs_with_url(
+        spark,
+        sf_dir,
+        "https://sub.%s-%d.net/x/%d",
+        F.col("source"),
+        F.col("doc_id") % 13,
+        F.col("doc_id"),
+    )
+    return domain_blocklist_filter(d, ("src0-0.net", "sub.src1-1.net")).select(
+        "doc_id", "url"
+    )

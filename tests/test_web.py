@@ -1,0 +1,152 @@
+"""operators.web: URL/domain curation — normalization rules, URL dedup,
+per-domain caps (exact/approx twins + hash stability), blocklist matching,
+and the zero-shuffle plan claims."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _one(spark, url: str):
+    from healthcare_data_pipeline_spark.operators.web import (
+        registrable_domain_col,
+        url_normalize_col,
+    )
+
+    r = (
+        spark.createDataFrame([(url,)], "url string")
+        .select(
+            url_normalize_col("url").alias("n"),
+            registrable_domain_col("url").alias("d"),
+        )
+        .head()
+    )
+    return r.n, r.d
+
+
+def test_url_normalize_rules(spark):
+    cases = {
+        # scheme case + WWW + default port + tracking + fragment + host case
+        "HTTPS://WWW.Ex.COM:443/Path/?utm_source=a&id=1&utm_medium=b#f": (
+            "ex.com/Path/?id=1",
+            "ex.com",
+        ),
+        # http default port; tracking param first; trailing slash
+        "http://ex.com:80/a/?utm_x=1&b=2/": ("ex.com/a/?b=2", "ex.com"),
+        # non-default port KEPT; path case preserved
+        "https://Ex.com:8080/A": ("ex.com:8080/A", "ex.com:8080"),
+        # schemeless input; bare host; one trailing slash stripped
+        "ex.com/": ("ex.com", "ex.com"),
+        # fbclid/gclid dropped wherever they sit; '?&' tidied
+        "https://a.b.ex.com/p?fbclid=x&q=1&gclid=y": ("a.b.ex.com/p?q=1", "ex.com"),
+        # all params tracking -> bare path, trailing '?' stripped
+        "https://ex.com/p?utm_a=1&utm_b=2": ("ex.com/p", "ex.com"),
+        # no dot in host -> domain is the host itself
+        "https://localhost/x": ("localhost/x", "localhost"),
+    }
+    for url, (want_norm, want_dom) in cases.items():
+        norm, dom = _one(spark, url)
+        assert norm == want_norm, f"{url}: {norm!r} != {want_norm!r}"
+        assert dom == want_dom, f"{url}: {dom!r} != {want_dom!r}"
+
+
+def test_registrable_domain_levels(spark):
+    from healthcare_data_pipeline_spark.operators.web import registrable_domain_col
+
+    df = spark.createDataFrame([("https://a.b.co.uk/x",)], "url string")
+    assert df.select(registrable_domain_col("url", levels=3).alias("d")).head().d == "b.co.uk"
+    assert df.select(registrable_domain_col("url", levels=2).alias("d")).head().d == "co.uk"
+    with pytest.raises(ValueError, match="levels"):
+        registrable_domain_col("url", levels=0)
+
+
+def test_url_dedup_keeps_min_id_across_scheme_variants(spark):
+    from healthcare_data_pipeline_spark.operators.web import url_dedup
+
+    rows = [
+        (1, "https://WWW.ex.com/a"),
+        (2, "HTTP://ex.com:80/a"),  # same canonical URL as 1 and 3
+        (3, "ex.com/a"),
+        (4, "https://ex.com/b"),
+    ]
+    out = url_dedup(spark.createDataFrame(rows, "doc_id long, url string"))
+    assert sorted(r.doc_id for r in out.collect()) == [1, 4]
+
+
+def _domain_corpus(spark, n=400, n_domains=8):
+    return spark.createDataFrame(
+        [(i, f"https://sub.d{i % n_domains}.net/x/{i}") for i in range(n)],
+        "doc_id long, url string",
+    )
+
+
+def test_domain_cap_exact_is_capped_deterministic_and_growth_stable(spark):
+    from healthcare_data_pipeline_spark.operators.web import domain_cap
+
+    d = _domain_corpus(spark)
+    out = domain_cap(d, max_docs=5)
+    per = (
+        out.withColumn("dom", F.regexp_extract("url", r"(d\d+\.net)", 1))
+        .groupBy("dom")
+        .count()
+        .collect()
+    )
+    assert len(per) == 8 and all(r["count"] == 5 for r in per)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, domain_cap(d, max_docs=5).collect())
+    )
+    # under-cap domains keep everything
+    assert domain_cap(d, max_docs=1000).count() == 400
+    with pytest.raises(ValueError, match="max_docs"):
+        domain_cap(d, max_docs=0)
+    with pytest.raises(ValueError, match="method"):
+        domain_cap(d, max_docs=5, method="nope")
+
+
+def test_domain_cap_approx_expectation_and_stability(spark):
+    from healthcare_data_pipeline_spark.operators.web import domain_cap
+
+    d = _domain_corpus(spark, n=800, n_domains=4)  # 200 docs/domain
+    out = domain_cap(d, max_docs=50, method="approx")
+    per = (
+        out.withColumn("dom", F.regexp_extract("url", r"(d\d+\.net)", 1))
+        .groupBy("dom")
+        .count()
+        .collect()
+    )
+    # ~50 per domain in expectation; generous band (binomial sd ~6.6)
+    assert len(per) == 4 and all(25 <= r["count"] <= 80 for r in per), per
+    # under-cap domains keep everything (threshold caps at the hash space)
+    assert domain_cap(d, max_docs=10_000, method="approx").count() == 800
+    # hash stability: a doc kept from the subset stays kept in the superset
+    # with the same per-domain keep-fraction (cap scaled with corpus size)
+    half = d.filter(F.col("doc_id") < 400)  # 100 docs/domain
+    kept_half = {r.doc_id for r in domain_cap(half, max_docs=25, method="approx").collect()}
+    kept_full = {r.doc_id for r in domain_cap(d, max_docs=50, method="approx").collect()}
+    assert kept_half <= kept_full
+
+
+def test_domain_blocklist_matches_domain_and_host(spark):
+    from healthcare_data_pipeline_spark.operators.web import domain_blocklist_filter
+
+    rows = [
+        (1, "https://www.spam.net/x"),  # domain match (spam.net)
+        (2, "https://sub.spam.net/x"),  # domain match via levels=2
+        (3, "https://Bad.Host.ex.com/x"),  # host match (case-folded)
+        (4, "https://ok.ex.com/x"),
+        (5, "https://fine.org/x"),
+    ]
+    out = domain_blocklist_filter(
+        spark.createDataFrame(rows, "doc_id long, url string"),
+        ("spam.net", "BAD.host.ex.com"),
+    )
+    assert sorted(r.doc_id for r in out.collect()) == [4, 5]
+
+
+def test_url_normalize_is_zero_shuffle(spark):
+    from healthcare_data_pipeline_spark.operators.web import url_normalize
+
+    d = _domain_corpus(spark, n=50)
+    plan = url_normalize(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
