@@ -381,6 +381,48 @@ def portable_minhash_pairs(
     return minhash_pairs(docs, id_col=id_col, text_col=text_col, hasher="portable")
 
 
+def dedup_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "survivor",
+) -> DataFrame:
+    """Duplicate-AWARE exact dedup (soft dedup): instead of silently
+    dropping copies, carry the multiplicity so downstream mixing can use
+    it — a document seen 10,000 times on the web is EVIDENCE (boilerplate
+    to review, or popularity worth a deliberate upweight), and plain dedup
+    destroys that signal.
+
+    ``mode='survivor'``: keep the smallest-id copy of each exact-duplicate
+    cluster, with ``dup_count`` = cluster size and ``weight = 1.0`` — the
+    dd01 drop semantics plus the preserved frequency signal.
+    ``mode='downweight'``: keep EVERY copy with ``weight = 1/dup_count`` —
+    expected token mass per unique document equals the survivor form, but
+    copies stay available for weight-aware samplers and shard balance.
+
+    Exact-duplicate clusters only (the ``normalized_fingerprint`` key);
+    near-dup cluster sizes already exist via ``dedup_clusters`` (dd08).
+    One fingerprint groupBy with map-side combine + one join back keyed on
+    the fingerprint — the dd01 plan plus one join, nothing new at 100 TB.
+    """
+    if mode not in ("survivor", "downweight"):
+        raise ValueError(f"mode must be 'survivor' or 'downweight', got {mode!r}")
+    fp = docs.withColumn("__fp", normalized_fingerprint(text_col))
+    clusters = fp.groupBy("__fp").agg(
+        F.count("*").alias("dup_count"), F.min(id_col).alias("__keep")
+    )
+    joined = fp.join(clusters, "__fp")
+    if mode == "survivor":
+        joined = joined.filter(F.col(id_col) == F.col("__keep")).withColumn(
+            "weight", F.lit(1.0)
+        )
+    else:
+        joined = joined.withColumn(
+            "weight", F.lit(1.0) / F.col("dup_count").cast("double")
+        )
+    return joined.drop("__fp", "__keep")
+
+
 def dedup_corpus(
     docs: DataFrame,
     id_col: str = "doc_id",

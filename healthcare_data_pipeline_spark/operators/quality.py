@@ -263,6 +263,11 @@ def prep_corpus(
     lm_dropped_group_log: list | None = None,
     use_c4: bool = False,
     c4_blocklist: tuple[str, ...] = (),
+    url_col: str | None = None,
+    use_url_dedup: bool = False,
+    domain_blocklist: tuple[str, ...] = (),
+    max_docs_per_domain: int | None = None,
+    domain_cap_method: str = "approx",
 ) -> DataFrame:
     """The whole pre-training prep path: quality FILTER, optional
     corpus-adaptive GIBBERISH gate, full DEDUP (exact fingerprint -> LSH
@@ -311,6 +316,16 @@ def prep_corpus(
       stripping whole lines first means the span stage only has to catch
       the non-line-aligned residue.  No-op (zero removals) on newline-free
       corpora — opt-in for that reason.
+    - ``url_col`` + ``use_url_dedup`` / ``domain_blocklist`` /
+      ``max_docs_per_domain`` slot the web-provenance stages (operators.web,
+      w01–w05) in their published positions: blocklist and URL dedup run
+      FIRST OF ALL (RefinedWeb's order — URL-level filters are the cheapest
+      and drop documents before a single token is shingled or scored), and
+      the per-domain cap runs AFTER dedup (a cap should buy unique
+      documents, not copies) and BEFORE the LM stage (capped docs never pay
+      frequency joins).  ``domain_cap_method`` picks the exact
+      (window-ranked, bounded domain lists) or approx (hash-threshold,
+      100 TB) twin.
     - ``use_c4`` applies the C4 battery (``c4_filter``, t34) FIRST — its
       published slot (Raffel 2020 §2.2 runs line-grain cleaning before
       everything): ``text_col`` is rebuilt from the surviving lines, so a
@@ -354,6 +369,24 @@ def prep_corpus(
     from healthcare_data_pipeline_spark.operators.dedup_corpus import dedup_corpus
     from healthcare_data_pipeline_spark.operators.mixture import token_budget_sample
 
+    if (use_url_dedup or domain_blocklist or max_docs_per_domain) and url_col is None:
+        raise ValueError(
+            "url_col is required for use_url_dedup / domain_blocklist / "
+            "max_docs_per_domain — the web stages key on it"
+        )
+    if url_col is not None:
+        # Provenance-level stages run FIRST (RefinedWeb's order: URL-level
+        # filters before any content pass) — they are the cheapest and drop
+        # documents before a single token is shingled or scored.
+        from healthcare_data_pipeline_spark.operators.web import (
+            domain_blocklist_filter,
+            url_dedup,
+        )
+
+        if domain_blocklist:
+            docs = domain_blocklist_filter(docs, domain_blocklist, url_col=url_col)
+        if use_url_dedup:
+            docs = url_dedup(docs, url_col=url_col, id_col=id_col)
     if use_c4:
         docs = c4_filter(
             docs, id_col=id_col, text_col=text_col, blocklist=c4_blocklist
@@ -406,6 +439,20 @@ def prep_corpus(
             text_col=text_col,
         ).drop("n_tokens", "n_removed", "n_dup_spans")
     out = dedup_corpus(filtered, id_col=id_col, text_col=text_col, hasher=hasher)
+    if max_docs_per_domain is not None:
+        # AFTER dedup (a domain's cap should buy unique documents, not
+        # copies — the token_budget_sample placement argument), BEFORE the
+        # LM stage (scoring is the most expensive remaining pass; capped
+        # docs should never pay frequency joins).
+        from healthcare_data_pipeline_spark.operators.web import domain_cap
+
+        out = domain_cap(
+            out,
+            max_docs=max_docs_per_domain,
+            url_col=url_col,
+            id_col=id_col,
+            method=domain_cap_method,
+        )
     if lm_reference is not None:
         from healthcare_data_pipeline_spark.operators.lm import (
             lm_score,

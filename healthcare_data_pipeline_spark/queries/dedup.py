@@ -1827,3 +1827,34 @@ def dd25_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.col("source") != "src0")
     ev = d.filter(F.col("source") == "src0")
     return fuzzy_contaminated_matches(train, ev, hasher="portable")
+
+
+@query(
+    "dd26_dedup_weights",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS f
+      FROM documents
+    ),
+    c AS (SELECT f, COUNT(*) AS dup_count FROM fp GROUP BY f)
+    SELECT fp.doc_id, c.dup_count,
+           1.0 / c.dup_count AS weight
+    FROM fp JOIN c USING (f)
+    """,
+    tags=("dedup", "EXT", "exact", "weights"),
+    doc="Duplicate-AWARE exact dedup / soft dedup (operators.dedup_corpus."
+    "dedup_weights, mode='downweight'): every copy kept with weight = 1/dup_count, so "
+    "expected token mass per unique document matches hard dedup while the multiplicity "
+    "signal plain dedup destroys (a page seen 10,000 times is evidence — boilerplate "
+    "to review or popularity to upweight deliberately) stays available to weight-aware "
+    "samplers.  mode='survivor' is the dd01 drop semantics plus the preserved "
+    "dup_count (pytest-verified).  Plan: the dd01 fingerprint groupBy plus one join "
+    "back on the fingerprint; the weight is one IEEE division of small exact "
+    "integers, so the relation value-hashes cross-engine.",
+)
+def dd26_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import dedup_weights
+
+    d = table(spark, sf_dir, "documents")
+    return dedup_weights(d, mode="downweight").select("doc_id", "dup_count", "weight")

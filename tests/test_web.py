@@ -150,3 +150,72 @@ def test_url_normalize_is_zero_shuffle(spark):
     d = _domain_corpus(spark, n=50)
     plan = url_normalize(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_prep_corpus_web_stages_compose(spark):
+    """prep_corpus(url_col=...) runs blocklist + URL dedup FIRST and the
+    per-domain cap after dedup: a blocked domain vanishes entirely, URL
+    duplicates collapse to the min-id copy before content stages, remaining
+    domains respect the cap, and the knobs demand url_col."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from healthcare_data_pipeline_spark.operators.quality import prep_corpus
+
+    rows = []
+    for i in range(120):
+        dom = f"d{i % 3}.net"
+        # distinct natural text per doc (no content dups except via URL)
+        text = " ".join(f"tok{i}x{j} the of and" for j in range(10))
+        rows.append((i, text, "web", f"https://{dom}/p/{i % 60}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, url string")
+
+    out = prep_corpus(
+        docs,
+        min_stopword_ratio=None,
+        url_col="url",
+        use_url_dedup=True,
+        domain_blocklist=("d0.net",),
+        max_docs_per_domain=10,
+        domain_cap_method="exact",
+    )
+    got = out.withColumn(
+        "dom", F.regexp_extract("url", r"(d\d+\.net)", 1)
+    ).groupBy("dom").count().collect()
+    doms = {r.dom: r["count"] for r in got}
+    assert "d0.net" not in doms  # blocklisted domain gone entirely
+    # URL dedup collapsed each /p/<i%60> to one doc BEFORE the cap; caps hold
+    assert set(doms) == {"d1.net", "d2.net"} and all(c <= 10 for c in doms.values())
+    # URL dedup kept min-id copies: every surviving doc_id is < 60
+    assert out.agg(F.max("doc_id")).first()[0] < 60
+
+    with pytest.raises(ValueError, match="url_col"):
+        prep_corpus(docs, min_stopword_ratio=None, use_url_dedup=True)
+
+
+def test_dedup_weights_modes(spark):
+    """dedup_weights: survivor mode keeps min-id with dup_count; downweight
+    mode keeps every copy with weight = 1/dup_count (token mass per unique
+    doc equal in expectation); invalid mode raises."""
+    import pytest
+
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import dedup_weights
+
+    rows = [
+        (1, "the   Quick brown fox"),
+        (2, "the quick BROWN fox "),  # same normalized fingerprint as 1
+        (3, "the quick brown fox"),   # and as 2
+        (4, "something else entirely"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    surv = {r.doc_id: r for r in dedup_weights(d).collect()}
+    assert set(surv) == {1, 4}
+    assert surv[1].dup_count == 3 and surv[1].weight == 1.0
+    assert surv[4].dup_count == 1
+
+    down = {r.doc_id: r for r in dedup_weights(d, mode="downweight").collect()}
+    assert set(down) == {1, 2, 3, 4}
+    assert down[2].weight == down[1].weight == 1.0 / 3
+    assert down[4].weight == 1.0
+    with pytest.raises(ValueError, match="mode"):
+        dedup_weights(d, mode="nope")
