@@ -186,6 +186,22 @@ def domain_cap(
     )
 
 
+def domain_blocklist_predicate(
+    blocked: tuple[str, ...] | list[str],
+    url_col: str = "url",
+    levels: int = 2,
+) -> Column:
+    """STATELESS keep-predicate form of ``domain_blocklist_filter`` for
+    streaming gates (``prep_stream``): the curation-sized list rides the
+    task closure as an ``isin`` literal — no join, no state store, append-
+    mode safe (the ``eval_bloom`` pattern).  Prefer the join form for lists
+    past closure size (hundreds of thousands of entries)."""
+    bl = [str(b).lower() for b in blocked]
+    return (~registrable_domain_col(url_col, levels=levels).isin(bl)) & (
+        ~url_host_col(url_col).isin(bl)
+    )
+
+
 def domain_blocklist_filter(
     df: DataFrame,
     blocked: tuple[str, ...] | list[str],

@@ -99,6 +99,8 @@ def prep_stream(
     bloom_hasher: str | None = None,
     use_c4: bool = False,
     c4_blocklist: tuple[str, ...] = (),
+    url_col: str | None = None,
+    domain_blocklist: tuple[str, ...] = (),
 ) -> DataFrame:
     """The streaming corpus-prep gate: quality filter -> optional benchmark
     decontamination -> PII redaction -> optional mixture gate -> optional
@@ -125,7 +127,15 @@ def prep_stream(
     ``prep_corpus(use_c4=)``): since the r12 join-free rewrite,
     ``c4_filter`` is one scalar predicate + projection — stateless, so it
     streams unchanged; the page gate reads the original text and every
-    later stage consumes the line-cleaned rewrite."""
+    later stage consumes the line-cleaned rewrite.
+
+    ``url_col`` + ``domain_blocklist`` runs the domain/host blocklist
+    BEFORE everything (the prep_corpus order — provenance is the cheapest
+    gate) as the stateless ``domain_blocklist_predicate`` — the
+    curation-sized list rides the task closure like ``eval_bloom``, so even
+    this normally join-shaped stage stays an append-safe row predicate.
+    (URL DEDUP is stateful and belongs to ``run_stream_dedup_ingest``'s
+    foreachBatch side, like content dedup.)"""
     from healthcare_data_pipeline_spark.operators.decontaminate import flag_bloom
     from healthcare_data_pipeline_spark.operators.mixture import hash_split, mixture_sample
     from healthcare_data_pipeline_spark.operators.quality import (
@@ -134,7 +144,15 @@ def prep_stream(
     )
     from healthcare_data_pipeline_spark.operators.redact import redact_pii
 
+    if domain_blocklist and url_col is None:
+        raise ValueError("url_col is required for domain_blocklist")
     out = docs
+    if domain_blocklist:
+        from healthcare_data_pipeline_spark.operators.web import (
+            domain_blocklist_predicate,
+        )
+
+        out = out.filter(domain_blocklist_predicate(domain_blocklist, url_col=url_col))
     if use_c4:
         out = c4_filter(out, blocklist=c4_blocklist)
     out = out.filter(quality_predicate(min_stopword_ratio=min_stopword_ratio))

@@ -1383,3 +1383,44 @@ def test_ingest_setup_failure_unpersists_eval_bands(spark, tmp_path):
             stream, str(tmp_path / "corpus"), bad_ckpt, eval_df=eval_df
         )
     assert n_cached() == before, "eval band cache leaked past a failed setup"
+
+
+def test_stream_prep_domain_blocklist_equals_batch(spark):
+    """url_col + domain_blocklist in the streaming prep gate: the blocklist
+    is the STATELESS domain_blocklist_predicate (list rides the task closure
+    like eval_bloom), runs before every other stage, and the stream emits
+    exactly the batch composition's rows; the knob demands url_col."""
+    import pytest
+
+    from healthcare_data_pipeline_spark.operators.quality import quality_predicate
+    from healthcare_data_pipeline_spark.operators.redact import redact_pii
+    from healthcare_data_pipeline_spark.operators.web import domain_blocklist_predicate
+    from healthcare_data_pipeline_spark.streaming import ingest as ing
+
+    docs = table(spark, SF_DIR, "documents")
+    src = docs.selectExpr(
+        "doc_id",
+        "text",
+        "source",
+        "printf('https://sub.%s-%d.net/x', source, doc_id % 7) AS url",
+    )
+    tmp = f"{spark.conf.get('spark.sql.warehouse.dir').removeprefix('file:')}/web_stream_src"
+    src.write.mode("overwrite").parquet(tmp)
+    stream_src = spark.readStream.schema(
+        "doc_id long, text string, source string, url string"
+    ).parquet(tmp)
+    blocked = ("src0-0.net", "sub.src1-1.net")
+    stream = ing.prep_stream(stream_src, url_col="url", domain_blocklist=blocked)
+    stv.run_to_memory(stream.select("doc_id", "url"), "prep_web_out", output_mode="append")
+    got = {(r.doc_id, r.url) for r in spark.sql("SELECT * FROM prep_web_out").collect()}
+    batch = redact_pii(
+        spark.read.parquet(tmp)
+        .filter(domain_blocklist_predicate(blocked, url_col="url"))
+        .filter(quality_predicate(min_stopword_ratio=0.01))
+    )
+    want = {(r.doc_id, r.url) for r in batch.select("doc_id", "url").collect()}
+    assert got == want and len(got) > 0
+    assert all("src0-0.net" not in u and "src1-1.net" not in u for _, u in got)
+
+    with pytest.raises(ValueError, match="url_col"):
+        ing.prep_stream(stream_src, domain_blocklist=blocked)

@@ -105,10 +105,12 @@ def ops(spark, sf_dir: str):
         containment_for_pairs,
         containment_pairs,
         dedup_corpus,
+        dedup_weights,
         minhash_pairs,
         remove_boilerplate_lines,
         remove_duplicate_spans,
     )
+    from healthcare_data_pipeline_spark.operators.web import domain_cap, url_dedup
     from healthcare_data_pipeline_spark.operators.bpe import bpe_token_counts
     from healthcare_data_pipeline_spark.operators.mixture import (
         dsir_scores,
@@ -261,8 +263,40 @@ def ops(spark, sf_dir: str):
         "spark.sql.adaptive.skewJoin.enabled": "false",
     }
 
+    # Web-provenance rows (w-family): deterministic URLs synthesized per
+    # scale — 65 registrable domains whose per-domain occupancy grows with
+    # the corpus, the domain-cap regime.  URL collisions via doc_id % 4000
+    # keep a constant duplicate fraction (the corpora rewrite doc_ids per
+    # replica, so the modulus collides within AND across replicas).
+    webd = docs.withColumn(
+        "url",
+        F.format_string(
+            "https://sub.%s-%d.net/p/%d",
+            F.col("source"),
+            F.col("doc_id") % 13,
+            F.col("doc_id") % 4000,
+        ),
+    )
+
     return {
         "dedup_corpus (LSH front door)": lambda: sink(dedup_corpus(docs, hasher="fast")),
+        # w02: one scalar canonicalization + groupBy(url_norm) min-id +
+        # semi join — must track the scan like every fingerprint row.
+        "url_dedup (canonical URL groupBy)": lambda: sink(url_dedup(webd)),
+        # w03 twins: the approx path is a bounded per-domain count + hash
+        # threshold (zero windows — scan-bound); the exact path windows
+        # WITHIN each domain, whose occupancy grows with the corpus — the
+        # bounded-strata shape, here as the measured contrast.
+        "domain_cap approx (scale path)": lambda: sink(
+            domain_cap(webd, max_docs=100, method="approx")
+        ),
+        "domain_cap exact (windowed domains)": lambda: sink(
+            domain_cap(webd, max_docs=100, method="exact")
+        ),
+        # dd26: the dd01 fingerprint groupBy plus one join back.
+        "dedup_weights (fingerprint join)": lambda: sink(
+            dedup_weights(docs, mode="downweight")
+        ),
         "band_skew_report": lambda: sink(band_skew_report(docs)),
         "quality_filter": lambda: sink(filter_corpus(docs)),
         # t29: exact BPE token counts — ONE fold expression per doc (every
@@ -760,6 +794,19 @@ def main() -> None:
         f"`corpus_drift_report` (alpha {alphas.get('corpus_drift_report (fixed new batch)')}) is the lightest: "
         "ONE groupBy(token) over both sides with a side flag — no join "
         "between the corpora at all — then a scalar rollup.",
+        "",
+        "r13 newcomers — web provenance (w-family) and soft dedup: "
+        f"`url_dedup` (alpha {alphas.get('url_dedup (canonical URL groupBy)')}) is one scalar "
+        "canonicalization + a groupBy(url_norm) min-id + semi join — the "
+        "fingerprint-dedup shape on a synthesized 65-domain URL column. "
+        f"`domain_cap` approx (alpha {alphas.get('domain_cap approx (scale path)')}) is a bounded "
+        "per-domain count + salted-hash threshold (zero windows — the "
+        "token_budget_sample scale form), vs the exact windowed twin "
+        f"(alpha {alphas.get('domain_cap exact (windowed domains)')}) whose per-domain rank is one task "
+        "per domain — fine at 65 domains, the bounded-strata contract "
+        "otherwise. `dedup_weights` "
+        f"(alpha {alphas.get('dedup_weights (fingerprint join)')}) is dd01's fingerprint groupBy plus "
+        "one join back (the soft-dedup multiplicity carry).",
         "",
         "Decontamination twins against a FIXED eval slice: ngram mode "
         f"(alpha {alphas.get('decontaminate ngram (broadcast eval grams)')}) explodes the train side into "
