@@ -790,7 +790,7 @@ def main() -> None:
         "map-side first (Zipf does the heavy lifting) instead of per token "
         "OCCURRENCE with string keys — that removed the stopword join skew "
         "and string shuffle bytes behind the r12-measured alpha 1.21 "
-        "(64x: 4.79s then, 2.2s now). "
+        "(64x: 4.79s then; 2.2-3.1s across r13 re-measurements). "
         f"`corpus_drift_report` (alpha {alphas.get('corpus_drift_report (fixed new batch)')}) is the lightest: "
         "ONE groupBy(token) over both sides with a side flag — no join "
         "between the corpora at all — then a scalar rollup.",
