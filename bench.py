@@ -320,7 +320,9 @@ def main() -> None:
         print(f"# calibration probe (mid): {probe_mid:.3f}s (ref {probe_ref:.2f}s)", file=sys.stderr)
         timings_v2, reps_v2, total_v2 = time_group(names_v2)
         med_spread = median_rep_spread({**reps, **reps_v2})
-        passes.append((med_spread, timings, reps, total, timings_v2, reps_v2, total_v2))
+        passes.append(
+            (med_spread, timings, reps, total, timings_v2, reps_v2, total_v2, probe_mid)
+        )
         if med_spread <= SPREAD_TOL:
             break
         if attempt < spread_retries:
@@ -329,7 +331,7 @@ def main() -> None:
                 "host was contended during this pass; re-running the timed suite",
                 file=sys.stderr,
             )
-    med_spread, timings, reps, total, timings_v2, reps_v2, total_v2 = min(
+    med_spread, timings, reps, total, timings_v2, reps_v2, total_v2, probe_mid_kept = min(
         passes, key=lambda p: p[0]
     )
     spread_quiet = med_spread <= SPREAD_TOL
@@ -419,6 +421,7 @@ def main() -> None:
         "probe": {
             "before_sec": probe_before,
             "mid_sec": probe_mids,
+            "mid_kept_sec": probe_mid_kept,
             "after_sec": probe_after,
             "ref_sec": probe_ref,
             "gated": probe_gated,
@@ -440,10 +443,14 @@ def main() -> None:
         "reps": reps_v2,
     }
     if probe_gated:
-        # Mean over ALL probe points (before, between-groups mids, after):
-        # contention that arrives mid-suite and decays before the end is
-        # invisible to the before/after pair alone (the r12 shape).
-        probe_pts = [probe_before, *probe_mids, probe_after]
+        # Mean over the probe points the KEPT timings actually experienced:
+        # before, the kept pass's between-groups mid, after.  Mid probes of
+        # DISCARDED contended passes stay in the quiet GATE above (max over
+        # all points — contention anywhere is a stamp signal) but must not
+        # feed the ratio: dividing the calm pass's timings by a ratio
+        # inflated with a discarded pass's contention would under-report
+        # runtime on a quiet-stamped artifact.
+        probe_pts = [probe_before, probe_mid_kept, probe_after]
         probe_ratio = round((sum(probe_pts) / len(probe_pts)) / probe_ref, 4)
         out["probe"]["ratio"] = probe_ratio
         out["value_probe_normalized"] = round(total / probe_ratio, 3)

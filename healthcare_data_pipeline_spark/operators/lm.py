@@ -123,7 +123,6 @@ def lm_drop_audit(
     docs: DataFrame,
     reference: DataFrame,
     group_col: str,
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-group count of documents ``lm_score(group_col=)`` will DROP
     because their group has no reference rows (no LM to score them under).
@@ -191,9 +190,7 @@ def lm_score(
     if dropped_group_log is not None and group_col is not None:
         dropped_group_log.extend(
             (r[group_col], int(r.n_docs_dropped))
-            for r in lm_drop_audit(
-                docs, reference, group_col, id_col=id_col
-            ).collect()
+            for r in lm_drop_audit(docs, reference, group_col).collect()
         )
     ref_pairs = _pair_explode(reference, id_col, rtext, group_col=group_col)
 

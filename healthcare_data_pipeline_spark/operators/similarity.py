@@ -104,6 +104,19 @@ def lsh_candidate_pairs(en: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     )
 
 
+def _guarded_cosine(dot: Column) -> Column:
+    """``dot / (sqrt(q_nrm2)·sqrt(c_nrm2))`` with the zero-norm guard: a
+    zero vector (or zero query) has no cosine — score -1.0, below every
+    real cosine.  Unguarded, 0/0 is NaN, which Spark ORDERS GREATEST (a
+    zero vector would TOP every DESC ranking, displacing real neighbors)
+    — or a hard error under ANSI mode.  One definition for every probe/
+    topk ranking so the sentinel can never drift between sites."""
+    return F.when(
+        (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
+        dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
+    ).otherwise(F.lit(-1.0))
+
+
 def ivf_topk(
     en: DataFrame,
     query_pred: Column,
@@ -143,15 +156,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            # zero-norm guard: a zero vector (or zero query) has no cosine —
-            # score -1.0; 0/0 = NaN would ORDER GREATEST and top the DESC
-            # ranking, displacing real neighbors
-            F.when(
-                (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
-                dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
-            )
-            .otherwise(F.lit(-1.0))
-            .alias("cosine_sim"),
+            _guarded_cosine(dot).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -199,15 +204,7 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            # zero-norm guard: a zero vector (or zero query) has no cosine —
-            # score -1.0; 0/0 = NaN would ORDER GREATEST and top the DESC
-            # ranking, displacing real neighbors
-            F.when(
-                (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
-                dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
-            )
-            .otherwise(F.lit(-1.0))
-            .alias("cosine_sim"),
+            _guarded_cosine(dot).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -241,15 +238,7 @@ def brute_topk(en: DataFrame, query_pred: Column, k: int = 5) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            # zero-norm guard: a zero vector (or zero query) has no cosine —
-            # score -1.0; 0/0 = NaN would ORDER GREATEST and top the DESC
-            # ranking, displacing real neighbors
-            F.when(
-                (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
-                dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
-            )
-            .otherwise(F.lit(-1.0))
-            .alias("cosine_sim"),
+            _guarded_cosine(dot).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -390,15 +379,7 @@ def ivf_topk_multiprobe(
         .select(
             "query_id",
             "neighbor_id",
-            # zero-norm guard: a zero vector (or zero query) has no cosine —
-            # score -1.0; 0/0 = NaN would ORDER GREATEST and top the DESC
-            # ranking, displacing real neighbors
-            F.when(
-                (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
-                dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
-            )
-            .otherwise(F.lit(-1.0))
-            .alias("cosine_sim"),
+            _guarded_cosine(dot).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -1128,15 +1109,7 @@ def ann_index_probe(
         .select(
             "query_id",
             "neighbor_id",
-            # zero-norm guard: a zero vector (or zero query) has no cosine —
-            # score -1.0; 0/0 = NaN would ORDER GREATEST and top the DESC
-            # ranking, displacing real neighbors
-            F.when(
-                (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
-                dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
-            )
-            .otherwise(F.lit(-1.0))
-            .alias("cosine_sim"),
+            _guarded_cosine(dot).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -1364,15 +1337,7 @@ def ann_index_probe_sq8(
         .select(
             "query_id",
             "neighbor_id",
-            # zero-norm guard: a zero vector (or zero query) has no cosine —
-            # score -1.0; 0/0 = NaN would ORDER GREATEST and top the DESC
-            # ranking, displacing real neighbors
-            F.when(
-                (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
-                dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
-            )
-            .otherwise(F.lit(-1.0))
-            .alias("cosine_sim"),
+            _guarded_cosine(dot).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -1898,6 +1863,15 @@ def ann_index_build_pq(
             spark.createDataFrame(
                 [(i, int(p)) for i, p in enumerate(perm)], "pos INT, src INT"
             ).write.mode("overwrite").parquet(os.path.join(index_dir, "pq_perm"))
+        else:
+            # probe/append auto-detect pq_perm/ — an UNROTATED in-place
+            # rebuild over a previously-rotated dir must remove the stale
+            # permutation, or probes would permute queries against
+            # unpermuted codebooks (misaligned subspaces, silent wrong
+            # neighbors)
+            import shutil
+
+            shutil.rmtree(os.path.join(index_dir, "pq_perm"), ignore_errors=True)
         spark.createDataFrame(
             [(int(m), int(k_codes), int(iters), bool(residual), perm is not None)],
             "m INT, k_codes INT, iters INT, residual BOOLEAN, rotated BOOLEAN",
@@ -2181,15 +2155,7 @@ def ann_index_probe_pq(
         .select(
             "query_id",
             "neighbor_id",
-            # zero-norm guard: a zero vector (or zero query) has no cosine —
-            # score -1.0; 0/0 = NaN would ORDER GREATEST and top the DESC
-            # ranking, displacing real neighbors
-            F.when(
-                (F.col("q_nrm2") > 0) & (F.col("c_nrm2") > 0),
-                dot / (F.sqrt(F.col("q_nrm2")) * F.sqrt(F.col("c_nrm2"))),
-            )
-            .otherwise(F.lit(-1.0))
-            .alias("cosine_sim"),
+            _guarded_cosine(dot).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))

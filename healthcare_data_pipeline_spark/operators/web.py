@@ -52,7 +52,11 @@ from pyspark.sql import functions as F
 from healthcare_data_pipeline_spark.operators.mixture import DENOM, _split_hash
 
 _SCHEME = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
-_TRACKING = r"(utm_[^=&#]*|fbclid|gclid)=[^&#]*&?"
+# The leading [?&] is REQUIRED and captured (kept in the replacement):
+# without it the alternation matches INSIDE other parameter names —
+# '?myutm_x=1&a=2' would normalize to '?mya=2', merging distinct pages.
+# The separator runs the kept '$1's produce ('?&', '&&') are tidied after.
+_TRACKING = r"([?&])(utm_[^=&#]*|fbclid|gclid)=[^&#]*"
 
 
 def url_host_col(url_col: str | Column) -> Column:
@@ -72,7 +76,8 @@ def url_normalize_col(url_col: str | Column) -> Column:
     u = F.regexp_replace(url, _SCHEME, "")
     rest = F.regexp_replace(u, r"^[^/]*", "")
     rest = F.regexp_replace(rest, r"#.*", "")
-    rest = F.regexp_replace(rest, _TRACKING, "")
+    rest = F.regexp_replace(rest, _TRACKING, "$1")
+    rest = F.regexp_replace(rest, r"&&+", "&")
     rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, r"[?&]+$", "")
     rest = F.regexp_replace(rest, r"/$", "")
@@ -109,10 +114,21 @@ def url_dedup(
     page's duplicates collide regardless of content drift in headers or
     ads; content-level dedup (``dedup_corpus``) still runs AFTER this —
     URL dedup is the cheap pass that keeps exact refetches from ever
-    paying shingle shuffles."""
-    normed = df.withColumn("__un", url_normalize_col(url_col))
-    keep = normed.groupBy("__un").agg(F.min(id_col).alias(id_col)).select(id_col)
-    return df.join(keep, id_col, "left_semi")
+    paying shingle shuffles.
+
+    NULL URLs (non-web provenance in a mixed corpus) PASS THROUGH: missing
+    provenance is not evidence of duplication, and a plain groupBy would
+    collapse every NULL-url document into one surviving "duplicate"."""
+    with_url = df.filter(F.col(url_col).isNotNull())
+    keep = (
+        with_url.withColumn("__un", url_normalize_col(url_col))
+        .groupBy("__un")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return with_url.join(keep, id_col, "left_semi").unionByName(
+        df.filter(F.col(url_col).isNull())
+    )
 
 
 def domain_stats(
@@ -144,9 +160,15 @@ def domain_cap(
 ) -> DataFrame:
     """Keep at most ``max_docs`` documents per registrable domain — the
     anti-template-spam frequency cap.  Selection is a salted portable hash
-    of the id (deterministic, decorrelated from every other hash gate, and
-    a kept document STAYS kept when other documents arrive — the
-    ``hash_split`` stability contract).
+    of the id: deterministic, decorrelated from every other hash gate, and
+    SELECTION-ORDER stable — a domain's members are admitted in a fixed
+    hash order, so re-running on the same corpus is bit-identical, and the
+    kept set only changes at the hash boundary the cap implies.  Under a
+    FIXED cap a growing domain necessarily evicts its highest-hash members
+    (the cap is the point); for frozen membership across corpus versions,
+    scale the cap with the corpus (a fixed keep FRACTION — then the hash
+    gate alone decides and kept documents stay kept, the ``hash_split``
+    contract).
 
     ``method='exact'``: window-rank within each domain by (hash, id), keep
     rank <= cap — count-exact and auditable, but a mega-domain's whole rank
@@ -155,23 +177,29 @@ def domain_cap(
     one bounded per-domain count, then keep rows whose hash falls under
     cap/count of the hash space — ~cap per domain in expectation, zero
     windows, nothing sorts.  A domain under its cap keeps everything in
-    both forms."""
+    both forms.  NULL URLs pass through uncapped: missing provenance is
+    not a domain, and grouping NULLs would cap unrelated non-web documents
+    against each other as one pseudo-domain."""
     if max_docs < 1:
         raise ValueError(f"need max_docs >= 1, got {max_docs}")
     if method not in ("exact", "approx"):
         raise ValueError(f"method must be 'exact' or 'approx', got {method!r}")
-    d = df.withColumn("__dom", registrable_domain_col(url_col, levels=levels))
+    no_url = df.filter(F.col(url_col).isNull())
+    d = df.filter(F.col(url_col).isNotNull()).withColumn(
+        "__dom", registrable_domain_col(url_col, levels=levels)
+    )
     if method == "exact":
         from pyspark.sql import Window
 
         w = Window.partitionBy("__dom").orderBy(
             _split_hash(id_col, salt).asc(), F.col(id_col).asc()
         )
-        return (
+        capped = (
             d.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= max_docs)
             .drop("__dom", "__rn")
         )
+        return capped.unionByName(no_url)
     counts = d.groupBy("__dom").agg(F.count("*").alias("__n"))
     # threshold in DOUBLE before scaling (the token_budget_sample overflow
     # lesson: an integer product cap*DENOM wraps for huge caps)
@@ -179,11 +207,12 @@ def domain_cap(
         F.lit(DENOM).cast("long"),
         (F.lit(float(max_docs)) / F.col("__n") * DENOM).cast("long"),
     )
-    return (
+    capped = (
         d.join(F.broadcast(counts), "__dom")
         .filter(_split_hash(id_col, salt) < thr)
         .drop("__dom", "__n")
     )
+    return capped.unionByName(no_url)
 
 
 def domain_blocklist_predicate(
@@ -195,11 +224,18 @@ def domain_blocklist_predicate(
     streaming gates (``prep_stream``): the curation-sized list rides the
     task closure as an ``isin`` literal — no join, no state store, append-
     mode safe (the ``eval_bloom`` pattern).  Prefer the join form for lists
-    past closure size (hundreds of thousands of entries)."""
+    past closure size (hundreds of thousands of entries).
+
+    NULL URLs KEEP (coalesce to true) — matching the batch anti join, where
+    a NULL key never matches; without the coalesce, ``~NULL`` is NULL and
+    ``filter`` would silently drop every missing-provenance document,
+    diverging from the batch path on the same corpus."""
     bl = [str(b).lower() for b in blocked]
-    return (~registrable_domain_col(url_col, levels=levels).isin(bl)) & (
+    pred = (~registrable_domain_col(url_col, levels=levels).isin(bl)) & (
         ~url_host_col(url_col).isin(bl)
     )
+    url = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.when(url.isNull(), F.lit(True)).otherwise(pred)
 
 
 def domain_blocklist_filter(

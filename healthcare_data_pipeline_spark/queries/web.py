@@ -52,8 +52,10 @@ _SQL_NORM_CTES = r"""
     r1 AS (
       SELECT doc_id, url, host,
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-               regexp_replace(rest, '#.*', ''),
-               '(utm_[^=&#]*|fbclid|gclid)=[^&#]*&?', '', 'g'),
+               regexp_replace(
+                 regexp_replace(rest, '#.*', ''),
+                 '([?&])(utm_[^=&#]*|fbclid|gclid)=[^&#]*', '\1', 'g'),
+               '&&+', '&', 'g'),
                '\?&', '?'), '[?&]+$', ''), '/$', '') AS rest
       FROM hp
     )
@@ -174,8 +176,10 @@ def w02_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("web", "EXT", "url", "sampling", "front-door"),
     doc="Per-domain frequency cap (operators.web.domain_cap, method='exact'): at most "
     "5 documents per registrable domain, selected by a salted portable hash of the id — "
-    "deterministic, decorrelated from every other hash gate, and a kept document stays "
-    "kept as the corpus grows (the hash_split stability contract).  The exact form "
+    "deterministic, decorrelated from every other hash gate, and admission order is "
+    "hash-fixed (under a FIXED cap a growing domain necessarily evicts its "
+    "highest-hash members; scale the cap with the corpus for frozen membership — the "
+    "hash_split contract applies to the keep FRACTION).  The exact form "
     "window-ranks within each domain (auditable; a mega-domain's rank is ONE task — the "
     "exact_stratified_split trade), and the approx twin (per-domain count + hash "
     "threshold, zero windows) is the 100 TB path, pytest-verified against the same "

@@ -398,9 +398,9 @@ def run_stream_dedup_ingest(
             compact_tiered(spark, corpus_dir, min_merge=compact_every)
 
     os.makedirs(corpus_dir, exist_ok=True)
+    recorder_cm = None
     try:
         _setup_eval_bands()
-        recorder_cm = None
         if progress_path:
             from healthcare_data_pipeline_spark.streaming.metrics import record_progress
 
@@ -413,8 +413,14 @@ def run_stream_dedup_ingest(
             .start()
         )
     except BaseException:
+        # release EVERYTHING setup acquired before re-raising: the cached
+        # eval band relation AND the attached progress listener (a start()
+        # failure after the recorder attach would otherwise leave the
+        # listener registered on the session for its lifetime)
         if eval_bands_cached is not None:
             eval_bands_cached.unpersist()
+        if recorder_cm is not None:
+            recorder_cm.__exit__(None, None, None)
         raise
     try:
         q.processAllAvailable()

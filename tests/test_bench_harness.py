@@ -63,9 +63,16 @@ def test_bench_emits_complete_json():
     # is separable from a slow sandbox mechanically
     if out["probe"]["gated"]:
         ratio = out["probe"]["ratio"]
-        pts = [out["probe"]["before_sec"], *out["probe"]["mid_sec"], out["probe"]["after_sec"]]
+        # only the KEPT pass's mid probe feeds the ratio (discarded
+        # contended passes' probes gate the stamp but not the normalization)
+        pts = [
+            out["probe"]["before_sec"],
+            out["probe"]["mid_kept_sec"],
+            out["probe"]["after_sec"],
+        ]
         expect = sum(pts) / len(pts) / out["probe"]["ref_sec"]
         assert abs(ratio - expect) < 1e-3
+        assert out["probe"]["mid_kept_sec"] in out["probe"]["mid_sec"]
         assert set(out["queries_probe_normalized"]) == set(out["queries"])
         for name, t in out["queries"].items():
             assert abs(out["queries_probe_normalized"][name] - t / ratio) < 0.01

@@ -44,6 +44,18 @@ def test_url_normalize_rules(spark):
         "https://ex.com/p?utm_a=1&utm_b=2": ("ex.com/p", "ex.com"),
         # no dot in host -> domain is the host itself
         "https://localhost/x": ("localhost/x", "localhost"),
+        # BOUNDARY regression (r13 review): params whose NAME merely
+        # CONTAINS a tracking token must survive untouched — the old
+        # pattern matched mid-name and merged distinct pages
+        "https://ex.com/p?myutm_x=1&a=2": ("ex.com/p?myutm_x=1&a=2", "ex.com"),
+        "https://ex.com/p?xfbclid=5": ("ex.com/p?xfbclid=5", "ex.com"),
+        "https://ex.com/p?registration_gclid=7&q=1": (
+            "ex.com/p?registration_gclid=7&q=1",
+            "ex.com",
+        ),
+        # consecutive tracking params all drop; separators tidy
+        "https://ex.com/p?utm_a=1&utm_b=2&c=3": ("ex.com/p?c=3", "ex.com"),
+        "https://ex.com/p?a=1&utm_x=2&b=3": ("ex.com/p?a=1&b=3", "ex.com"),
     }
     for url, (want_norm, want_dom) in cases.items():
         norm, dom = _one(spark, url)
@@ -219,3 +231,35 @@ def test_dedup_weights_modes(spark):
     assert down[4].weight == 1.0
     with pytest.raises(ValueError, match="mode"):
         dedup_weights(d, mode="nope")
+
+
+def test_null_urls_pass_through_every_web_op(spark):
+    """NULL url = missing provenance, not duplication evidence (r13 review):
+    url_dedup must not collapse all NULL-url docs into one survivor,
+    domain_cap must not cap them as a pseudo-domain, and the streaming
+    blocklist predicate must keep them exactly like the batch anti join."""
+    from healthcare_data_pipeline_spark.operators.web import (
+        domain_blocklist_filter,
+        domain_blocklist_predicate,
+        domain_cap,
+        url_dedup,
+    )
+
+    rows = [(i, "https://d0.net/x" if i < 4 else None) for i in range(10)]
+    d = spark.createDataFrame(rows, "doc_id long, url string")
+
+    # url_dedup: the 4 identical URLs collapse to doc 0; all 6 NULLs survive
+    assert sorted(r.doc_id for r in url_dedup(d).collect()) == [0, 4, 5, 6, 7, 8, 9]
+    # domain_cap: cap 2 applies to d0.net only; NULLs pass through uncapped
+    for method in ("exact", "approx"):
+        out = domain_cap(d, max_docs=2, method=method).collect()
+        nulls = [r.doc_id for r in out if r.url is None]
+        assert sorted(nulls) == [4, 5, 6, 7, 8, 9], (method, out)
+        assert len([r for r in out if r.url is not None]) <= 2
+    # blocklist: batch and stream forms agree — NULLs KEEP in both
+    batch = {r.doc_id for r in domain_blocklist_filter(d, ("d0.net",)).collect()}
+    stream = {
+        r.doc_id
+        for r in d.filter(domain_blocklist_predicate(("d0.net",))).collect()
+    }
+    assert batch == stream == {4, 5, 6, 7, 8, 9}
