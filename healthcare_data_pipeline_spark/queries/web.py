@@ -38,15 +38,23 @@ _W0345_SQL_URL = "printf('https://sub.%s-%d.net/x/%d', source, doc_id % 13, doc_
 _W0345_SQL_DOM = "printf('%s-%d.net', source, doc_id % 13)"
 
 # The module's normalization chain as DuckDB SQL over a CTE exposing (u):
-# host/rest split, then the documented rewrite sequence.  The 'g' flag is
+# authority/rest split at the first /?# (the r13 review fix — a path-less
+# URL may carry a query/fragment right after the host), userinfo strip,
+# trailing-dot strip, then the documented rewrite sequence.  The 'g' flag is
 # needed only on the tracking removal (Spark's regexp_replace is global;
-# every other pattern here matches at most once).
-_SQL_NORM_CTES = r"""
+# every other pattern here matches at most once).  The tracking pattern
+# comes from the SAME builder the engine uses (tracking_param_regex) so the
+# oracle can never drift from the operator.
+from healthcare_data_pipeline_spark.operators.web import tracking_param_regex
+
+_SQL_NORM_CTES = (
+    r"""
     hp AS (
       SELECT doc_id, url,
-             regexp_replace(regexp_replace(lower(regexp_extract(u, '^[^/]*')),
-                            '^www\.', ''), ':(80|443)$', '') AS host,
-             regexp_replace(u, '^[^/]*', '') AS rest
+             regexp_replace(regexp_replace(regexp_replace(
+               lower(regexp_replace(regexp_extract(u, '^[^/?#]*'), '^.*@', '')),
+               '^www\.', ''), '\.+(:\d+)?$', '\1'), ':(80|443)$', '') AS host,
+             regexp_replace(u, '^[^/?#]*', '') AS rest
       FROM s1
     ),
     r1 AS (
@@ -54,12 +62,15 @@ _SQL_NORM_CTES = r"""
              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                regexp_replace(
                  regexp_replace(rest, '#.*', ''),
-                 '([?&])(utm_[^=&#]*|fbclid|gclid)=[^&#]*', '\1', 'g'),
+                 '"""
+    + tracking_param_regex()
+    + r"""', '\1', 'g'),
                '&&+', '&', 'g'),
                '\?&', '?'), '[?&]+$', ''), '/$', '') AS rest
       FROM hp
     )
 """
+)
 
 _SQL_H32 = " + ".join(
     f"(strpos('0123456789abcdef', substr(md5(s), {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
@@ -81,24 +92,32 @@ def _docs_with_url(spark: SparkSession, sf_dir: str, fmt: str, *args) -> DataFra
              regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS u
       FROM u0
     ),
-    {_SQL_NORM_CTES}
+    {_SQL_NORM_CTES},
+    r2 AS (
+      SELECT doc_id, url, host, rest,
+             regexp_replace(host, ':[0-9]+$', '') AS mhost
+      FROM r1
+    )
     SELECT doc_id, url, host || rest AS url_norm,
-           CASE WHEN regexp_extract(host, '((?:[^.]+\\.)' || '{{1}}' || '[^.]+)$', 1) = ''
-                THEN host
-                ELSE regexp_extract(host, '((?:[^.]+\\.)' || '{{1}}' || '[^.]+)$', 1)
+           CASE WHEN regexp_extract(mhost, '((?:[^.]+\\.)' || '{{1}}' || '[^.]+)$', 1) = ''
+                THEN mhost
+                ELSE regexp_extract(mhost, '((?:[^.]+\\.)' || '{{1}}' || '[^.]+)$', 1)
            END AS domain
-    FROM r1
+    FROM r2
     """,
     tags=("web", "EXT", "url", "front-door"),
     doc="URL canonicalization (operators.web.url_normalize/registrable_domain_col; the "
     "first stage of RefinedWeb-style web curation — Penedo 2023 runs URL-level filters "
-    "before any content pass): scheme stripped, host lowercased with www./default-port "
-    "removal, fragment and tracking params (utm_*/fbclid/gclid) dropped, separators "
-    "tidied, one trailing slash stripped — ONE scalar regex-chain projection, zero "
-    "shuffle, and the registrable domain (PSL approximated as the last 2 host labels — "
-    "errs by splitting, never by merging) extracted the same way.  The synthesized URL "
-    "is deliberately messy so every rule fires; the oracle re-runs the identical chain "
-    "in DuckDB regex syntax.",
+    "before any content pass): scheme and userinfo stripped, authority split at the "
+    "first /?# (path-less URLs keep their query out of the host — r13 review fix), "
+    "host lowercased with www./trailing-dot/default-port removal, fragment and "
+    "tracking params (utm_*/fbclid/gclid by default; tracking_params= widens) dropped, "
+    "separators tidied, one trailing slash stripped — ONE scalar regex-chain "
+    "projection, zero shuffle; the registrable domain (PSL approximated as the last 2 "
+    "labels of the PORT-stripped match host; psl_table= gives exact PSL semantics, see "
+    "w06) extracted the same way.  The synthesized URL is deliberately messy so every "
+    "rule fires; the oracle re-runs the identical chain in DuckDB regex syntax, with "
+    "the tracking pattern built by the SAME tracking_param_regex builder.",
 )
 def w01_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.web import (
@@ -257,4 +276,55 @@ def w05_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return domain_blocklist_filter(d, ("src0-0.net", "sub.src1-1.net")).select(
         "doc_id", "url"
+    )
+
+
+@query(
+    "w06_psl_domain",
+    oracle="""
+    WITH u0 AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com.au'
+                             WHEN 2 THEN 'net' ELSE 'example' END AS sfx
+      FROM documents
+    )
+    SELECT doc_id,
+           printf('https://Sub.Site%d.%s/p/%d', doc_id % 50, sfx, doc_id) AS url,
+           printf('site%d.%s', doc_id % 50, sfx) AS domain
+    FROM u0
+    """,
+    tags=("web", "EXT", "url", "front-door"),
+    doc="PSL-exact registrable domain (operators.web.with_registrable_domain with "
+    "psl_table=; Mozilla public-suffix-list algorithm — longest listed suffix wins, "
+    "registrable = suffix + one label, unlisted TLDs take the '*' default rule = the "
+    "levels approximation): hosts under two-label public suffixes ('co.uk', 'com.au') "
+    "resolve to 'site<k>.co.uk', NOT the approximation's 'co.uk' — the r13 verdict's "
+    "cap-merging hazard for ccTLD-heavy crawls, closed with a user-supplied suffix "
+    "DataFrame.  Scale shape: candidate tails are scalar regex extracts, one BROADCAST "
+    "left join per suffix depth (the PSL is ~10k rows, curation-sized), longest-match "
+    "via chained whens — zero shuffle, zero windows.  The oracle derives the expected "
+    "domain closed-form from the synthesis parameters (the w02 convention), so an "
+    "approx fallback on listed suffixes hash-mismatches ('co.uk' != 'site<k>.co.uk').",
+)
+def w06_psl_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.web import with_registrable_domain
+
+    sfx = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("co.uk"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("com.au"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("net"))
+        .otherwise(F.lit("example"))
+    )
+    d = table(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.format_string(
+            "https://Sub.Site%d.%s/p/%d", F.col("doc_id") % 50, sfx, F.col("doc_id")
+        ),
+    )
+    psl = spark.createDataFrame(
+        [(s,) for s in ("uk", "co.uk", "au", "com.au", "com", "net", "org")],
+        "suffix string",
+    )
+    return with_registrable_domain(d, "url", psl_table=psl).select(
+        "doc_id", "url", "domain"
     )

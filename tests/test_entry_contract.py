@@ -174,6 +174,12 @@ def test_verification_cadence_never_drifts_past_rotation_bound():
         f"(rotation bound ceil({len(catalog())}/{DRIVER_WINDOW})-1; window rotation "
         f"has stalled — check _catalog_order and catalog growth): {stale}"
     )
-    # rotation only holds while the catalog fits two windows plus the
-    # steady-state remainder; growth past this bound needs a wider window
-    assert len(catalog()) <= 3 * DRIVER_WINDOW, "catalog outgrew the rotation cadence"
+    # Rotation-capacity bound — an EXPLICIT policy decision, not an accident
+    # (r13 verdict task 4): the catalog passed 3 windows in r14, and the
+    # chosen policy is to RAISE the bound to four windows (cadence
+    # ceil(n/50) <= 4 rounds per entry) rather than consolidate or freeze,
+    # because tests/test_oracle_queries.py independently re-verifies every
+    # entry against its DuckDB oracle on current code each round — the
+    # driver window is corroborating evidence, not the only gate (README
+    # "Correctness model").  Growth past FOUR windows needs a new decision.
+    assert len(catalog()) <= 4 * DRIVER_WINDOW, "catalog outgrew the rotation cadence"

@@ -34,8 +34,20 @@ def test_url_normalize_rules(spark):
         ),
         # http default port; tracking param first; trailing slash
         "http://ex.com:80/a/?utm_x=1&b=2/": ("ex.com/a/?b=2", "ex.com"),
-        # non-default port KEPT; path case preserved
-        "https://Ex.com:8080/A": ("ex.com:8080/A", "ex.com:8080"),
+        # non-default port KEPT in the norm; domain strips ANY port (r13
+        # review fix: ':8443' must not evade a blocklist); path case kept
+        "https://Ex.com:8080/A": ("ex.com:8080/A", "ex.com"),
+        # path-less URL with a query/fragment right after the host (r13
+        # review fix: '^[^/]*' ran the query into the host, bypassing the
+        # blocklist and corrupting every domain key)
+        "https://spam.net?ref=1": ("spam.net?ref=1", "spam.net"),
+        "https://spam.net#f": ("spam.net", "spam.net"),
+        "https://spam.net?utm_a=1": ("spam.net", "spam.net"),
+        # userinfo stripped up to the '@'
+        "https://user:pw@Ex.com/x": ("ex.com/x", "ex.com"),
+        # FQDN trailing dot stripped (also before a port)
+        "https://spam.net./x": ("spam.net/x", "spam.net"),
+        "https://Ex.com.:443/x": ("ex.com/x", "ex.com"),
         # schemeless input; bare host; one trailing slash stripped
         "ex.com/": ("ex.com", "ex.com"),
         # fbclid/gclid dropped wherever they sit; '?&' tidied
@@ -154,6 +166,174 @@ def test_domain_blocklist_matches_domain_and_host(spark):
         ("spam.net", "BAD.host.ex.com"),
     )
     assert sorted(r.doc_id for r in out.collect()) == [4, 5]
+
+
+def test_blocklist_evasion_variants_all_match(spark):
+    """r13 review fixes end-to-end: explicit non-default port, FQDN trailing
+    dot, and a path-less ?query must NOT evade a 'spam.net' entry — in the
+    batch anti join AND the streaming closure predicate identically."""
+    from healthcare_data_pipeline_spark.operators.web import (
+        domain_blocklist_filter,
+        domain_blocklist_predicate,
+    )
+
+    rows = [
+        (1, "https://spam.net:8443/x"),
+        (2, "https://spam.net./x"),
+        (3, "https://spam.net?ref=1"),
+        (4, "https://user@spam.net/x"),
+        (5, "https://sub.spam.net.:8080?a=1"),
+        (6, "https://fine.org/x"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, url string")
+    batch = {r.doc_id for r in domain_blocklist_filter(d, ("spam.net",)).collect()}
+    stream = {
+        r.doc_id for r in d.filter(domain_blocklist_predicate(("spam.net",))).collect()
+    }
+    assert batch == stream == {6}
+
+
+def test_tracking_params_parameter_and_oracle_lockstep(spark):
+    """tracking_params= widens the stripped set (default frozen at the r13
+    three families); the DuckDB oracle built from the SAME
+    tracking_param_regex builder produces identical norms, and the r13
+    [?&]-boundary regression holds for custom names too."""
+    import duckdb
+    import pytest
+
+    from healthcare_data_pipeline_spark.operators.web import (
+        tracking_param_regex,
+        url_normalize_col,
+    )
+
+    extra = ("utm_*", "fbclid", "gclid", "msclkid", "twclid", "igshid", "mc_eid", "ref_src")
+    cases = [
+        "https://ex.com/p?msclkid=1&q=2",
+        "https://ex.com/p?q=2&twclid=x",
+        "https://ex.com/p?igshid=a&mc_eid=b&ref_src=c",
+        "https://ex.com/p?mymsclkid=1&q=2",  # boundary: name merely contains
+        "https://ex.com/p?ref_srcx=1",  # no prefix wildcard -> kept
+        "https://spam.net?msclkid=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r.url: r.n
+        for r in df.select("url", url_normalize_col("url", extra).alias("n")).collect()
+    }
+    # default params unchanged: msclkid survives the default set
+    default = df.select(url_normalize_col("url").alias("n")).collect()
+    assert any("msclkid" in r.n for r in default)
+    assert got["https://ex.com/p?msclkid=1&q=2"] == "ex.com/p?q=2"
+    assert got["https://ex.com/p?mymsclkid=1&q=2"] == "ex.com/p?mymsclkid=1&q=2"
+    assert got["https://ex.com/p?ref_srcx=1"] == "ex.com/p?ref_srcx=1"
+    assert got["https://spam.net?msclkid=1"] == "spam.net"
+    # oracle lockstep: the same builder's pattern in DuckDB gives the same norm
+    pat = tracking_param_regex(extra)
+    con = duckdb.connect()
+    for url, want in got.items():
+        rest = con.execute(
+            r"""
+            WITH s1 AS (SELECT regexp_replace(?, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS u),
+            hp AS (
+              SELECT regexp_replace(regexp_replace(regexp_replace(
+                       lower(regexp_replace(regexp_extract(u, '^[^/?#]*'), '^.*@', '')),
+                       '^www\.', ''), '\.+(:\d+)?$', '\1'), ':(80|443)$', '') AS host,
+                     regexp_replace(u, '^[^/?#]*', '') AS rest
+              FROM s1
+            )
+            SELECT host || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(rest, '#.*', ''), ?, '\1', 'g'),
+                     '&&+', '&', 'g'), '\?&', '?'), '[?&]+$', ''), '/$', '')
+            FROM hp
+            """,
+            [url, pat],
+        ).fetchone()[0]
+        assert rest == want, (url, rest, want)
+    con.close()
+    with pytest.raises(ValueError, match="tracking"):
+        tracking_param_regex(())
+    with pytest.raises(ValueError, match="bad tracking"):
+        tracking_param_regex(("*",))
+
+
+def _psl(spark):
+    return spark.createDataFrame(
+        [(s,) for s in ("uk", "co.uk", "com.au", "au", "com", "net")], "suffix string"
+    )
+
+
+def test_psl_registrable_domain_longest_match(spark):
+    """with_registrable_domain(psl_table=): longest listed suffix + one label
+    (Mozilla PSL algorithm); unlisted TLDs take the levels fallback; a host
+    that IS a bare suffix degenerates to itself; ports/dots never leak in."""
+    from healthcare_data_pipeline_spark.operators.web import with_registrable_domain
+
+    cases = {
+        "https://a.b.co.uk/x": "b.co.uk",
+        "https://shop.example.co.uk/x": "example.co.uk",
+        "https://WWW.site.com.au:8080/x": "site.com.au",
+        "https://deep.sub.tree.host.co.uk/x": "host.co.uk",
+        "https://ex.com/x": "ex.com",
+        "https://co.uk/x": "co.uk",  # bare public suffix degenerates
+        "https://a.b.example/x": "b.example",  # unlisted TLD -> levels=2 fallback
+        "https://localhost/x": "localhost",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = with_registrable_domain(df, "url", psl_table=_psl(spark))
+    got = {r.url: r.domain for r in out.collect()}
+    assert got == cases
+    # without psl_table the approximation is unchanged (w01-w05 oracles frozen)
+    approx = with_registrable_domain(df, "url")
+    assert {r.url: r.domain for r in approx.collect()}["https://a.b.co.uk/x"] == "co.uk"
+
+
+def test_psl_domain_cap_and_blocklist_separate_cctld_sites(spark):
+    """The r13 verdict hazard: under levels=2, every *.co.uk site shares one
+    'co.uk' pseudo-domain — a cap squeezes unrelated sites against each
+    other and a blocklist entry can't name one site.  psl_table= fixes both;
+    the levels default still shows the merge (pinning WHY psl exists)."""
+    from healthcare_data_pipeline_spark.operators.web import (
+        domain_blocklist_filter,
+        domain_cap,
+        domain_stats,
+    )
+
+    rows = [
+        (i, f"https://site{i % 4}.co.uk/p/{i}") for i in range(80)
+    ]  # 4 distinct registrable domains, 20 docs each
+    d = spark.createDataFrame(rows, "doc_id long, url string")
+    psl = _psl(spark)
+    # approx: ONE pseudo-domain 'co.uk' -> cap 10 keeps 10 total
+    assert domain_cap(d, max_docs=10).count() == 10
+    # psl: four real domains -> cap 10 keeps 40
+    assert domain_cap(d, max_docs=10, psl_table=psl).count() == 40
+    stats = {r.domain: r.n_docs for r in domain_stats(d, psl_table=psl).collect()}
+    assert stats == {f"site{k}.co.uk": 20 for k in range(4)}
+    # blocklist one site without nuking the suffix
+    kept = domain_blocklist_filter(d, ("site0.co.uk",), psl_table=psl)
+    assert kept.count() == 60
+    assert not [r for r in kept.collect() if "site0" in r.url]
+
+
+def test_psl_join_is_broadcast_no_shuffle(spark):
+    """The PSL path must stay exchange-free on the PROBE (corpus) side:
+    every suffix depth is a broadcast hash join against the ~10k-row list.
+    The only allowed exchanges are the bounded suffix-list dedup (distinct
+    is correctness-required: a duplicate suffix row would fan out the left
+    join) — every Exchange in the plan must mention the suffix column."""
+    import re
+
+    from healthcare_data_pipeline_spark.operators.web import with_registrable_domain
+
+    d = spark.createDataFrame(
+        [(i, f"https://s{i}.co.uk/x") for i in range(50)], "doc_id long, url string"
+    )
+    out = with_registrable_domain(d, "url", psl_table=_psl(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if re.search(r"Exchange (hash|range)partitioning", line):
+            assert "__psl_suffix" in line, line
 
 
 def test_url_normalize_is_zero_shuffle(spark):
