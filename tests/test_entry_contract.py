@@ -183,3 +183,25 @@ def test_verification_cadence_never_drifts_past_rotation_bound():
     # driver window is corroborating evidence, not the only gate (README
     # "Correctness model").  Growth past FOUR windows needs a new decision.
     assert len(catalog()) <= 4 * DRIVER_WINDOW, "catalog outgrew the rotation cadence"
+
+
+def test_plan_ledger_covers_every_catalog_entry():
+    """PLANS.md self-enforcement (r13 verdict task 1): the plan-audit ledger
+    is the repo's shuffle/BNLJ red-flag instrument, and in r13 it silently
+    lagged the catalog by 7 entries (w01-w05, dd26, t39 had no row) —
+    exactly the newest plans flying without it.  Every catalog entry must
+    have a row in the PLANS.md table (or an explicit entry in its audit-
+    failures section); regenerating is `python tools/plan_audit.py`."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(entry.__file__))
+    with open(os.path.join(here, "PLANS.md"), encoding="utf-8") as fh:
+        text = fh.read()
+    covered = set(re.findall(r"^\| (\S+) \|", text, flags=re.M)) | set(
+        re.findall(r"^- `(\S+)`:", text, flags=re.M)
+    )
+    missing = sorted(set(catalog()) - covered)
+    assert not missing, (
+        f"catalog entries with no PLANS.md row (regenerate with "
+        f"`python tools/plan_audit.py`): {missing}"
+    )

@@ -293,6 +293,21 @@ def ops(spark, sf_dir: str):
         "domain_cap exact (windowed domains)": lambda: sink(
             domain_cap(webd, max_docs=100, method="exact")
         ),
+        # r14: the PSL-exact domain key — candidate tails are scalar regex
+        # extracts, each suffix depth ONE broadcast left join against the
+        # curation-sized list; must track the approx row's growth (the
+        # joins add per-row constants, not a shuffle class).
+        "domain_cap approx+psl (suffix joins)": lambda: sink(
+            domain_cap(
+                webd,
+                max_docs=100,
+                method="approx",
+                psl_table=spark.createDataFrame(
+                    [(s,) for s in ("net", "com", "uk", "co.uk", "au", "com.au")],
+                    "suffix string",
+                ),
+            )
+        ),
         # dd26: the dd01 fingerprint groupBy plus one join back.
         "dedup_weights (fingerprint join)": lambda: sink(
             dedup_weights(docs, mode="downweight")
@@ -643,6 +658,23 @@ def main() -> None:
     ap.add_argument("--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument(
+        "--spread-tol",
+        type=float,
+        default=0.25,
+        help="rep-spread gate for the two largest (alpha-determining) sizes: "
+        "when (max-min)/min across an op's reps exceeds this, take extra "
+        "reps (the bench.py noise discipline — r13 shipped 4x rows above "
+        "their 16x neighbors and a dsir alpha that moved 0.61->0.86 between "
+        "two same-code measurements; +/-0.25 alpha jitter can hide a real "
+        "regression)",
+    )
+    ap.add_argument(
+        "--max-extra-reps",
+        type=int,
+        default=2,
+        help="extra reps allowed per op when the spread gate fires",
+    )
+    ap.add_argument(
         "--only",
         default=None,
         help="substring filter on op names (iterate on one op without "
@@ -659,6 +691,11 @@ def main() -> None:
     }
 
     results: dict[str, dict[int, float]] = {}
+    reps_rec: dict[str, dict[int, list[float]]] = {}
+    # The two largest sizes determine every alpha — they get the bench.py
+    # noise discipline (spread-gated extra reps); the smaller sizes only
+    # anchor the table and keep the plain min-of-repeats.
+    gated_scales = set(scales[-2:]) if len(scales) >= 2 else set(scales)
     for k in scales:
         # Fresh session per scale: a long-lived local context accumulates
         # shuffle files (the 64x shingle join writes tens of GB) and heap
@@ -673,18 +710,38 @@ def main() -> None:
                 continue
             fn()  # warm: codegen + (for the probe) the one-time index build
             spark.catalog.clearCache()
-            best = math.inf
-            for _ in range(args.repeats):
+            rep_times: list[float] = []
+            budget = args.repeats + (args.max_extra_reps if k in gated_scales else 0)
+            while True:
                 t0 = time.perf_counter()
                 fn()
-                best = min(best, time.perf_counter() - t0)
+                rep_times.append(round(time.perf_counter() - t0, 3))
                 spark.catalog.clearCache()
-            results.setdefault(name, {})[k] = round(best, 3)
-            # Nudge the ContextCleaner: dropping the Python-side refs plus a
-            # JVM GC releases finished shuffle dependencies' files promptly,
-            # so op N+1 doesn't run against op N's dead shuffle data.
-            spark.sparkContext._jvm.System.gc()
-            print(f"# {k}x {name}: {results[name][k]:.3f}s", file=sys.stderr)
+                # Pay JVM GC debt BETWEEN timed windows, not inside them
+                # (the bench.py lesson — allocation pressure from one rep
+                # lands as GC pauses inside the next rep's timing).
+                spark.sparkContext._jvm.System.gc()
+                if len(rep_times) < args.repeats:
+                    continue
+                spread = (max(rep_times) - min(rep_times)) / min(rep_times)
+                if (
+                    k not in gated_scales
+                    or spread <= args.spread_tol
+                    or len(rep_times) >= budget
+                ):
+                    break
+                print(
+                    f"# {k}x {name}: rep spread {spread:.1%} exceeds "
+                    f"{args.spread_tol:.0%} — taking an extra rep",
+                    file=sys.stderr,
+                )
+            results.setdefault(name, {})[k] = min(rep_times)
+            reps_rec.setdefault(name, {})[k] = rep_times
+            print(
+                f"# {k}x {name}: {results[name][k]:.3f}s "
+                f"(reps: {', '.join(f'{r:.3f}' for r in rep_times)})",
+                file=sys.stderr,
+            )
 
     k_lo, k_hi = scales[-2], scales[-1]
     imb_plain, imb_salted = (
@@ -723,15 +780,29 @@ def main() -> None:
     for name, by_k in results.items():
         alpha = math.log(by_k[k_hi] / by_k[k_lo]) / math.log(k_hi / k_lo)
         alphas[name] = round(alpha, 2)
-        lines.append(
-            f"| {name} | "
-            + " | ".join(f"{by_k[k]:.3f}s" for k in scales)
-            + f" | {alpha:.2f} |"
-        )
+        cells = []
+        for k in scales:
+            cell = f"{by_k[k]:.3f}s"
+            rl = reps_rec.get(name, {}).get(k)
+            if rl and k in gated_scales and len(rl) > 1:
+                cell += " (reps " + "/".join(f"{r:.2f}" for r in rl) + ")"
+            cells.append(cell)
+        lines.append(f"| {name} | " + " | ".join(cells) + f" | {alpha:.2f} |")
     lines += [
         "",
-        "Numbers are best-of-%d on local[%s]; regenerate with "
-        "`python tools/scale_stress.py`." % (args.repeats, os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count())),
+        "Numbers are min-of-reps on local[%s]; regenerate with "
+        "`python tools/scale_stress.py`.  The two largest (alpha-determining) "
+        "sizes run the bench.py noise discipline (r13 verdict task 3): "
+        "min-of-%d reps, spread-gated — when (max-min)/min exceeds %.0f%% the "
+        "op takes up to %d extra reps — and every gated row records its reps "
+        "inline so the residual variance is visible in the artifact rather "
+        "than silently folded into alpha."
+        % (
+            os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count()),
+            args.repeats,
+            args.spread_tol * 100,
+            args.max_extra_reps,
+        ),
         "",
         "Bounded-strata crossover (the r7 verdict's task 4): "
         f"`exact_stratified_split` (alpha {alphas.get('exact_stratified_split (90%-hot stratum)')}) and "
@@ -804,7 +875,12 @@ def main() -> None:
         "token_budget_sample scale form), vs the exact windowed twin "
         f"(alpha {alphas.get('domain_cap exact (windowed domains)')}) whose per-domain rank is one task "
         "per domain — fine at 65 domains, the bounded-strata contract "
-        "otherwise. `dedup_weights` "
+        "otherwise. The r14 PSL-exact key (`domain_cap approx+psl`, alpha "
+        f"{alphas.get('domain_cap approx+psl (suffix joins)')}) swaps the last-2-labels "
+        "approximation for real public-suffix-list semantics — per-depth "
+        "broadcast left joins against the curation-sized suffix list — and "
+        "must track the approx row (the joins add per-row constants, not a "
+        "shuffle class). `dedup_weights` "
         f"(alpha {alphas.get('dedup_weights (fingerprint join)')}) is dd01's fingerprint groupBy plus "
         "one join back (the soft-dedup multiplicity carry).",
         "",
@@ -981,6 +1057,10 @@ def main() -> None:
             {
                 "sizes": sizes,
                 "results": results,
+                "reps": {
+                    n: {str(k): v for k, v in by_k.items()}
+                    for n, by_k in reps_rec.items()
+                },
                 "alpha": alphas,
                 "hot_join_imbalance": {"plain": imb_plain, "salted": imb_salted},
                 "bpe_estimate_drift": {"est": bpe_est, "exact": bpe_exact},
