@@ -268,6 +268,8 @@ def prep_corpus(
     domain_blocklist: tuple[str, ...] = (),
     max_docs_per_domain: int | None = None,
     domain_cap_method: str = "approx",
+    domain_psl_table: DataFrame | None = None,
+    url_tracking_params: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """The whole pre-training prep path: quality FILTER, optional
     corpus-adaptive GIBBERISH gate, full DEDUP (exact fingerprint -> LSH
@@ -325,7 +327,11 @@ def prep_corpus(
       documents, not copies) and BEFORE the LM stage (capped docs never pay
       frequency joins).  ``domain_cap_method`` picks the exact
       (window-ranked, bounded domain lists) or approx (hash-threshold,
-      100 TB) twin.
+      100 TB) twin.  ``domain_psl_table`` (r14) threads a public-suffix
+      DataFrame into the blocklist and cap so ccTLD-heavy corpora key on
+      REAL registrable domains (``with_registrable_domain``);
+      ``url_tracking_params`` widens the tracking-parameter families the
+      URL dedup canonicalization strips (None = the frozen default).
     - ``use_c4`` applies the C4 battery (``c4_filter``, t34) FIRST — its
       published slot (Raffel 2020 §2.2 runs line-grain cleaning before
       everything): ``text_col`` is rebuilt from the surviving lines, so a
@@ -384,9 +390,19 @@ def prep_corpus(
         )
 
         if domain_blocklist:
-            docs = domain_blocklist_filter(docs, domain_blocklist, url_col=url_col)
+            docs = domain_blocklist_filter(
+                docs, domain_blocklist, url_col=url_col, psl_table=domain_psl_table
+            )
         if use_url_dedup:
-            docs = url_dedup(docs, url_col=url_col, id_col=id_col)
+            if url_tracking_params is not None:
+                docs = url_dedup(
+                    docs,
+                    url_col=url_col,
+                    id_col=id_col,
+                    tracking_params=url_tracking_params,
+                )
+            else:
+                docs = url_dedup(docs, url_col=url_col, id_col=id_col)
     if use_c4:
         docs = c4_filter(
             docs, id_col=id_col, text_col=text_col, blocklist=c4_blocklist
@@ -452,6 +468,7 @@ def prep_corpus(
             url_col=url_col,
             id_col=id_col,
             method=domain_cap_method,
+            psl_table=domain_psl_table,
         )
     if lm_reference is not None:
         from healthcare_data_pipeline_spark.operators.lm import (

@@ -443,3 +443,50 @@ def test_null_urls_pass_through_every_web_op(spark):
         for r in d.filter(domain_blocklist_predicate(("d0.net",))).collect()
     }
     assert batch == stream == {4, 5, 6, 7, 8, 9}
+
+
+def test_prep_corpus_psl_and_tracking_knobs(spark):
+    """r14 front-door threading: domain_psl_table keys the blocklist + cap
+    on REAL registrable domains (one *.co.uk site blockable/cappable without
+    nuking the suffix), and url_tracking_params widens what URL dedup
+    strips (msclkid twins collapse)."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_pipeline_spark.operators.quality import prep_corpus
+
+    rows = []
+    for i in range(120):
+        text = " ".join(f"tok{i}x{j} the of and" for j in range(10))
+        # every odd doc is its even predecessor's msclkid twin (same page,
+        # same site — site keyed on the PAGE so the pair shares its host)
+        page = i - (i % 2)
+        site = f"site{page % 3}.co.uk"
+        url = f"https://{site}/p/{page}" + ("?msclkid=z" if i % 2 else "")
+        rows.append((i, text, "web", url))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, url string")
+    psl = _psl(spark)
+
+    out = prep_corpus(
+        docs,
+        min_stopword_ratio=None,
+        url_col="url",
+        use_url_dedup=True,
+        url_tracking_params=("utm_*", "fbclid", "gclid", "msclkid"),
+        domain_blocklist=("site0.co.uk",),
+        max_docs_per_domain=10,
+        domain_cap_method="exact",
+        domain_psl_table=psl,
+    )
+    got = (
+        out.withColumn("dom", F.regexp_extract("url", r"(site\d+\.co\.uk)", 1))
+        .groupBy("dom")
+        .count()
+        .collect()
+    )
+    doms = {r.dom: r["count"] for r in got}
+    # psl blocklist kills ONE site, not the whole co.uk suffix
+    assert "site0.co.uk" not in doms and set(doms) == {"site1.co.uk", "site2.co.uk"}
+    # msclkid twins collapsed (min-id survivor is the even doc) BEFORE the cap
+    assert out.filter(F.col("doc_id") % 2 == 1).count() == 0
+    # psl cap applies per SITE (10 each), not one shared co.uk pseudo-domain
+    assert all(c <= 10 for c in doms.values()) and sum(doms.values()) > 10
