@@ -1,6 +1,9 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full JSON artifact line {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...} followed by a COMPACT summary line (same
+headline fields, < 2,000 chars, printed LAST so the driver's bounded tail
+capture always parses it — the full line outgrew that capture in r11).
 
 Each query is executed to completion (count-collapsed — results are consumed,
 not collected to the driver) and timed wall-clock, min-of-3 reps (all reps
@@ -244,12 +247,51 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
 
-    # Calibration probe before the timed suite (and again after it): detects
-    # the contention-decay shape loadavg cannot — see the PROBE_* comment.
+    # Clustered ANN fixture (r13 verdict task 7): the sf embeddings are
+    # structureless by construction, so their recall curve measures the
+    # regime where IVF routing is hardest and LEAST representative of real
+    # embedding manifolds (recall ~ probed fraction).  The deterministic
+    # mixture-of-Gaussians fixture (tools/pq_sweep.py — tight clusters,
+    # decaying variance spectrum) is the regime the techniques are designed
+    # for; its index is built ONCE here in the untimed warmup so the
+    # recall section below measures the probe path, tracked round-over-
+    # round under "ann_recall_clustered".
+    import shutil
+    import tempfile
+
+    # Test hook: the quiet/spread/wait gate tests don't exercise the recall
+    # sections — skipping them halves those tests' runtime and removes a
+    # contention-flake surface (a broadcast timeout inside an ann section
+    # would fail a GATE test for reasons the gate doesn't own).
+    skip_ann = bool(os.environ.get("SPARK_GRAFT_BENCH_SKIP_ANN"))
+    clustered_idx = os.path.join(tempfile.gettempdir(), "hdp_bench_ann_clustered")
+    en_clustered = None
+    if not skip_ann:
+        try:
+            from tools.pq_sweep import clustered_embeddings
+
+            from healthcare_data_pipeline_spark.operators.similarity import (
+                ann_index_build,
+            )
+
+            en_clustered = clustered_embeddings(spark)
+            shutil.rmtree(clustered_idx, ignore_errors=True)
+            ann_index_build(en_clustered, clustered_idx)
+            spark.catalog.clearCache()
+            gc.collect()
+        except Exception as exc:  # noqa: BLE001
+            errors["ann_recall_clustered"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(
+                f"# ann_recall_clustered: WARMUP FAILED — "
+                f"{errors['ann_recall_clustered']}",
+                file=sys.stderr,
+            )
+            en_clustered = None
+
+    # Calibration probes bracket EVERY timed pass (see the pass loop):
+    # detects the contention-decay shape loadavg cannot — the PROBE_* comment.
     fake_probe = os.environ.get("SPARK_GRAFT_BENCH_FAKE_PROBE")
     probe_ref = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_REF", str(PROBE_REF_SEC)))
-    probe_before = run_probe(spark, cpus, fake_probe)
-    print(f"# calibration probe (before): {probe_before:.3f}s (ref {probe_ref:.2f}s)", file=sys.stderr)
 
     # Timed pass, min-of-REPS per query: a transient burst of host load can
     # only inflate SOME reps, and the min is the rep that dodged it.  All
@@ -307,21 +349,52 @@ def main() -> None:
     # contaminated — re-run it (the contention that produced r12's artifact
     # was DECAYING, so a retry minutes later is usually clean), keep the
     # calmest pass, and stamp quiet=false if even the best pass is spread-y.
-    # A short probe runs BETWEEN the two query groups too, so contention that
-    # arrives mid-suite (invisible to the before/after pair when it decays
-    # before the end) still lands in the probe gate.
+    # EVERY pass is bracketed by its OWN before/mid/after probes (r13 review
+    # fix): the normalization ratio comes from the kept pass's three probes
+    # only, so it can never mix another pass's contention points with the
+    # kept pass's calm timings (a kept pass-1 with contention arriving
+    # during pass 2 previously inflated the ratio and under-reported
+    # runtime).  The mid probe between the two query groups still catches
+    # contention that arrives mid-suite and decays before the pass ends.
     spread_retries = int(os.environ.get("SPARK_GRAFT_BENCH_SPREAD_RETRIES", "1"))
     probe_mids: list[float] = []
+    all_probe_pts: list[float] = []
     passes = []
     for attempt in range(spread_retries + 1):
+        probe_b = run_probe(spark, cpus, fake_probe)
+        print(
+            f"# calibration probe (pass {attempt + 1} before): {probe_b:.3f}s "
+            f"(ref {probe_ref:.2f}s)",
+            file=sys.stderr,
+        )
         timings, reps, total = time_group(names)
         probe_mid = run_probe(spark, cpus, fake_probe)
         probe_mids.append(probe_mid)
-        print(f"# calibration probe (mid): {probe_mid:.3f}s (ref {probe_ref:.2f}s)", file=sys.stderr)
+        print(
+            f"# calibration probe (pass {attempt + 1} mid): {probe_mid:.3f}s "
+            f"(ref {probe_ref:.2f}s)",
+            file=sys.stderr,
+        )
         timings_v2, reps_v2, total_v2 = time_group(names_v2)
+        probe_a = run_probe(spark, cpus, fake_probe)
+        print(
+            f"# calibration probe (pass {attempt + 1} after): {probe_a:.3f}s "
+            f"(ref {probe_ref:.2f}s)",
+            file=sys.stderr,
+        )
+        all_probe_pts += [probe_b, probe_mid, probe_a]
         med_spread = median_rep_spread({**reps, **reps_v2})
         passes.append(
-            (med_spread, timings, reps, total, timings_v2, reps_v2, total_v2, probe_mid)
+            (
+                med_spread,
+                timings,
+                reps,
+                total,
+                timings_v2,
+                reps_v2,
+                total_v2,
+                (probe_b, probe_mid, probe_a),
+            )
         )
         if med_spread <= SPREAD_TOL:
             break
@@ -331,17 +404,14 @@ def main() -> None:
                 "host was contended during this pass; re-running the timed suite",
                 file=sys.stderr,
             )
-    med_spread, timings, reps, total, timings_v2, reps_v2, total_v2, probe_mid_kept = min(
+    med_spread, timings, reps, total, timings_v2, reps_v2, total_v2, kept_probes = min(
         passes, key=lambda p: p[0]
     )
+    probe_before, probe_mid_kept, probe_after = kept_probes
     spread_quiet = med_spread <= SPREAD_TOL
 
-    probe_after = run_probe(spark, cpus, fake_probe)
-    print(f"# calibration probe (after): {probe_after:.3f}s (ref {probe_ref:.2f}s)", file=sys.stderr)
     probe_gated = cpus == PROBE_REF_CPUS or fake_probe is not None
-    probe_quiet = (not probe_gated) or max(
-        probe_before, probe_after, *probe_mids
-    ) <= probe_ref * PROBE_TOL
+    probe_quiet = (not probe_gated) or max(all_probe_pts) <= probe_ref * PROBE_TOL
     if not spread_quiet:
         quiet = False
         print(
@@ -354,7 +424,7 @@ def main() -> None:
     if not probe_quiet:
         quiet = False
         print(
-            f"# WARNING: calibration probe {max(probe_before, probe_after):.3f}s exceeds "
+            f"# WARNING: calibration probe {max(all_probe_pts):.3f}s exceeds "
             f"{PROBE_TOL:.2f}x the committed idle reference ({probe_ref:.2f}s) — the host "
             "is contended in a way loadavg did not show; timings are load-inflated, "
             "stamping quiet=false",
@@ -368,46 +438,93 @@ def main() -> None:
     # it.  Fault-isolated like the queries: a recall failure never costs the
     # headline numbers.
     ann_recall: dict[str, dict[str, float]] = {}
-    try:
-        from pyspark.sql import functions as F
+    if not skip_ann:
+        try:
+            from pyspark.sql import functions as F
 
-        from healthcare_data_pipeline_spark.operators.similarity import (
-            ann_index_for,
-            ann_index_probe,
-            brute_topk,
-        )
-        from healthcare_data_pipeline_spark.queries.similarity import quantized
+            from healthcare_data_pipeline_spark.operators.similarity import (
+                ann_index_for,
+                ann_index_probe,
+                brute_topk,
+            )
+            from healthcare_data_pipeline_spark.queries.similarity import quantized
 
-        en = quantized(spark, sf_dir)
-        index_dir = ann_index_for(spark, sf_dir, en)
-        probe_queries = en.filter(F.col("vec_id") < 20).select("vec_id", "iv", "nrm2")
-        exact = (
-            brute_topk(en, F.col("vec_id") < 20, k=5)
-            .select("query_id", "neighbor_id")
-            .collect()
-        )
-        exact_set = {(r.query_id, r.neighbor_id) for r in exact}
-        # Full curve, not one point: the synthetic embeddings are
-        # structureless, so recall scales ~linearly with the probed fraction
-        # (nprobe/n_cells) — on real clustered embeddings the same machinery
-        # concentrates and the curve saturates early.  Publishing the curve
-        # makes the nprobe default a measured recall/latency tradeoff.
-        for nprobe in (1, 2, 4, 8):
-            t0 = time.perf_counter()
-            got = ann_index_probe(
-                spark, index_dir, probe_queries, k=5, nprobe=nprobe
-            ).collect()
-            dt = time.perf_counter() - t0
-            hits = sum((r.query_id, r.neighbor_id) in exact_set for r in got)
-            ann_recall[f"index_probe_nprobe{nprobe}"] = {
-                "recall_at_5": round(hits / max(len(exact_set), 1), 4),
-                "probe_sec": round(dt, 3),
-            }
-            spark.catalog.clearCache()
-            gc.collect()
-    except Exception as exc:  # noqa: BLE001
-        errors["ann_recall"] = f"{type(exc).__name__}: {exc}"[:300]
-        print(f"# ann_recall: FAILED — {errors['ann_recall']}", file=sys.stderr)
+            en = quantized(spark, sf_dir)
+            index_dir = ann_index_for(spark, sf_dir, en)
+            probe_queries = en.filter(F.col("vec_id") < 20).select(
+                "vec_id", "iv", "nrm2"
+            )
+            exact = (
+                brute_topk(en, F.col("vec_id") < 20, k=5)
+                .select("query_id", "neighbor_id")
+                .collect()
+            )
+            exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+            # Full curve, not one point: the synthetic embeddings are
+            # structureless, so recall scales ~linearly with the probed
+            # fraction (nprobe/n_cells) — on real clustered embeddings the
+            # same machinery concentrates and the curve saturates early
+            # (measured by the ann_recall_clustered twin below).  Publishing
+            # both curves makes the nprobe default a measured tradeoff.
+            for nprobe in (1, 2, 4, 8):
+                t0 = time.perf_counter()
+                got = ann_index_probe(
+                    spark, index_dir, probe_queries, k=5, nprobe=nprobe
+                ).collect()
+                dt = time.perf_counter() - t0
+                hits = sum((r.query_id, r.neighbor_id) in exact_set for r in got)
+                ann_recall[f"index_probe_nprobe{nprobe}"] = {
+                    "recall_at_5": round(hits / max(len(exact_set), 1), 4),
+                    "probe_sec": round(dt, 3),
+                }
+                spark.catalog.clearCache()
+                gc.collect()
+        except Exception as exc:  # noqa: BLE001
+            errors["ann_recall"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# ann_recall: FAILED — {errors['ann_recall']}", file=sys.stderr)
+
+    # Same curve on the clustered fixture (index pre-built in warmup): on a
+    # real embedding manifold the cells concentrate, so the curve should
+    # saturate at small nprobe — the number the nprobe default actually
+    # trades on in production.
+    ann_recall_clustered: dict[str, dict[str, float]] = {}
+    if en_clustered is not None:
+        try:
+            from pyspark.sql import functions as F
+
+            from healthcare_data_pipeline_spark.operators.similarity import (
+                ann_index_probe,
+                brute_topk,
+            )
+
+            probe_queries = en_clustered.filter(F.col("vec_id") < 20).select(
+                "vec_id", "iv", "nrm2"
+            )
+            exact = (
+                brute_topk(en_clustered, F.col("vec_id") < 20, k=5)
+                .select("query_id", "neighbor_id")
+                .collect()
+            )
+            exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+            for nprobe in (1, 2, 4, 8):
+                t0 = time.perf_counter()
+                got = ann_index_probe(
+                    spark, clustered_idx, probe_queries, k=5, nprobe=nprobe
+                ).collect()
+                dt = time.perf_counter() - t0
+                hits = sum((r.query_id, r.neighbor_id) in exact_set for r in got)
+                ann_recall_clustered[f"index_probe_nprobe{nprobe}"] = {
+                    "recall_at_5": round(hits / max(len(exact_set), 1), 4),
+                    "probe_sec": round(dt, 3),
+                }
+                spark.catalog.clearCache()
+                gc.collect()
+        except Exception as exc:  # noqa: BLE001
+            errors["ann_recall_clustered"] = f"{type(exc).__name__}: {exc}"[:300]
+            print(
+                f"# ann_recall_clustered: FAILED — {errors['ann_recall_clustered']}",
+                file=sys.stderr,
+            )
 
     out = {
         "metric": "headline_queries_wall_clock",
@@ -419,10 +536,15 @@ def main() -> None:
         "cpus": cpus,
         "loadavg_1m": load1,
         "probe": {
+            # before/mid_kept/after are the KEPT pass's own bracket (r13
+            # review fix); all_sec records every probe point of every pass
+            # (those feed the quiet GATE — contention anywhere is a stamp
+            # signal — but never the normalization ratio).
             "before_sec": probe_before,
             "mid_sec": probe_mids,
             "mid_kept_sec": probe_mid_kept,
             "after_sec": probe_after,
+            "all_sec": all_probe_pts,
             "ref_sec": probe_ref,
             "gated": probe_gated,
         },
@@ -444,12 +566,14 @@ def main() -> None:
     }
     if probe_gated:
         # Mean over the probe points the KEPT timings actually experienced:
-        # before, the kept pass's between-groups mid, after.  Mid probes of
-        # DISCARDED contended passes stay in the quiet GATE above (max over
-        # all points — contention anywhere is a stamp signal) but must not
-        # feed the ratio: dividing the calm pass's timings by a ratio
-        # inflated with a discarded pass's contention would under-report
-        # runtime on a quiet-stamped artifact.
+        # the kept pass's OWN before/mid/after bracket (r13 review fix —
+        # previously the suite-level before/after could belong to a
+        # different pass's timing era).  Probes of DISCARDED contended
+        # passes stay in the quiet GATE above (max over all points —
+        # contention anywhere is a stamp signal) but must not feed the
+        # ratio: dividing the calm pass's timings by a ratio inflated with
+        # a discarded pass's contention would under-report runtime on a
+        # quiet-stamped artifact.
         probe_pts = [probe_before, probe_mid_kept, probe_after]
         probe_ratio = round((sum(probe_pts) / len(probe_pts)) / probe_ref, 4)
         out["probe"]["ratio"] = probe_ratio
@@ -463,9 +587,41 @@ def main() -> None:
         }
     if ann_recall:
         out["ann_recall"] = ann_recall
+    if ann_recall_clustered:
+        out["ann_recall_clustered"] = ann_recall_clustered
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # COMPACT summary line LAST (r13 verdict task 2): the full JSON above
+    # outgrew the driver's ~2,000-char tail capture in r11 (BENCH_r11/12/13
+    # all recorded parsed:null — the leading "value" field fell off every
+    # driver-side artifact).  This second line carries the headline fields
+    # plus the raw per-query timings, stays well under the tail budget, and
+    # is the LAST stdout line so a tail capture always holds it complete.
+    compact = {
+        "metric": "headline_queries_wall_clock",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "cpus": cpus,
+        "quiet": quiet,
+        "rep_spread_median": out["rep_spread_median"],
+        "headline_v2_value": out["headline_v2"]["value"],
+        "queries": timings,
+    }
+    if "value_probe_normalized" in out:
+        compact["value_probe_normalized"] = out["value_probe_normalized"]
+        compact["headline_v2_value_probe_normalized"] = out["headline_v2"][
+            "value_probe_normalized"
+        ]
+        compact["probe_ratio"] = out["probe"]["ratio"]
+    if errors:
+        compact["error_queries"] = sorted(errors)
+    line = json.dumps(compact)
+    if len(line) > 1900:  # never outgrow the tail capture: drop per-query detail
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
     # Partial results still print above; the exit code says whether the set
     # was complete.

@@ -38,9 +38,30 @@ def _run_bench(extra_env: dict[str, str]) -> tuple[subprocess.CompletedProcess, 
         text=True,
         timeout=560,
     )
+    # Two JSON lines since r14: the full artifact, then a COMPACT summary
+    # printed LAST (the driver's ~2,000-char tail capture truncated the full
+    # line from r11 on — BENCH_r11/12/13 all recorded parsed:null).  The
+    # compact line must be the final stdout line, parse on its own, fit the
+    # tail budget, and agree with the full artifact on every shared field.
     json_lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
-    assert len(json_lines) == 1, proc.stdout + proc.stderr[-2000:]
-    return proc, json.loads(json_lines[0])
+    assert len(json_lines) == 2, proc.stdout + proc.stderr[-2000:]
+    assert proc.stdout.splitlines()[-1] == json_lines[1]
+    full = json.loads(json_lines[0])
+    compact = json.loads(json_lines[1])
+    assert len(json_lines[1]) < 2000
+    assert compact["metric"] == full["metric"] == "headline_queries_wall_clock"
+    assert compact["value"] == full["value"] and compact["unit"] == "sec"
+    assert compact["quiet"] == full["quiet"] and compact["sf"] == full["sf"]
+    assert compact["rep_spread_median"] == full["rep_spread_median"]
+    assert compact["headline_v2_value"] == full["headline_v2"]["value"]
+    if "value_probe_normalized" in full:
+        assert compact["value_probe_normalized"] == full["value_probe_normalized"]
+        assert compact["probe_ratio"] == full["probe"]["ratio"]
+    if "queries" in compact:
+        assert compact["queries"] == full["queries"]
+    if full.get("errors"):
+        assert compact["error_queries"] == sorted(full["errors"])
+    return proc, full
 
 
 def test_bench_emits_complete_json():
@@ -81,6 +102,14 @@ def test_bench_emits_complete_json():
     # own round-over-round group; the original headline stays frozen
     from bench import HEADLINE_V2
 
+    # Clustered ANN recall block (r13 verdict task 7): measured on the
+    # mixture-of-Gaussians fixture every run, with monotone recall in
+    # nprobe (a larger probe set scans a superset of cells).
+    arc = out["ann_recall_clustered"]
+    assert set(arc) == {f"index_probe_nprobe{n}" for n in (1, 2, 4, 8)}
+    rs = [arc[f"index_probe_nprobe{n}"]["recall_at_5"] for n in (1, 2, 4, 8)]
+    assert all(0.0 <= r <= 1.0 for r in rs) and rs == sorted(rs)
+
     v2 = out["headline_v2"]
     assert len(v2["queries"]) == len(HEADLINE_V2) and v2["value"] > 0
     assert abs(sum(v2["queries"].values()) - v2["value"]) < 0.01
@@ -97,6 +126,7 @@ def test_bench_probe_overrides_clean_loadavg():
         {
             "SPARK_GRAFT_BENCH_FAKE_LOAD": "0.5",
             "SPARK_GRAFT_BENCH_FAKE_PROBE": "10.0",
+            "SPARK_GRAFT_BENCH_SKIP_ANN": "1",
             "SPARK_GRAFT_BENCH_REPS": "1",
         }
     )
@@ -111,6 +141,7 @@ def test_bench_fast_probe_keeps_quiet_stamp():
         {
             "SPARK_GRAFT_BENCH_FAKE_LOAD": "0.5",
             "SPARK_GRAFT_BENCH_FAKE_PROBE": "0.4",
+            "SPARK_GRAFT_BENCH_SKIP_ANN": "1",
             "SPARK_GRAFT_BENCH_REPS": "1",
         }
     )
@@ -123,7 +154,7 @@ def test_bench_survives_one_broken_query():
     """Sabotage one headline query via a bad SF dir override hook — the bench
     must still publish numbers for the other nine, list the error, and exit
     nonzero."""
-    proc, out = _run_bench({"SPARK_GRAFT_BENCH_SABOTAGE": "q26_sessionize"})
+    proc, out = _run_bench({"SPARK_GRAFT_BENCH_SABOTAGE": "q26_sessionize", "SPARK_GRAFT_BENCH_SKIP_ANN": "1"})
     assert proc.returncode == 1
     assert "q26_sessionize" in out.get("errors", {}), out
     assert len(out["queries"]) == len(HEADLINE) - 1 and "q26_sessionize" not in out["queries"]
@@ -136,7 +167,8 @@ def test_bench_waits_for_quiet_machine_then_stamps_honestly():
     (a) visibly wait+backoff, (b) still publish numbers, (c) stamp
     quiet=false so the artifact is self-describing."""
     proc, out = _run_bench(
-        {"SPARK_GRAFT_BENCH_FAKE_LOAD": "99.9", "SPARK_GRAFT_BENCH_MAX_WAIT": "20"}
+        {"SPARK_GRAFT_BENCH_FAKE_LOAD": "99.9", "SPARK_GRAFT_BENCH_MAX_WAIT": "20",
+         "SPARK_GRAFT_BENCH_SKIP_ANN": "1"}
     )
     assert "waiting" in proc.stderr and "WARNING: machine not quiet" in proc.stderr
     assert out["quiet"] is False and out["loadavg_1m"] == 99.9
@@ -185,6 +217,7 @@ def test_bench_rep_spread_stamps_quiet_false():
             "SPARK_GRAFT_BENCH_FAKE_PROBE": "0.46",
             "SPARK_GRAFT_BENCH_REPS": "2",
             "SPARK_GRAFT_BENCH_FAKE_REP_NOISE": "1.0,1.6",
+            "SPARK_GRAFT_BENCH_SKIP_ANN": "1",
         }
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -204,13 +237,20 @@ def test_bench_rep_spread_retries_then_keeps_calmest_pass():
             "SPARK_GRAFT_BENCH_REPS": "2",
             "SPARK_GRAFT_BENCH_FAKE_REP_NOISE": "1.0,1.6",
             "SPARK_GRAFT_BENCH_SPREAD_RETRIES": "1",
+            "SPARK_GRAFT_BENCH_SKIP_ANN": "1",
         }
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "re-running the timed suite" in proc.stderr
     assert out["spread_passes"] == 2 and out["quiet"] is False
-    # Two mid-suite probes ran (one per pass) and all feed the ratio.
+    # Each pass got its OWN before/mid/after probe bracket (r13 review fix:
+    # the ratio must come from the kept pass's probes only, never mixing
+    # another pass's contention points with the kept pass's timings); all
+    # six points are recorded for the quiet gate.
     assert len(out["probe"]["mid_sec"]) == 2
+    assert len(out["probe"]["all_sec"]) == 6
+    for k in ("before_sec", "mid_kept_sec", "after_sec"):
+        assert out["probe"][k] in out["probe"]["all_sec"]
 
 
 def test_bench_quiet_machine_skips_the_wait():
@@ -224,6 +264,7 @@ def test_bench_quiet_machine_skips_the_wait():
             "SPARK_GRAFT_BENCH_FAKE_LOAD": "0.5",
             "SPARK_GRAFT_BENCH_FAKE_PROBE": "0.46",
             "SPARK_GRAFT_BENCH_REPS": "1",
+            "SPARK_GRAFT_BENCH_SKIP_ANN": "1",
         }
     )
     assert "waiting" not in proc.stderr
