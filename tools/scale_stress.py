@@ -804,6 +804,19 @@ def main() -> None:
             args.max_extra_reps,
         ),
         "",
+        "Between-RUN drift (r14 measurement note): the spread gate bounds "
+        "within-run rep noise, but same-code numbers still drift between "
+        "SESSIONS — an op measured late in a battery session runs against a "
+        "fully C2-JIT-warmed JVM and hot page cache, so its absolute numbers "
+        "compare to battery neighbors, not to a young-JVM solo run (measured "
+        "r14: repetition_flags solo 5.2/10.5/17.8/28.6s monotone vs in-battery "
+        "2.8/12.3/7.6/19.0s — both sub-linear, 2x apart in absolutes).  Any "
+        "residual small-size inversion (a 4x row above its 16x neighbor at the "
+        "sub-second noise floor) is this effect, visible because the reps are "
+        "recorded; alpha is computed on the two largest sizes measured "
+        "back-to-back in the same session state, which is why it is the "
+        "trusted column.",
+        "",
         "Bounded-strata crossover (the r7 verdict's task 4): "
         f"`exact_stratified_split` (alpha {alphas.get('exact_stratified_split (90%-hot stratum)')}) and "
         f"`adaptive_quality_filter method='exact'` (alpha {alphas.get('adaptive_quality_filter exact (90%-hot stratum)')}) "
