@@ -328,3 +328,45 @@ def w06_psl_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_registrable_domain(d, "url", psl_table=psl).select(
         "doc_id", "url", "domain"
     )
+
+
+@query(
+    "w07_url_dedup_tracking",
+    oracle="""
+    WITH u0 AS (
+      SELECT doc_id, source,
+             printf('https://%s.ex.com/p/%d?msclkid=%d&q=%d',
+                    source, doc_id % 30, doc_id, doc_id % 7) AS url
+      FROM documents
+    ),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM u0 GROUP BY source, doc_id % 210
+    )
+    SELECT u0.doc_id, u0.url FROM u0 JOIN keep USING (doc_id)
+    """,
+    tags=("web", "EXT", "url", "dedup"),
+    doc="URL dedup under a WIDENED tracking-parameter set (operators.web.url_dedup with "
+    "tracking_params= including msclkid/twclid/igshid — the r14 knob; real crawls carry "
+    "far more than utm_*/fbclid/gclid, and every family missed is a duplicate page "
+    "surviving w02): each synthesized URL carries a per-document msclkid value plus a "
+    "REAL q= parameter, so after stripping the tracker the canonical key is "
+    "(source, path, q) == (source, doc_id % 210 by CRT of %30 and %7) — under the "
+    "DEFAULT frozen set every URL would stay unique and the oracle's MIN-per-group "
+    "would hash-mismatch, so the entry discriminates widened-vs-default exactly.",
+)
+def w07_url_dedup_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_pipeline_spark.operators.web import url_dedup
+
+    d = _docs_with_url(
+        spark,
+        sf_dir,
+        "https://%s.ex.com/p/%d?msclkid=%d&q=%d",
+        F.col("source"),
+        F.col("doc_id") % 30,
+        F.col("doc_id"),
+        F.col("doc_id") % 7,
+    )
+    return url_dedup(
+        d,
+        tracking_params=("utm_*", "fbclid", "gclid", "msclkid", "twclid", "igshid"),
+    ).select("doc_id", "url")
