@@ -367,27 +367,64 @@ def domain_cap(
     return capped.unionByName(no_url)
 
 
+def registrable_domain_literal_col(
+    url_col: str | Column,
+    psl_suffixes: tuple[str, ...] | list[str],
+    levels: int = 2,
+    max_suffix_labels: int = 4,
+) -> Column:
+    """PSL-exact registrable domain as ONE scalar Column — the suffix list
+    rides the expression as ``isin`` literals (longest-match via chained
+    whens over per-depth tails), so it works where a join cannot: streaming
+    closure predicates, per-row gates.  Identical semantics to
+    ``with_registrable_domain(psl_table=)`` (same tails, same longest-match
+    rule, same ``levels`` fallback for unlisted TLDs); prefer the join form
+    for batch work or suffix lists past closure size (the real PSL's ~10k
+    entries are fine as literals — the ``domain_blocklist_predicate``
+    contract)."""
+    if not psl_suffixes:
+        raise ValueError("need at least one public suffix")
+    if max_suffix_labels < 1:
+        raise ValueError(f"need max_suffix_labels >= 1, got {max_suffix_labels}")
+    suf = sorted({str(s).lower() for s in psl_suffixes})
+    host = _match_host_col(url_col)
+    dom = _last_labels(host, levels)
+    for i in range(1, max_suffix_labels + 1):
+        tail_i = _tail_exact(host, i)
+        tail_up = _tail_exact(host, i + 1)
+        reg = F.when(tail_up != "", tail_up).otherwise(host)
+        dom = F.when(tail_i.isin(suf), reg).otherwise(dom)
+    return dom
+
+
 def domain_blocklist_predicate(
     blocked: tuple[str, ...] | list[str],
     url_col: str = "url",
     levels: int = 2,
+    psl_suffixes: tuple[str, ...] | list[str] = (),
 ) -> Column:
     """STATELESS keep-predicate form of ``domain_blocklist_filter`` for
     streaming gates (``prep_stream``): the curation-sized list rides the
     task closure as an ``isin`` literal — no join, no state store, append-
     mode safe (the ``eval_bloom`` pattern).  Prefer the join form for lists
-    past closure size (hundreds of thousands of entries), and the join
-    form's ``psl_table=`` when PSL-exact domain keys matter (a join can't
-    ride a stateless closure).
+    past closure size (hundreds of thousands of entries).
+
+    ``psl_suffixes`` (r14) keys the domain on PSL-exact registrable
+    domains via ``registrable_domain_literal_col`` — the stream-side twin
+    of the batch filter's ``psl_table=``, so a PSL-keyed batch pipeline
+    has a stream gate that keeps doc-for-doc the same set.
 
     NULL URLs KEEP (coalesce to true) — matching the batch anti join, where
     a NULL key never matches; without the coalesce, ``~NULL`` is NULL and
     ``filter`` would silently drop every missing-provenance document,
     diverging from the batch path on the same corpus."""
     bl = [str(b).lower() for b in blocked]
-    pred = (~registrable_domain_col(url_col, levels=levels).isin(bl)) & (
-        ~_match_host_col(url_col).isin(bl)
+    dom = (
+        registrable_domain_literal_col(url_col, psl_suffixes, levels=levels)
+        if psl_suffixes
+        else registrable_domain_col(url_col, levels=levels)
     )
+    pred = (~dom.isin(bl)) & (~_match_host_col(url_col).isin(bl))
     url = F.col(url_col) if isinstance(url_col, str) else url_col
     return F.when(url.isNull(), F.lit(True)).otherwise(pred)
 

@@ -101,6 +101,7 @@ def prep_stream(
     c4_blocklist: tuple[str, ...] = (),
     url_col: str | None = None,
     domain_blocklist: tuple[str, ...] = (),
+    domain_psl_suffixes: tuple[str, ...] = (),
 ) -> DataFrame:
     """The streaming corpus-prep gate: quality filter -> optional benchmark
     decontamination -> PII redaction -> optional mixture gate -> optional
@@ -134,6 +135,11 @@ def prep_stream(
     gate) as the stateless ``domain_blocklist_predicate`` — the
     curation-sized list rides the task closure like ``eval_bloom``, so even
     this normally join-shaped stage stays an append-safe row predicate.
+    ``domain_psl_suffixes`` (r14) keys the domain on PSL-exact registrable
+    domains via the literal-closure longest match
+    (``registrable_domain_literal_col``) — the stream-side twin of
+    ``prep_corpus(domain_psl_table=)``, keeping stream == batch doc-for-doc
+    for PSL-keyed pipelines.
     (URL DEDUP is stateful and belongs to ``run_stream_dedup_ingest``'s
     foreachBatch side, like content dedup.)"""
     from healthcare_data_pipeline_spark.operators.decontaminate import flag_bloom
@@ -152,7 +158,11 @@ def prep_stream(
             domain_blocklist_predicate,
         )
 
-        out = out.filter(domain_blocklist_predicate(domain_blocklist, url_col=url_col))
+        out = out.filter(
+            domain_blocklist_predicate(
+                domain_blocklist, url_col=url_col, psl_suffixes=domain_psl_suffixes
+            )
+        )
     if use_c4:
         out = c4_filter(out, blocklist=c4_blocklist)
     out = out.filter(quality_predicate(min_stopword_ratio=min_stopword_ratio))

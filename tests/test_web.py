@@ -490,3 +490,80 @@ def test_prep_corpus_psl_and_tracking_knobs(spark):
     assert out.filter(F.col("doc_id") % 2 == 1).count() == 0
     # psl cap applies per SITE (10 each), not one shared co.uk pseudo-domain
     assert all(c <= 10 for c in doms.values()) and sum(doms.values()) > 10
+
+
+def test_registrable_domain_literal_matches_join_form(spark):
+    """registrable_domain_literal_col (the streaming-closure PSL twin) must
+    agree with with_registrable_domain(psl_table=) on every host shape:
+    listed 2-label suffix, nested subdomains, bare suffix, unlisted TLD
+    fallback, ports/dots/case."""
+    from healthcare_data_pipeline_spark.operators.web import (
+        registrable_domain_literal_col,
+        with_registrable_domain,
+    )
+
+    urls = [
+        "https://a.b.co.uk/x",
+        "https://shop.example.co.uk/x",
+        "https://WWW.site.com.au:8080/x",
+        "https://deep.sub.tree.host.co.uk/x",
+        "https://ex.com/x",
+        "https://co.uk/x",
+        "https://a.b.example/x",
+        "https://localhost/x",
+        "https://spam.net./x",
+        "https://u@spam.net:8443?q=1",
+    ]
+    suffixes = ("uk", "co.uk", "com.au", "au", "com", "net")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    joined = with_registrable_domain(
+        df,
+        "url",
+        psl_table=spark.createDataFrame([(s,) for s in suffixes], "suffix string"),
+    )
+    lit = df.withColumn(
+        "domain", registrable_domain_literal_col("url", suffixes)
+    )
+    assert {(r.url, r.domain) for r in joined.collect()} == {
+        (r.url, r.domain) for r in lit.collect()
+    }
+    with pytest.raises(ValueError, match="suffix"):
+        registrable_domain_literal_col("url", ())
+
+
+def test_prep_stream_psl_blocklist_equals_batch(spark, tmp_path):
+    """PSL-keyed blocklist parity: the streaming literal-closure gate keeps
+    doc-for-doc what the batch psl_table anti join keeps — one *.co.uk site
+    blocked without nuking the suffix, NULL provenance passing both."""
+    from healthcare_data_pipeline_spark.operators.web import (
+        domain_blocklist_filter,
+        domain_blocklist_predicate,
+    )
+
+    # subdomained hosts: the host match can't catch these (host != entry),
+    # so only the PSL registrable-domain key blocks the site
+    rows = [
+        (i, f"https://sub{i}.site{i % 3}.co.uk/p/{i}" if i % 10 else None)
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, url string")
+    suffixes = ("uk", "co.uk", "com", "net")
+    psl = spark.createDataFrame([(s,) for s in suffixes], "suffix string")
+    batch = {
+        r.doc_id
+        for r in domain_blocklist_filter(d, ("site0.co.uk",), psl_table=psl).collect()
+    }
+    stream_pred = {
+        r.doc_id
+        for r in d.filter(
+            domain_blocklist_predicate(("site0.co.uk",), psl_suffixes=suffixes)
+        ).collect()
+    }
+    assert batch == stream_pred
+    # the block actually bit: site0 gone, site1/site2 + NULLs kept
+    assert all(i % 3 != 0 or i % 10 == 0 for i in batch)
+    assert {i for i in range(60) if i % 10 == 0} <= batch
+    # WITHOUT psl the approx key ('co.uk') matches nothing on the blocklist
+    # (the blocklist names a SITE) — documenting why the psl form exists
+    no_psl = d.filter(domain_blocklist_predicate(("site0.co.uk",))).count()
+    assert no_psl == 60
