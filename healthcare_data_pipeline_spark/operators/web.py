@@ -69,6 +69,10 @@ from healthcare_data_pipeline_spark.operators.mixture import DENOM, _split_hash
 
 _SCHEME = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
 
+#: Size gate for ``psl_table`` collection (the real PSL is ~10k entries;
+#: 20x headroom — anything past this is not a public-suffix list).
+_MAX_PSL_SUFFIXES = 200_000
+
 #: Default tracking-parameter families stripped by ``url_normalize_col``.
 #: A trailing ``*`` is a prefix wildcard (``utm_*`` -> ``utm_[^=&#]*``).
 #: Real crawls carry more (``msclkid``, ``twclid``, ``igshid``, ``mc_eid``,
@@ -206,9 +210,25 @@ def with_registrable_domain(
     if max_suffix_labels < 1:
         raise ValueError(f"need max_suffix_labels >= 1, got {max_suffix_labels}")
     suffix_col = psl_table.columns[0]
-    suf = psl_table.select(
-        F.lower(F.col(suffix_col)).alias("__psl_suffix")
-    ).distinct()
+    # The suffix list is curation-sized BY CONTRACT (the real PSL is ~10k
+    # entries) — collect it once through a size gate and rebuild it as a
+    # deduped local relation: the per-depth joins then broadcast a
+    # LocalTableScan with ZERO exchanges (a lazy .distinct() would re-run
+    # its dedup exchange on every join branch), and a duplicate suffix row
+    # can never fan out the left joins.  The gate raises rather than
+    # silently truncating (the bounded-distinct-collection standard).
+    rows = psl_table.select(F.lower(F.col(suffix_col))).limit(
+        _MAX_PSL_SUFFIXES + 1
+    ).collect()
+    if len(rows) > _MAX_PSL_SUFFIXES:
+        raise ValueError(
+            f"psl_table exceeds {_MAX_PSL_SUFFIXES} suffixes — not a "
+            "public-suffix list; pass a curation-sized suffix table"
+        )
+    suf = df.sparkSession.createDataFrame(
+        [(s,) for s in sorted({r[0] for r in rows if r[0] is not None})],
+        "__psl_suffix string",
+    )
     d = df.withColumn("__h", _match_host_col(url_col))
     for i in range(1, max_suffix_labels + 2):
         d = d.withColumn(f"__t{i}", _tail_exact(F.col("__h"), i))

@@ -316,13 +316,14 @@ def test_psl_domain_cap_and_blocklist_separate_cctld_sites(spark):
 
 
 def test_psl_join_is_broadcast_no_shuffle(spark):
-    """The PSL path must stay exchange-free on the PROBE (corpus) side:
-    every suffix depth is a broadcast hash join against the ~10k-row list.
-    The only allowed exchanges are the bounded suffix-list dedup (distinct
-    is correctness-required: a duplicate suffix row would fan out the left
-    join) — every Exchange in the plan must mention the suffix column."""
-    import re
+    """The PSL path must be FULLY exchange-free: the suffix list collects
+    once through the size gate (dedup happens driver-side — a duplicate
+    suffix row would otherwise fan out the left joins) and each depth
+    broadcast-joins a LocalTableScan; the corpus side never shuffles.  An
+    oversized 'psl' table raises instead of collecting."""
+    import pytest
 
+    from healthcare_data_pipeline_spark.operators import web
     from healthcare_data_pipeline_spark.operators.web import with_registrable_domain
 
     d = spark.createDataFrame(
@@ -331,9 +332,13 @@ def test_psl_join_is_broadcast_no_shuffle(spark):
     out = with_registrable_domain(d, "url", psl_table=_psl(spark))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    for line in plan.splitlines():
-        if re.search(r"Exchange (hash|range)partitioning", line):
-            assert "__psl_suffix" in line, line
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    big = spark.range(web._MAX_PSL_SUFFIXES + 10).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("suffix")
+    )
+    with pytest.raises(ValueError, match="public-suffix"):
+        with_registrable_domain(d, "url", psl_table=big)
 
 
 def test_url_normalize_is_zero_shuffle(spark):
