@@ -31,8 +31,16 @@ TESTDATA_TABLES = (
 )
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(spark: SparkSession, sf_dir: str, name: str, widen: bool = False) -> DataFrame:
     """Load one parquet table from ``sf_dir`` (lazy; schema-only until acted on).
+
+    ``widen=True`` opts the scan into the small-scan parallelism floor
+    (``_widen_small_scan``) — callers whose fused map-side work is heavy
+    (multi-column decimal aggregation, per-row text processing) set it so a
+    row-group-starved local scan cannot serialize that work onto one task.
+    Off by default: for light map work the extra round-robin exchange costs
+    more than the parallelism buys (measured: q26 +0.30s, q14 +0.59s with a
+    blanket gate vs q01 −0.63s, d01 −0.70s with the opt-in).
 
     Timestamp-unit normalization — every table exposes plain ``timestamp``
     (TIMESTAMP_LTZ) columns regardless of how the parquet writer encoded them:
@@ -60,7 +68,58 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
-    return df
+    return _widen_small_scan(spark, df, path) if widen else df
+
+
+# Small-scan parallelism floor (optimization guide §2.5 "input skew" / §6
+# split sizing): scan parallelism is capped by parquet ROW GROUPS — a table
+# written as one row group is one task no matter how many cores the session
+# has, and every map-side operator fused into that scan (per-row text work,
+# partial aggregation, explodes) runs single-threaded.  When the achievable
+# split count is below the session's parallelism AND the table is big enough
+# for the lost parallelism to matter (>= SPARK_GRAFT_WIDEN_MIN_BYTES,
+# default 256 KiB compressed), insert one round-robin repartition so the map
+# side runs wide.  Scale-adaptive by construction: at production sizes
+# ceil(bytes / maxPartitionBytes) exceeds any core count and the gate is a
+# no-op — the plan is byte-for-byte the ungated one (the generalized form of
+# band_buckets' documented signature-pass gate).  Filters/projections still
+# push through a Repartition to the scan (verified in plan tests), and every
+# catalog result is partitioning-independent by repo convention, so only the
+# physical layout changes.  Set SPARK_GRAFT_WIDEN_MIN_BYTES=0 to disable.
+def _widen_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    try:
+        min_bytes = int(os.environ.get("SPARK_GRAFT_WIDEN_MIN_BYTES", str(256 << 10)))
+    except ValueError:
+        min_bytes = 256 << 10
+    if min_bytes <= 0:
+        return df
+    layout = _parquet_layout(path)
+    if layout is None:
+        return df
+    n_row_groups, n_bytes = layout
+    if n_bytes < min_bytes:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    try:
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        max_split = 128 << 20
+    est_splits = min(n_row_groups, -(-n_bytes // max(max_split, 1)))
+    if est_splits >= par:
+        return df
+    return df.repartition(par)
+
+
+def _parquet_layout(path: str) -> tuple[int, int] | None:
+    """(num_row_groups, file_bytes) from one footer read — None when the
+    path is not a plain parquet file (directory tables keep their layout)."""
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        return meta.num_row_groups, os.path.getsize(path)
+    except Exception:
+        return None
 
 
 def _nanos_columns(path: str) -> list[str]:

@@ -1,0 +1,101 @@
+"""Driver-local relations that plan as ``LocalTableScan`` (r15 optimization).
+
+``spark.createDataFrame(rows, ...)`` in classic PySpark always routes through
+``applySchemaToPythonRDD``: the relation plans as ``Scan ExistingRDD`` over a
+parallelized Python RDD, so every downstream materialization — including each
+BroadcastExchange build — launches ``defaultParallelism`` tasks that each pay
+a Python-worker round trip just to deserialize a handful of rows.  Measured
+on the r15 bench box: a 40-row model table consumed via one broadcast join
+costs 1.11s through ``createDataFrame(list)`` vs 0.27s as a SQL ``VALUES``
+LocalRelation (t29's merges table alone contributed a 32-task stage with
+10.6s of aggregate task runtime and 0.4s of CPU — pure worker startup).
+
+``local_relation`` renders bounded model-sized rows (BPE merges, PSL
+suffixes, blocklists, union-find labels, value-band tables, PQ codebooks) as
+a typed ``VALUES`` statement instead.  Exactness contract:
+
+* strings are escaped (backslash + quote) for the default Spark SQL parser;
+* doubles render via ``repr`` (shortest round-trip decimal) wrapped in
+  ``CAST(... AS DOUBLE)`` — string→double parse is correctly rounded, so the
+  stored IEEE value is bit-identical to the Python float;
+* integers/booleans/NULLs are cast to the declared type, so the schema is
+  exactly the DDL one (never the parser's DECIMAL guess for bare literals);
+* arrays render element-wise with the same rules.
+
+Rows past ``max_rows`` (default 10k — VALUES parse time grows with text
+size) fall back to ``createDataFrame`` unchanged: the helper is a fast path
+for bounded relations, not a new size contract.  Result VALUES are
+row-for-row identical either way (property-tested in
+tests/test_localrel.py), so swapping construction never changes what a
+query computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_MAX_ROWS_DEFAULT = 10_000
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _render(v, dt: T.DataType) -> str:
+    if v is None:
+        return f"CAST(NULL AS {dt.simpleString()})"
+    if isinstance(dt, T.StringType):
+        return f"'{_esc(v)}'"
+    if isinstance(dt, T.DoubleType):
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(dt, T.FloatType):
+        return f"CAST('{v!r}' AS FLOAT)"
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return f"CAST({int(v)} AS {dt.simpleString()})"
+    if isinstance(dt, T.BooleanType):
+        return f"CAST({'true' if v else 'false'} AS BOOLEAN)"
+    if isinstance(dt, T.ArrayType):
+        inner = ",".join(_render(x, dt.elementType) for x in v)
+        return f"ARRAY({inner})"
+    if isinstance(dt, T.StructType):
+        vals = v if isinstance(v, (tuple, list)) else tuple(v)
+        inner = ",".join(
+            f"'{_esc(f.name)}',{_render(x, f.dataType)}"
+            for x, f in zip(vals, dt.fields)
+        )
+        return f"NAMED_STRUCT({inner})"
+    raise TypeError(f"local_relation: unsupported type {dt.simpleString()}")
+
+
+def local_relation(
+    spark: SparkSession,
+    rows,
+    ddl: str,
+    max_rows: int = _MAX_ROWS_DEFAULT,
+) -> DataFrame:
+    """Bounded rows -> a DataFrame backed by a LocalRelation (VALUES).
+
+    ``rows``: iterable of tuples/lists (or scalars for a 1-column schema);
+    ``ddl``: the schema as DDL, e.g. ``"rank bigint, left string"``.
+    Falls back to ``spark.createDataFrame`` above ``max_rows`` or for types
+    the renderer does not cover — same values either way.
+    """
+    schema = T.StructType.fromDDL(ddl)
+    mat = [r if isinstance(r, (tuple, list)) else (r,) for r in rows]
+    if len(mat) > max_rows:
+        return spark.createDataFrame(mat, schema)
+    if not mat:
+        return spark.createDataFrame([], schema)
+    try:
+        body = ",".join(
+            "(" + ",".join(_render(v, f.dataType) for v, f in zip(row, schema.fields)) + ")"
+            for row in mat
+        )
+    except TypeError:
+        return spark.createDataFrame(mat, schema)
+    if len(body) > 1_000_000:
+        # row gate can't see array widths; keep VALUES parse time bounded
+        return spark.createDataFrame(mat, schema)
+    cols = ",".join(f"`{f.name}`" for f in schema.fields)
+    return spark.sql(f"SELECT * FROM VALUES {body} AS __lr({cols})")

@@ -28,6 +28,8 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from healthcare_data_pipeline_spark.localrel import local_relation
+
 # Person-PII markers; deliberately NOT the bare "name" substring — that would
 # catch non-PII business columns like drug_brand_name/state_name and break the
 # brand-name dim join downstream (the reference's config lists person columns).
@@ -171,8 +173,8 @@ def deanonymize(
     for c, m in mapping.items():
         if c not in out.columns or not m:
             continue
-        mdf = spark.createDataFrame(
-            [(h, o) for h, o in m.items()], schema=f"__hash_{c} string, __orig_{c} string"
+        mdf = local_relation(
+            spark, [(h, o) for h, o in m.items()], f"__hash_{c} string, __orig_{c} string"
         )
         out = (
             out.join(F.broadcast(mdf), out[c] == mdf[f"__hash_{c}"], "left")

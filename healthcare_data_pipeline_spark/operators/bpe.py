@@ -154,7 +154,13 @@ def validate_merges(pairs: list[tuple[str, str]]) -> None:
 def _merges_row(spark, pairs: list[tuple[str, str]]) -> DataFrame:
     """ONE-row DataFrame carrying the rank-ordered (f, t) replace patterns —
     rides as the repo's standard broadcast 1x1 scalar combine."""
-    mdf = spark.createDataFrame(
+    from healthcare_data_pipeline_spark.localrel import local_relation
+
+    # LocalRelation, not createDataFrame: the Python-RDD-backed form cost a
+    # 32-task stage (one Python worker round trip per task) under EVERY
+    # consumer's broadcast build — ~0.8s/run on the bench box (r15).
+    mdf = local_relation(
+        spark,
         [(i, l, r) for i, (l, r) in enumerate(pairs)],
         "rank long, left string, right string",
     )

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from healthcare_data_pipeline_spark.localrel import local_relation
+
 
 def _truncate_lineage(df: DataFrame) -> DataFrame:
     """Reliable ``checkpoint`` when the SparkContext has a checkpoint dir
@@ -53,7 +55,12 @@ def _driver_union_find(spark_from: DataFrame, pdf) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(v, find(v)) for v in parent]
-    return spark_from.sparkSession.createDataFrame(rows, "vertex long, component long")
+    # LocalRelation (localrel.py) below its row gate: the labels table feeds a
+    # broadcast anti join; the Python-RDD form paid a per-task worker round
+    # trip under that build.  Past the gate it falls back to createDataFrame.
+    return local_relation(
+        spark_from.sparkSession, rows, "vertex long, component long"
+    )
 
 
 def connected_components(

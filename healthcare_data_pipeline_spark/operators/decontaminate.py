@@ -67,6 +67,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from healthcare_data_pipeline_spark.localrel import local_relation
+
 from healthcare_data_pipeline_spark.operators.dedup_corpus import (
     PMH_PRIME,
     _pmh_const,
@@ -307,7 +309,11 @@ def flag_bloom(
         )
     n = n if n is not None else (tag_n if tag_n is not None else DEFAULT_NGRAM)
     m_bits = len(bloom_words) * 64
-    bm = df.sparkSession.createDataFrame([(list(bloom_words),)], "__bm array<bigint>")
+    # LocalRelation (localrel.py): skips the Python-RDD scan tasks under the
+    # broadcast build; falls back to createDataFrame past the size gate.
+    bm = local_relation(
+        df.sparkSession, [(list(bloom_words),)], "__bm array<bigint>"
+    )
     return (
         df.withColumn(
             "__bm_toks", F.expr(f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+')")

@@ -648,6 +648,12 @@ def _trunc_div_sql(num: str, den: str) -> str:
     )
 
 
+def _trunc_div_py(s: int, n: int) -> int:
+    """Python twin of ``_trunc_div_sql`` (Python ``//`` floors; the trainers'
+    centroid means truncate toward zero) — exact integer arithmetic."""
+    return s // n if s >= 0 else -((-s) // n)
+
+
 def kmeans_assign(
     en: DataFrame,
     k: int = 8,
@@ -1048,6 +1054,31 @@ def ann_index_rebuild(
     return True
 
 
+def _collect_routed(spark, routed: DataFrame):
+    """Materialize the per-query routing ONCE: collected rows become a
+    literal LocalRelation (returned with the distinct probed-cell list).
+
+    r15 job-count fix: the probes previously re-ran the whole routing
+    subplan (crossJoin vs centroids + top-nprobe window) inside EVERY
+    consumer — the cells collect plus up to three separate broadcast builds
+    each re-executed it as their own job chain.  Budget-wise this collect is
+    NOT new state on the driver: ``routed`` was already broadcast (a
+    broadcast hash relation is built by collecting to the driver first), so
+    the bounded-size contract is the existing broadcast budget, unchanged.
+    Doubles round-trip exactly through the literal rendering (localrel
+    contract), and past localrel's size gates the relation falls back to
+    ``createDataFrame`` — same rows either way."""
+    from healthcare_data_pipeline_spark.localrel import local_relation
+
+    rows = routed.collect()
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in routed.schema.fields
+    )
+    local = local_relation(spark, [tuple(r) for r in rows], ddl)
+    cells = sorted({r["cell"] for r in rows})
+    return local, cells
+
+
 def ann_index_probe(
     spark, index_dir: str, queries: DataFrame, k: int = 5, nprobe: int = 1
 ) -> DataFrame:
@@ -1086,8 +1117,7 @@ def ann_index_probe(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_iv", "q_nrm2", F.col("cent_id").alias("cell"))
     )
-    # bounded by n_cells (quantizer constant), never corpus-sized
-    cells = [r.cell for r in routed.select("cell").distinct().collect()]
+    routed, cells = _collect_routed(spark, routed)
     vecs = (
         spark.read.parquet(os.path.join(index_dir, "vectors"))
         .filter(F.col("cell").isin(cells))
@@ -1275,8 +1305,7 @@ def ann_index_probe_sq8(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_iv", "q_nrm2", F.col("cent_id").alias("cell"))
     )
-    # bounded by n_cells (quantizer constant), never corpus-sized
-    cells = [r.cell for r in routed.select("cell").distinct().collect()]
+    routed, cells = _collect_routed(spark, routed)
     codes = (
         spark.read.parquet(os.path.join(index_dir, "vectors_sq8"))
         .filter(F.col("cell").isin(cells))
@@ -1425,15 +1454,61 @@ def _pq_dim(en: DataFrame, m: int, vec_col: str, max_component: float) -> int:
     return dim
 
 
+#: Codebook-collect gate for ``_books_row``: the codebooks are the MODEL
+#: (m·k rows — quantizer constants, never corpus-sized); 64k rows is ~30x a
+#: large production shape (m=16, k=256).  Past the gate the original
+#: aggregation subplan is used unchanged — the fast path is an optimization,
+#: not a new size contract.
+_MAX_BOOKS_ROWS = 65_536
+
+
+def _books_rows_py(codebooks: DataFrame) -> list | None:
+    """Collected (sub_id, j, c) rows of a codebooks relation, or None past
+    the ``_MAX_BOOKS_ROWS`` gate.  Job-free when the codebooks are already a
+    LocalRelation (``pq_train``'s r15 output) — LocalTableScan collects on
+    the driver without launching tasks."""
+    rows = codebooks.select("sub_id", "j", "c").limit(_MAX_BOOKS_ROWS + 1).collect()
+    if len(rows) > _MAX_BOOKS_ROWS:
+        return None
+    return rows
+
+
+def _books_row_local(spark, rows) -> DataFrame:
+    """The ONE-row ``__books`` relation from collected codebook rows, as a
+    literal LocalRelation: array over sub_id (ascending, contiguous 0..m-1
+    by construction) of array<struct(j,c)> sorted by centroid id — exactly
+    the ``array_sort``/``collect_list`` aggregation's output, with doubles
+    rendered round-trip-exact (localrel contract)."""
+    from healthcare_data_pipeline_spark.localrel import local_relation
+
+    by_sub: dict[int, list] = {}
+    for r in rows:  # Row or plain (sub_id, j, c) tuple — positional either way
+        by_sub.setdefault(int(r[0]), []).append((int(r[1]), list(r[2])))
+    books = [[list(jc) for jc in sorted(by_sub[s])] for s in sorted(by_sub)]
+    return local_relation(
+        spark, [(books,)], "__books array<array<struct<j:int,c:array<double>>>>"
+    )
+
+
 def _books_row(codebooks: DataFrame):
     """ONE broadcast row: ``__books`` = array over sub_id of array<struct(j,c)>
-    sorted by centroid id — the shared lookup structure of encode and ADC."""
-    return F.broadcast(
-        codebooks.groupBy("sub_id")
-        .agg(F.array_sort(F.collect_list(F.struct("j", "c"))).alias("bk"))
-        .agg(F.array_sort(F.collect_list(F.struct("sub_id", "bk"))).alias("pb"))
-        .select(F.transform("pb", lambda x: x["bk"]).alias("__books"))
-    )
+    sorted by centroid id — the shared lookup structure of encode and ADC.
+
+    r15: built by collecting the model-sized codebooks through a gate and
+    rendering a literal LocalRelation — the previous 2-aggregation subplan
+    re-ran as its own shuffle jobs inside EVERY consumer's broadcast build
+    (encode, ADC, each Lloyd iteration).  Past the gate the aggregation
+    subplan is kept unchanged; either construction yields value-identical
+    rows (doubles render round-trip-exact)."""
+    rows = _books_rows_py(codebooks)
+    if rows is None:
+        return F.broadcast(
+            codebooks.groupBy("sub_id")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "c"))).alias("bk"))
+            .agg(F.array_sort(F.collect_list(F.struct("sub_id", "bk"))).alias("pb"))
+            .select(F.transform("pb", lambda x: x["bk"]).alias("__books"))
+        )
+    return F.broadcast(_books_row_local(codebooks.sparkSession, rows))
 
 
 def _permute_col(vec_col: str, perm: list[int]) -> Column:
@@ -1543,13 +1618,23 @@ def pq_train(
     handful of survivors (the published ADC + rescore recipe, and the next
     rung below SQ8's fixed ~4x on the same axis).
 
-    Scale shape per iteration: assignment is a ZERO-shuffle scan (all m
-    codebooks ride one broadcast row; the argmin is a scalar expression per
-    (vector, subspace) row), the update one groupBy over m·k·sub_dim keys
-    with map-side combine.  Nothing collects to the driver.
+    Scale shape per iteration (r15 form — the MLlib-KMeans driver loop with
+    the repo's exactness contract): assignment is a ZERO-shuffle scan (all m
+    codebooks ride one literal LocalRelation row; the argmin is a scalar
+    expression per (vector, subspace) row); the update is ONE groupBy over
+    m·k keys with ``sub_dim`` map-side-combined component sums, collected to
+    the driver — the collect is the MODEL (m·k rows of exact BIGINT sums,
+    quantizer constants, never corpus-sized), and the truncated division
+    runs in exact Python integers.  One job per iteration; the previous
+    lazily-nested form materialized 4 exchanges per iteration under AQE
+    (books re-aggregation + posexplode partials + centroid re-assembly),
+    which dominated the composition's wall time (s12: 17 exchanges).
     """
     if k < 1 or iters < 0 or m < 1:
         raise ValueError(f"need m,k >= 1 and iters >= 0, got m={m} k={k} iters={iters}")
+    from healthcare_data_pipeline_spark.localrel import local_relation
+
+    spark = en.sparkSession
     dim = _pq_dim(en, m, vec_col, max_component)
     sd = dim // m
     if rotate is not None:
@@ -1557,30 +1642,31 @@ def pq_train(
         # encode/ADC must pass the SAME rotate (codebooks live there).
         _check_perm(rotate, dim)
         en = en.select(F.col(id_col), _permute_col(vec_col, rotate).alias(vec_col))
-    from pyspark.sql import Window
 
     subs = _sub_explode(en, m, sd, id_col, vec_col)
 
-    # seeds: the k smallest-id vectors (ONE TakeOrdered of k rows), sliced
-    # into every subspace — global window bounded at k rows, the
-    # kmeans_assign pattern.
-    w = Window.orderBy("vec_id")
-    seed = (
-        en.selectExpr(f"{id_col} AS vec_id", f"{vec_col} AS __v")
-        .orderBy("vec_id")
+    # seeds: the k smallest-id vectors (ONE TakeOrdered collect of k rows),
+    # sliced into every subspace on the driver.
+    seed_rows = (
+        en.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy("__id")
         .limit(k)
-        .select((F.row_number().over(w) - 1).alias("j"), F.col("__v"))
+        .collect()
     )
-    cents = seed.selectExpr(
-        "j",
-        f"""explode(transform(sequence(0, {m - 1}), mi ->
-              struct(mi AS sub_id, slice(__v, mi * {sd} + 1, {sd}) AS c))) AS p""",
-    ).select("p.sub_id", "j", "p.c")
+    # (sub_id, j) -> integer-valued centroid components
+    books: dict[tuple[int, int], list[float]] = {}
+    for j, r in enumerate(seed_rows):
+        v = list(r[1])  # __v (dunder names are positional-only on Row)
+        for mi in range(m):
+            books[(mi, j)] = v[mi * sd : (mi + 1) * sd]
 
-    def assign(cbooks: DataFrame) -> DataFrame:
+    def assign(bk: dict[tuple[int, int], list[float]]) -> DataFrame:
+        row = _books_row_local(
+            spark, [(s, j, c) for (s, j), c in sorted(bk.items())]
+        )
         min_sql = _kmeans_min_sql("sv", arr="element_at(__books, sub_id + 1)")
         return (
-            subs.crossJoin(_books_row(cbooks))
+            subs.crossJoin(F.broadcast(row))
             .withColumn("__m", F.expr(min_sql))
             .select(
                 "vec_id",
@@ -1590,26 +1676,25 @@ def pq_train(
             )
         )
 
+    sums = [F.sum(F.col("sv")[i].cast("long")).alias(f"s{i}") for i in range(sd)]
     for _ in range(iters):
-        asg = assign(cents)
         comp = (
-            asg.select("sub_id", "cluster_id", F.posexplode("sv").alias("pos", "v"))
-            .groupBy("sub_id", "cluster_id", "pos")
-            .agg(F.sum(F.col("v").cast("long")).alias("s"), F.count("*").alias("n"))
-        )
-        cents = (
-            comp.withColumn(
-                "cv", F.expr(f"CAST({_trunc_div_sql('s', 'n')} AS DOUBLE)")
-            )
+            assign(books)
             .groupBy("sub_id", "cluster_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
-            .select(
-                "sub_id",
-                F.col("cluster_id").alias("j"),
-                F.transform("pc", lambda x: x["cv"]).alias("c"),
-            )
+            .agg(F.count("*").alias("n"), *sums)
+            .collect()
         )
-    return cents
+        books = {}
+        for r in comp:
+            n = int(r.n)
+            books[(int(r.sub_id), int(r.cluster_id))] = [
+                float(_trunc_div_py(int(r[f"s{i}"]), n)) for i in range(sd)
+            ]
+    return local_relation(
+        spark,
+        [(s, j, c) for (s, j), c in sorted(books.items())],
+        "sub_id int, j int, c array<double>",
+    )
 
 
 def pq_encode(
@@ -2022,6 +2107,7 @@ def ann_index_probe_pq(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_iv", "q_nrm2", F.col("cent_id").alias("cell"))
     )
+    routed, cells = _collect_routed(spark, routed)
     # rotated layout: LUT slices read the permuted query; q_iv itself stays
     # original for routing (cosine is permutation-invariant but the stored
     # centroid sums live in the original space) and for the exact rescore
@@ -2029,8 +2115,6 @@ def ann_index_probe_pq(
     if perm is not None:
         qv = "__qpv"
         routed = routed.withColumn(qv, _permute_col("q_iv", perm))
-    # bounded by n_cells (quantizer constant), never corpus-sized
-    cells = [r.cell for r in routed.select("cell").distinct().collect()]
     # per-query LUTs against the broadcast codebooks: dot(q_sub, centroid)
     # and |centroid|^2, in codebook order (position-aligned with the codes)
     dot_lut = f"""transform(__books, (bk, mi) ->

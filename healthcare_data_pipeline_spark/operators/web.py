@@ -65,6 +65,8 @@ import re as _re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from healthcare_data_pipeline_spark.localrel import local_relation
+
 from healthcare_data_pipeline_spark.operators.mixture import DENOM, _split_hash
 
 _SCHEME = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
@@ -225,7 +227,11 @@ def with_registrable_domain(
             f"psl_table exceeds {_MAX_PSL_SUFFIXES} suffixes — not a "
             "public-suffix list; pass a curation-sized suffix table"
         )
-    suf = df.sparkSession.createDataFrame(
+    # LocalRelation (localrel.py): the suffix table is rebuilt per depth as a
+    # broadcast side; the Python-RDD form paid a worker round-trip task storm
+    # under every one of those builds.  Falls back past the 10k-row gate.
+    suf = local_relation(
+        df.sparkSession,
         [(s,) for s in sorted({r[0] for r in rows if r[0] is not None})],
         "__psl_suffix string",
     )
@@ -461,8 +467,8 @@ def domain_blocklist_filter(
     dots stripped, so ``:8443``/FQDN-dot variants can't evade — r13 review
     fix).  Broadcast anti joins — the list is curation-sized (thousands),
     never corpus-sized; matching is equi-join, not regex-per-row."""
-    bl = df.sparkSession.createDataFrame(
-        [(str(b).lower(),) for b in blocked], "b string"
+    bl = local_relation(
+        df.sparkSession, [(str(b).lower(),) for b in blocked], "b string"
     )
     d = with_registrable_domain(
         df, url_col, out_col="__dom", levels=levels, psl_table=psl_table

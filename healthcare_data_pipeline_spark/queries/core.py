@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from healthcare_data_pipeline_spark.localrel import local_relation
+
 from healthcare_data_pipeline_spark.catalog import table
 from healthcare_data_pipeline_spark.functions import MONEY, null_count, sql_xsum, xavg, xsum
 from healthcare_data_pipeline_spark.queries import query
@@ -42,7 +44,9 @@ from healthcare_data_pipeline_spark.queries import query
     doc="TPC-H-Q1-style multi-aggregate grouped scan (A1; transform_data.py:89-95 pattern).",
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # widen: six decimal sums fuse into the scan's partial aggregate — on a
+    # row-group-starved scan that is single-threaded (measured −0.63s at sf0.1)
+    li = table(spark, sf_dir, "lineitem", widen=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -833,7 +837,7 @@ _VALUE_BANDS = [
 )
 def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(_VALUE_BANDS, "band string, lo double, hi double")
+    bands = local_relation(spark, _VALUE_BANDS, "band string, lo double, hi double")
     joined = ev.join(
         F.broadcast(bands), (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
     )

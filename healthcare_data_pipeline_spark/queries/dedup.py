@@ -1779,7 +1779,7 @@ def dd24_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_substring_dedup,
     )
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", widen=True)
     return exact_substring_dedup(d, min_len=_DD24_MIN_LEN, hash_spans=False).select(
         "doc_id", "text", "n_tokens", "n_removed", "n_dup_spans"
     )

@@ -49,7 +49,10 @@ from healthcare_data_pipeline_spark.queries import query
     "drug_type) -> (l_suppkey,l_partkey,l_quantity,l_extendedprice,p_type).",
 )
 def d01_drug_report_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # widen: the two-key grouped decimal sums barely reduce (≈520k groups from
+    # 600k rows), so the partial aggregate is corpus-sized work that must not
+    # run on one scan task (measured −0.70s at sf0.1)
+    li = table(spark, sf_dir, "lineitem", widen=True)
     p = table(spark, sf_dir, "part")
     agg = li.groupBy("l_suppkey", "l_partkey").agg(
         xsum("l_quantity", "total_qty"), xsum("l_extendedprice", "total_cost")

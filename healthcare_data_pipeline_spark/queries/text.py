@@ -1353,7 +1353,7 @@ def _t29_oracle_sql() -> str:
 def t29_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.bpe import bpe_token_counts
 
-    return bpe_token_counts(table(spark, sf_dir, "documents"))
+    return bpe_token_counts(table(spark, sf_dir, "documents", widen=True))
 
 
 def _t30_oracle_sql() -> str:
@@ -1500,7 +1500,7 @@ def t31_bpe_byte_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_counts_byte_level,
     )
 
-    return bpe_token_counts_byte_level(table(spark, sf_dir, "documents"))
+    return bpe_token_counts_byte_level(table(spark, sf_dir, "documents", widen=True))
 
 
 # --- t32/t33: CCNet-style LM perplexity (operators.lm) ------------------
@@ -1746,7 +1746,7 @@ def _t34_oracle_sql() -> str:
 def t34_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.quality import c4_clean
 
-    d = table(spark, sf_dir, "documents").selectExpr(
+    d = table(spark, sf_dir, "documents", widen=True).selectExpr(
         "doc_id", _C4_LINED_SPARK + " AS text"
     )
     return c4_clean(d, blocklist=_C4_BLOCKLIST)

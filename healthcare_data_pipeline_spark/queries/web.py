@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from healthcare_data_pipeline_spark.localrel import local_relation
+
 from healthcare_data_pipeline_spark.catalog import table
 from healthcare_data_pipeline_spark.operators.mixture import DENOM
 from healthcare_data_pipeline_spark.queries import query
@@ -321,7 +323,8 @@ def w06_psl_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "https://Sub.Site%d.%s/p/%d", F.col("doc_id") % 50, sfx, F.col("doc_id")
         ),
     )
-    psl = spark.createDataFrame(
+    psl = local_relation(
+        spark,
         [(s,) for s in ("uk", "co.uk", "au", "com.au", "com", "net", "org")],
         "suffix string",
     )
