@@ -194,32 +194,68 @@ def lm_score(
         )
     ref_pairs = _pair_explode(reference, id_col, rtext, group_col=group_col)
 
-    # Reference model tables.  c1 attaches to the bigram table by a window
-    # over w1 — one counts-table shuffle instead of a second join relation.
-    big = (
-        ref_pairs.filter(F.col("w1").isNotNull())
-        .groupBy(*g, "w1", "w2")
-        .agg(F.count("*").alias("c12"))
-    )
+    # Reference model tables, ALL derived from ONE positioned-pair
+    # aggregation (r15): ``pc`` counts every (w1, w2) pair including the
+    # w1-NULL position-0 rows, so the unigram table is a re-aggregation of
+    # ``pc`` (sum of pair counts per w2 — every token position appears in
+    # exactly one pair row) and the totals are a re-aggregation of the
+    # unigram table (n_ref = sum of unigram counts, v_ref = its row count).
+    # Previously big/uni/totals each re-ran the reference token explode as
+    # their own subplan — three corpus passes over the reference per scoring
+    # run; now the explode + pair shuffle appear once and Spark's exchange
+    # reuse shares the materialized (w1, w2) exchange between the bigram
+    # branch and the unigram re-aggregation (executed t32 plan: 3 reference
+    # explodes -> 1, exchanges 18 -> 11).  Values are identical by exact
+    # integer arithmetic: same counts, same types, different grouping order.
+    pc = ref_pairs.groupBy(*g, "w1", "w2").agg(F.count("*").alias("__c"))
+    # c1 attaches to the bigram table by a window over w1 — one counts-table
+    # shuffle instead of a second join relation.  The w1-NULL (position-0)
+    # rows are deliberately NOT filtered out here: a NULL key never matches
+    # an equi-join, so they are unreachable in the scoring join below —
+    # and an explicit filter would be pushed below the aggregation by the
+    # optimizer, making this branch's explode subplan non-identical to the
+    # unigram branch's and defeating the runtime exchange reuse that lets
+    # all three model tables share ONE reference pass.
+    big = pc.withColumnRenamed("__c", "c12")
     big = big.withColumn("c1", F.sum("c12").over(Window.partitionBy(*g, "w1")))
-    uni = ref_pairs.groupBy(*g, "w2").agg(F.count("*").alias("cu"))
+    uni = pc.groupBy(*g, "w2").agg(F.sum("__c").alias("cu"))
+    # The bigram join matches w1 NULL-SAFELY (w2 and the group key stay
+    # plain equality).  Value-identical: a position-0 row (w1 NULL) that
+    # null-safe-matches a position-0 reference row still scores through the
+    # ``w1 IS NULL`` branch of num/den below, which never reads c12/c1 —
+    # while a plain-equality key would make the optimizer infer
+    # ``isnotnull(w1)`` on the build side, push it below the pair
+    # aggregation, and thereby make the bigram branch's explode subplan
+    # non-identical to the unigram branch's (defeating the exchange reuse
+    # that shares ONE reference pass across all three model tables).
+    big_j = big.select(
+        *[F.col(c).alias(f"__b_{c}") for c in g + ["w1", "w2"]], "c12", "c1"
+    )
+    big_cond = F.col("w1").eqNullSafe(F.col("__b_w1")) & (
+        F.col("w2") == F.col("__b_w2")
+    )
+    for c in g:
+        big_cond = big_cond & (F.col(c) == F.col(f"__b_{c}"))
+    big_drop = [f"__b_{c}" for c in g + ["w1", "w2"]]
     if group_col is None:
-        totals = ref_pairs.agg(
-            F.count("*").alias("n_ref"), F.countDistinct("w2").alias("v_ref")
+        totals = uni.agg(
+            F.sum("cu").alias("n_ref"), F.count("*").alias("v_ref")
         )
         scored = (
             _pair_explode(docs, id_col, text_col)
-            .join(big, ["w1", "w2"], "left")
+            .join(big_j, big_cond, "left")
+            .drop(*big_drop)
             .join(uni, "w2", "left")
             .crossJoin(F.broadcast(totals))
         )
     else:
-        totals = ref_pairs.groupBy(group_col).agg(
-            F.count("*").alias("n_ref"), F.countDistinct("w2").alias("v_ref")
+        totals = uni.groupBy(group_col).agg(
+            F.sum("cu").alias("n_ref"), F.count("*").alias("v_ref")
         )
         scored = (
             _pair_explode(docs, id_col, text_col, group_col=group_col)
-            .join(big, g + ["w1", "w2"], "left")
+            .join(big_j, big_cond, "left")
+            .drop(*big_drop)
             .join(uni, g + ["w2"], "left")
             # inner: a group with no reference rows has no model — dropped
             .join(F.broadcast(totals), g)

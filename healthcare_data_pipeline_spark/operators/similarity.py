@@ -1054,9 +1054,29 @@ def ann_index_rebuild(
     return True
 
 
+def _local_if_bounded(df: DataFrame, max_rows: int = 65_536) -> DataFrame:
+    """Collect a MODEL-sized relation (codebooks, cell means, bounds —
+    bounded by quantizer constants, never corpus-sized) through a row gate
+    and rebuild it as a literal LocalRelation, so consumers' broadcast
+    builds stop re-running its subplan as their own jobs.  Doubles render
+    round-trip-exact (localrel contract); past the gate the original
+    DataFrame is returned unchanged — the fast path is an optimization,
+    never a new size contract."""
+    from healthcare_data_pipeline_spark.localrel import local_relation
+
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return df
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    return local_relation(df.sparkSession, [tuple(r) for r in rows], ddl)
+
+
 def _collect_routed(spark, routed: DataFrame):
     """Materialize the per-query routing ONCE: collected rows become a
-    literal LocalRelation (returned with the distinct probed-cell list).
+    literal LocalRelation (returned with the distinct probed-cell list and
+    a per-query deduped twin for the exact-rescore join).
 
     r15 job-count fix: the probes previously re-ran the whole routing
     subplan (crossJoin vs centroids + top-nprobe window) inside EVERY
@@ -1076,7 +1096,24 @@ def _collect_routed(spark, routed: DataFrame):
     )
     local = local_relation(spark, [tuple(r) for r in rows], ddl)
     cells = sorted({r["cell"] for r in rows})
-    return local, cells
+    # Deduped (query_id, q_iv, q_nrm2) twin for the rescore join, built on
+    # the driver from the SAME rows: every routed row of one query carries
+    # identical q_iv/q_nrm2 (they are the query row fanned out per probed
+    # cell), so this is value-identical to dropDuplicates(["query_id"]) —
+    # without re-running an aggregation job under the rescore's broadcast.
+    seen: set = set()
+    uniq_rows = []
+    for r in rows:
+        if r["query_id"] not in seen:
+            seen.add(r["query_id"])
+            uniq_rows.append((r["query_id"], r["q_iv"], r["q_nrm2"]))
+    uniq_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in routed.schema.fields
+        if f.name in ("query_id", "q_iv", "q_nrm2")
+    )
+    uniq = local_relation(spark, uniq_rows, uniq_ddl)
+    return local, cells, uniq
 
 
 def ann_index_probe(
@@ -1117,7 +1154,7 @@ def ann_index_probe(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_iv", "q_nrm2", F.col("cent_id").alias("cell"))
     )
-    routed, cells = _collect_routed(spark, routed)
+    routed, cells, _ = _collect_routed(spark, routed)
     vecs = (
         spark.read.parquet(os.path.join(index_dir, "vectors"))
         .filter(F.col("cell").isin(cells))
@@ -1285,7 +1322,12 @@ def ann_index_probe_sq8(
     from pyspark.sql import Window
 
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    bounds = spark.read.parquet(os.path.join(index_dir, "sq8_bounds"))
+    # ONE-row frozen bounds as a literal LocalRelation (r15): the parquet
+    # scan otherwise re-ran as its own job under the codes crossJoin's
+    # broadcast build every probe.
+    bounds = _local_if_bounded(
+        spark.read.parquet(os.path.join(index_dir, "sq8_bounds"))
+    )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("iv").alias("q_iv"),
@@ -1305,7 +1347,7 @@ def ann_index_probe_sq8(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_iv", "q_nrm2", F.col("cent_id").alias("cell"))
     )
-    routed, cells = _collect_routed(spark, routed)
+    routed, cells, uniq = _collect_routed(spark, routed)
     codes = (
         spark.read.parquet(os.path.join(index_dir, "vectors_sq8"))
         .filter(F.col("cell").isin(cells))
@@ -1357,12 +1399,7 @@ def ann_index_probe_sq8(
     )
     pairs = (
         full.join(F.broadcast(short), ["cell", "neighbor_id"])
-        .join(
-            F.broadcast(
-                routed.select("query_id", "q_iv", "q_nrm2").dropDuplicates(["query_id"])
-            ),
-            "query_id",
-        )
+        .join(F.broadcast(uniq), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -1945,8 +1982,10 @@ def ann_index_build_pq(
 
     def _persist_perm(perm: list[int] | None) -> list[int] | None:
         if perm is not None:
-            spark.createDataFrame(
-                [(i, int(p)) for i, p in enumerate(perm)], "pos INT, src INT"
+            from healthcare_data_pipeline_spark.localrel import local_relation
+
+            local_relation(
+                spark, [(i, int(p)) for i, p in enumerate(perm)], "pos INT, src INT"
             ).write.mode("overwrite").parquet(os.path.join(index_dir, "pq_perm"))
         else:
             # probe/append auto-detect pq_perm/ — an UNROTATED in-place
@@ -1957,7 +1996,10 @@ def ann_index_build_pq(
             import shutil
 
             shutil.rmtree(os.path.join(index_dir, "pq_perm"), ignore_errors=True)
-        spark.createDataFrame(
+        from healthcare_data_pipeline_spark.localrel import local_relation
+
+        local_relation(
+            spark,
             [(int(m), int(k_codes), int(iters), bool(residual), perm is not None)],
             "m INT, k_codes INT, iters INT, residual BOOLEAN, rotated BOOLEAN",
         ).write.mode("overwrite").parquet(os.path.join(index_dir, "pq_meta"))
@@ -2107,7 +2149,7 @@ def ann_index_probe_pq(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_iv", "q_nrm2", F.col("cent_id").alias("cell"))
     )
-    routed, cells = _collect_routed(spark, routed)
+    routed, cells, uniq = _collect_routed(spark, routed)
     # rotated layout: LUT slices read the permuted query; q_iv itself stays
     # original for routing (cosine is permutation-invariant but the stored
     # centroid sums live in the original space) and for the exact rescore
@@ -2124,7 +2166,12 @@ def ann_index_probe_pq(
     nrm_lut = """transform(__books, bk ->
         transform(bk, s -> aggregate(zip_with(s.c, s.c, (x, y) -> x * y),
             0D, (acc, d) -> acc + d)))"""
-    qbase = routed.crossJoin(_books_row(books)).withColumn(
+    # ONE shared books row (r15): previously _books_row(books) was built
+    # independently for the query LUTs and the per-cell cross LUTs — two
+    # collects of the codebooks; the shared literal also lets the two
+    # broadcast builds reuse one exchange.
+    books_b = _books_row(books)
+    qbase = routed.crossJoin(books_b).withColumn(
         "__sd", F.expr("size(element_at(element_at(__books, 1), 1).c)")
     )
     codes = (
@@ -2151,7 +2198,10 @@ def ann_index_probe_pq(
         # ||x̂||² = ||cm||² + Σ (2·dot(cm_sub, r̂) + ||r̂||²) — the cross
         # term rides a per-CELL LUT so the codes scan stays one scalar
         # expression per row.
-        cms = cellmeans.filter(F.col("cell").isin(cells))
+        # probed cell means as a literal LocalRelation (bounded by n_cells,
+        # a quantizer constant): both LUT branches below consume them; the
+        # parquet subplan otherwise re-ran under each branch's broadcast.
+        cms = _local_if_bounded(cellmeans.filter(F.col("cell").isin(cells)))
         qc_dot = F.expr(
             "aggregate(zip_with(q_iv, __cm, (x, y) -> x * y), 0D, (acc, d) -> acc + d)"
         )
@@ -2178,7 +2228,7 @@ def ann_index_probe_pq(
                 + aggregate(zip_with(s.c, s.c, (x, y) -> x * y),
                     0D, (acc, d) -> acc + d)))"""
         clut = (
-            cms.crossJoin(_books_row(books))
+            cms.crossJoin(books_b)
             .withColumn("__sd", F.expr("size(element_at(element_at(__books, 1), 1).c)"))
             .select("cell", "cmnorm2", F.expr(cross_lut).alias("__clut"))
         )
@@ -2230,12 +2280,7 @@ def ann_index_probe_pq(
     )
     pairs = (
         full.join(F.broadcast(short), ["cell", "neighbor_id"])
-        .join(
-            F.broadcast(
-                routed.select("query_id", "q_iv", "q_nrm2").dropDuplicates(["query_id"])
-            ),
-            "query_id",
-        )
+        .join(F.broadcast(uniq), "query_id")
         .select(
             "query_id",
             "neighbor_id",

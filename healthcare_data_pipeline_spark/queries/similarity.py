@@ -36,9 +36,14 @@ _QUANT_SQL = """
 """
 
 
-def quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings + ``iv`` (quantized vector) + ``nrm2`` (exact squared norm)."""
-    e = table(spark, sf_dir, "embeddings")
+def quantized(spark: SparkSession, sf_dir: str, widen: bool = False) -> DataFrame:
+    """embeddings + ``iv`` (quantized vector) + ``nrm2`` (exact squared norm).
+
+    ``widen=True`` opts the scan into catalog's small-scan parallelism floor
+    — set by consumers whose fused map-side work is corpus-heavy (the PQ
+    trainer's per-iteration assign scan argmins every row against m*k
+    codebooks on what is otherwise ONE row-group-starved task)."""
+    e = table(spark, sf_dir, "embeddings", widen=widen)
     iv = F.transform(F.col("embedding"), lambda x: F.round(x.cast("double") * 1000000.0))
     df = e.select("vec_id", "label", iv.alias("iv"))
     nrm2 = F.aggregate(
@@ -777,7 +782,7 @@ def s12_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train,
     )
 
-    en = quantized(spark, sf_dir).select("vec_id", "iv")
+    en = quantized(spark, sf_dir, widen=True).select("vec_id", "iv")
     books = pq_train(en, m=2, k=8, iters=2)
     codes = pq_encode(en, books).select("vec_id", "codes")
     q = en.filter(F.col("vec_id") < _S12_NQ).select(
@@ -1004,7 +1009,7 @@ def s14_pq_adc_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train,
     )
 
-    en = quantized(spark, sf_dir).select("vec_id", "iv")
+    en = quantized(spark, sf_dir, widen=True).select("vec_id", "iv")
     perm = pq_dim_permutation(en, m=2)
     books = pq_train(en, m=2, k=8, iters=2, rotate=perm)
     codes = pq_encode(en, books, rotate=perm).select("vec_id", "codes")
