@@ -65,7 +65,12 @@ _SQL_NORM_CTES = (
                regexp_replace(
                  regexp_replace(rest, '#.*', ''),
                  '"""
-    + tracking_param_regex()
+    # ''-doubled for the single-quoted SQL literal (r14 advice fix):
+    # re.escape leaves ' unescaped, so a custom tracking-param name
+    # containing a quote would otherwise break or alter the oracle SQL.
+    # Default params contain no quote, so the spliced text — and the w02
+    # oracle hash — is unchanged.
+    + tracking_param_regex().replace("'", "''")
     + r"""', '\1', 'g'),
                '&&+', '&', 'g'),
                '\?&', '?'), '[?&]+$', ''), '/$', '') AS rest
