@@ -92,3 +92,30 @@ def vec_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+
+def dot_unrolled(a: Column | str, b: Column | str, dim_hint: int) -> Column:
+    """Dot product of two array<double> columns, BIT-IDENTICAL to the
+    sequential fold ``aggregate(zip_with(a, b, (x, y) -> x * y), 0.0,
+    (acc, x) -> acc + x)`` but ~2x cheaper per pair on the fast path.
+
+    Spark does not codegen higher-order functions: every fold evaluation
+    interprets the lambda AND allocates the zip_with product array — ~8 us
+    per dim-64 pair, which dominates pair-heavy plans (dd03's n^2 baseline
+    spent 27 s in it at sf0.1).  When both arrays have exactly ``dim_hint``
+    elements, this takes an UNROLLED left-associative sum instead —
+    ``0.0 + a[1]*b[1] + ... + a[d]*b[d]`` — a flat codegen-able expression
+    tree with the same grouping and the same per-term IEEE products, so the
+    result is bit-identical (property-tested in tests/test_functions.py);
+    any other length falls back to the fold, also bit-identical by
+    definition.  Keep ``dim_hint`` at the PRODUCER's fixed dimension; the
+    guard makes a wrong hint a missed optimization, never a wrong value.
+    """
+    av, bv = _col(a), _col(b)
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim_hint + 1):
+        acc = acc + F.element_at(av, i) * F.element_at(bv, i)
+    fold = F.aggregate(
+        F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda acc2, x: acc2 + x
+    )
+    return F.when((F.size(av) == dim_hint) & (F.size(bv) == dim_hint), acc).otherwise(fold)

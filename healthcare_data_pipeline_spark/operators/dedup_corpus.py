@@ -572,11 +572,27 @@ def dedup_incremental(
     anti-joins the small hit set back into the batch; every exchange in the
     plan is batch-sized.
     """
+    from pyspark import StorageLevel
+
     stamped = new_docs.withColumn("__fp", normalized_fingerprint(text_col))
+    # r15: persist the batch-sized intermediates.  Every stage below is a
+    # diamond — ``no_exact`` feeds the band signing AND the final anti join,
+    # ``nb`` feeds the probe's broadcast build AND the semi join, and each
+    # BROADCAST build is its own job re-executing the whole upstream subplan
+    # (the fingerprint probe, the md5-per-shingle signature pass) from the
+    # scan up.  Unpersisted, one dd11 run signed the batch 4x and stamped
+    # fingerprints 6x (~90 jobs, 18 s at sf0.1; 3 band-signature passes of
+    # the ~6 were pure recomputation).  Persisting is scale-safe HERE by the
+    # operator's own contract: everything derived from ``new_docs`` is
+    # O(batch), never O(corpus) — the corpus-side inputs stay unpersisted
+    # streamed scans.  MEMORY_ONLY: an evicted block recomputes, it never
+    # fails the query (the dd04 signature-table precedent).
     no_exact = stamped.join(
         F.broadcast(probe_fingerprint_index(stamped, corpus_fps)), "__fp", "left_anti"
+    ).persist(StorageLevel.MEMORY_ONLY)
+    nb = band_buckets(no_exact, id_col=id_col, text_col=text_col, hasher=hasher).persist(
+        StorageLevel.MEMORY_ONLY
     )
-    nb = band_buckets(no_exact, id_col=id_col, text_col=text_col, hasher=hasher)
     near_hits = (
         nb.join(
             F.broadcast(probe_band_index(nb, corpus_bands)), ["band", "bucket"], "left_semi"
@@ -584,7 +600,11 @@ def dedup_incremental(
         .select(F.col("doc_id").alias(id_col))
         .distinct()
     )
-    remainder = no_exact.join(near_hits, id_col, "left_anti").drop("__fp")
+    remainder = (
+        no_exact.join(near_hits, id_col, "left_anti")
+        .drop("__fp")
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
     return dedup_corpus(remainder, id_col=id_col, text_col=text_col, hasher=hasher)
 
 

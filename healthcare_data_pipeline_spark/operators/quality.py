@@ -454,6 +454,34 @@ def prep_corpus(
             id_col=id_col,
             text_col=text_col,
         ).drop("n_tokens", "n_removed", "n_dup_spans")
+    # r15: STAGE-BOUNDARY materialization before dedup — but ONLY when a
+    # multi-pass pre-dedup stage ran.  dedup_corpus consumes its input
+    # through several independent jobs (the components size-gate collect,
+    # broadcast builds, the final anti join), and each re-executes the
+    # ENTIRE upstream prep subplan — with the rare-bigram gate on, that is
+    # the frequency-table aggregation and its semi join re-run per consumer
+    # (~6 re-executions of the gate chain per dd18 run, measured as a
+    # string of 0.5-1 s single-task jobs; dd18 6.5 -> 4.7 s with the
+    # persist).  The published pipelines (CCNet/RefinedWeb) materialize
+    # between exactly these stages.  When only the STATELESS scalar gates
+    # ran (dd12's shape), recomputing the filter chain is cheaper than
+    # materializing it — measured dd12 2.3 -> 3.3 s with a blanket persist,
+    # and at scale a re-scan beats caching a scan-cheap relation — so the
+    # persist keys on the expensive stages.  MEMORY_AND_DISK: a block that
+    # outgrows memory spills locally instead of being recomputed through
+    # the whole gate chain; eviction only ever costs recomputation.
+    from pyspark import StorageLevel
+
+    multi_pass_prep = (
+        max_rare_bigram_ratio is not None
+        or use_repetition
+        or classifier_model is not None
+        or span_k is not None
+        or line_min_docs is not None
+        or use_url_dedup
+    )
+    if multi_pass_prep:
+        filtered = filtered.persist(StorageLevel.MEMORY_AND_DISK)
     out = dedup_corpus(filtered, id_col=id_col, text_col=text_col, hasher=hasher)
     if max_docs_per_domain is not None:
         # AFTER dedup (a domain's cap should buy unique documents, not
@@ -475,6 +503,12 @@ def prep_corpus(
             lm_score,
             perplexity_buckets,
         )
+
+        # Same stage-boundary rule as the pre-dedup persist above: the LM
+        # stage consumes ``out`` THREE ways (the scoring explode, the
+        # optional group attach, and the final semi join's left side), and
+        # each would otherwise re-run the whole dedup composition.
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
 
         if lm_per_group_model:
             if lm_group_col is None or lm_group_col not in lm_reference.columns:

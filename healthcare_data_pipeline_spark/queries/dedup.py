@@ -236,14 +236,25 @@ def dd16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(dd06/s05), which never form an all-pairs join.",
 )
 def dd03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    en = quantized(spark, sf_dir)
-    a = en.select(F.col("vec_id").alias("d1"), F.col("iv").alias("a_iv"), F.col("nrm2").alias("a_n"))
-    b = en.select(F.col("vec_id").alias("d2"), F.col("iv").alias("b_iv"), F.col("nrm2").alias("b_n"))
-    dot = F.aggregate(
-        F.zip_with(F.col("a_iv"), F.col("b_iv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    from healthcare_data_pipeline_spark.functions import dot_unrolled
+
+    # r15: the theta join has no equi key, so it can only be a nested-loop
+    # join — make it the PARALLEL one.  Without the hint the planner
+    # broadcast whichever side it liked and streamed the other through the
+    # scan's single row-group task (the whole n^2/2 loop on ONE core,
+    # ~27 s at sf0.1); broadcasting b explicitly and widening the streamed
+    # side runs the loop on every core (~3.2 s).  dot_unrolled halves the
+    # remaining per-pair cost (no interpreted fold / no zip_with allocation
+    # on the dim-64 fast path) — bit-identical by the guarded-CASE contract.
+    a = quantized(spark, sf_dir, widen=True).select(
+        F.col("vec_id").alias("d1"), F.col("iv").alias("a_iv"), F.col("nrm2").alias("a_n")
     )
+    b = F.broadcast(
+        quantized(spark, sf_dir).select(
+            F.col("vec_id").alias("d2"), F.col("iv").alias("b_iv"), F.col("nrm2").alias("b_n")
+        )
+    )
+    dot = dot_unrolled(F.col("a_iv"), F.col("b_iv"), dim_hint=64)
     sim = dot / (F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n")))
     return (
         a.join(b, F.col("d1") < F.col("d2"))

@@ -366,3 +366,31 @@ def test_kmeans_assign_matches_python_lloyd(spark, vecs, k, iters):
                 acc[p] += x
         cents = {j: [float(tdiv(s, ns[j])) for s in sums[j]] for j in sums}
     assert got == assign(cents)
+
+
+def test_dot_unrolled_bit_identical_to_fold(spark):
+    """dot_unrolled must equal the sequential fold BITWISE for every array
+    length: the dim_hint fast path (unrolled left-assoc sum) on matching
+    dims, the fold fallback on every other dim — a wrong hint may only cost
+    speed, never a bit of the value (the similarity family's hash contract)."""
+    import random
+    import struct
+
+    from healthcare_data_pipeline_spark.functions import dot_unrolled, vec_dot
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(200):
+        d = rng.choice([64, 64, 64, 0, 1, 3, 63, 65])
+        a = [rng.uniform(-1e6, 1e6) for _ in range(d)]
+        b = [rng.uniform(-1e6, 1e6) for _ in range(d)]
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = df.select(
+        "id",
+        vec_dot("a", "b").alias("f"),
+        dot_unrolled("a", "b", dim_hint=64).alias("u"),
+    ).collect()
+    assert len(out) == 200
+    for r in out:
+        assert struct.pack("<d", r.f) == struct.pack("<d", r.u), r
