@@ -330,9 +330,20 @@ def bpe_tokens(
     toks = (
         f"filter(split({final}, '{SEP}'), x -> x != '' AND x != '{BOUND}')"
     )
-    return base.selectExpr(id_col, f"{toks} AS __bt").select(
-        id_col, F.posexplode("__bt").alias("__p0", "token")
-    ).select(id_col, (F.col("__p0") + 1).alias("pos"), "token")
+    # posexplode_OUTER + null filter, not inner posexplode (r15): the inner
+    # generate's inferred ``size(__bt) > 0`` filter substitutes the ENTIRE
+    # merge fold and pushes it below any upstream repartition — running the
+    # tokenizer twice, once of those on the row-group-starved single scan
+    # task (this is why t30's widen A/B lost before this fix).  Outer
+    # generates infer nothing; token-less docs (empty/NULL text) emit one
+    # NULL row each, dropped by the cheap generated-column filter — exactly
+    # the docs the inner posexplode dropped.
+    return (
+        base.selectExpr(id_col, f"{toks} AS __bt")
+        .select(id_col, F.posexplode_outer("__bt").alias("__p0", "token"))
+        .filter(F.col("token").isNotNull())
+        .select(id_col, (F.col("__p0") + 1).alias("pos"), "token")
+    )
 
 
 def bpe_vocab_report(

@@ -58,6 +58,11 @@ def chunk_documents(
         F.ceil((n - chunk_size) / F.lit(float(stride))).cast("int") + 1
     )
     chunk = F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_size)
+    # Inner explode is correct HERE (r15 note): its inferred filter shares
+    # the generate's codegen stage (no exchange between scan and explode),
+    # so subexpression elimination already evaluates the tokenize-and-count
+    # once — the explode_outer rewrite that pays off behind a repartition
+    # (band_buckets, bpe_tokens) only added overhead here (A/B, reverted).
     return (
         df.select(id_col, toks.alias("__toks"), n_starts.alias("__ns"))
         .select(

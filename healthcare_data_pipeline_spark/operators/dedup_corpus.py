@@ -175,9 +175,18 @@ def band_buckets(
     target = narrow.sparkSession.sparkContext.defaultParallelism
     if narrow.rdd.getNumPartitions() < target:
         narrow = narrow.repartition(target, "doc_id")
+    # explode_OUTER + null filter, not plain explode (r15): an inner
+    # explode's inferred ``size(...) > 0`` filter (InferFiltersFromGenerate)
+    # substitutes the whole split + 3-gram construction and pushes it below
+    # the repartition — re-tokenizing every document on the single
+    # row-group-starved scan task.  Outer generates infer nothing; <3-token
+    # docs (empty shingle array) emit one NULL row each, dropped by the
+    # cheap generated-column filter — exactly the docs inner explode
+    # dropped ("sub-3-token docs simply produce no shingles", above).
     sh = (
         narrow.selectExpr("doc_id", "split(lower(__text), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks")
-        .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
+        .selectExpr("doc_id", f"explode_outer(array_distinct({WORD_3GRAMS_SQL})) AS s")
+        .filter(F.col("s").isNotNull())
     )
     if hasher == "portable":
         h32 = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
@@ -220,6 +229,35 @@ def band_buckets(
 MAX_SHINGLE_DF = 50
 
 
+def df_capped_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(doc_id, s): the DF-capped word-3-gram shingle relation shared by the
+    exact shingle-join passes (dd02 Jaccard, dd16 containment).
+
+    r15 shape fixes, both value-neutral: the small-scan repartition gate
+    (band_buckets' rationale — the tokenize + 3-gram explode is the heavy
+    map work and must not serialize onto a row-group-starved single scan
+    task; no-op at scale) and explode_outer + a generated-column null
+    filter instead of inner explode (an inner explode's inferred
+    ``size(...) > 0`` filter re-runs the whole shingle construction below
+    the repartition on that same single task)."""
+    narrow = docs.selectExpr(f"{id_col} AS doc_id", f"{text_col} AS __text")
+    target = narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target, "doc_id")
+    sh = (
+        narrow.selectExpr("doc_id", "split(lower(__text), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks")
+        .selectExpr("doc_id", f"explode_outer(array_distinct({WORD_3GRAMS_SQL})) AS s")
+        .filter(F.col("s").isNotNull())
+    )
+    keep = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_shingle_df)
+    return sh.join(keep.select("s"), "s")
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -242,12 +280,9 @@ def containment_pairs(
     join stays linear-ish in corpus size; at 100 TB run it per LSH bucket or
     per dup-cluster (dd09's output) rather than corpus-wide.
     """
-    sh = (
-        docs.selectExpr(f"{id_col} AS doc_id", f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks")
-        .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
+    shk = df_capped_shingles(
+        docs, id_col=id_col, text_col=text_col, max_shingle_df=max_shingle_df
     )
-    keep = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_shingle_df)
-    shk = sh.join(keep.select("s"), "s")
     sizes = shk.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shk.select(F.col("doc_id").alias("d1"), "s")
     b = shk.select(F.col("doc_id").alias("d2"), "s")

@@ -329,20 +329,22 @@ def perplexity_buckets(
     whenever no single language dominates an executor's memory.
     """
     if method == "exact":
+        # r15: ``__n`` comes from a COUNT window over the SAME partition key
+        # as the rank window (exactly the oracle's construction), not from a
+        # groupBy + broadcast join-back — the broadcast build was its own
+        # job re-executing the ENTIRE upstream scoring pipeline (for t36
+        # that is the full LM pass, ~2 s of single-task document explode per
+        # re-execution), while the count window rides the rank window's
+        # existing exchange and adds no pass at all.
         if group_col is None:
             w = Window.orderBy("bits_per_token", "doc_id")
-            counted = scores.crossJoin(
-                F.broadcast(scores.agg(F.count("*").alias("__n")))
-            )
+            wn = Window.partitionBy()
         else:
             w = Window.partitionBy(group_col).orderBy("bits_per_token", "doc_id")
-            counted = scores.join(
-                F.broadcast(
-                    scores.groupBy(group_col).agg(F.count("*").alias("__n"))
-                ),
-                group_col,
-            )
-        ranked = counted.withColumn("__r", F.row_number().over(w))
+            wn = Window.partitionBy(group_col)
+        ranked = scores.withColumn("__r", F.row_number().over(w)).withColumn(
+            "__n", F.count("*").over(wn)
+        )
         bucket = (
             F.when(F.col("__r") * 3 <= F.col("__n"), F.lit("head"))
             .when(F.col("__r") * 3 <= F.col("__n") * 2, F.lit("middle"))

@@ -45,6 +45,19 @@ def lcg_weight(k: int) -> int:
     return (_LCG_A * k + _LCG_C) % _LCG_M - _LCG_SHIFT
 
 
+def _dot64(a: Column, b: Column) -> Column:
+    """Double dot product for the candidate/rescore hot paths — bit-identical
+    to the sequential ``aggregate(zip_with(a, b, x*y), 0.0, acc+x)`` fold at
+    every array length (``functions.dot_unrolled``'s guarded-CASE contract),
+    ~2x cheaper per pair on the ``EMBED_DIM`` fast path: Spark interprets
+    higher-order-function folds and allocates the zip_with product array per
+    evaluation, which dominated the pair-heavy plans (r15: dd03's n^2
+    baseline, dd21/dd23's within-cell cosine)."""
+    from healthcare_data_pipeline_spark.functions import dot_unrolled
+
+    return dot_unrolled(a, b, dim_hint=EMBED_DIM)
+
+
 def hyperplane(plane: int, dim: int = EMBED_DIM) -> list[int]:
     return [lcg_weight(plane * dim + d) for d in range(dim)]
 
@@ -91,11 +104,7 @@ def lsh_candidate_pairs(en: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     right = b.select(
         F.col("vec_id").alias("d2"), F.col("iv").alias("b_iv"), F.col("nrm2").alias("b_n"), "bucket"
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("a_iv"), F.col("b_iv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot64(F.col("a_iv"), F.col("b_iv"))
     sim = dot / (F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n")))
     return (
         left.join(right, "bucket")
@@ -145,11 +154,7 @@ def ivf_topk(
         F.col("iv").alias("c_iv"),
         F.col("nrm2").alias("c_nrm2"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot64(F.col("q_iv"), F.col("c_iv"))
     pairs = (
         F.broadcast(q)
         .join(c, (F.col("q_cell") == F.col("c_cell")) & (F.col("query_id") != F.col("neighbor_id")))
@@ -192,11 +197,7 @@ def lsh_topk(
         F.col("nrm2").alias("c_nrm2"),
         "bucket",
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot64(F.col("q_iv"), F.col("c_iv"))
     pairs = (
         F.broadcast(q)
         .join(c, ["bucket"])
@@ -227,11 +228,7 @@ def brute_topk(en: DataFrame, query_pred: Column, k: int = 5) -> DataFrame:
         F.col("iv").alias("c_iv"),
         F.col("nrm2").alias("c_nrm2"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot64(F.col("q_iv"), F.col("c_iv"))
     pairs = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -343,11 +340,7 @@ def ivf_topk_multiprobe(
                 F.transform("pc", lambda x: x["c"]).alias("cv"),
             )
         )
-        qc_dot = F.aggregate(
-            F.zip_with(F.col("q_iv"), F.col("cv"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        qc_dot = _dot64(F.col("q_iv"), F.col("cv"))
         cnorm = F.sqrt(F.aggregate(F.col("cv"), F.lit(0.0), lambda acc, x: acc + x * x))
         scored = q.crossJoin(F.broadcast(cent)).select(
             "query_id",
@@ -367,11 +360,7 @@ def ivf_topk_multiprobe(
         F.col("iv").alias("c_iv"),
         F.col("nrm2").alias("c_nrm2"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot64(F.col("q_iv"), F.col("c_iv"))
     pairs = (
         F.broadcast(probes)
         .join(c, ["cell"])
@@ -460,11 +449,7 @@ def cell_candidate_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
     right = assigned.select(
         F.col("vec_id").alias("d2"), F.col("iv").alias("b_iv"), F.col("nrm2").alias("b_n"), "cell"
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("a_iv"), F.col("b_iv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot64(F.col("a_iv"), F.col("b_iv"))
     sim = dot / (F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n")))
     return (
         left.join(right, "cell")
@@ -1165,11 +1150,7 @@ def ann_index_probe(
             "cell",
         )
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot64(F.col("q_iv"), F.col("c_iv"))
     pairs = (
         vecs.join(F.broadcast(routed), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1359,18 +1340,10 @@ def ann_index_probe_sq8(
         )
         .withColumn(
             "dq_nrm2",
-            F.aggregate(
-                F.zip_with(F.col("dq"), F.col("dq"), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
+            _dot64(F.col("dq"), F.col("dq")),
         )
     )
-    adc = F.aggregate(
-        F.zip_with(F.col("q_iv"), F.col("dq"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = _dot64(F.col("q_iv"), F.col("dq"))
     wsl = Window.partitionBy("query_id").orderBy(F.desc("sq8_sim"), F.asc("neighbor_id"))
     short = (
         codes.join(F.broadcast(routed), "cell")
@@ -1392,11 +1365,7 @@ def ann_index_probe_sq8(
         .filter(F.col("cell").isin(cells))
         .select(F.col("vec_id").alias("neighbor_id"), F.col("iv").alias("c_iv"), F.col("nrm2").alias("c_nrm2"), "cell")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot64(F.col("q_iv"), F.col("c_iv"))
     pairs = (
         full.join(F.broadcast(short), ["cell", "neighbor_id"])
         .join(F.broadcast(uniq), "query_id")
@@ -2273,11 +2242,7 @@ def ann_index_probe_pq(
             "cell",
         )
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("q_iv"), F.col("c_iv"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot64(F.col("q_iv"), F.col("c_iv"))
     pairs = (
         full.join(F.broadcast(short), ["cell", "neighbor_id"])
         .join(F.broadcast(uniq), "query_id")

@@ -538,7 +538,9 @@ def q20_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ROLLUP grouping sets with subtotal rows (§2.4 [EXT]).",
 )
 def q21_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # widen: rollup expands every row x3 grouping sets before the map-side
+    # decimal sums — heavy fused map work (r15 A/B: 1.27 -> 1.15 s).
+    li = table(spark, sf_dir, "lineitem", widen=True)
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), xsum("l_quantity", "sum_qty")
     )
@@ -864,7 +866,9 @@ def q29_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle; the NULL-keyed subtotal rows follow SQL semantics on both engines.",
 )
 def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # widen: cube expands every row x4 grouping sets before the map-side
+    # decimal sums (r15 A/B: 1.78 -> 0.89 s on one row-group-starved task).
+    li = table(spark, sf_dir, "lineitem", widen=True)
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), xsum("l_quantity", "sum_qty")
     )
@@ -1029,7 +1033,12 @@ def q34_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "|approx-exact|/exact bounds as booleans; the oracle asserts they all hold (TRUE).",
 )
 def q35_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    # widen: the map side updates FOUR sketch/buffer aggregates per row
+    # (HLL++, t-digest, exact percentile buffer, distinct expand) — the
+    # heaviest fused map work in the q-family (r15 A/B: 5.6 -> 2.3 s).
+    # Values are partition-safe: HLL/percentile merges are commutative and
+    # the hash-checked columns are the tolerance booleans by design.
+    li = table(spark, sf_dir, "lineitem", widen=True)
     agg = li.groupBy("l_linestatus").agg(
         F.approx_count_distinct("l_suppkey").alias("acd"),
         F.countDistinct("l_suppkey").alias("ecd"),

@@ -129,13 +129,12 @@ def dd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for intersections, exact Jaccard >= 0.05 pairs.",
 )
 def dd02_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    sh = (
-        d.selectExpr("doc_id", "split(lower(text), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks")
-        .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
+    from healthcare_data_pipeline_spark.operators.dedup_corpus import (
+        df_capped_shingles,
     )
-    keep = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= MAX_SHINGLE_DF)
-    shk = sh.join(keep.select("s"), "s")
+
+    d = table(spark, sf_dir, "documents")
+    shk = df_capped_shingles(d)
     sizes = shk.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shk.select(F.col("doc_id").alias("d1"), "s")
     b = shk.select(F.col("doc_id").alias("d2"), "s")
@@ -318,7 +317,16 @@ def _fast_minhash_sig(
     if with_fingerprint:
         sh = sh.selectExpr("doc_id", "md5(array_join(toks, ' ')) AS f", "toks")
     keys = ["doc_id", "f"] if with_fingerprint else ["doc_id"]
-    sh = sh.selectExpr(*keys, f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
+    # explode_OUTER + null filter, not plain explode (r15, the _fast_simhash
+    # fix): an inner explode's inferred ``size(...) > 0`` filter substitutes
+    # the ENTIRE shingle construction (normalize + split + 3-gram transform)
+    # and pushes it below the repartition — single-task at sf scale.  Outer
+    # generates infer nothing; <3-token docs (empty shingle array) emit one
+    # NULL row each, dropped by the cheap generated-column filter — exactly
+    # the docs the inner explode dropped.
+    sh = sh.selectExpr(
+        *keys, f"explode_outer(array_distinct({WORD_3GRAMS_SQL})) AS s"
+    ).filter(F.col("s").isNotNull())
     # Standard MinHash construction: hash each shingle ONCE (xxhash64, the
     # engine-fast path), then drive all N permutations as affine transforms of
     # that one value — 1 string hash + N multiply-add-mods per shingle instead
@@ -487,21 +495,41 @@ def _fast_simhash(
     # Spark trim strips only ASCII spaces, so splitting the raw text on [ \t\n\r\f\x0B]+
     # would inject empty edge tokens for tab/newline-padded text and break
     # "same normalized text -> same fingerprint / same token bag".
+    # Repartition the RAW text BEFORE the normalization (dd04's ordering,
+    # r15 fix): projections do not push below a repartition, so normalizing
+    # first ran the regexp collapse + trim on the row-group-starved single
+    # scan task (~2 s/pass at sf0.1, twice per dd05 run); exchanged first,
+    # the normalization runs at full parallelism.  Same bytes move either
+    # way (collapsed text ~= raw text).
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
     narrow = docs.select(
         "doc_id",
         F.trim(F.regexp_replace(F.lower(text_expr), r"[ \t\n\r\f\x0B]+", " ")).alias("__lt"),
     )
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < target:
-        narrow = narrow.repartition(target, "doc_id")
     narrow = narrow.select("doc_id", F.split(F.col("__lt"), " ").alias("toks"))
     if with_fingerprint:
         narrow = narrow.select(
             "doc_id", F.md5(F.array_join("toks", " ")).alias("f"), "toks"
         )
     keys = ["doc_id", "f"] if with_fingerprint else ["doc_id"]
-    toks = narrow.select(*keys, F.explode("toks").alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
+    # explode_OUTER + a post-generate null filter, NOT plain explode (r15):
+    # for an inner explode the optimizer infers ``size(toks) > 0 AND
+    # isnotnull(toks)`` (InferFiltersFromGenerate), substitutes the full
+    # ``split(trim(regexp_replace(lower(text))))`` expression into it, and
+    # pushes THAT below the repartition — re-running the whole
+    # normalization on the row-group-starved single scan task (~2 s/pass at
+    # sf0.1, the exact cost the repartition exists to parallelize).  An
+    # outer generate keeps rows, so nothing is inferred; the only extra
+    # rows are one NULL token per NULL-text doc, removed by a cheap filter
+    # on the GENERATED column (cannot push below the Generate).
+    # Value-identical: split() of non-null text is never empty, so inner
+    # explode dropped exactly the NULL-text docs — which the filter drops.
+    toks = (
+        narrow.select(*keys, F.explode_outer("toks").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .withColumn("h", F.xxhash64("tok"))
     )
     n_bits = 63  # keep the signature non-negative
     votes = toks.groupBy(*keys).agg(

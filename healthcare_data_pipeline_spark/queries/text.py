@@ -1425,7 +1425,11 @@ def _t30_oracle_sql() -> str:
 def t30_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.bpe import bpe_vocab_report
 
-    return bpe_vocab_report(table(spark, sf_dir, "documents"))
+    # widen: the merge fold is the heaviest per-row map work in the text
+    # family (r15 A/B after the posexplode_outer fix: 3.8 -> 1.7 s; the
+    # earlier widen A/B lost only because the inner posexplode's inferred
+    # filter re-ran the fold below the repartition — see bpe_tokens).
+    return bpe_vocab_report(table(spark, sf_dir, "documents", widen=True))
 
 
 def _t31_oracle_sql() -> str:
