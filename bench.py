@@ -23,7 +23,7 @@ import sys
 import time
 
 from healthcare_data_pipeline_spark.queries import catalog
-from healthcare_data_pipeline_spark.session import get_spark
+from healthcare_data_pipeline_spark.session import _cpus, get_spark
 
 # Headline set: the flagship star join + one representative per operator family.
 HEADLINE = [
@@ -127,13 +127,68 @@ PROBE_TOL = 1.25
 # spread 57%).
 SPREAD_TOL = 0.20
 
+# Per-query regression band (r15 verdict item 2b).  Reference raw seconds are
+# the MAX over the two pooled quiet=true artifacts of the r15 era — the
+# driver's BENCH_r15.json and the builder's
+# plans/r15/BENCH_final_r15code_thisbox.json (the boxes disagree per-query by
+# up to 2.4x, so the max is the loosest honest "no quiet run has ever been
+# slower than this" bound; the min would false-flag cross-box drift).  A
+# query whose min-of-reps exceeds ref * REGRESSION_TOL on a probe-gated
+# (32-core) run is flagged in the artifact — fail-loud in the JSON, not the
+# exit code: a perf drift is a finding, not a bench failure.  The band only
+# engages on probe-gated runs because the references describe the 32-core
+# reference configuration.
+REGRESSION_REF = {
+    "q01_pricing_summary": 1.254,
+    "q14_star_join": 1.129,
+    "q19_window_rank": 0.298,
+    "q26_sessionize": 0.424,
+    "d01_drug_report_shape": 1.502,
+    "d02_prescriber_report_shape": 0.684,
+    "dd01_exact_dedup": 0.632,
+    "dd04_minhash_lsh": 1.569,
+    "dd09_dedup_corpus": 2.184,
+    "t02_quality_score": 0.38,
+    "t13_corpus_shuffle": 0.313,
+    "t14_training_windows": 1.793,
+    "s01_knn_cosine": 0.874,
+    "s07_ann_index_probe": 1.513,
+    "t29_bpe_tokenize": 0.541,
+    "t32_lm_perplexity": 1.721,
+    "t34_c4_rules": 0.309,
+    "t35_temperature_mix": 0.386,
+    "dd24_exact_substring": 1.316,
+    "dd25_fuzzy_decontaminate": 1.987,
+    "s10_ann_index_probe_sq8": 3.194,
+    "s12_pq_adc": 2.267,
+    "s13_ann_index_probe_pq": 2.439,
+}
+REGRESSION_TOL = 1.25
+
+
+def regression_flags(timings: dict[str, float]) -> dict[str, dict[str, float]]:
+    """Queries whose raw min-of-reps drifted >25% above the pooled quiet
+    reference (REGRESSION_REF) — {} when all within band."""
+    flags: dict[str, dict[str, float]] = {}
+    for name, now in timings.items():
+        ref = REGRESSION_REF.get(name)
+        if ref is not None and now > ref * REGRESSION_TOL:
+            flags[name] = {"ref_sec": ref, "now_sec": now}
+    return flags
+
 
 def rep_spread(rep_times: list[float]) -> float:
-    """(max-min)/min over one query's STEADY reps (first rep dropped when
-    3+ were taken — see the SPREAD_TOL comment) — 0 when unmeasurable."""
-    steady = rep_times[1:] if len(rep_times) >= 3 else rep_times
+    """(max-min)/min over one query's STEADY reps.  The first rep is always
+    dropped — it is systematically cold even on an idle box (see the
+    SPREAD_TOL comment) — so with fewer than 3 reps there are not two steady
+    reps to compare and the spread is unmeasurable (0.0): the gate only
+    engages at REPS>=3 (r15 verdict item 2c — at REPS=2 genuine rep-1 warmup
+    is indistinguishable from contention)."""
+    steady = rep_times[1:]
+    if len(steady) < 2:
+        return 0.0
     lo = min(steady)
-    return (max(steady) - lo) / lo if lo > 0 and len(steady) > 1 else 0.0
+    return (max(steady) - lo) / lo if lo > 0 else 0.0
 
 
 def median_rep_spread(reps: dict[str, list[float]]) -> float:
@@ -170,7 +225,12 @@ def main() -> None:
     # Spark starts — that is pre-existing load, not ours — record it in the
     # JSON, and shout when the machine isn't quiet so a polluted number is
     # never mistaken for a regression.
-    cpus = os.cpu_count() or 1
+    # EFFECTIVE core count (r15 verdict item 2a): the session runs
+    # local[$SPARK_GRAFT_CPUS] (session._cpus), so the artifact's cpus stamp,
+    # the probe gate (probe_gated below) and the quiet threshold must use the
+    # same number — os.cpu_count() mislabeled the driver's 8-core run as 32
+    # and wrongly applied the 32-core probe normalization to it (BENCH_r15_c8).
+    cpus = _cpus()
 
     # Test hook: the quiet-wait gate needs a deterministic "busy machine"
     # (tests/test_bench_harness.py) without actually loading the box.
@@ -315,9 +375,14 @@ def main() -> None:
     # reps are recorded in the JSON so the variance itself is visible — a
     # wide rep spread on a quiet-stamped artifact is the tell to re-run.
     reps_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    # Test hook: the rep-spread gate needs deterministically "inflated" reps
+    # Test hook: the rep-spread gate needs deterministically spread-y reps
     # (tests/test_bench_harness.py) without loading the box — a comma list of
-    # multipliers applied cyclically to each query's measured reps.
+    # ABSOLUTE synthetic rep seconds substituted cyclically for each query's
+    # reps.  r15 lesson (verdict item 2c): the previous form MULTIPLIED the
+    # measured rep times, so genuine rep-1-cold/rep-2-warm drift of ~1.6x at
+    # REPS=2 cancelled an injected x1.6 and the gate test flaked on the
+    # driver's box; substituting absolute times removes the measurement from
+    # the loop entirely.
     fake_noise = [
         float(x)
         for x in os.environ.get("SPARK_GRAFT_BENCH_FAKE_REP_NOISE", "").split(",")
@@ -343,7 +408,7 @@ def main() -> None:
                     break
                 dt_rep = time.perf_counter() - t0
                 if fake_noise:
-                    dt_rep *= fake_noise[rep_i % len(fake_noise)]
+                    dt_rep = fake_noise[rep_i % len(fake_noise)]
                 rep_times.append(round(dt_rep, 3))
                 spark.catalog.clearCache()
                 gc.collect()
@@ -447,6 +512,24 @@ def main() -> None:
             "stamping quiet=false",
             file=sys.stderr,
         )
+
+    # Per-query regression band (r15 verdict item 2b): on a probe-gated
+    # (32-core reference) run AT THE REFERENCE SCALE (sf0.1 — the pooled
+    # references describe that workload; an sf0.001 smoke run trips the
+    # band on fixed overhead alone), any query >25% slower than the pooled
+    # quiet reference era is flagged in the artifact and on stderr.  Only
+    # meaningful when the run itself was quiet — a contended run inflates
+    # everything and the quiet=false stamp already says so.
+    band_engaged = probe_gated and sf == "0.1"
+    band_flags = regression_flags({**timings, **timings_v2}) if band_engaged else {}
+    if band_flags and quiet:
+        for name, f in sorted(band_flags.items()):
+            print(
+                f"# REGRESSION BAND: {name} {f['now_sec']:.3f}s exceeds "
+                f"{REGRESSION_TOL:.2f}x the pooled quiet reference "
+                f"{f['ref_sec']:.3f}s",
+                file=sys.stderr,
+            )
 
     # ANN recall/latency point at the bench SF (untimed in the headline
     # total): the IVF nprobe default is a recall-vs-cost tradeoff, so publish
@@ -568,6 +651,13 @@ def main() -> None:
         "rep_spread_median": round(med_spread, 4),
         "spread_passes": len(passes),
         "quiet": quiet,
+        # Band verdict is only trustworthy on a quiet probe-gated run; the
+        # raw flags are recorded either way so the artifact self-describes.
+        "regression_band": {
+            "tol": REGRESSION_TOL,
+            "engaged": band_engaged,
+            "flags": band_flags,
+        },
     }
     # Probe-relative normalization: the calibration probe is fixed work, so
     # probe_time/ref IS the host slowdown factor during this run.  Dividing
@@ -634,6 +724,8 @@ def main() -> None:
         compact["probe_ratio"] = out["probe"]["ratio"]
     if errors:
         compact["error_queries"] = sorted(errors)
+    if band_flags:
+        compact["regression_flags"] = sorted(band_flags)
     line = json.dumps(compact)
     if len(line) > 1900:  # never outgrow the tail capture: drop per-query detail
         compact.pop("queries", None)

@@ -61,6 +61,8 @@ def _run_bench(extra_env: dict[str, str]) -> tuple[subprocess.CompletedProcess, 
         assert compact["queries"] == full["queries"]
     if full.get("errors"):
         assert compact["error_queries"] == sorted(full["errors"])
+    if compact.get("regression_flags"):
+        assert compact["regression_flags"] == sorted(full["regression_band"]["flags"])
     return proc, full
 
 
@@ -203,20 +205,39 @@ def test_median_rep_spread_flags_the_r12_artifact_shape():
     # Degenerate inputs are unmeasurable, not crashes.
     assert median_rep_spread({}) == 0.0
     assert median_rep_spread({"q": [1.0]}) == 0.0
-    # With only 2 reps there is no cold rep to drop — all reps count.
-    assert rep_spread([1.0, 1.6]) > 0.5
+    # At 2 reps the lone steady rep has nothing to compare against: the gate
+    # only engages at REPS>=3 (r15 verdict 2c — at REPS=2 genuine rep-1
+    # warmup is indistinguishable from contention, which made this gate
+    # defeatable by warmup drift).
+    assert rep_spread([1.0, 1.6]) == 0.0
+
+
+def test_regression_band_flags_only_clear_drift():
+    """r15 verdict item 2b: a >25% raw drift above the pooled quiet reference
+    is flagged; within-band numbers and unknown queries are not."""
+    from bench import REGRESSION_REF, REGRESSION_TOL, regression_flags
+
+    name = "q01_pricing_summary"
+    ref = REGRESSION_REF[name]
+    assert regression_flags({name: ref * 1.1}) == {}
+    flagged = regression_flags({name: ref * 1.5, "brand_new_query": 99.0})
+    assert set(flagged) == {name}
+    assert flagged[name] == {"ref_sec": ref, "now_sec": ref * 1.5}
+    assert REGRESSION_TOL == 1.25
 
 
 def test_bench_rep_spread_stamps_quiet_false():
-    """The r12 failure end-to-end: clean loadavg, clean probe, but inflated
-    reps (synthetic 60% noise on rep 2 of 2) — the artifact must stamp
-    quiet=false, record the median spread, and say why on stderr."""
+    """The r12 failure end-to-end: clean loadavg, clean probe, but spread-y
+    steady reps (absolute synthetic rep times 1.0/1.0/1.6s — a 60% steady
+    spread) — the artifact must stamp quiet=false, record the median spread,
+    and say why on stderr.  REPS=3 because the gate only engages with two
+    steady reps to compare (r15 verdict 2c)."""
     proc, out = _run_bench(
         {
             "SPARK_GRAFT_BENCH_FAKE_LOAD": "0.5",
             "SPARK_GRAFT_BENCH_FAKE_PROBE": "0.46",
-            "SPARK_GRAFT_BENCH_REPS": "2",
-            "SPARK_GRAFT_BENCH_FAKE_REP_NOISE": "1.0,1.6",
+            "SPARK_GRAFT_BENCH_REPS": "3",
+            "SPARK_GRAFT_BENCH_FAKE_REP_NOISE": "1.0,1.0,1.6",
             "SPARK_GRAFT_BENCH_SKIP_ANN": "1",
         }
     )
@@ -234,8 +255,8 @@ def test_bench_rep_spread_retries_then_keeps_calmest_pass():
         {
             "SPARK_GRAFT_BENCH_FAKE_LOAD": "0.5",
             "SPARK_GRAFT_BENCH_FAKE_PROBE": "0.46",
-            "SPARK_GRAFT_BENCH_REPS": "2",
-            "SPARK_GRAFT_BENCH_FAKE_REP_NOISE": "1.0,1.6",
+            "SPARK_GRAFT_BENCH_REPS": "3",
+            "SPARK_GRAFT_BENCH_FAKE_REP_NOISE": "1.0,1.0,1.6",
             "SPARK_GRAFT_BENCH_SPREAD_RETRIES": "1",
             "SPARK_GRAFT_BENCH_SKIP_ANN": "1",
         }
