@@ -64,16 +64,28 @@ def chunk_documents(
     # once — the explode_outer rewrite that pays off behind a repartition
     # (band_buckets, bpe_tokens) only added overhead here (A/B, reverted).
     return (
-        df.select(id_col, toks.alias("__toks"), n_starts.alias("__ns"))
+        df.select(
+            id_col, toks.alias("__toks"), n.alias("__n"), n_starts.alias("__ns")
+        )
         .select(
             id_col,
             "__toks",
+            "__n",
             F.explode(F.sequence(F.lit(0), F.col("__ns") - 1)).alias("chunk_idx"),
         )
         .select(
             id_col,
             F.col("chunk_idx").cast("long").alias("chunk_idx"),
-            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            # == size(slice(__toks, chunk_idx*stride + 1, chunk_size)):
+            # every generated start satisfies 1 <= start <= n (n_starts'
+            # construction), so the slice size is min(chunk_size, n - start
+            # + 1) — plain arithmetic on the pre-explode token count.
+            # Consumers that prune chunk_text (t14 keeps only the count)
+            # then never touch the token array after the explode at all —
+            # the per-chunk slice was the dominant post-explode cost (r16).
+            F.least(F.lit(chunk_size), F.col("__n") - F.col("chunk_idx") * stride)
+            .cast("long")
+            .alias("n_chunk_tokens"),
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )

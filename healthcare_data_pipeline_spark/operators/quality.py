@@ -844,6 +844,19 @@ def repetition_flags(
     tok = base.select(
         "__did", F.posexplode("__toks").alias("__p0", "__t")
     ).select("__did", (F.col("__p0") + 1).alias("__p"), "__t", F.length("__t").alias("__l"))
+    # CPU-vs-bytes coalescing fix (r16, the r15 verdict's t28 item): the
+    # token shuffle feeding the gram windows carries few BYTES, so AQE's
+    # byte-based coalescing folds the post-shuffle stage — where the
+    # lead-window gram construction and everything above it runs — into
+    # 1-2 tasks, serializing the single CPU-dense stage of the operator.
+    # An explicit doc-keyed repartition pins that exchange at the session
+    # parallelism (user-specified repartitions are exempt from AQE
+    # coalescing), satisfies the windows' required distribution (no extra
+    # exchange appears — see plans/r16/t28_repetition_flags_after.txt), and
+    # scales with defaultParallelism rather than any local constant.
+    tok = tok.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "__did"
+    )
     w = Window.partitionBy("__did").orderBy("__p")
 
     def grams_for(sizes: tuple[int, ...], with_cum: bool) -> DataFrame:

@@ -1058,47 +1058,178 @@ def _local_if_bounded(df: DataFrame, max_rows: int = 65_536) -> DataFrame:
     return local_relation(df.sparkSession, [tuple(r) for r in rows], ddl)
 
 
-def _collect_routed(spark, routed: DataFrame):
-    """Materialize the per-query routing ONCE: collected rows become a
-    literal LocalRelation (returned with the distinct probed-cell list and
-    a per-query deduped twin for the exact-rescore join).
+def _arrow_ddl(schema) -> str | None:
+    """Spark DDL for a (simple) pyarrow schema — ints, doubles, strings and
+    lists thereof cover every index sidecar; None for anything else so the
+    caller falls back to a Spark read."""
+    import pyarrow as pa
 
-    r15 job-count fix: the probes previously re-ran the whole routing
-    subplan (crossJoin vs centroids + top-nprobe window) inside EVERY
-    consumer — the cells collect plus up to three separate broadcast builds
-    each re-executed it as their own job chain.  Budget-wise this collect is
-    NOT new state on the driver: ``routed`` was already broadcast (a
-    broadcast hash relation is built by collecting to the driver first), so
-    the bounded-size contract is the existing broadcast budget, unchanged.
-    Doubles round-trip exactly through the literal rendering (localrel
-    contract), and past localrel's size gates the relation falls back to
-    ``createDataFrame`` — same rows either way."""
+    def one(t) -> str | None:
+        if pa.types.is_int64(t):
+            return "bigint"
+        if pa.types.is_int32(t):
+            return "int"
+        if pa.types.is_float64(t):
+            return "double"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            inner = one(t.value_type)
+            return f"array<{inner}>" if inner else None
+        return None
+
+    cols = []
+    for f in schema:
+        t = one(f.type)
+        if t is None:
+            return None
+        cols.append(f"`{f.name}` {t}")
+    return ", ".join(cols)
+
+
+def _sidecar_rows(path: str) -> list[dict]:
+    """Model-sized index sidecar parquet -> Python rows, read ON THE DRIVER
+    with pyarrow (the catalog.py precedent).  No Spark jobs at all — the
+    per-read parquet-listing job plus the collect/broadcast-build job the
+    probes previously paid per sidecar (r15 verdict item 7) disappear.
+    Only ever called on quantizer-constant-sized sidecars (centroids,
+    bounds, cell means, codebooks, permutation — never the corpus-sized
+    ``vectors/`` / ``*_codes/`` layouts).  Doubles/ints come back
+    bit-exact: parquet physical values, no text round trip."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path).to_pylist()
+
+
+def _sidecar_local(spark, path: str, max_rows: int = 65_536) -> DataFrame | None:
+    """A sidecar as a literal LocalRelation (zero jobs to build, zero jobs
+    under every consumer's broadcast), or None past the model-size gate /
+    outside the arrow->DDL mapping — callers fall back to a Spark read."""
+    import pyarrow.parquet as pq
+
     from healthcare_data_pipeline_spark.localrel import local_relation
 
-    rows = routed.collect()
-    ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in routed.schema.fields
+    tbl = pq.read_table(path)
+    if tbl.num_rows > max_rows:
+        return None
+    ddl = _arrow_ddl(tbl.schema)
+    if ddl is None:
+        return None
+    names = tbl.column_names
+    rows = [tuple(d[c] for c in names) for d in tbl.to_pylist()]
+    return local_relation(spark, rows, ddl)
+
+
+def _dec38_int(x) -> int:
+    """Python twin of Spark's CAST(double AS DECIMAL(38,0)): Spark converts
+    through the shortest round-trip decimal string (BigDecimal.valueOf
+    semantics — ``repr`` is the Python equivalent) then rounds HALF_UP to
+    scale 0.  Exact for the engine's integral-valued quantized vectors, and
+    bit-faithful even off that contract."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if isinstance(x, int):
+        return x
+    return int(Decimal(repr(float(x))).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _route_score_py(q_iv, cs, cnorm: float) -> float:
+    """Exact Python twin of ``_route_score``: integer-exact dot (the
+    decimal(38,0) accumulation is plain bignum arithmetic), ONE correctly
+    rounded int->double conversion, one IEEE division — bit-identical to
+    the SQL expression wherever the decimal does not overflow (|dot| <
+    1e38; the quantized-component contract keeps real dots ~1e18).  -inf on
+    a degenerate zero-norm cell, exactly like the SQL guard."""
+    dot = 0
+    for x, y in zip(q_iv, cs):
+        dot += _dec38_int(x) * int(y)
+    return float(dot) / cnorm if cnorm > 0 else float("-inf")
+
+
+#: Driver-routing gate: one routed query row is ~0.5 KB (a 64-dim vector);
+#: 64k rows ≈ 32 MB — the same existing broadcast-budget class the routing
+#: relation already lived in (it was always broadcast to every executor).
+#: Past the gate the probes keep a fully LAZY routing plan.
+_MAX_ROUTE_ROWS = 65_536
+
+
+def _probe_routing(spark, index_dir: str, queries: DataFrame, nprobe: int):
+    """The shared probe front end: ``(routed, uniq, cells)`` where
+
+    - ``routed`` is the NARROW per-(query, probed-cell) relation
+      ``(query_id, cell)`` — no vector arrays: re-rendering q_iv once per
+      routed row was the r15 route-once regression's fixed cost (s07/s10/
+      s13 35-70% slower on the driver box, VERDICT item 1);
+    - ``uniq`` carries ``(query_id, q_iv, q_nrm2)`` ONCE per query for the
+      dot/rescore joins;
+    - ``cells`` is the distinct probed-cell list for disk partition pruning.
+
+    Within the gate, routing runs ON THE DRIVER (guide §8: decide with
+    small rows — queries x centroids is model-sized decision work) against
+    the pyarrow-read centroid sidecar, with ``_route_score_py`` keeping the
+    scores bit-identical to the SQL twin; the returned relations are
+    literal LocalRelations, so every downstream broadcast build is
+    job-free.  Past the gate: the pre-r15 LAZY plan (cross join + window),
+    whose only collect is the n_cells-bounded distinct cell list — the
+    previous implementation collected the full routed relation UNGATED
+    (r15 verdict watch-item 5)."""
+    import os
+
+    from pyspark.sql import Window
+
+    from healthcare_data_pipeline_spark.localrel import local_relation
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("iv").alias("q_iv"),
+        F.col("nrm2").alias("q_nrm2"),
     )
-    local = local_relation(spark, [tuple(r) for r in rows], ddl)
-    cells = sorted({r["cell"] for r in rows})
-    # Deduped (query_id, q_iv, q_nrm2) twin for the rescore join, built on
-    # the driver from the SAME rows: every routed row of one query carries
-    # identical q_iv/q_nrm2 (they are the query row fanned out per probed
-    # cell), so this is value-identical to dropDuplicates(["query_id"]) —
-    # without re-running an aggregation job under the rescore's broadcast.
-    seen: set = set()
-    uniq_rows = []
-    for r in rows:
-        if r["query_id"] not in seen:
-            seen.add(r["query_id"])
+    q_rows = q.limit(_MAX_ROUTE_ROWS + 1).collect()
+    if len(q_rows) <= _MAX_ROUTE_ROWS:
+        import pyarrow.parquet as pa_pq
+
+        cent_tbl = pa_pq.read_table(os.path.join(index_dir, "centroids"))
+        cent = cent_tbl.to_pylist()
+        routed_rows: list[tuple] = []
+        uniq_rows: list[tuple] = []
+        for r in q_rows:
+            ranked = sorted(
+                (-_route_score_py(r["q_iv"], c["cs"], c["cnorm"]), c["cent_id"])
+                for c in cent
+            )[:nprobe]
             uniq_rows.append((r["query_id"], r["q_iv"], r["q_nrm2"]))
-    uniq_ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in routed.schema.fields
-        if f.name in ("query_id", "q_iv", "q_nrm2")
+            routed_rows.extend((r["query_id"], cid) for _, cid in ranked)
+        qid_t = q.schema["query_id"].dataType.simpleString()
+        # the literal's cell type mirrors the persisted quantizer's cent_id
+        # so the codes/vectors joins stay cast-free
+        cell_t = _arrow_ddl(cent_tbl.select(["cent_id"]).schema).split(" ", 1)[1]
+        routed = local_relation(
+            spark, routed_rows, f"`query_id` {qid_t}, `cell` {cell_t}"
+        )
+        uniq_ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in q.schema.fields
+        )
+        uniq = local_relation(spark, uniq_rows, uniq_ddl)
+        return routed, uniq, sorted({c for _, c in routed_rows})
+    # Fallback past the driver gate: LAZY routing — every consumer joins the
+    # narrow (query_id, cell) relation and picks the vectors up from ``q``;
+    # the only collect is the distinct probed-cell list, bounded by n_cells
+    # (a quantizer constant, never query- or corpus-sized).
+    cent_df = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    routed = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            "query_id",
+            "cent_id",
+            _route_score(F.col("q_iv"), F.col("cs"), F.col("cnorm")).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("cell"))
     )
-    uniq = local_relation(spark, uniq_rows, uniq_ddl)
-    return local, cells, uniq
+    cells = sorted(r["cell"] for r in routed.select("cell").distinct().collect())
+    return routed, q, cells
 
 
 def ann_index_probe(
@@ -1108,38 +1239,18 @@ def ann_index_probe(
     centroid table, then scan ONLY the union of probed cells.
 
     ``queries``: (vec_id, iv, nrm2) — same quantized layout as the corpus.
-    The probed-cell list is collected to the driver (bounded by n_cells, a
-    quantizer constant — NOT corpus-sized) so the ``isin`` filter lands as a
-    disk partition filter on the vectors scan; the per-query cell routing
-    then happens in the broadcast-hash join.  Output matches ``ivf_topk``:
+    Routing runs through ``_probe_routing`` (driver-side within the model
+    gate, lazy SQL past it); the probed-cell list lands as a disk partition
+    filter on the vectors scan, the per-query cell routing happens in the
+    broadcast-hash joins against the narrow routed relation + the per-query
+    vector twin.  Output matches ``ivf_topk``:
     (query_id, neighbor_id, cosine_sim, rn).
     """
     import os
 
     from pyspark.sql import Window
 
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("iv").alias("q_iv"),
-        F.col("nrm2").alias("q_nrm2"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    routed = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "q_iv",
-            "q_nrm2",
-            "cent_id",
-            # same exact integer scoring the index was ASSIGNED with
-            _route_score(F.col("q_iv"), F.col("cs"), F.col("cnorm")).alias("csim"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_iv", "q_nrm2", F.col("cent_id").alias("cell"))
-    )
-    routed, cells, _ = _collect_routed(spark, routed)
+    routed, uniq, cells = _probe_routing(spark, index_dir, queries, nprobe)
     vecs = (
         spark.read.parquet(os.path.join(index_dir, "vectors"))
         .filter(F.col("cell").isin(cells))
@@ -1153,6 +1264,7 @@ def ann_index_probe(
     dot = _dot64(F.col("q_iv"), F.col("c_iv"))
     pairs = (
         vecs.join(F.broadcast(routed), "cell")
+        .join(F.broadcast(uniq), "query_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -1302,33 +1414,14 @@ def ann_index_probe_sq8(
 
     from pyspark.sql import Window
 
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    # ONE-row frozen bounds as a literal LocalRelation (r15): the parquet
-    # scan otherwise re-ran as its own job under the codes crossJoin's
-    # broadcast build every probe.
-    bounds = _local_if_bounded(
-        spark.read.parquet(os.path.join(index_dir, "sq8_bounds"))
-    )
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("iv").alias("q_iv"),
-        F.col("nrm2").alias("q_nrm2"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    routed = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "q_iv",
-            "q_nrm2",
-            "cent_id",
-            _route_score(F.col("q_iv"), F.col("cs"), F.col("cnorm")).alias("csim"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_iv", "q_nrm2", F.col("cent_id").alias("cell"))
-    )
-    routed, cells, uniq = _collect_routed(spark, routed)
+    # ONE-row frozen bounds as a literal LocalRelation, read on the driver
+    # (r16: pyarrow — the spark.read path paid a listing job + a collect
+    # job per probe; r15 note: the parquet scan otherwise re-ran as its own
+    # job under the codes crossJoin's broadcast build every probe).
+    bounds = _sidecar_local(
+        spark, os.path.join(index_dir, "sq8_bounds")
+    ) or _local_if_bounded(spark.read.parquet(os.path.join(index_dir, "sq8_bounds")))
+    routed, uniq, cells = _probe_routing(spark, index_dir, queries, nprobe)
     codes = (
         spark.read.parquet(os.path.join(index_dir, "vectors_sq8"))
         .filter(F.col("cell").isin(cells))
@@ -1347,6 +1440,7 @@ def ann_index_probe_sq8(
     wsl = Window.partitionBy("query_id").orderBy(F.desc("sq8_sim"), F.asc("neighbor_id"))
     short = (
         codes.join(F.broadcast(routed), "cell")
+        .join(F.broadcast(uniq), "query_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -1897,8 +1991,9 @@ def _load_perm(spark, index_dir: str) -> list[int] | None:
     perm_dir = os.path.join(index_dir, "pq_perm")
     if not os.path.exists(perm_dir):
         return None
-    rows = spark.read.parquet(perm_dir).orderBy("pos").collect()
-    return [int(r.src) for r in rows]
+    # model-sized sidecar: driver pyarrow read (no listing/collect jobs)
+    rows = sorted(_sidecar_rows(perm_dir), key=lambda r: r["pos"])
+    return [int(r["src"]) for r in rows]
 
 
 def ann_index_build_pq(
@@ -2094,38 +2189,20 @@ def ann_index_probe_pq(
 
     from pyspark.sql import Window
 
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    books = spark.read.parquet(os.path.join(index_dir, "pq_books"))
     perm = _load_perm(spark, index_dir)
     cm_dir = os.path.join(index_dir, "pq_cellmeans")
-    cellmeans = spark.read.parquet(cm_dir) if os.path.exists(cm_dir) else None
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("iv").alias("q_iv"),
-        F.col("nrm2").alias("q_nrm2"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-    routed = (
-        q.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "q_iv",
-            "q_nrm2",
-            "cent_id",
-            _route_score(F.col("q_iv"), F.col("cs"), F.col("cnorm")).alias("csim"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_iv", "q_nrm2", F.col("cent_id").alias("cell"))
-    )
-    routed, cells, uniq = _collect_routed(spark, routed)
+    routed, uniq, cells = _probe_routing(spark, index_dir, queries, nprobe)
+    # the LUT builders need the query vectors per routed row: one
+    # literal-to-literal broadcast join re-attaches them (the narrow routed
+    # relation deliberately does not carry array columns — r15 regression)
+    routed_full = routed.join(F.broadcast(uniq), "query_id")
     # rotated layout: LUT slices read the permuted query; q_iv itself stays
     # original for routing (cosine is permutation-invariant but the stored
     # centroid sums live in the original space) and for the exact rescore
     qv = "q_iv"
     if perm is not None:
         qv = "__qpv"
-        routed = routed.withColumn(qv, _permute_col("q_iv", perm))
+        routed_full = routed_full.withColumn(qv, _permute_col("q_iv", perm))
     # per-query LUTs against the broadcast codebooks: dot(q_sub, centroid)
     # and |centroid|^2, in codebook order (position-aligned with the codes)
     dot_lut = f"""transform(__books, (bk, mi) ->
@@ -2138,9 +2215,19 @@ def ann_index_probe_pq(
     # ONE shared books row (r15): previously _books_row(books) was built
     # independently for the query LUTs and the per-cell cross LUTs — two
     # collects of the codebooks; the shared literal also lets the two
-    # broadcast builds reuse one exchange.
-    books_b = _books_row(books)
-    qbase = routed.crossJoin(books_b).withColumn(
+    # broadcast builds reuse one exchange.  r16: the codebook sidecar is
+    # read on the driver (pyarrow) — no listing job, no collect job; the
+    # Spark read is the past-the-gate fallback only.
+    books_rows = _sidecar_rows(os.path.join(index_dir, "pq_books"))
+    if len(books_rows) <= _MAX_BOOKS_ROWS:
+        books_b = F.broadcast(
+            _books_row_local(
+                spark, [(r["sub_id"], r["j"], r["c"]) for r in books_rows]
+            )
+        )
+    else:
+        books_b = _books_row(spark.read.parquet(os.path.join(index_dir, "pq_books")))
+    qbase = routed_full.crossJoin(books_b).withColumn(
         "__sd", F.expr("size(element_at(element_at(__books, 1), 1).c)")
     )
     codes = (
@@ -2162,7 +2249,7 @@ def ann_index_probe_pq(
             F.col("__dot") / (F.sqrt("q_nrm2") * F.sqrt("__rn2")),
         ).otherwise(F.lit(-1.0))
 
-    if cellmeans is not None:
+    if os.path.exists(cm_dir):
         # residual layout: dot(q, x̂) = dot(q, cm) + Σ dlut[code];
         # ||x̂||² = ||cm||² + Σ (2·dot(cm_sub, r̂) + ||r̂||²) — the cross
         # term rides a per-CELL LUT so the codes scan stays one scalar
@@ -2170,7 +2257,30 @@ def ann_index_probe_pq(
         # probed cell means as a literal LocalRelation (bounded by n_cells,
         # a quantizer constant): both LUT branches below consume them; the
         # parquet subplan otherwise re-ran under each branch's broadcast.
-        cms = _local_if_bounded(cellmeans.filter(F.col("cell").isin(cells)))
+        # r16: read on the driver (pyarrow) and filtered to the probed
+        # cells in Python — no listing job, no collect job.
+        import pyarrow.parquet as pa_pq
+
+        from healthcare_data_pipeline_spark.localrel import local_relation
+
+        cm_tbl = pa_pq.read_table(cm_dir)
+        cm_ddl = _arrow_ddl(cm_tbl.schema)
+        if cm_ddl is not None and cm_tbl.num_rows <= _MAX_BOOKS_ROWS:
+            cset = set(cells)
+            names = cm_tbl.column_names
+            cms = local_relation(
+                spark,
+                [
+                    tuple(d[c] for c in names)
+                    for d in cm_tbl.to_pylist()
+                    if d["cell"] in cset
+                ],
+                cm_ddl,
+            )
+        else:
+            cms = _local_if_bounded(
+                spark.read.parquet(cm_dir).filter(F.col("cell").isin(cells))
+            )
         qc_dot = F.expr(
             "aggregate(zip_with(q_iv, __cm, (x, y) -> x * y), 0D, (acc, d) -> acc + d)"
         )
