@@ -113,9 +113,17 @@ def dot_unrolled(a: Column | str, b: Column | str, dim_hint: int) -> Column:
     """
     av, bv = _col(a), _col(b)
     acc: Column = F.lit(0.0)
+    # cast("double") on each factor: a no-op the optimizer removes for the
+    # array<double> call sites (bit-identical, zero cost), and on
+    # array<float> inputs it matches vec_dot's promote-then-multiply
+    # semantics instead of multiplying in float precision (r15 advice).
     for i in range(1, dim_hint + 1):
-        acc = acc + F.element_at(av, i) * F.element_at(bv, i)
+        acc = acc + F.element_at(av, i).cast("double") * F.element_at(bv, i).cast(
+            "double"
+        )
     fold = F.aggregate(
-        F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda acc2, x: acc2 + x
+        F.zip_with(av, bv, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc2, x: acc2 + x,
     )
     return F.when((F.size(av) == dim_hint) & (F.size(bv) == dim_hint), acc).otherwise(fold)

@@ -622,6 +622,12 @@ def dedup_incremental(
     # O(batch), never O(corpus) — the corpus-side inputs stay unpersisted
     # streamed scans.  MEMORY_ONLY: an evicted block recomputes, it never
     # fails the query (the dd04 signature-table precedent).
+    # Lifecycle (r15 advice): the persists live until the RETURNED lazy
+    # DataFrame is materialized, so this function cannot unpersist them
+    # itself — a long-lived driver ingesting many batches must call
+    # ``spark.catalog.clearCache()`` (or unpersist via the storage tab)
+    # between batches or the O(batch) blocks accumulate; MEMORY_ONLY means
+    # eviction reclaims them under pressure, at recompute cost.
     no_exact = stamped.join(
         F.broadcast(probe_fingerprint_index(stamped, corpus_fps)), "__fp", "left_anti"
     ).persist(StorageLevel.MEMORY_ONLY)

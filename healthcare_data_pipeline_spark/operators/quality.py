@@ -470,6 +470,11 @@ def prep_corpus(
     # persist keys on the expensive stages.  MEMORY_AND_DISK: a block that
     # outgrows memory spills locally instead of being recomputed through
     # the whole gate chain; eviction only ever costs recomputation.
+    # Lifecycle (r15 advice): both persists below back the RETURNED lazy
+    # DataFrame, so this function cannot unpersist them itself; disk-backed
+    # blocks are not reclaimed by eviction, so a session invoking
+    # prep_corpus repeatedly must ``spark.catalog.clearCache()`` between
+    # invocations (the bench does, between every rep).
     from pyspark import StorageLevel
 
     multi_pass_prep = (

@@ -585,7 +585,18 @@ def _assign_against(en: DataFrame, cent: DataFrame) -> DataFrame:
     Output: en columns + ``cell``."""
     from pyspark.sql import Window
 
-    scored = en.crossJoin(F.broadcast(cent)).select(
+    # Explicit vec_id repartition BELOW the scoring cross join (r16, the
+    # t28 CPU-vs-bytes pattern): the interpreted _route_score evaluates
+    # once per (vector, centroid) and everything above the argmin window —
+    # semdedup's within-cell pair loop included — runs in the window's
+    # output stage, which AQE's byte-based coalescing folds into 1-2 tasks
+    # because embedding shuffle BYTES are small.  Pinning the exchange here
+    # (user repartitions are exempt from coalescing) satisfies the window's
+    # required distribution, so the window adds NO second exchange: same
+    # exchange count as before, every stage wide.  Scales with
+    # defaultParallelism, not a local constant.
+    para = en.sparkSession.sparkContext.defaultParallelism
+    scored = en.repartition(para, "vec_id").crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",
         "iv",
@@ -808,6 +819,21 @@ def centroid_assign(en: DataFrame) -> DataFrame:
     return _assign_against(en, int_centroids(en))
 
 
+def _write_by_cell(df: DataFrame, path: str, mode: str) -> None:
+    """Cell-partitioned parquet write behind a REBALANCE(cell) exchange.
+
+    The writer receives cell-clustered, advisory-sized partitions, so each
+    cell directory gets FEW well-sized files instead of one shard per
+    upstream task (guide §6 small-files: the r16 assignment repartition
+    otherwise fragmented every cell into defaultParallelism shards, and
+    probes pay per-file open cost on every probed cell — measured s07
+    1.02 -> 1.87 s on the fragmented layout).  AQE splits oversized cells
+    and coalesces tiny ones, so giant cells at 100 TB still write in
+    parallel (plain repartition("cell") would bottleneck each cell into
+    one task)."""
+    df.hint("rebalance", "cell").write.mode(mode).partitionBy("cell").parquet(path)
+
+
 def ann_index_build(en: DataFrame, index_dir: str) -> None:
     """Persist the IVF index: ``vectors/`` parquet PARTITIONED BY the cell
     assignment plus the ``centroids/`` quantizer table.
@@ -822,9 +848,7 @@ def ann_index_build(en: DataFrame, index_dir: str) -> None:
     import os
 
     assigned = centroid_assign(en)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(index_dir, "vectors")
-    )
+    _write_by_cell(assigned, os.path.join(index_dir, "vectors"), "overwrite")
     # The EXACT quantizer table centroid_assign ranked against (integer
     # component sums + precomputed norm) — quantizer and assignment must
     # never drift apart, and persisting cs/cnorm keeps probes parity-exact.
@@ -860,8 +884,8 @@ def ann_index_append(spark, index_dir: str, new_en: DataFrame) -> None:
     import os
 
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    _assign_against(new_en, cent).write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, "vectors")
+    _write_by_cell(
+        _assign_against(new_en, cent), os.path.join(index_dir, "vectors"), "append"
     )
 
 
@@ -1362,8 +1386,8 @@ def ann_index_build_sq8(en: DataFrame, index_dir: str) -> None:
     assigned = spark.read.parquet(os.path.join(index_dir, "vectors"))
     bounds = sq8_bounds(en)
     bounds.write.mode("overwrite").parquet(os.path.join(index_dir, "sq8_bounds"))
-    sq8_encode(assigned, bounds).write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(index_dir, "vectors_sq8")
+    _write_by_cell(
+        sq8_encode(assigned, bounds), os.path.join(index_dir, "vectors_sq8"), "overwrite"
     )
 
 
@@ -1378,11 +1402,9 @@ def ann_index_append_sq8(spark, index_dir: str, new_en: DataFrame) -> None:
     cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
     bounds = spark.read.parquet(os.path.join(index_dir, "sq8_bounds"))
     assigned = _assign_against(new_en, cent)
-    assigned.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, "vectors")
-    )
-    sq8_encode(assigned, bounds).write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, "vectors_sq8")
+    _write_by_cell(assigned, os.path.join(index_dir, "vectors"), "append")
+    _write_by_cell(
+        sq8_encode(assigned, bounds), os.path.join(index_dir, "vectors_sq8"), "append"
     )
 
 
@@ -2094,10 +2116,12 @@ def ann_index_build_pq(
         )
         books.write.mode("overwrite").parquet(os.path.join(index_dir, "pq_books"))
         books_saved = spark.read.parquet(os.path.join(index_dir, "pq_books"))
-        pq_encode(res, books_saved, vec_col="rv", rotate=perm).select(
-            "vec_id", "codes", "cell"
-        ).write.mode("overwrite").partitionBy("cell").parquet(
-            os.path.join(index_dir, "pq_codes")
+        _write_by_cell(
+            pq_encode(res, books_saved, vec_col="rv", rotate=perm).select(
+                "vec_id", "codes", "cell"
+            ),
+            os.path.join(index_dir, "pq_codes"),
+            "overwrite",
         )
         return
     perm = _persist_perm(
@@ -2108,10 +2132,12 @@ def ann_index_build_pq(
     books = pq_train(en, m=m, k=k_codes, iters=iters, rotate=perm)
     books.write.mode("overwrite").parquet(os.path.join(index_dir, "pq_books"))
     books_saved = spark.read.parquet(os.path.join(index_dir, "pq_books"))
-    pq_encode(assigned, books_saved, rotate=perm).select(
-        "vec_id", "codes", "cell"
-    ).write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(index_dir, "pq_codes")
+    _write_by_cell(
+        pq_encode(assigned, books_saved, rotate=perm).select(
+            "vec_id", "codes", "cell"
+        ),
+        os.path.join(index_dir, "pq_codes"),
+        "overwrite",
     )
 
 
@@ -2131,18 +2157,18 @@ def ann_index_append_pq(spark, index_dir: str, new_en: DataFrame) -> None:
     books = spark.read.parquet(os.path.join(index_dir, "pq_books"))
     perm = _load_perm(spark, index_dir)
     assigned = _assign_against(new_en, cent)
-    assigned.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, "vectors")
-    )
+    _write_by_cell(assigned, os.path.join(index_dir, "vectors"), "append")
     cm_dir = os.path.join(index_dir, "pq_cellmeans")
     if os.path.exists(cm_dir):
         res = _with_residual(assigned, spark.read.parquet(cm_dir))
         enc = pq_encode(res, books, vec_col="rv", rotate=perm)
     else:
         enc = pq_encode(assigned, books, rotate=perm)
-    enc.select("vec_id", "codes", "cell").write.mode("append").partitionBy(
-        "cell"
-    ).parquet(os.path.join(index_dir, "pq_codes"))
+    _write_by_cell(
+        enc.select("vec_id", "codes", "cell"),
+        os.path.join(index_dir, "pq_codes"),
+        "append",
+    )
 
 
 def ann_index_probe_pq(

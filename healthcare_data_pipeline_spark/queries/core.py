@@ -174,6 +174,9 @@ def q05_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Global max / count / sum / countDistinct (A5 watermark probe ingest_data.py:66-69; A6; A8).",
 )
 def q06_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # widen A/B LOST decisively (r16: 0.637 vs 1.305 s min, 5/5 clean reps
+    # per arm) — the countDistinct expand shuffles more than the single-task
+    # map saves; narrow kept.  q05/q10 measured 0.2-0.4 s (nothing to widen).
     li = table(spark, sf_dir, "lineitem")
     return li.agg(
         F.max("l_orderkey").alias("max_orderkey"),

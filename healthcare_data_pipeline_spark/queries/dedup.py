@@ -236,6 +236,7 @@ def dd16_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.functions import dot_unrolled
+    from healthcare_data_pipeline_spark.operators.similarity import EMBED_DIM
 
     # r15: the theta join has no equi key, so it can only be a nested-loop
     # join — make it the PARALLEL one.  Without the hint the planner
@@ -245,6 +246,11 @@ def dd03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # side runs the loop on every core (~3.2 s).  dot_unrolled halves the
     # remaining per-pair cost (no interpreted fold / no zip_with allocation
     # on the dim-64 fast path) — bit-identical by the guarded-CASE contract.
+    # Scale bound: the broadcast side is the WHOLE embeddings relation,
+    # which only fits because this entry is the documented O(N^2)
+    # correctness baseline over a bounded slice — production near-dup goes
+    # through dd09/dd06/s05; at corpus scale the broadcast (8 GB cap) fails
+    # loudly rather than silently serializing.
     a = quantized(spark, sf_dir, widen=True).select(
         F.col("vec_id").alias("d1"), F.col("iv").alias("a_iv"), F.col("nrm2").alias("a_n")
     )
@@ -253,7 +259,7 @@ def dd03_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("d2"), F.col("iv").alias("b_iv"), F.col("nrm2").alias("b_n")
         )
     )
-    dot = dot_unrolled(F.col("a_iv"), F.col("b_iv"), dim_hint=64)
+    dot = dot_unrolled(F.col("a_iv"), F.col("b_iv"), dim_hint=EMBED_DIM)
     sim = dot / (F.sqrt(F.col("a_n")) * F.sqrt(F.col("b_n")))
     return (
         a.join(b, F.col("d1") < F.col("d2"))
@@ -324,6 +330,11 @@ def _fast_minhash_sig(
     # generates infer nothing; <3-token docs (empty shingle array) emit one
     # NULL row each, dropped by the cheap generated-column filter — exactly
     # the docs the inner explode dropped.
+    # r16 adjudication (the r15 verdict's dd04 item): interleaved A/B of
+    # inner explode vs this outer form measured FLAT on steal-clean minima
+    # (1.461 vs 1.452 s) — the r15 driver-box regression does not reproduce
+    # as a mechanism effect; outer kept for the scale reason (no inferred
+    # filter re-running the shingle construction below the repartition).
     sh = sh.selectExpr(
         *keys, f"explode_outer(array_distinct({WORD_3GRAMS_SQL})) AS s"
     ).filter(F.col("s").isNotNull())
@@ -1688,6 +1699,10 @@ def _semdedup_oracle_sql(threshold: float) -> str:
 def dd21_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.similarity import semdedup
 
+    # widen A/B LOST here (r16, interleaved arms: 2.94 vs 3.71 min): with
+    # _assign_against's vec_id repartition in place the heavy stages already
+    # run wide, and the extra round-robin exchange on the scan only adds
+    # cost.  Narrow kept.
     en = quantized(spark, sf_dir)
     return semdedup(en, threshold=0.3, keep_flags=True)
 
@@ -1753,6 +1768,10 @@ def dd23_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         semdedup,
     )
 
+    # widen A/B FLAT here (r16, interleaved arms: 6.48 vs 6.57 min under
+    # residual steal) — the r15 inconclusive verdict reproduced, so the
+    # narrow scan stays (no evidence either way; the kmeans driver loop and
+    # the pair pipeline, not the scan, carry dd23's cost).
     en = quantized(spark, sf_dir)
     return semdedup(en, threshold=0.3, assigned=kmeans_cells(en, k=8, iters=2), keep_flags=True)
 

@@ -451,7 +451,11 @@ _LSH_CTES = """
 def s05_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.similarity import lsh_candidate_pairs
 
-    en = quantized(spark, sf_dir)
+    # widen=True (r16 A/B win: 3.22 -> 2.92 s min, 3.52 -> 2.93 s median,
+    # steal-clean interleaved arms): the bucket self-join's rescore loop
+    # otherwise streams the single-row-group scan on one task; gated no-op
+    # at production sizes.
+    en = quantized(spark, sf_dir, widen=True)
     return lsh_candidate_pairs(en)
 
 
@@ -495,6 +499,9 @@ def s05_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s06_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.similarity import knn_recall
 
+    # widen A/B LOST here (r16: +0.36 s min, medians worse) — the recall
+    # twin is dominated by the brute-force comparison pass, not the scan;
+    # narrow kept.
     en = quantized(spark, sf_dir)
     return knn_recall(en, F.col("vec_id") < 20, k=5, method="lsh")
 
