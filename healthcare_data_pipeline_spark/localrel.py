@@ -76,7 +76,11 @@ def _render(v, dt: T.DataType) -> str:
     if isinstance(dt, T.BooleanType):
         return f"CAST({'true' if v else 'false'} AS BOOLEAN)"
     if isinstance(dt, T.ArrayType):
-        inner = ",".join(_render(x, dt.elementType) for x in v)
+        elems = list(v)
+        if not elems:
+            # bare ARRAY() types as array<void>; the cast pins the DDL type
+            return f"CAST(ARRAY() AS {dt.simpleString()})"
+        inner = ",".join(_render(x, dt.elementType) for x in elems)
         return f"ARRAY({inner})"
     if isinstance(dt, T.StructType):
         vals = v if isinstance(v, (tuple, list)) else tuple(v)

@@ -1768,11 +1768,13 @@ def dd23_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         semdedup,
     )
 
-    # widen A/B FLAT here (r16, interleaved arms: 6.48 vs 6.57 min under
-    # residual steal) — the r15 inconclusive verdict reproduced, so the
-    # narrow scan stays (no evidence either way; the kmeans driver loop and
-    # the pair pipeline, not the scan, carry dd23's cost).
-    en = quantized(spark, sf_dir)
+    # widen=True (r16): with the kmeans driver loop in place the assignment
+    # is a zero-shuffle scan against literal centroids, so the within-cell
+    # pair loop fused above it runs on the scan's single row-group task;
+    # two interleaved A/Bs favor the widen on per-arm minima (4.70/4.96 vs
+    # 5.03/5.39 s under bursty steal; pre-driver-loop the A/B was flat).
+    # Gated no-op at production sizes.
+    en = quantized(spark, sf_dir, widen=True)
     return semdedup(en, threshold=0.3, assigned=kmeans_cells(en, k=8, iters=2), keep_flags=True)
 
 
