@@ -366,13 +366,23 @@ def containment_for_pairs(
     # self-pairs (a,a) would emit a spurious containment=1.0 row.  Output is
     # unaffected for already-canonical inputs (LSH candidates emit d1 < d2),
     # since _both_directions scores both orientations regardless.
+    from pyspark import StorageLevel
+
     p = (
         pairs.select(
             F.least(F.col("d1"), F.col("d2")).alias("d1"),
             F.greatest(F.col("d1"), F.col("d2")).alias("d2"),
         )
         .filter(F.col("d1") != F.col("d2"))
+        # Persist the canonical candidate set (r16): ``p`` feeds the paired-id
+        # semi join AND the intersection join, so an expensive candidate
+        # generator (dd17 passes the full portable-MinHash banding pipeline —
+        # an md5 per shingle) otherwise re-executes per consumer.  Candidate
+        # pairs are banding-bounded (the whole point of LSH candidates), so
+        # this is the dd11 O(batch)-persist budget class; MEMORY_ONLY means
+        # eviction recomputes, never fails.
         .distinct()
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     # one explode, not a two-select self-union (which would run the whole
     # candidate-generation subtree twice in the physical plan)
@@ -391,6 +401,12 @@ def containment_for_pairs(
             f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks",
         )
         .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
+        # Three consumers (the size denominator + both sides of the
+        # intersection join) otherwise re-run the tokenize->3gram->distinct
+        # explode chain per consumer.  Paired-doc shingles only (docs in no
+        # candidate pair are pruned above), MEMORY_ONLY — the dd04
+        # signature-table precedent: eviction recomputes, never fails.
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # pair ⋈ d1-shingles on d1, then ⋈ d2-shingles on (d2, s): each surviving

@@ -940,7 +940,10 @@ def _dedup_embeddings_oracle_sql() -> str:
 def dd10_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_pipeline_spark.operators.similarity import dedup_embeddings
 
-    en = quantized(spark, sf_dir)
+    # widen=True (r16 A/B win: 4.91 -> 4.18 s min, 5.71 -> 4.71 s median,
+    # interleaved arms): same rationale as s05 — the LSH bucket self-join's
+    # rescore loop otherwise streams the single-row-group scan on one task.
+    en = quantized(spark, sf_dir, widen=True)
     return dedup_embeddings(en).select("vec_id")
 
 
