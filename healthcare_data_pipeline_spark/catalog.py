@@ -61,6 +61,20 @@ def table(spark: SparkSession, sf_dir: str, name: str, widen: bool = False) -> D
         # Left set for the session: the conf must still be active when the
         # lazy plan actually executes, and it only affects TIMESTAMP(NANOS).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if not widen and not nanos_cols:
+        # Tiny-dimension fast path (r16, guide §3.1): region/nation-class
+        # tables are consumed almost exclusively as broadcast build sides,
+        # and a broadcast relation is collected to the driver anyway — a
+        # driver pyarrow read rendered as a literal LocalRelation skips the
+        # per-consumer parquet-listing job and the executor scan under
+        # every broadcast build.  Strictly gated (file bytes + row count +
+        # simple-schema mapping, decimals/dates fall back), re-read from
+        # the parquet per invocation (never cached across runs), and
+        # scale-adaptive: at 100 TB these tables are still catalog-row
+        # sized while every grown table falls past the gate.
+        lit = _tiny_local(spark, path)
+        if lit is not None:
+            return lit
     df = spark.read.parquet(path)
     for c in nanos_cols:
         if isinstance(df.schema[c].dataType, T.LongType):
@@ -108,6 +122,52 @@ def _widen_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFram
     if est_splits >= par:
         return df
     return df.repartition(par)
+
+
+#: Tiny-table literal gate: FIXED catalog dimensions only (region/nation
+#: class — a few KiB at every scale factor).  Deliberately under the size of
+#: every growing table at every SF: a wider gate (64 KiB) also literalized
+#: supplier/part at the small test SFs, which costs ~100 KiB VALUES parses
+#: per consumer build (measured d01 +0.11 s) and makes the test-SF plan
+#: shape diverge from the bench/production one.  Set
+#: SPARK_GRAFT_TINY_TABLE_BYTES=0 to disable.
+_TINY_TABLE_BYTES_DEFAULT = 4 << 10
+
+
+def _tiny_local(spark: SparkSession, path: str) -> DataFrame | None:
+    """A catalog-dimension parquet as a literal LocalRelation, or None when
+    any gate misses (size, row count, schema mapping, env kill switch) —
+    callers fall back to the normal Spark read.  The read happens per
+    invocation straight from the parquet file; values are bit-exact
+    (pyarrow physical values -> the localrel typed-literal contract)."""
+    try:
+        gate = int(
+            os.environ.get(
+                "SPARK_GRAFT_TINY_TABLE_BYTES", str(_TINY_TABLE_BYTES_DEFAULT)
+            )
+        )
+    except ValueError:
+        gate = _TINY_TABLE_BYTES_DEFAULT
+    if gate <= 0:
+        return None
+    try:
+        if not os.path.isfile(path) or os.path.getsize(path) > gate:
+            return None
+        import pyarrow.parquet as pq
+
+        from healthcare_data_pipeline_spark.localrel import arrow_ddl, local_relation
+
+        tbl = pq.read_table(path)
+        if tbl.num_rows > 10_000:
+            return None
+        ddl = arrow_ddl(tbl.schema)
+        if ddl is None:
+            return None
+        names = tbl.column_names
+        rows = [tuple(d[c] for c in names) for d in tbl.to_pylist()]
+        return local_relation(spark, rows, ddl)
+    except Exception:
+        return None
 
 
 def _parquet_layout(path: str) -> tuple[int, int] | None:

@@ -38,6 +38,37 @@ from pyspark.sql import types as T
 _MAX_ROWS_DEFAULT = 10_000
 
 
+def arrow_ddl(schema) -> str | None:
+    """Spark DDL for a (simple) pyarrow schema — ints, doubles, strings,
+    booleans and lists thereof; None for anything else (decimals, dates,
+    timestamps, structs) so callers fall back to a Spark read."""
+    import pyarrow as pa
+
+    def one(t) -> str | None:
+        if pa.types.is_int64(t):
+            return "bigint"
+        if pa.types.is_int32(t):
+            return "int"
+        if pa.types.is_float64(t):
+            return "double"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            inner = one(t.value_type)
+            return f"array<{inner}>" if inner else None
+        return None
+
+    cols = []
+    for f in schema:
+        t = one(f.type)
+        if t is None:
+            return None
+        cols.append(f"`{f.name}` {t}")
+    return ", ".join(cols)
+
+
 def _esc(s: str) -> str:
     return s.replace("\\", "\\\\").replace("'", "\\'")
 

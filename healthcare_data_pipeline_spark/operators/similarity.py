@@ -1139,30 +1139,11 @@ def _local_if_bounded(df: DataFrame, max_rows: int = 65_536) -> DataFrame:
 def _arrow_ddl(schema) -> str | None:
     """Spark DDL for a (simple) pyarrow schema — ints, doubles, strings and
     lists thereof cover every index sidecar; None for anything else so the
-    caller falls back to a Spark read."""
-    import pyarrow as pa
+    caller falls back to a Spark read.  (Shared with catalog's tiny-table
+    path — the implementation lives in localrel.)"""
+    from healthcare_data_pipeline_spark.localrel import arrow_ddl
 
-    def one(t) -> str | None:
-        if pa.types.is_int64(t):
-            return "bigint"
-        if pa.types.is_int32(t):
-            return "int"
-        if pa.types.is_float64(t):
-            return "double"
-        if pa.types.is_string(t) or pa.types.is_large_string(t):
-            return "string"
-        if pa.types.is_list(t) or pa.types.is_large_list(t):
-            inner = one(t.value_type)
-            return f"array<{inner}>" if inner else None
-        return None
-
-    cols = []
-    for f in schema:
-        t = one(f.type)
-        if t is None:
-            return None
-        cols.append(f"`{f.name}` {t}")
-    return ", ".join(cols)
+    return arrow_ddl(schema)
 
 
 def _sidecar_rows(path: str) -> list[dict]:
