@@ -543,17 +543,23 @@ def _fast_simhash(
         .withColumn("h", F.xxhash64("tok"))
     )
     n_bits = 63  # keep the signature non-negative
+    # Branch-free vote (r16): summing the raw bit and testing 2*count > n is
+    # INTEGER-IDENTICAL to the signed +-1 vote (vote = 2*count - n > 0) and
+    # drops 63 per-row CASE branches from the aggregation's map side.
     votes = toks.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))).alias(
+                f"b{b}"
+            )
             for b in range(n_bits)
-        ]
+        ],
     )
     sig = None
     for b in range(n_bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0)
+        term = F.when(
+            F.col(f"b{b}") * 2 > F.col("__n"), F.lit(1).cast("long") * (2**b)
+        ).otherwise(0)
         sig = term if sig is None else sig + term
     return votes.select(*keys, sig.alias("simhash"))
 
@@ -818,18 +824,22 @@ def dd07_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"[ \t\n\r\f\x0B]+")).alias("s")
     ).withColumn("h32", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long"))
+    # Branch-free vote (r16, dd05's rewrite): 2*count > n == the signed +-1
+    # vote's "> 0", exactly, in integers.
     votes = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__n"),
         *[
-            F.sum(
-                F.when(F.shiftrightunsigned(F.col("h32"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.shiftrightunsigned(F.col("h32"), b).bitwiseAND(F.lit(1))).alias(
+                f"b{b}"
+            )
             for b in range(PSH_BITS)
-        ]
+        ],
     )
     sig = None
     for b in range(PSH_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.when(
+            F.col(f"b{b}") * 2 > F.col("__n"), F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.alias("simhash"))
 
