@@ -283,6 +283,12 @@ def containment_pairs(
     shk = df_capped_shingles(
         docs, id_col=id_col, text_col=text_col, max_shingle_df=max_shingle_df
     )
+    # NOT persisted (r16 A/B: persist LOST decisively, 1.56 vs 2.46 s min,
+    # 5/5 clean interleaved reps): unlike containment_for_pairs — whose
+    # candidate generator is the full banding pipeline — shk's two
+    # identically-keyed self-join sides already share one exchange at
+    # runtime, so the cache write of corpus-wide shingle rows costs more
+    # than the size denominator's single re-run saves.
     sizes = shk.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = shk.select(F.col("doc_id").alias("d1"), "s")
     b = shk.select(F.col("doc_id").alias("d2"), "s")
@@ -401,11 +407,13 @@ def containment_for_pairs(
             f"split(lower({text_col}), '[ \\\\t\\\\n\\\\r\\\\f\\\\x0B]+') AS toks",
         )
         .selectExpr("doc_id", f"explode(array_distinct({WORD_3GRAMS_SQL})) AS s")
-        # Three consumers (the size denominator + both sides of the
-        # intersection join) otherwise re-run the tokenize->3gram->distinct
-        # explode chain per consumer.  Paired-doc shingles only (docs in no
-        # candidate pair are pruned above), MEMORY_ONLY — the dd04
-        # signature-table precedent: eviction recomputes, never fails.
+        # Three consumers on DIFFERENT keys (the size denominator's doc_id
+        # aggregation, the d1 join, the (d2, s) join — no exchange reuse
+        # possible, unlike containment_pairs' identically-keyed self-join)
+        # otherwise re-run the tokenize->3gram->distinct explode chain per
+        # consumer.  Paired-doc shingles only (docs in no candidate pair are
+        # pruned above), MEMORY_ONLY — eviction recomputes, never fails.
+        # Isolated A/B keeps it: 2.34 vs 2.85 s min without, 5/5 clean.
         .persist(StorageLevel.MEMORY_ONLY)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
